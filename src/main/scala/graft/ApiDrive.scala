@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.{Duration, Instant, LocalTime}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.UnchangedScope
+
+/** End-to-end drive of the public TimeDb facade against a scratch store:
+  * the reference's integration scenarios (tests/test_integration.py)
+  * exercised through the package boundary. Exits non-zero on any
+  * mismatch. */
+object ApiDrive {
+  def main(args: Array[String]): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("timedb_drive").toString
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    var failures = List.empty[String]
+    def check(name: String)(cond: => Boolean): Unit =
+      if (!cond) { failures ::= name; println(s"FAIL $name") } else println(s"ok   $name")
+
+    val db = new TimeDb(spark, base)
+    db.create()
+
+    def t(s: String) = Timestamp.from(Instant.parse(s))
+    val vts = (0 until 24).map(h => t(f"2024-03-01T$h%02d:00:00Z"))
+
+    // Two forecast revisions (test_integration.py:70-78): kt2 wins.
+    val rev1 = vts.zipWithIndex.map { case (vt, i) => (1L, vt, i * 10.0) }
+      .toDF("series_id", "valid_time", "value")
+    val rev2 = vts.zipWithIndex.map { case (vt, i) => (1L, vt, i * 100.0) }
+      .toDF("series_id", "valid_time", "value")
+    val w1 = db.write(rev1, knowledgeTime = Some(t("2024-02-29T18:00:00Z")))
+    val w2 = db.write(rev2, knowledgeTime = Some(t("2024-03-01T06:00:00Z")))
+    check("write counts")(w1 == operators.WriteResult(24, 0) && w2 == operators.WriteResult(24, 0))
+
+    val latest = db.read(ReadFilter(Seq(1L))).collect()
+    check("latest = rev2")(latest.length == 24 && latest.forall(r => r.getDouble(2) == r.getLong(0) * 0 + vts.indexOf(r.getTimestamp(1)) * 100.0))
+
+    val hist = db.read(ReadFilter(Seq(1L)), includeKnowledgeTime = true).collect()
+    check("history 48 rows")(hist.length == 48)
+
+    // Correction: rewrite same kt values+7 → change chain visible.
+    val rev2fix = vts.zipWithIndex.map { case (vt, i) => (1L, vt, i * 100.0 + 7.0) }
+      .toDF("series_id", "valid_time", "value")
+    db.write(rev2fix, knowledgeTime = Some(t("2024-03-01T06:00:00Z")))
+    val chain = db.read(ReadFilter(Seq(1L)), includeUpdates = true).collect()
+    check("correction chain 2 per vt")(chain.length == 48)
+    val latestFixed = db.read(ReadFilter(Seq(1L))).collect()
+    check("latest = corrected")(latestFixed.forall(r => r.getDouble(2) % 100.0 == 7.0 || r.getDouble(2) == 7.0))
+
+    // Retention tiers isolate reads (test_integration.py:105-127).
+    val short = vts.take(2).map(vt => (2L, vt, 1.0)).toDF("series_id", "valid_time", "value")
+    db.write(short, retention = Some("short"))
+    check("retention prune")(
+      db.read(ReadFilter(Seq(2L), retention = Seq("short"))).count() == 2 &&
+        db.read(ReadFilter(Seq(2L), retention = Seq("forever"))).count() == 0)
+
+    // skip_unchanged: identical rewrite under new kt → all skipped.
+    val again = vts.zipWithIndex.map { case (vt, i) => (1L, vt, i * 100.0 + 7.0) }
+      .toDF("series_id", "valid_time", "value")
+    val w3 = db.write(again, knowledgeTime = Some(t("2024-03-01T09:00:00Z")), skipUnchanged = true)
+    check("skip-unchanged all skipped")(w3 == operators.WriteResult(0, 24))
+    val changedOne = Seq((1L, vts.head, -5.0)).toDF("series_id", "valid_time", "value")
+    val w4 = db.write(changedOne, knowledgeTime = Some(t("2024-03-01T10:00:00Z")), skipUnchanged = true)
+    check("skip-unchanged keeps changed")(w4 == operators.WriteResult(1, 0))
+
+    // NaN round trip: null in → NaN stored → null out.
+    val withNull = Seq((3L, vts.head, Some(1.5)), (3L, vts(1), Option.empty[Double]))
+      .toDF("series_id", "valid_time", "value")
+    db.write(withNull)
+    val nanOut = db.read(ReadFilter(Seq(3L))).collect()
+    check("nan roundtrip")(nanOut.length == 2 && nanOut.count(_.isNullAt(2)) == 1)
+
+    // Empty-ids short-circuit (read.py:421-422).
+    check("empty read")(db.read(ReadFilter(Nil)).isEmpty)
+
+    // Relative read: as-of per window.
+    val rel = db.readRelative(ReadFilter(Seq(1L)), Duration.ofDays(1), Duration.ofHours(7),
+      startWindow = Some(t("2024-03-01T00:00:00Z"))).collect()
+    check("relative read nonempty")(rel.nonEmpty)
+    val relDaily = db.readRelativeDaily(
+      ReadFilter(Seq(1L), startValid = Some(t("2024-03-01T00:00:00Z"))), 0, LocalTime.of(23, 0))
+    check("relative daily nonempty")(relDaily.count() > 0)
+
+    // run_series: three writes to series 1 → ≥3 runs, newest first.
+    val runs = db.readRunSeries(1L)
+    check("run_series runs")(runs.length >= 3)
+
+    // Bad inputs reject (write.py validation).
+    def throws(f: => Any): Boolean = try { f; false } catch { case _: IllegalArgumentException => true }
+    check("reject missing col")(throws(db.write(Seq((1L, 2.0)).toDF("series_id", "value"))))
+    check("reject bad retention")(throws(db.write(rev1, retention = Some("eternal"))))
+    check("reject ambiguous retention")(throws(
+      db.write(rev1.withColumn("retention", lit("short")), retention = Some("short"))))
+    check("reject ambiguous kt")(throws(
+      db.write(rev1.withColumn("knowledge_time", lit(t("2024-01-01T00:00:00Z"))),
+        knowledgeTime = Some(t("2024-01-01T00:00:00Z")))))
+
+    // TTL expiry: short-retention month long past → partition dropped.
+    val old = Seq((9L, t("2020-01-15T00:00:00Z"), 1.0)).toDF("series_id", "valid_time", "value")
+    db.write(old, retention = Some("short"))
+    val dropped = db.expireRetention(Instant.parse("2024-03-01T00:00:00Z"))
+    check("ttl partition drop")(dropped == Seq("retention=short/valid_month=202001") &&
+      db.read(ReadFilter(Seq(9L))).count() == 0)
+
+    db.delete()
+    spark.stop()
+    if (failures.nonEmpty) { println(s"FAILURES: $failures"); sys.exit(1) }
+    println("ALL API CHECKS PASSED")
+  }
+}

@@ -1,13 +1,697 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions.Portable
+
+/** Driver contract (SURVEY.md §5.3): one named query per implemented
+  * operator from SURVEY.md §2, each with a DuckDB-runnable ANSI oracle
+  * over the same parquet tables. Every query is deterministic and
+  * totally ordered; aggregate arithmetic goes through DECIMAL so Spark
+  * and DuckDB sums are bit-identical (SURVEY.md §7.2).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the 3D-temporal latest-read (argmax over (knowledge_time,
+    * change_time) per (series_id, valid_time)) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("td_latest")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Helpers
+  // ---------------------------------------------------------------------
+
+  /** Oracle CTE prefix exposing the events→series_values surrogate frame
+    * as `sv` (FIXTURES.md §3). */
+  private val svCte = s"WITH sv AS (${Tables.seriesOracleSql})"
+
+  private def maskNaN(df: DataFrame): DataFrame =
+    df.withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
+
+  /** Filters used by the `_where`-shaped queries (timedb/read.py:183-224):
+    * id IN-list + retention list + half-open time ranges. */
+  private val whereSids: Seq[Long] = (0L to 96L by 3L)
+  private val whereSidsSql = whereSids.mkString("(", ", ", ")")
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  // ---------------------------------------------------------------------
+  // Query registry — insertion order is build order
+  // ---------------------------------------------------------------------
+
+  private type QueryFn = (SparkSession, String) => DataFrame
+
+  private val registry: Vector[(String, QueryFn, Option[String])] = Vector(
+
+    // ----- temporal read shapes (SURVEY §2.5/2.6: A1 A3 WF1 J1 A4) -----
+
+    ("td_latest",
+      (s, dir) => ReadShapes.latest(Tables.series(s, dir))
+        .orderBy("series_id", "valid_time"),
+      Some(s"""$svCte
+        |SELECT series_id, valid_time, value FROM (
+        |  SELECT series_id, valid_time, value,
+        |         row_number() OVER (PARTITION BY series_id, valid_time
+        |                            ORDER BY knowledge_time DESC, change_time DESC, value DESC) AS rn
+        |  FROM sv)
+        |WHERE rn = 1
+        |ORDER BY series_id, valid_time""".stripMargin)),
+
+    ("td_overlapping",
+      (s, dir) => ReadShapes.overlapping(Tables.series(s, dir))
+        .orderBy("series_id", "valid_time", "knowledge_time"),
+      Some(s"""$svCte
+        |SELECT series_id, knowledge_time, valid_time, value FROM (
+        |  SELECT series_id, knowledge_time, valid_time, value,
+        |         row_number() OVER (PARTITION BY series_id, valid_time, knowledge_time
+        |                            ORDER BY change_time DESC, value DESC) AS rn
+        |  FROM sv)
+        |WHERE rn = 1
+        |ORDER BY series_id, valid_time, knowledge_time""".stripMargin)),
+
+    ("td_latest_changes",
+      (s, dir) => ReadShapes.latestWithChanges(Tables.series(s, dir))
+        .orderBy("series_id", "valid_time", "change_time"),
+      Some(s"""$svCte,
+        |win AS (
+        |  SELECT * FROM (
+        |    SELECT *, max(knowledge_time) OVER (PARTITION BY series_id, valid_time) AS max_kt
+        |    FROM sv)
+        |  WHERE knowledge_time = max_kt),
+        |lagged AS (
+        |  SELECT series_id, valid_time, change_time, value, changed_by, annotation,
+        |         lag(ROW(value, annotation, changed_by)) OVER (
+        |           PARTITION BY series_id, valid_time ORDER BY change_time ASC) AS prev
+        |  FROM win)
+        |SELECT series_id, valid_time, change_time, value, changed_by, annotation
+        |FROM lagged
+        |WHERE prev IS NULL OR ROW(value, annotation, changed_by) IS DISTINCT FROM prev
+        |ORDER BY series_id, valid_time, change_time""".stripMargin)),
+
+    ("td_overlapping_changes",
+      (s, dir) => ReadShapes.overlappingWithChanges(Tables.series(s, dir))
+        .orderBy("series_id", "valid_time", "knowledge_time", "change_time"),
+      Some(s"""$svCte,
+        |lagged AS (
+        |  SELECT series_id, valid_time, knowledge_time, change_time, value, changed_by, annotation,
+        |         lag(ROW(value, annotation, changed_by)) OVER (
+        |           PARTITION BY series_id, knowledge_time, valid_time ORDER BY change_time ASC) AS prev
+        |  FROM sv)
+        |SELECT series_id, valid_time, knowledge_time, change_time, value, changed_by, annotation
+        |FROM lagged
+        |WHERE prev IS NULL OR ROW(value, annotation, changed_by) IS DISTINCT FROM prev
+        |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
+
+    // ----- predicate builder + projection (SURVEY §2.3: P1/P2) -----
+
+    ("td_where",
+      (s, dir) => {
+        val f = ReadFilter(
+          seriesIds = whereSids,
+          retention = Seq("medium", "long", "forever"),
+          startValid = Some(ts("2024-01-05T00:00:00Z")),
+          endValid = Some(ts("2024-03-01T00:00:00Z")),
+          startKnown = Some(ts("2024-01-02T00:00:00Z")))
+        Tables.series(s, dir).filter(f.predicate)
+          .select("series_id", "valid_time", "knowledge_time", "change_time",
+            "value", "changed_by", "annotation", "retention")
+          .orderBy("series_id", "valid_time", "knowledge_time", "change_time")
+      },
+      Some(s"""$svCte
+        |SELECT series_id, valid_time, knowledge_time, change_time,
+        |       value, changed_by, annotation, retention
+        |FROM sv
+        |WHERE series_id IN $whereSidsSql
+        |  AND retention IN ('medium', 'long', 'forever')
+        |  AND valid_time >= TIMESTAMP '2024-01-05'
+        |  AND valid_time <  TIMESTAMP '2024-03-01'
+        |  AND knowledge_time >= TIMESTAMP '2024-01-02'
+        |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
+
+    // ----- relative (as-of) reads (SURVEY §2.5 A4 + §2.8 F1/F9) -----
+
+    ("td_relative",
+      // 6 h windows anchored at 2024-01-01, cutoff 4 h into each window:
+      // knowledge_time lags valid_time by ≲1 h in the surrogate, so the
+      // cutoff genuinely partitions rows (non-empty, non-total).
+      (s, dir) => ReadShapes.relative(Tables.series(s, dir),
+        windowSecs = 6 * 3600, offsetSecs = 4 * 3600,
+        startWindow = ts("2024-01-01T00:00:00Z"))
+        .orderBy("series_id", "valid_time"),
+      Some(s"""$svCte,
+        |cut AS (
+        |  SELECT *,
+        |    epoch_us(TIMESTAMP '2024-01-01')
+        |      + ((epoch_us(valid_time) - epoch_us(TIMESTAMP '2024-01-01'))
+        |         - (epoch_us(valid_time) - epoch_us(TIMESTAMP '2024-01-01')) % 21600000000)
+        |      + 14400000000 AS cutoff_us
+        |  FROM sv)
+        |SELECT series_id, valid_time, value FROM (
+        |  SELECT series_id, valid_time, value,
+        |         row_number() OVER (PARTITION BY series_id, valid_time
+        |                            ORDER BY knowledge_time DESC, change_time DESC, value DESC) AS rn
+        |  FROM cut
+        |  WHERE epoch_us(knowledge_time) <= cutoff_us)
+        |WHERE rn = 1
+        |ORDER BY series_id, valid_time""".stripMargin)),
+
+    ("td_relative_daily",
+      // Daily shorthand desugaring (timedb/read.py:480-492): days_ahead=0,
+      // time_of_day=23:00 ⇒ window=1d, offset=23h−0d, origin=midnight−1d.
+      // ("values known by 23:00 the same day" — non-empty for the
+      // surrogate, where knowledge_time trails valid_time by ≲1 h.)
+      (s, dir) => ReadShapes.relative(Tables.series(s, dir),
+        windowSecs = 86400, offsetSecs = 23 * 3600,
+        startWindow = ts("2023-12-31T00:00:00Z"))
+        .orderBy("series_id", "valid_time"),
+      Some(s"""$svCte,
+        |cut AS (
+        |  SELECT *,
+        |    epoch_us(TIMESTAMP '2023-12-31')
+        |      + ((epoch_us(valid_time) - epoch_us(TIMESTAMP '2023-12-31'))
+        |         - (epoch_us(valid_time) - epoch_us(TIMESTAMP '2023-12-31')) % 86400000000)
+        |      + ${23 * 3600}000000::BIGINT AS cutoff_us
+        |  FROM sv)
+        |SELECT series_id, valid_time, value FROM (
+        |  SELECT series_id, valid_time, value,
+        |         row_number() OVER (PARTITION BY series_id, valid_time
+        |                            ORDER BY knowledge_time DESC, change_time DESC, value DESC) AS rn
+        |  FROM cut
+        |  WHERE epoch_us(knowledge_time) <= cutoff_us)
+        |WHERE rn = 1
+        |ORDER BY series_id, valid_time""".stripMargin)),
+
+    // ----- run_series collapse + ordering (SURVEY §2.1 S2, §2.7 O2) -----
+
+    ("td_run_series",
+      (s, dir) => Tables.series(s, dir)
+        .groupBy("series_id", "run_id")
+        .agg(max("knowledge_time").as("first_seen"))
+        .orderBy(col("series_id"), col("first_seen").desc, col("run_id")),
+      Some(s"""$svCte
+        |SELECT series_id, run_id, max(knowledge_time) AS first_seen
+        |FROM sv GROUP BY series_id, run_id
+        |ORDER BY series_id, first_seen DESC, run_id""".stripMargin)),
+
+    // ----- skip-unchanged write dedup (SURVEY §2.2 W4 + §2.4 J2) -----
+
+    ("td_skip_unchanged",
+      (s, dir) => {
+        val sv = Tables.series(s, dir)
+          .withColumn("value",
+            when(col("value") < 25, lit(Double.NaN))
+              .otherwise(floor(col("value") / 50) * 50.0))
+          .withColumn("annotation", lit(""))
+        val stored = sv.filter(pmod(unix_micros(col("knowledge_time")), lit(2)) === 0)
+        val incoming = sv.filter(pmod(unix_micros(col("knowledge_time")), lit(2)) === 1)
+        val storedLatest = WritePipeline.storedLatestFor(stored, UnchangedScope.ValidTime)
+        maskNaN(
+          WritePipeline.filterUnchanged(incoming, storedLatest, UnchangedScope.ValidTime)
+            .select("series_id", "valid_time", "knowledge_time", "value", "changed_by"))
+          .orderBy("series_id", "valid_time", "knowledge_time")
+      },
+      Some(s"""$svCte,
+        |q AS (
+        |  SELECT series_id, valid_time, knowledge_time, change_time,
+        |         CASE WHEN value < 25 THEN 'NaN'::DOUBLE ELSE floor(value / 50) * 50.0 END AS value,
+        |         changed_by, '' AS annotation
+        |  FROM sv),
+        |stored AS (SELECT * FROM q WHERE epoch_us(knowledge_time) % 2 = 0),
+        |incoming AS (SELECT * FROM q WHERE epoch_us(knowledge_time) % 2 = 1),
+        |stored_latest AS (
+        |  SELECT series_id, valid_time, value, annotation, changed_by FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY series_id, valid_time
+        |      ORDER BY knowledge_time DESC, change_time DESC, value DESC, annotation DESC, changed_by DESC) AS rn
+        |    FROM stored)
+        |  WHERE rn = 1)
+        |SELECT i.series_id, i.valid_time, i.knowledge_time,
+        |       CASE WHEN isnan(i.value) THEN NULL ELSE i.value END AS value,
+        |       i.changed_by
+        |FROM incoming i LEFT JOIN stored_latest st
+        |  ON i.series_id = st.series_id AND i.valid_time = st.valid_time
+        |WHERE st.series_id IS NULL
+        |   OR NOT (i.value = st.value AND i.annotation = st.annotation
+        |           AND i.changed_by = st.changed_by)
+        |ORDER BY i.series_id, i.valid_time, i.knowledge_time""".stripMargin)),
+
+    // ----- NaN sentinel round trip (SURVEY §2.3 P3, §2.8 F7) -----
+
+    ("td_nan_roundtrip",
+      (s, dir) => maskNaN(
+        ReadShapes.latest(
+          Tables.series(s, dir)
+            .withColumn("value", when(col("value") < 10, lit(Double.NaN)).otherwise(col("value"))))
+      ).orderBy("series_id", "valid_time"),
+      Some(s"""$svCte,
+        |q AS (SELECT series_id, valid_time, knowledge_time, change_time,
+        |             CASE WHEN value < 10 THEN 'NaN'::DOUBLE ELSE value END AS value
+        |      FROM sv)
+        |SELECT series_id, valid_time,
+        |       CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM (
+        |  SELECT series_id, valid_time, value,
+        |         row_number() OVER (PARTITION BY series_id, valid_time
+        |                            ORDER BY knowledge_time DESC, change_time DESC, value DESC) AS rn
+        |  FROM q)
+        |WHERE rn = 1
+        |ORDER BY series_id, valid_time""".stripMargin)),
+
+    // ----- generic relational shapes (SURVEY §2.1 S1, §2.3-2.7) -----
+
+    ("rel_scan_filter",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01")
+          && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    ("rel_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    ("rel_join_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment", "o_orderstatus"),
+      Some("""SELECT c_mktsegment, o_orderstatus,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderstatus
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin)),
+
+    ("rel_semi",
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).filter(col("l_quantity") > 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    ("rel_anti",
+      // orders where no line item got a deep (>8%) discount — non-empty
+      // at every scale factor, unlike customers-without-orders.
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).filter(col("l_discount") > 0.08),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    ("rel_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("order_seq", row_number().over(w))
+          .withColumn("running_spend",
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "order_seq", "running_spend")
+          .orderBy("o_custkey", "order_seq")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER w AS order_seq,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin)),
+
+    ("rel_topk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin)),
+
+    ("rel_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    ("rel_minmax",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n"),
+          min("value").as("min_v"),
+          max("value").as("max_v"),
+          min("ts").as("first_ts"),
+          max("ts").as("last_ts"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+        |  MIN(CAST(ts AS TIMESTAMP)) AS first_ts, MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ----- extension: dedup (SURVEY §2.12 X1/X2) -----
+
+    ("x_dedup_exact",
+      (s, dir) => Dedup.exact(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, md5(text) AS digest, COUNT(*) AS copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_dedup_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 2, threshold = 0.05)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS sh
+        |  FROM (
+        |    SELECT doc_id, array_to_string(t[g.i : g.i + 1], ' ') AS gram
+        |    FROM ft, generate_series(1, 200) g(i)
+        |    WHERE g.i <= len(t) - 1)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    ("x_dedup_minhash",
+      (s, dir) => Dedup.minHashSignatures(Tables.documents(s, dir), n = 2, numHashes = 16)
+        .orderBy("doc_id", "i"),
+      Some {
+        val perms = (0 until 16).map { i =>
+          val (a, b) = Portable.minHashCoeffs(i)
+          s"($i, $a, $b)"
+        }.mkString(", ")
+        s"""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS sh
+        |  FROM (
+        |    SELECT doc_id, array_to_string(t[g.i : g.i + 1], ' ') AS gram
+        |    FROM ft, generate_series(1, 200) g(i)
+        |    WHERE g.i <= len(t) - 1)),
+        |perms(i, a, b) AS (VALUES $perms)
+        |SELECT doc_id, i, min((a * sh + b) % 2147483647) AS sig
+        |FROM grams, perms
+        |GROUP BY doc_id, i
+        |ORDER BY doc_id, i""".stripMargin
+      }),
+
+    ("x_dedup_lsh",
+      (s, dir) => Dedup.minHashLshCandidates(Tables.documents(s, dir),
+        n = 2, numHashes = 16, bands = 8)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val perms = (0 until 16).map { i =>
+          val (a, b) = Portable.minHashCoeffs(i)
+          s"($i, $a, $b)"
+        }.mkString(", ")
+        s"""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS sh
+        |  FROM (
+        |    SELECT doc_id, array_to_string(t[g.i : g.i + 1], ' ') AS gram
+        |    FROM ft, generate_series(1, 200) g(i)
+        |    WHERE g.i <= len(t) - 1)),
+        |perms(i, a, b) AS (VALUES $perms),
+        |sigs AS (
+        |  SELECT doc_id, i, min((a * sh + b) % 2147483647) AS sig
+        |  FROM grams, perms GROUP BY doc_id, i),
+        |banded AS (
+        |  SELECT doc_id, i // 2 AS band, string_agg(sig::VARCHAR, ',' ORDER BY i) AS band_key
+        |  FROM sigs GROUP BY doc_id, i // 2)
+        |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |FROM banded l JOIN banded r
+        |  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+        |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    ("x_simhash",
+      (s, dir) => Dedup.simHash(Tables.documents(s, dir), n = 2)
+        .orderBy("doc_id"),
+      None), // 48-bit vote loop is SQL-expressible but deep; rows-only check
+
+    // ----- extension: similarity search (SURVEY §2.12 X3) -----
+
+    ("x_ann_brute",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_inner_product(q.e, c.e) / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8) q,
+        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
+        |  WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY score DESC, cand_id) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    ("x_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH pairs AS (
+        |  SELECT q.label AS cell, q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_inner_product(q.e, c.e) / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
+        |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8) q
+        |  JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
+        |    ON q.label = c.label AND q.vec_id <> c.vec_id)
+        |SELECT cell, query_id, cand_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY score DESC, cand_id) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    ("x_ann_neardup",
+      (s, dir) => Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.35)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    ("x_lsh_buckets",
+      (s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir), numPlanes = 12, dim = 64)
+        .orderBy("vec_id"),
+      None), // hyperplane constants are md5-derived; SQL mirror is deep — rows-only
+
+    // ----- extension: text analysis (SURVEY §2.12 X4) -----
+
+    ("x_text_lang",
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some {
+        val cases = TextAnalysis.langMarkers.sortBy(_._1).map { case (lang, ms) =>
+          val inList = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+          s"len(list_filter(string_split(text, ' '), x -> x IN $inList)) AS score_$lang"
+        }.mkString(",\n        |       ")
+        val langs = TextAnalysis.langMarkers.map(_._1).sorted
+        val best = langs.map(l => s"ROW(score_$l, '$l')").mkString("\n        |  GREATEST(", ", ", ")")
+        s"""WITH scored AS (
+        |  SELECT doc_id,
+        |       $cases
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, lang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+        |  FROM (
+        |    ${langs.map(l => s"SELECT doc_id, '$l' AS lang, score_$l AS score FROM scored").mkString("\n        |    UNION ALL ")})
+        |  )
+        |SELECT doc_id, lang AS pred_lang, score FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
+      }),
+
+    ("x_text_quality",
+      (s, dir) => TextAnalysis.quality(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+        |  round(CAST(n_digits AS DOUBLE) / n_chars, 4) AS digit_ratio,
+        |  round(
+        |    least(1.0, CAST(n_tokens AS DOUBLE) / 64)
+        |      * (1.0 - CAST(n_digits AS DOUBLE) / n_chars)
+        |      * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.05
+        |                AND CAST(n_stop AS DOUBLE) / n_tokens < 0.6
+        |              THEN 1.0 ELSE 0.5 END), 4) AS quality
+        |FROM base
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_text_tokens",
+      (s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+        |  len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS word_tokens,
+        |  CAST(floor(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS approx_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_text_terms",
+      (s, dir) => TextAnalysis.termFrequencies(Tables.documents(s, dir))
+        .orderBy(col("freq").desc, col("token")).limit(100),
+      Some("""SELECT tok AS token, COUNT(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok
+        |ORDER BY freq DESC, token
+        |LIMIT 100""".stripMargin)),
+
+    ("x_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |ph_terms AS (
+        |  SELECT doc_id,
+        |         (g.i * CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT)) % 2147483647 AS ph
+        |  FROM toks, generate_series(1, 128) g(i)
+        |  WHERE g.i <= len(t))
+        |SELECT doc_id, CAST(SUM(ph) % 2147483647 AS BIGINT) AS fingerprint
+        |FROM ph_terms
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ----- extension: multimodal columns (SURVEY §2.12 X5) -----
+
+    ("x_multimodal_meta",
+      (s, dir) => Multimodal.assetsFromText(
+        Tables.documents(s, dir).join(Tables.embeddings(s, dir),
+          col("doc_id") === col("vec_id"), "inner"))
+        .select(col("asset_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"),
+          octet_length(col("media")).as("n_bytes"))
+        .orderBy("asset_id"),
+      Some("""SELECT doc_id AS asset_id, 'fake/raw' AS format,
+        |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) // 32 + 1 AS INT) AS n_frames,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY asset_id""".stripMargin)),
+
+    ("x_multimodal_frames",
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.assetsFromText(Tables.documents(s, dir)), frameBytes = 16, stride = 4)
+        .select(col("asset_id"), col("frame_no"), md5(col("frame")).as("frame_digest"))
+        .orderBy("asset_id", "frame_no"),
+      // Texts are ASCII, so byte offsets == char offsets and a VARCHAR
+      // substring mirrors the Spark-side binary slice byte-for-byte.
+      Some("""WITH assets AS (SELECT doc_id AS asset_id, text AS media FROM documents),
+        |frames AS (
+        |  SELECT asset_id, g.i AS frame_no,
+        |         substring(media, g.i * 64 + 1, 16) AS frame
+        |  FROM assets, generate_series(0, 63) g(i)
+        |  WHERE g.i <= greatest(octet_length(encode(media)) // 64 - 1, 0))
+        |SELECT asset_id, frame_no, md5(frame) AS frame_digest
+        |FROM frames
+        |ORDER BY asset_id, frame_no""".stripMargin)),
+
+    ("x_multimodal_features",
+      (s, dir) => Multimodal.decodeFeatures(
+        Multimodal.assetsFromText(Tables.documents(s, dir)), dim = 8)
+        .select(col("asset_id"), posexplode(col("features")).as(Seq("j", "feat")))
+        .select(col("asset_id"), col("j"), round(col("feat"), 6).as("feat"))
+        .orderBy("asset_id", "j"),
+      Some("""WITH chars AS (
+        |  SELECT doc_id AS asset_id, (g.i - 1) % 8 AS j,
+        |         CAST(ascii(substring(text, g.i, 1)) AS DOUBLE) / 255.0 AS contrib
+        |  FROM documents, generate_series(1, 600) g(i)
+        |  WHERE g.i <= length(text))
+        |SELECT asset_id, j, round(SUM(contrib), 6) AS feat
+        |FROM chars
+        |GROUP BY asset_id, j
+        |ORDER BY asset_id, j""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,206 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.{Duration, Instant, LocalTime, ZoneOffset}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ReadShapes, UnchangedScope, WritePipeline, WriteResult}
+import graft.sources.{Schema, SeriesStore}
+
+/** Conjunctive read filter (timedb/read.py:183-224 `_where`):
+  * `series_id IN ids`, optional retention equality/IN (doubles as a
+  * partition prune), half-open valid_time and knowledge_time ranges.
+  */
+final case class ReadFilter(
+    seriesIds: Seq[Long],
+    retention: Seq[String] = Nil,
+    startValid: Option[Timestamp] = None,
+    endValid: Option[Timestamp] = None,
+    startKnown: Option[Timestamp] = None,
+    endKnown: Option[Timestamp] = None) {
+
+  def predicate: Column = {
+    var p = col("series_id").isin(seriesIds: _*)
+    if (retention.nonEmpty) p = p && col("retention").isin(retention: _*)
+    startValid.foreach(t => p = p && col("valid_time") >= lit(t))
+    endValid.foreach(t => p = p && col("valid_time") < lit(t))
+    startKnown.foreach(t => p = p && col("knowledge_time") >= lit(t))
+    endKnown.foreach(t => p = p && col("knowledge_time") < lit(t))
+    p
+  }
+
+  /** Month-range partition prune derived from the valid_time bounds: the
+    * reader also filters the `valid_month` partition column so Catalyst
+    * prunes whole month directories, mirroring how the retention filter
+    * prunes tiers (ch_create_tables.sql:11-13). */
+  def monthPrune: Option[Column] = {
+    val lo = startValid.map(t => date_format(lit(t), "yyyyMM"))
+    val hi = endValid.map(t => date_format(lit(t), "yyyyMM"))
+    (lo, hi) match {
+      case (Some(a), Some(b)) => Some(col("valid_month") >= a && col("valid_month") <= b)
+      case (Some(a), None) => Some(col("valid_month") >= a)
+      case (None, Some(b)) => Some(col("valid_month") <= b)
+      case _ => None
+    }
+  }
+}
+
+/** The public facade (≅ `TimeDBClient`, timedb/client.py:70-214):
+  * DataFrame-in / DataFrame-out over a Parquet store at `basePath`.
+  * The reference's HTTP/ClickHouse boundary disappears — each read is a
+  * declarative Spark plan executed where the data lives.
+  */
+final class TimeDb(val spark: SparkSession, basePath: String) {
+
+  val store = new SeriesStore(spark, basePath)
+
+  def create(): Unit = store.create()
+  def delete(): Unit = store.delete()
+
+  /** Write (timedb/write.py:236-368): validate → stamp → optional
+    * skip-unchanged → append to both tables. The reference's concurrent
+    * insert lanes collapse to two Spark write jobs; both are always
+    * attempted, the first error re-raised with the values-lane error
+    * winning (timedb/write.py:126-130). */
+  def write(
+      df: DataFrame,
+      retention: Option[String] = None,
+      knowledgeTime: Option[Timestamp] = None,
+      skipUnchanged: Boolean = false,
+      unchangedScope: UnchangedScope = UnchangedScope.ValidTime): WriteResult = {
+
+    val now = Timestamp.from(Instant.now())
+    var stamped = WritePipeline.stamp(df, retention, knowledgeTime, now)
+
+    var skipped = 0L
+    if (skipUnchanged) {
+      // Bounded read-back slab (timedb/write.py:197-214): the incoming
+      // batch's distinct series/retentions and valid_time bounds. These are
+      // catalog-sized driver values (same assumption as the reference).
+      stamped = stamped.cache()
+      val bounds = stamped.agg(
+        min("valid_time"), max("valid_time"),
+        collect_set("series_id"), collect_set("retention")).head()
+      if (!bounds.isNullAt(0)) {
+        val (minVt, maxVt) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+        val sids = bounds.getSeq[Long](2)
+        val rets = bounds.getSeq[String](3)
+        val slab = store.scanValues().filter(
+          col("series_id").isin(sids: _*) && col("retention").isin(rets: _*) &&
+            col("valid_time") >= lit(minVt) && col("valid_time") <= lit(maxVt))
+        val storedLatest = WritePipeline.storedLatestFor(slab, unchangedScope)
+        val before = stamped.count()
+        stamped = WritePipeline.filterUnchanged(stamped, storedLatest, unchangedScope).cache()
+        skipped = before - stamped.count()
+      }
+    }
+
+    val written = stamped.count()
+    val rs = WritePipeline.runSeriesOf(stamped, now)
+
+    // Both lanes attempted even if one fails; values-lane error wins.
+    var valuesErr: Option[Throwable] = None
+    var rsErr: Option[Throwable] = None
+    if (written > 0) {
+      try store.appendValues(stamped)
+      catch { case t: Throwable => valuesErr = Some(t) }
+      try store.appendRunSeries(rs)
+      catch { case t: Throwable => rsErr = Some(t) }
+    }
+    stamped.unpersist()
+    valuesErr.orElse(rsErr).foreach(throw _)
+
+    WriteResult(written, skipped)
+  }
+
+  private def emptyShape(includeUpdates: Boolean, includeKnowledgeTime: Boolean): DataFrame = {
+    val cols = (includeUpdates, includeKnowledgeTime) match {
+      case (false, false) => Seq("series_id", "valid_time", "value")
+      case (false, true) => Seq("series_id", "knowledge_time", "valid_time", "value")
+      case (true, false) => Seq("series_id", "valid_time", "change_time", "value", "changed_by", "annotation")
+      case (true, true) => Seq("series_id", "valid_time", "knowledge_time", "change_time", "value", "changed_by", "annotation")
+    }
+    val schema = org.apache.spark.sql.types.StructType(cols.map(Schema.seriesValues(_)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def scanWith(filter: ReadFilter): DataFrame = {
+    var scan = store.scanValues()
+    filter.monthPrune.foreach(p => scan = scan.filter(p))
+    scan.filter(filter.predicate)
+  }
+
+  /** Read (timedb/read.py:404-458): 4-way shape dispatch on
+    * (includeUpdates, includeKnowledgeTime), NaN→null mask on the way out,
+    * deterministic total order (timedb/read.py:244,280,309,337). */
+  def read(
+      filter: ReadFilter,
+      includeUpdates: Boolean = false,
+      includeKnowledgeTime: Boolean = false): DataFrame = {
+    if (filter.seriesIds.isEmpty)
+      return emptyShape(includeUpdates, includeKnowledgeTime) // timedb/read.py:421-422
+
+    val base = scanWith(filter)
+    val shaped = (includeUpdates, includeKnowledgeTime) match {
+      case (false, false) =>
+        ReadShapes.latest(base).orderBy("series_id", "valid_time")
+      case (false, true) =>
+        ReadShapes.overlapping(base).orderBy("series_id", "valid_time", "knowledge_time")
+      case (true, false) =>
+        ReadShapes.latestWithChanges(base).orderBy("series_id", "valid_time", "change_time")
+      case (true, true) =>
+        ReadShapes.overlappingWithChanges(base)
+          .orderBy("series_id", "valid_time", "knowledge_time", "change_time")
+    }
+    maskNaN(shaped)
+  }
+
+  /** Relative read (timedb/read.py:461-527), explicit mode. */
+  def readRelative(
+      filter: ReadFilter,
+      windowLength: Duration,
+      issueOffset: Duration,
+      startWindow: Option[Timestamp] = None): DataFrame = {
+    if (filter.seriesIds.isEmpty) return emptyShape(false, false)
+    val origin = startWindow.orElse(filter.startValid).getOrElse(
+      throw new IllegalArgumentException("start_window is required when start_valid is not provided."))
+    val shaped = ReadShapes.relative(
+      scanWith(filter), windowLength.getSeconds, issueOffset.getSeconds, origin)
+      .orderBy("series_id", "valid_time")
+    maskNaN(shaped)
+  }
+
+  /** Relative read, daily shorthand (timedb/read.py:480-492): window=1d,
+    * offset = time_of_day − days_ahead·1d, origin = midnight(start_valid)−1d. */
+  def readRelativeDaily(
+      filter: ReadFilter,
+      daysAhead: Int,
+      timeOfDay: LocalTime): DataFrame = {
+    val startValid = filter.startValid.getOrElse(
+      throw new IllegalArgumentException("start_valid is required when using days_ahead/time_of_day."))
+    val midnight = startValid.toInstant.atZone(ZoneOffset.UTC).toLocalDate
+      .atStartOfDay(ZoneOffset.UTC).toInstant
+    val origin = Timestamp.from(midnight.minus(Duration.ofDays(1)))
+    val offset = Duration.ofNanos(timeOfDay.toNanoOfDay).minus(Duration.ofDays(daysAhead.toLong))
+    readRelative(filter, Duration.ofDays(1), offset, Some(origin))
+  }
+
+  /** Runs that touched a series, newest first (timedb/client.py:198-214). */
+  def readRunSeries(seriesId: Long): Seq[Long] =
+    store.scanRunSeries()
+      .filter(col("series_id") === seriesId)
+      .orderBy(col("first_seen").desc)
+      .select("run_id").collect().map(_.getLong(0)).toSeq
+
+  def expireRetention(asOf: Instant = Instant.now()): Seq[String] =
+    store.expireRetention(asOf)
+
+  /** NaN→null mask at the API boundary (timedb/read.py:57-67): NaN is the
+    * storage sentinel, null is the user-facing representation. */
+  private def maskNaN(df: DataFrame): DataFrame =
+    if (df.columns.contains("value"))
+      df.withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
+    else df
+}

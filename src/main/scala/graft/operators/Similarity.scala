@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.12 X3).
+  *
+  * Scale design: the query set is assumed catalog-sized (it is
+  * broadcast); the corpus side streams. Brute force is the exactness
+  * baseline; `ivfTopK` is the 100 TB path — it prunes the corpus to the
+  * probed coarse cells before any distance math, so compute scales with
+  * `k · |cell|`, not `|corpus|`.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k (the baseline): broadcast the query
+    * vectors, score every (query, corpus) pair, keep the top `k` per
+    * query by (score desc, id asc). Scores are rounded before ranking so
+    * the ordering is reproducible across engines (float-sum last-ulp
+    * differences can't flip ranks). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(Portable.cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rank"))
+  }
+
+  /** IVF-style top-k (the scale path): corpus is pre-bucketed by a coarse
+    * quantizer cell (`cellCol` — here the testdata `label`; in a real
+    * pipeline, argmin over trained centroids). Each query probes only its
+    * own cell, so the scored pair space shrinks by the cell count. Same
+    * output contract as [[bruteForceTopK]] restricted to the probed cell.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding", cellCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), col(cellCol).as("cell"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col(cellCol).as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(Portable.cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cell"), col("query_id"), col("cand_id"), col("score"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucketing: sign-bit sketch of the embedding
+    * against `numPlanes` pseudo-random hyperplanes derived from a
+    * portable per-(plane, dim) hash, so the same buckets are computable
+    * in plain SQL. Docs sharing a bucket are ANN candidates. */
+  def lshBuckets(emb: DataFrame, numPlanes: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // plane p, dim d weight ∈ {-1, +1}: parity of a portable hash of "p:d".
+    val bucketBits = (0 until numPlanes).map { p =>
+      val dot = (0 until dim).map { d =>
+        val sign = if (Portable.md5Parity(s"$p:$d")) 1.0 else -1.0
+        element_at(col(vecCol), d + 1).cast("double") * lit(sign)
+      }.reduce(_ + _)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_ + _)
+    emb.select(col(idCol), bucketBits.as("bucket"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Text-analysis operators for training-data curation
+  * (SURVEY.md §2.12 X4): language ID, quality scoring, token statistics,
+  * and an order-sensitive document fingerprint. All are single-pass
+  * projections or one groupBy — embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  private def toks(textCol: Column): Column =
+    filter(split(textCol, " "), t => t =!= "")
+
+  /** Marker-word vocabulary per language for the n-gram/stopword
+    * heuristic language ID. Tiny fixed lists — the heuristic scores each
+    * language by marker occurrences (with multiplicity) and argmaxes with
+    * a deterministic tie-break on language code. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "fast"),
+    "de" -> Seq("der", "und", "die", "merge", "batch"),
+    "es" -> Seq("el", "la", "los", "scan", "query"),
+    "fr" -> Seq("le", "et", "les", "filter", "stream"),
+    "zh" -> Seq("zh1", "zh2", "zh3", "window", "group")
+  )
+
+  /** Language-ID (X4): argmax of per-language marker counts; ties break
+    * toward the lexicographically smallest language. Emits the predicted
+    * language and its score. */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    // max over (score, inverse-lang-rank) ⇒ highest score, smallest lang
+    // code on tie. Langs sorted ascending get descending inverse ranks.
+    val langsSorted = langMarkers.map(_._1).sorted
+    val invRank = langsSorted.zipWithIndex.map { case (l, i) => l -> (langsSorted.size - 1 - i) }.toMap
+    val best = greatest(langMarkers.map { case (lang, markers) =>
+      struct(
+        size(filter(t, x => markers.map(m => x === m).reduce(_ || _))).as("score"),
+        lit(invRank(lang)).as("inv"),
+        lit(lang).as("lang"))
+    }: _*)
+    docs.select(col(idCol),
+      best.getField("lang").as("pred_lang"),
+      best.getField("score").as("score"))
+  }
+
+  /** Quality scoring (X4): length, token stats, stopword ratio, digit
+    * ratio — combined into a [0,1]-ish score. Pure projection. */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val nTok = size(t)
+    val nStop = size(filter(t, x => stop.map(m => x === m).reduce(_ || _)))
+    val nChars = length(col(textCol))
+    val avgTokLen = (nChars - (nTok - 1)).cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    val digitRatio = (nChars - length(regexp_replace(col(textCol), "[0-9]", ""))).cast("double") / nChars
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(avgTokLen, 4).as("avg_token_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(digitRatio, 4).as("digit_ratio"),
+      round(
+        least(lit(1.0), nTok.cast("double") / 64) * (lit(1.0) - digitRatio) *
+          when(stopRatio > 0.05 && stopRatio < 0.6, 1.0).otherwise(0.5),
+        4).as("quality"))
+  }
+
+  /** Token counting (X4): whitespace tokens plus a BPE-ish subword count
+    * (runs of letters / digits / other via regex), the standard cheap
+    * proxy for LLM token cost. */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(toks(col(textCol))).as("ws_tokens"),
+      size(filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => t =!= "")).as("word_tokens"),
+      (length(col(textCol)).cast("double") / 4.0).cast("long").as("approx_bpe_tokens"))
+
+  /** Global term frequencies (X4): explode → count per token. Map-side
+    * combine keeps the shuffle at one row per distinct term per mapper. */
+  def termFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Order-sensitive document fingerprint (X4): positional rolling hash
+    * `Σ position_i · hash32(token_i) mod p`. Content AND order sensitive,
+    * unlike a bag-of-words hash; portable to the SQL oracle via the
+    * md5-based token hash. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("pos", "token")))
+      .select(col(idCol),
+        pmod((col("pos") + 1) * Portable.hash32(col("token")), lit(Portable.MinHashPrime)).as("ph"))
+      .groupBy(col(idCol))
+      .agg(pmod(sum(col("ph")), lit(Portable.MinHashPrime)).as("fingerprint"))
+}
