@@ -113,6 +113,38 @@ object ApiDrive {
     check("ttl partition drop")(dropped == Seq("retention=short/valid_month=202001") &&
       db.read(ReadFilter(Seq(9L))).count() == 0)
 
+    // Streaming ingest through the public surface: rate-limited synthetic
+    // stream → StreamingIngest.writer → the same store the batch API reads.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val q = streaming.StreamingIngest.writer(
+        mem.toDF().toDF("series_id", "valid_time", "value"), base, retention = Some("medium")).start()
+      mem.addData((77L, t("2024-04-01T00:00:00Z"), 1.0), (77L, t("2024-04-01T01:00:00Z"), 2.0))
+      q.processAllAvailable()
+      mem.addData((77L, t("2024-04-01T00:00:00Z"), 9.0)) // late correction
+      q.processAllAvailable()
+      q.stop()
+      val got = db.read(ReadFilter(Seq(77L), retention = Seq("medium"))).collect()
+      check("streaming ingest read-back")(got.length == 2)
+      check("streaming late correction wins")(
+        got.find(_.getTimestamp(1) == t("2024-04-01T00:00:00Z")).exists(_.getDouble(2) == 9.0))
+      check("streaming runs recorded")(db.readRunSeries(77L).length == 2)
+
+      // Probe: a streaming batch violating validation (bad retention tier)
+      // must fail the query, not land silently.
+      val mem2 = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val q2 = streaming.StreamingIngest.writer(
+        mem2.toDF().toDF("series_id", "valid_time", "value"), base, retention = Some("bogus")).start()
+      mem2.addData((78L, t("2024-04-01T00:00:00Z"), 1.0))
+      val failed = try { q2.processAllAvailable(); false }
+      catch { case e: Throwable => e.getMessage != null }
+      try q2.stop() catch { case _: Throwable => () }
+      check("streaming bad retention fails the query")(failed)
+      check("streaming failed batch landed nothing")(db.read(ReadFilter(Seq(78L))).count() == 0)
+    }
+
     db.delete()
     spark.stop()
     if (failures.nonEmpty) { println(s"FAILURES: $failures"); sys.exit(1) }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.Row
+
+import graft.operators.WritePipeline
+import graft.sources.{Schema, SeriesStore}
+
+/** Structured-Streaming ingest into the series store (SURVEY.md §7.6,
+  * optional — the reference is batch-only per §2.9, so this is the
+  * Spark-native extension of the same write pipeline).
+  *
+  * The batch write path is reused verbatim: each micro-batch flows
+  * through [[WritePipeline.stamp]] (validation + default stamping) via
+  * `foreachBatch`, then appends through the store's partitioned writer —
+  * identical layout and semantics to batch writes, so readers can't tell
+  * ingest modes apart. Late/corrected data needs no special machinery:
+  * a late row is just a row with a larger change_time, resolved
+  * relationally by the read shapes (docs/sdk.rst "Append corrections,
+  * don't UPDATE").
+  */
+object StreamingIngest {
+
+  /** Wire a streaming frame of (series_id, valid_time, value[, ...]) into
+    * the store at `basePath`. Caller starts/stops the returned writer. */
+  def writer(
+      stream: DataFrame,
+      basePath: String,
+      retention: Option[String] = None): DataStreamWriter[Row] = {
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val now = new java.sql.Timestamp(System.currentTimeMillis())
+          val stamped = WritePipeline.stamp(batch, retentionKwarg = retention, now = now)
+          val store = new SeriesStore(batch.sparkSession, basePath)
+          store.appendValues(stamped)
+          store.appendRunSeries(WritePipeline.runSeriesOf(stamped, now))
+        }
+      }
+  }
+
+  /** Windowed streaming aggregation over the value stream: per-series
+    * tumbling-window mean/count with a watermark for late data — the
+    * standard Structured Streaming shape over the same schema. */
+  def windowedStats(stream: DataFrame, windowLen: String, watermark: String): DataFrame =
+    stream
+      .withWatermark("valid_time", watermark)
+      .groupBy(col("series_id"), window(col("valid_time"), windowLen))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
+      .select(col("series_id"), col("window.start").as("window_start"),
+        col("n"), col("mean_value"))
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit specs for the extension operators (SURVEY.md §2.12) on
+  * handcrafted inputs with known answers. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the mat"),       // exact dup of 1
+    (3L, "the cat sat on the red mat"),   // near dup of 1
+    (4L, "completely different words here entirely now"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per digest") {
+    val got = Dedup.exact(docs).orderBy("doc_id")
+      .select("doc_id", "copies").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("shingles: n-gram count is tokens−n+1, distinct") {
+    val sh = Dedup.shingles(Seq((1L, "a b c d")).toDF("doc_id", "text"), n = 2)
+    assert(sh.count() == 3) // "a b", "b c", "c d"
+    val repeated = Dedup.shingles(Seq((1L, "a b a b")).toDF("doc_id", "text"), n = 2)
+    assert(repeated.count() == 2) // "a b", "b a" — dup "a b" collapsed
+    assert(Dedup.shingles(Seq((1L, "solo")).toDF("doc_id", "text"), n = 2).count() == 0)
+  }
+
+  test("ngram Jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L))) // 5 shared / 6 union ≈ 0.83
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash: identical docs get identical signatures") {
+    val sigs = Dedup.minHashSignatures(docs, n = 2, numHashes = 8)
+      .groupBy("i").agg(countDistinct("sig").as("d"))
+    // docs 1 and 2 identical → at most 3 distinct sigs per hash index
+    assert(sigs.select(max("d")).as[Long].head() <= 3)
+  }
+
+  test("LSH candidates include the exact-dup pair") {
+    val cand = Dedup.minHashLshCandidates(docs, n = 2, numHashes = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs identical, fits 48 bits") {
+    val sh = Dedup.simHash(docs, n = 2).orderBy("doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 48)))
+  }
+
+  test("cosine column: exact on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(Portable.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) == 0.0 && math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by score then id, k respected") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 2)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((3L, 1), (1L, 2)))
+  }
+
+  test("langId predicts the marker-heavy language deterministically") {
+    val d = Seq((1L, "der und der und die"), (2L, "xxx yyy zzz"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langId(d).orderBy("doc_id")
+      .select("pred_lang", "score").as[(String, Int)].collect()
+    assert(got(0) == ("de", 5))
+    assert(got(1)._2 == 0 && got(1)._1 == "de") // all-zero tie → smallest lang
+  }
+
+  test("tokenCounts: whitespace vs word tokens") {
+    val d = Seq((1L, "ab cd-ef gh")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenCounts(d).head()
+    assert(got.getAs[Int]("ws_tokens") == 3)
+    assert(got.getAs[Int]("word_tokens") == 4)
+    assert(got.getAs[Long]("approx_bpe_tokens") == 2L)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val d = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.fingerprint(d).as[(Long, Long)].collect().toMap
+    assert(got(1L) != got(2L))
+  }
+
+  test("multimodal: decode features are deterministic and frame slicing covers payload") {
+    val assets = Multimodal.assetsFromText(docs)
+    assert(assets.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeatures(assets, dim = 4).orderBy("asset_id").collect()
+    assert(feats.length == 4)
+    assert(feats(0).getSeq[Double](1).length == 4)
+    // identical payloads → identical features
+    assert(feats(0).getSeq[Double](1) == feats(1).getSeq[Double](1))
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 4, stride = 2)
+    assert(frames.count() >= 4)
+    val meta = Multimodal.resizeMeta(assets, 8, 8).select("meta.width").as[Int].collect()
+    assert(meta.forall(_ <= 8))
+  }
+
+  test("portable hash32/hash60 are non-negative and stable") {
+    val h = spark.range(1).select(
+      Portable.hash32(lit("hello")), Portable.hash60(lit("hello"))).head()
+    assert(h.getLong(0) == 1564557354L) // 0x5d41402a
+    assert(h.getLong(1) == 419982666956583591L)
+  }
+}

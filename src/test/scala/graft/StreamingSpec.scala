@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingIngest
+
+/** Streaming ingest reuses the batch write pipeline and lands rows the
+  * batch readers see identically. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch ingest lands rows readable by the batch shapes") {
+    val base = java.nio.file.Files.createTempDirectory("timedb_stream").toString
+    val db = new TimeDb(spark, base)
+    db.create()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    mem.addData((1L, ts("2024-03-01T00:00:00Z"), 1.0), (1L, ts("2024-03-01T01:00:00Z"), 2.0))
+    val stream = mem.toDF().toDF("series_id", "valid_time", "value")
+
+    val q = StreamingIngest.writer(stream, base, retention = Some("short")).start()
+    q.processAllAvailable()
+    // late correction arrives in a second micro-batch
+    mem.addData((1L, ts("2024-03-01T00:00:00Z"), 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val latest = db.read(ReadFilter(Seq(1L), retention = Seq("short")))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    assert(latest.length == 2)
+    assert(latest.find(_._2 == ts("2024-03-01T00:00:00Z")).get._3 == 5.0) // correction wins
+    assert(db.readRunSeries(1L).length == 2) // one run per micro-batch
+    db.delete()
+  }
+
+  test("windowed streaming aggregation with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = StreamingIngest.windowedStats(
+      mem.toDF().toDF("series_id", "valid_time", "value"), "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("ws")
+      .outputMode(OutputMode.Complete).start()
+    mem.addData((1L, ts("2024-03-01T00:10:00Z"), 2.0), (1L, ts("2024-03-01T00:50:00Z"), 4.0),
+      (2L, ts("2024-03-01T01:10:00Z"), 9.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT series_id, n, mean_value FROM ws ORDER BY series_id")
+      .as[(Long, Long, Double)].collect()
+    q.stop()
+    assert(rows.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 9.0)))
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import java.time.{Duration, Instant, LocalTime}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{UnchangedScope, WriteResult}
+
+/** Integration round-trips through the public facade against a temp
+  * store — the ScalaTest port of timedb/tests/test_integration.py
+  * (SURVEY.md §5.2). */
+class TimeDbSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withDb(f: TimeDb => Unit): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("timedb_spec").toString
+    val db = new TimeDb(spark, base)
+    db.create()
+    try f(db) finally db.delete()
+  }
+
+  private val vts = (0 until 6).map(h => ts(f"2024-03-01T$h%02d:00:00Z"))
+  private def revision(mult: Double) =
+    vts.zipWithIndex.map { case (vt, i) => (1L, vt, i * mult) }
+      .toDF("series_id", "valid_time", "value")
+
+  test("two revisions: latest returns the later knowledge_time values") {
+    withDb { db =>
+      db.write(revision(10), knowledgeTime = Some(ts("2024-02-29T18:00:00Z")))
+      db.write(revision(100), knowledgeTime = Some(ts("2024-03-01T03:00:00Z")))
+      val latest = db.read(ReadFilter(Seq(1L))).as[(Long, java.sql.Timestamp, Double)].collect()
+      assert(latest.map(_._3).toSeq == (0 until 6).map(_ * 100.0))
+      val hist = db.read(ReadFilter(Seq(1L)), includeKnowledgeTime = true)
+      assert(hist.count() == 12)
+    }
+  }
+
+  test("correction chain: same-kt rewrite shows as 2-row chain, collapsed") {
+    withDb { db =>
+      val kt = Some(ts("2024-03-01T03:00:00Z"))
+      db.write(revision(10), knowledgeTime = kt)
+      db.write(revision(10).withColumn("value", col("value") + 100), knowledgeTime = kt)
+      db.write(revision(10).withColumn("value", col("value") + 100), knowledgeTime = kt)
+      val chain = db.read(ReadFilter(Seq(1L)), includeUpdates = true)
+      assert(chain.count() == 12) // 2 real transitions per vt; 3rd write collapses
+    }
+  }
+
+  test("retention tiers isolate reads and partition-prune") {
+    withDb { db =>
+      db.write(revision(1), retention = Some("short"))
+      db.write(revision(2).withColumn("series_id", lit(2L)), retention = Some("long"))
+      assert(db.read(ReadFilter(Seq(1L, 2L), retention = Seq("short"))).count() == 6)
+      assert(db.read(ReadFilter(Seq(1L, 2L), retention = Seq("long"))).count() == 6)
+      assert(db.read(ReadFilter(Seq(1L, 2L))).count() == 12)
+    }
+  }
+
+  test("half-open time-range filters") {
+    withDb { db =>
+      db.write(revision(1), knowledgeTime = Some(ts("2024-03-01T00:00:00Z")))
+      val f = ReadFilter(Seq(1L),
+        startValid = Some(vts(1)), endValid = Some(vts(4)))
+      assert(db.read(f).count() == 3) // [1, 4)
+    }
+  }
+
+  test("empty series_ids short-circuits with the right schema") {
+    withDb { db =>
+      val empty = db.read(ReadFilter(Nil), includeUpdates = true, includeKnowledgeTime = true)
+      assert(empty.isEmpty)
+      assert(empty.columns.toSeq == Seq("series_id", "valid_time", "knowledge_time",
+        "change_time", "value", "changed_by", "annotation"))
+    }
+  }
+
+  test("skip_unchanged: identical rewrite all skipped; changed row kept") {
+    withDb { db =>
+      db.write(revision(10), knowledgeTime = Some(ts("2024-03-01T00:00:00Z")))
+      val again = db.write(revision(10), knowledgeTime = Some(ts("2024-03-01T01:00:00Z")),
+        skipUnchanged = true)
+      assert(again == WriteResult(0, 6))
+      val oneChanged = db.write(
+        revision(10).withColumn("value", when(col("valid_time") === vts.head, -1.0).otherwise(col("value"))),
+        knowledgeTime = Some(ts("2024-03-01T02:00:00Z")), skipUnchanged = true)
+      assert(oneChanged == WriteResult(1, 5))
+    }
+  }
+
+  test("skip_unchanged knowledge_time scope keeps new-kt restatements") {
+    withDb { db =>
+      db.write(revision(10), knowledgeTime = Some(ts("2024-03-01T00:00:00Z")))
+      val newKt = db.write(revision(10), knowledgeTime = Some(ts("2024-03-01T01:00:00Z")),
+        skipUnchanged = true, unchangedScope = UnchangedScope.KnowledgeTime)
+      assert(newKt == WriteResult(6, 0)) // same values, new kt → kept under kt scope
+      val sameKt = db.write(revision(10), knowledgeTime = Some(ts("2024-03-01T01:00:00Z")),
+        skipUnchanged = true, unchangedScope = UnchangedScope.KnowledgeTime)
+      assert(sameKt == WriteResult(0, 6))
+    }
+  }
+
+  test("null → NaN → null round trip; clean series stays non-null") {
+    withDb { db =>
+      val mixed = Seq((1L, vts(0), Option(1.0)), (1L, vts(1), Option.empty[Double]))
+        .toDF("series_id", "valid_time", "value")
+      db.write(mixed)
+      val out = db.read(ReadFilter(Seq(1L))).orderBy("valid_time").collect()
+      assert(out(0).getDouble(2) == 1.0 && out(1).isNullAt(2))
+    }
+  }
+
+  test("readRelative daily shorthand matches explicit desugaring") {
+    withDb { db =>
+      db.write(revision(10), knowledgeTime = Some(ts("2024-02-29T09:00:00Z")))
+      db.write(revision(100), knowledgeTime = Some(ts("2024-03-01T02:30:00Z")))
+      val f = ReadFilter(Seq(1L), startValid = Some(ts("2024-03-01T00:00:00Z")))
+      val daily = db.readRelativeDaily(f, daysAhead = 1, timeOfDay = LocalTime.of(10, 0))
+        .as[(Long, java.sql.Timestamp, Double)].collect()
+      // cutoff = prev-day 10:00 → only the kt=02-29T09:00 revision qualifies
+      assert(daily.map(_._3).toSeq == (0 until 6).map(_ * 10.0))
+      val explicit = db.readRelative(f, Duration.ofDays(1),
+        Duration.ofHours(10).minus(Duration.ofDays(1)),
+        startWindow = Some(ts("2024-02-29T00:00:00Z")))
+        .as[(Long, java.sql.Timestamp, Double)].collect()
+      assert(daily.toSeq == explicit.toSeq)
+    }
+  }
+
+  test("run_series: runs listed newest first; collapse dedups re-writes") {
+    withDb { db =>
+      db.write(revision(1))
+      Thread.sleep(5)
+      db.write(revision(2))
+      val runs = db.readRunSeries(1L)
+      assert(runs.length == 2 && runs.head > runs(1)) // uuid7-style ids are time-ordered
+      assert(db.readRunSeries(999L).isEmpty)
+    }
+  }
+
+  test("expireRetention drops only expired non-forever partitions") {
+    withDb { db =>
+      db.write(Seq((1L, ts("2020-01-15T00:00:00Z"), 1.0)).toDF("series_id", "valid_time", "value"),
+        retention = Some("short"))
+      db.write(Seq((2L, ts("2020-01-15T00:00:00Z"), 2.0)).toDF("series_id", "valid_time", "value"),
+        retention = Some("forever"))
+      db.write(Seq((3L, ts("2024-02-20T00:00:00Z"), 3.0)).toDF("series_id", "valid_time", "value"),
+        retention = Some("short"))
+      val dropped = db.expireRetention(Instant.parse("2024-03-01T00:00:00Z"))
+      assert(dropped == Seq("retention=short/valid_month=202001"))
+      assert(db.read(ReadFilter(Seq(1L))).count() == 0) // expired
+      assert(db.read(ReadFilter(Seq(2L))).count() == 1) // forever survives
+      assert(db.read(ReadFilter(Seq(3L))).count() == 1) // within TTL
+    }
+  }
+}
