@@ -404,18 +404,21 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     ("x_dedup_jaccard",
-      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 2, threshold = 0.05)
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 2, threshold = 0.05,
+        maxDf = 50)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH ft AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents),
-        |toks AS (
+        |toks_all AS (
         |  SELECT DISTINCT doc_id,
-        |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS sh
-        |  FROM (
-        |    SELECT doc_id, array_to_string(t[g.i : g.i + 1], ' ') AS gram
-        |    FROM ft, generate_series(1, 200) g(i)
-        |    WHERE g.i <= len(t) - 1)),
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM ft, generate_series(1, 200) g(i)
+        |  WHERE g.i <= len(t) - 1),
+        |toks AS (
+        |  SELECT * FROM toks_all
+        |  WHERE sh IN (SELECT sh FROM toks_all GROUP BY sh HAVING COUNT(*) <= 50)),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -441,12 +444,11 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents),
         |grams AS (
-        |  SELECT DISTINCT doc_id,
-        |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS sh
-        |  FROM (
-        |    SELECT doc_id, array_to_string(t[g.i : g.i + 1], ' ') AS gram
-        |    FROM ft, generate_series(1, 200) g(i)
-        |    WHERE g.i <= len(t) - 1)),
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM ft, generate_series(1, 200) g(i)
+        |  WHERE g.i <= len(t) - 1),
         |perms(i, a, b) AS (VALUES $perms)
         |SELECT doc_id, i, min((a * sh + b) % 2147483647) AS sig
         |FROM grams, perms
@@ -467,12 +469,11 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents),
         |grams AS (
-        |  SELECT DISTINCT doc_id,
-        |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS sh
-        |  FROM (
-        |    SELECT doc_id, array_to_string(t[g.i : g.i + 1], ' ') AS gram
-        |    FROM ft, generate_series(1, 200) g(i)
-        |    WHERE g.i <= len(t) - 1)),
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM ft, generate_series(1, 200) g(i)
+        |  WHERE g.i <= len(t) - 1),
         |perms(i, a, b) AS (VALUES $perms),
         |sigs AS (
         |  SELECT doc_id, i, min((a * sh + b) % 2147483647) AS sig

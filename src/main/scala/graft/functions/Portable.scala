@@ -52,11 +52,12 @@ object Portable {
   }
 
   /** Cosine similarity of two float-array columns, accumulated in DOUBLE
-    * in array order (deterministic left fold via `aggregate`). */
+    * in array order. Uses the codegen'd [[FloatVectorDot]] expression —
+    * same left-to-right fold as `aggregate(zip_with(...))`, so results
+    * are bit-identical to the HOF formulation, but it stays inside
+    * whole-stage codegen (the HOF lambda plumbing does not). */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column): Column = FloatVectorDot(x, y)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 }

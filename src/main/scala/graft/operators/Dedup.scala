@@ -27,28 +27,47 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
       .select(col(idCol), col("digest"), col("copies"))
 
-  /** Distinct word-n-gram shingles per doc: (id, shingle-hash32). The
-    * inverted-index building block shared by Jaccard and MinHash. */
-  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(
-      col(idCol),
-      filter(split(col(textCol), " "), t => t =!= "").as("toks"))
-    // n-gram i = toks[i..i+n-1] joined by space (size−n+1 grams); transform
-    // over the index range keeps this a single codegen'd projection (no
-    // explode before the distinct).
-    val grams = toks.select(
-      col(idCol),
-      when(size(col("toks")) >= n,
-        transform(
-          sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-        .as("grams"))
-    grams
-      .select(col(idCol), explode(col("grams")).as("gram"))
-      .select(col(idCol), Portable.hash32(col("gram")).as("sh"))
-      .distinct()
+  /** Word-n-gram shingle stream per doc, with multiplicity: (id, sh).
+    *
+    * The gram hash is an arithmetic combination of per-token md5 hashes
+    * (`((h₁·1000003 + h₂) mod p …)`), built from a flat
+    * posexplode + (n−1) `lead` windows — NOT by materializing gram
+    * strings with `transform`/`slice`/`concat_ws`. The higher-order-
+    * function chain evaluates interpreted per element (measured ~30×
+    * slower than this codegen'd pipeline); hashing each token once and
+    * combining arithmetically also does one md5 per token instead of n.
+    * The (n−1) leads share one window spec ⇒ one shuffle by doc.
+    *
+    * Consumers: duplicate-insensitive aggregates (MinHash minima) and
+    * multiplicity-weighted votes (frequency-weighted SimHash) use this
+    * directly; set-semantics consumers use [[shingles]].
+    */
+  def shingleStream(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, "shingle size must be >= 1")
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .select(col(idCol), col("pos"), Portable.hash32(col("tok")).as("h0"))
+    if (n == 1) {
+      toks.select(col(idCol), col("h0").as("sh"))
+    } else {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      val withLeads = (1 until n).foldLeft(toks) { (df, k) =>
+        df.withColumn(s"h$k", lead(col("h0"), k).over(w))
+      }
+      val sh = (1 until n).foldLeft(col("h0")) { (acc, k) =>
+        pmod(acc * lit(1000003L) + col(s"h$k"), lit(Portable.MinHashPrime))
+      }
+      withLeads.filter(col(s"h${n - 1}").isNotNull)
+        .select(col(idCol), sh.as("sh"))
+    }
   }
+
+  /** Distinct word-n-gram shingles per doc: (id, shingle-hash32). The
+    * inverted-index building block for set-semantics consumers
+    * (Jaccard). */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleStream(docs, n, idCol, textCol).distinct()
 
   /** N-gram Jaccard near-dup pairs (X2): inverted-index self-join on the
     * shingle hash, count co-occurrences per pair, Jaccard =
@@ -57,17 +76,38 @@ object Dedup {
     * The join key is the shingle, so each shingle's posting list is one
     * shuffle bucket — the standard "candidate pairs via inverted index"
     * plan that avoids the O(n²) cross join entirely.
+    *
+    * `maxDf` drops stop-shingles (document frequency > maxDf) before the
+    * self-join. This is the load-bearing scale lever: the join emits
+    * Σ|posting|² pair-rows, and a shingle shared by d docs alone
+    * contributes d² — capping df bounds the worst key. Ultra-common
+    * shingles carry no similarity signal (they'd intersect everywhere),
+    * so Jaccard over the filtered sets is the standard practical
+    * definition. Sizes are computed on the same filtered sets, keeping
+    * the measure internally consistent.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxDf: Long = Long.MaxValue,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Posting-list plan: ONE pass builds sorted per-shingle posting lists
+    // (df filter applied in the same aggregate); candidate pairs come
+    // from in-array combinatorics, not a self-join — the shingle stream
+    // is scanned once instead of 4-5×, and there is no join-key blowup
+    // to shuffle. Per-doc sizes are re-derived from the same postings
+    // frame, so the filtered-set semantics stay internally consistent.
     val sh = shingles(docs, n, idCol, textCol)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("id_a"), col("sh"))
-    val b = sh.select(col(idCol).as("id_b"), col("sh"))
-    val inter = a.join(b, "sh")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
+    val postings = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+    val exploded = postings.select(explode(col("ids")).as(idCol))
+    val sizes = exploded.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // all ordered pairs (ids[i], j) with j after i — ids sorted ⇒ a < b.
+    // size > 1 guard: sequence(0, -1) would generate a DESCENDING range.
+    val pairs = postings.filter(size(col("ids")) > 1).select(explode(expr(
+      "flatten(transform(sequence(0, size(ids) - 2), " +
+        "i -> transform(slice(ids, i + 2, size(ids)), j -> struct(ids[i] AS id_a, j AS id_b))))"
+    )).as("p")).select(col("p.id_a"), col("p.id_b"))
+    val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -79,20 +119,26 @@ object Dedup {
   }
 
   /** MinHash signatures (X2): for each doc, `numHashes` permutation
-    * minima over its shingle hashes. Output: (id, i, sig). One aggregate
-    * after a flat `numHashes`-way expansion of the shingle stream —
-    * map-side combine reduces each (doc, i) group to its running min
-    * before the shuffle.
+    * minima over its shingle hashes. Output: (id, i, sig).
+    *
+    * Planned as ONE wide aggregate — `numHashes` independent `min`
+    * expressions over a single pass of the shingle stream — then a tiny
+    * per-doc unpivot. This avoids a `numHashes`-way row expansion before
+    * the shuffle (the naive explode shape moves ~16× the rows); map-side
+    * combine reduces each doc to one 16-column row per mapper.
     */
   def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, n, idCol, textCol)
-    val perms = explode(array((0 until numHashes).map { i =>
-      struct(lit(i).as("i"), Portable.minHashPerm(col("sh"), i).as("hv"))
-    }: _*)).as("p")
-    sh.select(col(idCol), perms)
-      .groupBy(col(idCol), col("p.i").as("i"))
-      .agg(min(col("p.hv")).as("sig"))
+    // min is duplicate-insensitive ⇒ the non-distinct stream gives the
+    // same signatures one shuffle cheaper.
+    val sh = shingleStream(docs, n, idCol, textCol)
+    val wide = sh.groupBy(col(idCol)).agg(
+      min(Portable.minHashPerm(col("sh"), 0)).as("sig_0"),
+      (1 until numHashes).map(i => min(Portable.minHashPerm(col("sh"), i)).as(s"sig_$i")): _*)
+    wide.select(col(idCol),
+      explode(array((0 until numHashes).map(i =>
+        struct(lit(i).as("i"), col(s"sig_$i").as("sig"))): _*)).as("p"))
+      .select(col(idCol), col("p.i").as("i"), col("p.sig").as("sig"))
   }
 
   /** MinHash + LSH near-dup candidates (X2, the scale path): band the
@@ -114,11 +160,16 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("i"), col("sig")))),
           s => s.getField("sig").cast("string")),
         ",").as("band_key"))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Posting-list pair generation per bucket (same plan shape as
+    // ngramJaccardPairs): one aggregate, no self-join recomputation.
+    banded.groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids)), j -> struct(ids[i] AS id_a, j AS id_b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
   /** SimHash fingerprint (X2): 48-bit weighted-bit-vote fingerprint over
@@ -128,16 +179,22 @@ object Dedup {
     * non-negative BIGINT in both engines. */
   def simHash(docs: DataFrame, n: Int, bits: Int = 48,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, n, idCol, textCol)
+    // Frequency-weighted (classic) SimHash: each occurrence votes, so the
+    // non-distinct stream is both the right semantics and a shuffle
+    // cheaper.
+    val sh = shingleStream(docs, n, idCol, textCol)
       .select(col(idCol), Portable.hash60(col("sh").cast("string")).as("h"))
-    sh.select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .withColumn("vote",
-        when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("vote")).as("votes"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("votes") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-        .as("simhash"))
+    // One wide aggregate: a ±1 vote sum per bit position in a single pass
+    // (no bits× row expansion), then combine the sign bits into the
+    // fingerprint as a plain projection.
+    val voteCols = (0 until bits).map { b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val wide = sh.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val fp = (0 until bits).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    wide.select(col(idCol), fp.as("simhash"))
   }
 
   /** Embedding-cosine near-dup pairs (X2/X3 hybrid): pairs with cosine ≥
