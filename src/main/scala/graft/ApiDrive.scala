@@ -113,6 +113,30 @@ object ApiDrive {
     check("ttl partition drop")(dropped == Seq("retention=short/valid_month=202001") &&
       db.read(ReadFilter(Seq(9L))).count() == 0)
 
+    // Meta-source read + profiling through the public surface.
+    {
+      val catalog = Seq(
+        (1L, "root/site-a/1", "s1", "forever"),
+        (3L, "root/site-b/3", "s3", "forever"),
+        (9L, "other/9", "s9", "short"))
+        .toDF("series_id", "path", "name", "retention")
+      Profiling.enable()
+      val viaMeta = db.readMeta(graft.sources.MetaSource(catalog, rootPath = Some("root")))
+      check("meta read resolves subtree ids")(
+        viaMeta.select("series_id").distinct().as[Long].collect().toSet == Set(1L, 3L))
+      val snap = Profiling.snapshot()
+      Profiling.disable(); Profiling.reset()
+      check("profiling recorded read phase")(snap.contains(Profiling.PhaseReadTotal))
+      // Probe: zero or two addressing fields must be rejected.
+      check("meta rejects no addressing")(throws(
+        db.readMeta(graft.sources.MetaSource(catalog))))
+      check("meta rejects double addressing")(throws(
+        db.readMeta(graft.sources.MetaSource(catalog, rootPath = Some("r"), names = Seq("s1")))))
+      // Probe: addressing that matches nothing → empty-ids short-circuit.
+      check("meta empty resolve short-circuits")(
+        db.readMeta(graft.sources.MetaSource(catalog, rootPath = Some("nope"))).isEmpty)
+    }
+
     // Streaming ingest through the public surface: rate-limited synthetic
     // stream → StreamingIngest.writer → the same store the batch API reads.
     {

@@ -259,7 +259,73 @@ object SparkEntry {
         |WHERE rn = 1
         |ORDER BY series_id, valid_time""".stripMargin)),
 
+    // ----- external-catalog meta resolve (SURVEY §2.1 S8 + §2.4 J4) -----
+
+    ("td_meta_read",
+      // PgEngineMeta surrogate: `customer` plays the catalog; series ids
+      // addressed by a path subtree (root/BUILDING/...), resolved once to
+      // literal lists (the scalar-subquery trick), then the normal latest
+      // read — semantics of timedb/read.py:118-180.
+      (s, dir) => {
+        val catalog = Tables.customer(s, dir).select(
+          col("c_custkey").as("series_id"),
+          concat(lit("root/"), col("c_mktsegment"), lit("/"), col("c_custkey").cast("string")).as("path"),
+          when(pmod(col("c_custkey"), lit(4)) === 0, "short")
+            .when(pmod(col("c_custkey"), lit(4)) === 1, "medium")
+            .when(pmod(col("c_custkey"), lit(4)) === 2, "long")
+            .otherwise("forever").as("retention"))
+        val (ids, rets) = graft.sources.MetaSource(catalog, rootPath = Some("root/BUILDING")).resolve()
+        ReadShapes.latest(Tables.series(s, dir)
+          .filter(col("series_id").isin(ids: _*) && col("retention").isin(rets: _*)))
+          .orderBy("series_id", "valid_time")
+      },
+      Some(s"""$svCte,
+        |meta AS (
+        |  SELECT c_custkey AS series_id,
+        |         concat('root/', c_mktsegment, '/', CAST(c_custkey AS VARCHAR)) AS path,
+        |         CASE c_custkey % 4 WHEN 0 THEN 'short' WHEN 1 THEN 'medium'
+        |                            WHEN 2 THEN 'long' ELSE 'forever' END AS retention
+        |  FROM customer),
+        |resolved AS (
+        |  SELECT * FROM meta
+        |  WHERE path = 'root/BUILDING' OR path LIKE 'root/BUILDING/%')
+        |SELECT series_id, valid_time, value FROM (
+        |  SELECT series_id, valid_time, value,
+        |         row_number() OVER (PARTITION BY series_id, valid_time
+        |                            ORDER BY knowledge_time DESC, change_time DESC, value DESC) AS rn
+        |  FROM sv
+        |  WHERE series_id IN (SELECT series_id FROM resolved)
+        |    AND retention IN (SELECT DISTINCT retention FROM resolved))
+        |WHERE rn = 1
+        |ORDER BY series_id, valid_time""".stripMargin)),
+
     // ----- generic relational shapes (SURVEY §2.1 S1, §2.3-2.7) -----
+
+    ("rel_like",
+      // F5: LIKE prefix match (subtree scoping in the reference,
+      // timedb/read.py:134-135).
+      (s, dir) => Tables.part(s, dir)
+        .filter(col("p_type").like("S%") && col("p_name").like("%wid%"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_type LIKE 'S%' AND p_name LIKE '%wid%'
+        |ORDER BY p_partkey""".stripMargin)),
+
+    ("rel_collect",
+      // A5: groupArray / groupUniqArray → collect_list / collect_set;
+      // joined to a string so the comparison is array-order deterministic.
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
 
     ("rel_scan_filter",
       (s, dir) => Tables.lineitem(s, dir)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{ReadShapes, UnchangedScope, WritePipeline, WriteResult}
-import graft.sources.{Schema, SeriesStore}
+import graft.sources.{MetaSource, Schema, SeriesStore}
 
 /** Conjunctive read filter (timedb/read.py:183-224 `_where`):
   * `series_id IN ids`, optional retention equality/IN (doubles as a
@@ -69,13 +69,16 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
       retention: Option[String] = None,
       knowledgeTime: Option[Timestamp] = None,
       skipUnchanged: Boolean = false,
-      unchangedScope: UnchangedScope = UnchangedScope.ValidTime): WriteResult = {
+      unchangedScope: UnchangedScope = UnchangedScope.ValidTime): WriteResult =
+    Profiling.phase(Profiling.PhaseWriteTotal) {
 
     val now = Timestamp.from(Instant.now())
-    var stamped = WritePipeline.stamp(df, retention, knowledgeTime, now)
+    var stamped = Profiling.phase(Profiling.PhaseWriteNormalize) {
+      WritePipeline.stamp(df, retention, knowledgeTime, now)
+    }
 
     var skipped = 0L
-    if (skipUnchanged) {
+    if (skipUnchanged) Profiling.phase(Profiling.PhaseWriteSkipUnchanged) {
       // Bounded read-back slab (timedb/write.py:197-214): the incoming
       // batch's distinct series/retentions and valid_time bounds. These are
       // catalog-sized driver values (same assumption as the reference).
@@ -104,9 +107,9 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
     var valuesErr: Option[Throwable] = None
     var rsErr: Option[Throwable] = None
     if (written > 0) {
-      try store.appendValues(stamped)
+      try Profiling.phase(Profiling.PhaseWriteSeriesValuesInsert)(store.appendValues(stamped))
       catch { case t: Throwable => valuesErr = Some(t) }
-      try store.appendRunSeries(rs)
+      try Profiling.phase(Profiling.PhaseWriteRunSeriesInsert)(store.appendRunSeries(rs))
       catch { case t: Throwable => rsErr = Some(t) }
     }
     stamped.unpersist()
@@ -138,23 +141,42 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
   def read(
       filter: ReadFilter,
       includeUpdates: Boolean = false,
-      includeKnowledgeTime: Boolean = false): DataFrame = {
+      includeKnowledgeTime: Boolean = false): DataFrame = Profiling.phase(Profiling.PhaseReadTotal) {
     if (filter.seriesIds.isEmpty)
       return emptyShape(includeUpdates, includeKnowledgeTime) // timedb/read.py:421-422
 
     val base = scanWith(filter)
-    val shaped = (includeUpdates, includeKnowledgeTime) match {
-      case (false, false) =>
-        ReadShapes.latest(base).orderBy("series_id", "valid_time")
-      case (false, true) =>
-        ReadShapes.overlapping(base).orderBy("series_id", "valid_time", "knowledge_time")
-      case (true, false) =>
-        ReadShapes.latestWithChanges(base).orderBy("series_id", "valid_time", "change_time")
-      case (true, true) =>
-        ReadShapes.overlappingWithChanges(base)
-          .orderBy("series_id", "valid_time", "knowledge_time", "change_time")
+    val shaped = Profiling.phase(Profiling.PhaseReadPlan) {
+      (includeUpdates, includeKnowledgeTime) match {
+        case (false, false) =>
+          ReadShapes.latest(base).orderBy("series_id", "valid_time")
+        case (false, true) =>
+          ReadShapes.overlapping(base).orderBy("series_id", "valid_time", "knowledge_time")
+        case (true, false) =>
+          ReadShapes.latestWithChanges(base).orderBy("series_id", "valid_time", "change_time")
+        case (true, true) =>
+          ReadShapes.overlappingWithChanges(base)
+            .orderBy("series_id", "valid_time", "knowledge_time", "change_time")
+      }
     }
     maskNaN(shaped)
+  }
+
+  /** Read addressed by an external catalog instead of explicit ids
+    * (timedb/read.py: `meta_source` on read/read_relative): resolve the
+    * catalog once to literal id/retention lists (the scalar-subquery
+    * trick — keeps partition pruning), then run the normal read. */
+  def readMeta(
+      meta: MetaSource,
+      startValid: Option[Timestamp] = None,
+      endValid: Option[Timestamp] = None,
+      startKnown: Option[Timestamp] = None,
+      endKnown: Option[Timestamp] = None,
+      includeUpdates: Boolean = false,
+      includeKnowledgeTime: Boolean = false): DataFrame = {
+    val (ids, rets) = meta.resolve()
+    read(ReadFilter(ids, rets, startValid, endValid, startKnown, endKnown),
+      includeUpdates, includeKnowledgeTime)
   }
 
   /** Relative read (timedb/read.py:461-527), explicit mode. */

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** External-catalog series resolution (timedb/read.py:73-180
+  * `PgEngineMeta` + `_meta_cte`).
+  *
+  * The reference resolves the series-id set from a PostgreSQL engine
+  * table inside ClickHouse as a *scalar* subquery, evaluated once and
+  * referenced as a constant so `series_id IN <constant>` keeps index
+  * analysis and partition pruning. The Spark analog: filter the catalog
+  * DataFrame (JDBC- or Parquet-backed), `collect()` the catalog-sized
+  * id/retention lists to the driver, and splice them into the read as
+  * literal `isin` filters — same single-resolve semantics, and literal
+  * IN-lists push down to the Parquet scan / partition pruning where a
+  * join would not. Size note (mirrors timedb/read.py:128-130): the
+  * resolve must be catalog-sized (thousands–tens of thousands of ids).
+  *
+  * Exactly one addressing field must be set (timedb/read.py:88-96):
+  * `rootPath` (subtree prefix match — F5's LIKE), `paths`, `nodeUuids`,
+  * or `names`.
+  */
+final case class MetaSource(
+    catalog: DataFrame,
+    rootPath: Option[String] = None,
+    paths: Seq[String] = Nil,
+    nodeUuids: Seq[String] = Nil,
+    names: Seq[String] = Nil,
+    dataType: Option[String] = None) {
+
+  private def addressing: Column = {
+    val set = Seq(rootPath.isDefined, paths.nonEmpty, nodeUuids.nonEmpty, names.nonEmpty)
+    require(set.count(identity) == 1,
+      "MetaSource needs exactly one of rootPath / paths / nodeUuids / names.")
+    rootPath.map { r =>
+      // subtree scope: the root itself + descendants (path-prefix LIKE,
+      // timedb/read.py:134-135)
+      col("path") === r || col("path").like(r.stripSuffix("/") + "/%")
+    }.getOrElse {
+      if (paths.nonEmpty) col("path").isin(paths: _*)
+      else if (nodeUuids.nonEmpty) col("node_uuid").isin(nodeUuids: _*)
+      else col("name").isin(names: _*)
+    }
+  }
+
+  /** Resolve to (series_ids, retentions) — the `_meta` scalar tuple
+    * (groupArray/groupUniqArray at timedb/read.py:176-179). */
+  def resolve(): (Seq[Long], Seq[String]) = {
+    var pred = addressing
+    dataType.foreach(dt => pred = pred && col("data_type") === dt)
+    val row = catalog.filter(pred)
+      .agg(collect_list("series_id"), collect_set("retention")).head()
+    (row.getSeq[Long](0), row.getSeq[String](1))
+  }
+}

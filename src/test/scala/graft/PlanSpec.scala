@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ReadShapes
+
+/** Physical-plan shape pins (SURVEY §4.1): these are the properties the
+  * 100 TB design depends on — partition pruning at the store, filter
+  * pushdown to parquet, broadcast of catalog-sized join sides, one
+  * exchange for stacked same-key window functions. Loose string checks
+  * on the formatted plan so plan-detail churn doesn't break them.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("store scan prunes retention partitions and pushes series_id filters") {
+    val base = java.nio.file.Files.createTempDirectory("timedb_plan").toString
+    val db = new TimeDb(spark, base)
+    db.create()
+    val rows = (0 until 48).map(h => (h.toLong % 4, ts(f"2024-03-${h / 24 + 1}%02dT${h % 24}%02d:00:00Z"), h.toDouble))
+      .toDF("series_id", "valid_time", "value")
+    db.write(rows, retention = Some("short"))
+    db.write(rows.withColumn("series_id", col("series_id") + 10), retention = Some("forever"))
+
+    val plan = planOf(db.read(ReadFilter(Seq(1L, 2L), retention = Seq("short"))))
+    // retention is a partition dir → must appear as a partition filter,
+    // series_id as a pushed data filter.
+    assert(plan.contains("PartitionFilters") && plan.contains("retention"), plan)
+    assert(plan.contains("PushedFilters") && plan.contains("series_id"), plan)
+    db.delete()
+  }
+
+  test("latest read is a partial+final aggregate (map-side combine before shuffle)") {
+    val df = Seq((1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:00Z"),
+      ts("2024-01-01T00:00:00Z"), 1.0, "", ""))
+      .toDF("series_id", "valid_time", "knowledge_time", "change_time", "value", "changed_by", "annotation")
+    val plan = planOf(ReadShapes.latest(df))
+    assert(plan.contains("partial_max") || plan.contains("partial"), plan)
+  }
+
+  test("latestWithChanges plans ONE exchange for both window functions") {
+    val df = Seq((1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:00Z"),
+      ts("2024-01-01T00:00:00Z"), 1.0, "", ""))
+      .toDF("series_id", "valid_time", "knowledge_time", "change_time", "value", "changed_by", "annotation")
+    val plan = planOf(ReadShapes.latestWithChanges(df))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = planOf(SparkEntry.queries("rel_join_agg")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("scan-filter query pushes predicate and prunes columns") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = planOf(SparkEntry.queries("rel_scan_filter")(spark, dir))
+    assert(plan.contains("PushedFilters: ["), plan)
+    // projection pruning: the 11-column lineitem scan reads only 4 cols
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("l_extendedprice"), plan)
+  }
+}
