@@ -556,7 +556,28 @@ object SparkEntry {
     ("x_simhash",
       (s, dir) => Dedup.simHash(Tables.documents(s, dir), n = 2)
         .orderBy("doc_id"),
-      None), // 48-bit vote loop is SQL-expressible but deep; rows-only check
+      Some("""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM ft, generate_series(1, 200) g(i)
+        |  WHERE g.i <= len(t) - 1),
+        |hashed AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM grams),
+        |votes AS (
+        |  SELECT doc_id, b.b,
+        |         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, generate_series(0, 47) b(b)
+        |  GROUP BY doc_id, b.b)
+        |SELECT doc_id,
+        |       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
 
     // ----- extension: similarity search (SURVEY §2.12 X3) -----
 
@@ -615,7 +636,21 @@ object SparkEntry {
     ("x_lsh_buckets",
       (s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir), numPlanes = 12, dim = 64)
         .orderBy("vec_id"),
-      None), // hyperplane constants are md5-derived; SQL mirror is deep — rows-only
+      // Hyperplane weights are md5-parity-derived, so the oracle can
+      // recompute the same ±1 matrix from md5('p:d').
+      Some("""WITH w AS (
+        |  SELECT p.p, d.d,
+        |         CASE WHEN (CAST(concat('0x', left(md5(concat(CAST(p.p AS VARCHAR), ':', CAST(d.d - 1 AS VARCHAR))), 1)) AS INT) & 1) = 1
+        |              THEN 1.0 ELSE -1.0 END AS wt
+        |  FROM generate_series(0, 11) p(p), generate_series(1, 64) d(d)),
+        |dots AS (
+        |  SELECT e.vec_id, w.p, SUM(CAST(e.embedding[w.d] AS DOUBLE) * w.wt) AS dot
+        |  FROM embeddings e, w
+        |  GROUP BY e.vec_id, w.p)
+        |SELECT vec_id,
+        |       CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        |FROM dots GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin)),
 
     // ----- extension: text analysis (SURVEY §2.12 X4) -----
 
