@@ -113,6 +113,20 @@ object ApiDrive {
     check("ttl partition drop")(dropped == Seq("retention=short/valid_month=202001") &&
       db.read(ReadFilter(Seq(9L))).count() == 0)
 
+    // Probe: skip-unchanged with a batch spanning a month boundary — the
+    // slab's valid_month prune must keep BOTH months or stored rows go
+    // unseen and nothing gets skipped.
+    {
+      val crossMonth = Seq(
+        (50L, t("2024-01-31T23:00:00Z"), 1.0),
+        (50L, t("2024-02-01T01:00:00Z"), 2.0))
+        .toDF("series_id", "valid_time", "value")
+      db.write(crossMonth, knowledgeTime = Some(t("2024-02-02T00:00:00Z")))
+      val again = db.write(crossMonth, knowledgeTime = Some(t("2024-02-03T00:00:00Z")),
+        skipUnchanged = true)
+      check("skip-unchanged across month boundary")(again == operators.WriteResult(0, 2))
+    }
+
     // Meta-source read + profiling through the public surface.
     {
       val catalog = Seq(

@@ -90,8 +90,13 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
         val (minVt, maxVt) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
         val sids = bounds.getSeq[Long](2)
         val rets = bounds.getSeq[String](3)
+        // Retention AND valid_month filters hit partition directories, so
+        // the read-back prunes to the batch's tiers × months before any
+        // file is opened (the "bounded slab" of timedb/write.py:197-214).
         val slab = store.scanValues().filter(
           col("series_id").isin(sids: _*) && col("retention").isin(rets: _*) &&
+            col("valid_month") >= date_format(lit(minVt), "yyyyMM") &&
+            col("valid_month") <= date_format(lit(maxVt), "yyyyMM") &&
             col("valid_time") >= lit(minVt) && col("valid_time") <= lit(maxVt))
         val storedLatest = WritePipeline.storedLatestFor(slab, unchangedScope)
         val before = stamped.count()
@@ -100,20 +105,31 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
       }
     }
 
+    // The stamped batch is consumed three times (count + both insert
+    // lanes); cache it so the upstream isn't recomputed per consumer.
+    stamped = stamped.cache()
     val written = stamped.count()
     val rs = WritePipeline.runSeriesOf(stamped, now)
 
-    // Both lanes attempted even if one fails; values-lane error wins.
-    var valuesErr: Option[Throwable] = None
-    var rsErr: Option[Throwable] = None
+    // Concurrent insert lanes (timedb/write.py:115-158): the values and
+    // run_series writes overlap as two Spark jobs on the shared scheduler
+    // (Spark jobs from one session run concurrently; the lanes write
+    // disjoint paths). Both lanes are always awaited even when one fails —
+    // leaking an in-flight write would leave its outcome unknown — and
+    // the first error is re-raised, values lane first.
     if (written > 0) {
-      try Profiling.phase(Profiling.PhaseWriteSeriesValuesInsert)(store.appendValues(stamped))
-      catch { case t: Throwable => valuesErr = Some(t) }
-      try Profiling.phase(Profiling.PhaseWriteRunSeriesInsert)(store.appendRunSeries(rs))
-      catch { case t: Throwable => rsErr = Some(t) }
-    }
-    stamped.unpersist()
-    valuesErr.orElse(rsErr).foreach(throw _)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val valuesLane = Future(
+        Profiling.phase(Profiling.PhaseWriteSeriesValuesInsert)(store.appendValues(stamped)))
+      val rsLane = Future(
+        Profiling.phase(Profiling.PhaseWriteRunSeriesInsert)(store.appendRunSeries(rs)))
+      val valuesErr = Await.ready(valuesLane, Duration.Inf).value.get.failed.toOption
+      val rsErr = Await.ready(rsLane, Duration.Inf).value.get.failed.toOption
+      stamped.unpersist()
+      valuesErr.orElse(rsErr).foreach(throw _)
+    } else stamped.unpersist()
 
     WriteResult(written, skipped)
   }
