@@ -259,6 +259,76 @@ object SparkEntry {
         |WHERE rn = 1
         |ORDER BY series_id, valid_time""".stripMargin)),
 
+    // ----- time-series extensions: as-of join, gap-fill, delta -----
+
+    ("ts_asof_join",
+      // "last purchase value known at each click" — the as-of join the
+      // forecast domain needs (latest value at-or-before each event).
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        TimeSeriesOps.asOfJoin(clicks, purchases, keyCol = "user_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+        |clicks AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.ts, l.event_id, r.value AS asof_value
+        |FROM clicks l ASOF LEFT JOIN purchases r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin)),
+
+    ("ts_resample_fill",
+      // Hourly grid over the first week, latest value per bucket,
+      // forward-filled gaps — downsampling + gap-fill in one pass.
+      (s, dir) => TimeSeriesOps.resampleFill(
+        Tables.events(s, dir).select(
+          col("user_id").as("series_id"), col("ts"), col("value")),
+        stepSec = 3600,
+        start = ts("2024-01-01T00:00:00Z"), end = ts("2024-01-08T00:00:00Z"))
+        .orderBy("series_id", "bucket"),
+      Some("""WITH pts AS (
+        |  SELECT user_id AS series_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |bucketed AS (
+        |  SELECT series_id,
+        |         make_timestamp(epoch_us(t) - (epoch_us(t) - epoch_us(TIMESTAMP '2024-01-01')) % 3600000000) AS bucket,
+        |         value,
+        |         row_number() OVER (PARTITION BY series_id,
+        |             epoch_us(t) - (epoch_us(t) - epoch_us(TIMESTAMP '2024-01-01')) % 3600000000
+        |           ORDER BY t DESC, value DESC) AS rn
+        |  FROM pts
+        |  WHERE t >= TIMESTAMP '2024-01-01' AND t < TIMESTAMP '2024-01-08'),
+        |winners AS (SELECT series_id, bucket, value AS bucket_value FROM bucketed WHERE rn = 1),
+        |grid AS (
+        |  SELECT s.series_id, g.b AS bucket
+        |  FROM (SELECT DISTINCT series_id FROM pts) s,
+        |       generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR) g(b))
+        |SELECT g.series_id, g.bucket, w.bucket_value,
+        |       last_value(w.bucket_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.series_id ORDER BY g.bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN winners w
+        |  ON g.series_id = w.series_id AND g.bucket = w.bucket
+        |ORDER BY g.series_id, g.bucket""".stripMargin)),
+
+    ("ts_delta_rate",
+      (s, dir) => TimeSeriesOps.deltaRate(
+        Tables.events(s, dir).select(
+          col("user_id").as("series_id"), col("ts"), col("value")))
+        .orderBy("series_id", "ts"),
+      Some("""WITH pts AS (
+        |  SELECT user_id AS series_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT series_id, ts, value,
+        |  value - lag(value) OVER w AS delta,
+        |  (value - lag(value) OVER w)
+        |    / ((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0) AS rate_per_sec
+        |FROM pts
+        |WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+        |ORDER BY series_id, ts""".stripMargin)),
+
     // ----- external-catalog meta resolve (SURVEY §2.1 S8 + §2.4 J4) -----
 
     ("td_meta_read",

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators the reference's forecast domain needs beyond
+  * its own SQL surface (and that Spark lacks as built-ins): as-of join,
+  * gap-fill resampling, and per-series delta/rate. Each is composed
+  * from built-in operators in the shape that scales: one shuffle keyed
+  * by series, no range-join blowup, no driver-side loops.
+  */
+object TimeSeriesOps {
+
+  /** As-of join: for every left row, the latest right row with
+    * `right.ts <= left.ts` within the same key — "what was the last
+    * known value when this event happened".
+    *
+    * Planned as the union-and-carry-forward pattern rather than a range
+    * join: tag both sides, sort each series by (ts, side) with right
+    * rows first on ties (⇒ at-or-before inclusive), and carry the last
+    * non-null right value forward with one window. One shuffle on the
+    * key, linear in rows — a range-join formulation would rescan the
+    * right side per left row.
+    *
+    * `left`/`right` must share `keyCol` and `tsCol`; the right side
+    * contributes `valueCol` (emitted as `asof_value`, null when no
+    * right row precedes).
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String = "series_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val l = left.select(
+      col(keyCol), col(tsCol), lit(1).as("_side"),
+      struct(leftCols.map(col): _*).as("_payload"),
+      lit(null).cast(right.schema(valueCol).dataType).as("_rv"))
+    val r = right.select(
+      col(keyCol), col(tsCol), lit(0).as("_side"),
+      lit(null).cast(l.schema("_payload").dataType).as("_payload"),
+      col(valueCol).as("_rv"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(Seq(col(keyCol), col(tsCol)) ++
+        leftCols.map(c => col(s"_payload.$c").as(c)) :+ col("asof_value"): _*)
+  }
+
+  /** Gap-fill resample: snap each point to a `stepSec` grid over
+    * [start, end), take the latest value per (series, bucket), emit a
+    * row for EVERY grid bucket of every series, and forward-fill empty
+    * buckets from the previous known value (null until the first).
+    *
+    * The grid is generated per series with `sequence` + `explode` — no
+    * driver-side loop — and the fill is one window per series.
+    */
+  def resampleFill(
+      values: DataFrame, stepSec: Long,
+      start: java.sql.Timestamp, end: java.sql.Timestamp,
+      keyCol: String = "series_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val stepUs = stepSec * 1000000L
+    val bucketed = values
+      .filter(col(tsCol) >= lit(start) && col(tsCol) < lit(end))
+      .withColumn("bucket", timestamp_micros(
+        unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)) - unix_micros(lit(start)), lit(stepUs))))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(struct(col(tsCol), col(valueCol))).getField(valueCol).as("bucket_value"))
+    // Grid generated relationally: explode a long sequence then a
+    // codegen'd projection to timestamps (a transform() lambda here would
+    // evaluate interpreted per element).
+    val nBuckets = (end.getTime - start.getTime) * 1000L / stepUs
+    val grid = values.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(sequence(lit(0L), lit(nBuckets - 1))).as("_i"))
+      .select(col(keyCol),
+        timestamp_micros(lit(start.getTime * 1000L) + col("_i") * stepUs).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, Seq(keyCol, "bucket"), "left")
+      .withColumn("filled_value", last(col("bucket_value"), ignoreNulls = true).over(w))
+      .select(col(keyCol), col("bucket"), col("bucket_value"), col("filled_value"))
+  }
+
+  /** Per-series difference and rate of change: value − previous value,
+    * divided by elapsed seconds. First row of each series is null. */
+  def deltaRate(
+      values: DataFrame,
+      keyCol: String = "series_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    values
+      .withColumn("_pv", lag(col(valueCol), 1).over(w))
+      .withColumn("_pt", lag(col(tsCol), 1).over(w))
+      .withColumn("delta", col(valueCol) - col("_pv"))
+      .withColumn("rate_per_sec",
+        col("delta") / ((unix_micros(col(tsCol)) - unix_micros(col("_pt"))) / lit(1000000.0)))
+      .select(col(keyCol), col(tsCol), col(valueCol), col("delta"), col("rate_per_sec"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeriesOps
+
+/** As-of join, gap-fill resample, and delta/rate semantics on
+  * handcrafted series. */
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin: latest right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), 100L), // equal-ts right row exists
+      (1L, ts("2024-01-01T11:30:00Z"), 101L),
+      (1L, ts("2024-01-01T09:00:00Z"), 102L), // before any right row
+      (2L, ts("2024-01-01T10:00:00Z"), 103L)) // other key: no right rows
+      .toDF("series_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), 5.0),
+      (1L, ts("2024-01-01T11:00:00Z"), 7.0))
+      .toDF("series_id", "ts", "value")
+    val got = TimeSeriesOps.asOfJoin(left, right).orderBy("event_id")
+      .select("event_id", "asof_value").collect()
+    assert(got(0).getDouble(1) == 5.0) // inclusive at equal ts
+    assert(got(1).getDouble(1) == 7.0)
+    assert(got(2).isNullAt(1)) // nothing before
+    assert(got(3).isNullAt(1)) // key never quoted
+  }
+
+  test("resampleFill: bucket winners + forward fill, leading gaps stay null") {
+    val pts = Seq(
+      (1L, ts("2024-01-01T01:10:00Z"), 1.0),
+      (1L, ts("2024-01-01T01:50:00Z"), 2.0), // same bucket, later ts wins
+      (1L, ts("2024-01-01T03:05:00Z"), 9.0))
+      .toDF("series_id", "ts", "value")
+    val got = TimeSeriesOps.resampleFill(pts, 3600,
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-01T05:00:00Z"))
+      .orderBy("bucket").collect()
+    assert(got.length == 5)
+    assert(got(0).isNullAt(2) && got(0).isNullAt(3)) // 00h: before first point
+    assert(got(1).getDouble(3) == 2.0)               // 01h: later-point wins
+    assert(got(2).isNullAt(2) && got(2).getDouble(3) == 2.0) // 02h: filled
+    assert(got(3).getDouble(3) == 9.0)
+    assert(got(4).isNullAt(2) && got(4).getDouble(3) == 9.0)
+  }
+
+  test("deltaRate: per-series difference and per-second rate; first row null") {
+    val pts = Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), 10.0),
+      (1L, ts("2024-01-01T00:00:30Z"), 25.0),
+      (2L, ts("2024-01-01T00:00:00Z"), 1.0))
+      .toDF("series_id", "ts", "value")
+    val got = TimeSeriesOps.deltaRate(pts).orderBy("series_id", "ts").collect()
+    assert(got(0).isNullAt(3) && got(0).isNullAt(4))
+    assert(got(1).getDouble(3) == 15.0 && got(1).getDouble(4) == 0.5)
+    assert(got(2).isNullAt(3)) // new series restarts
+  }
+}
