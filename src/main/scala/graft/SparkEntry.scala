@@ -530,6 +530,19 @@ object SparkEntry {
         |  MIN(CAST(ts AS TIMESTAMP)) AS first_ts, MAX(CAST(ts AS TIMESTAMP)) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    ("rel_salted_agg",
+      // Skew lever: event_type has 5 hot values; the salted two-phase
+      // aggregate spreads each over 8 reducers. Decomposable aggregates ⇒
+      // bit-identical to the plain GROUP BY, which IS the oracle.
+      (s, dir) => Salting.saltedStats(
+        Tables.events(s, dir), Seq("event_type"), "value", buckets = 8)
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
     // ----- extension: dedup (SURVEY §2.12 X1/X2) -----
 
     ("x_dedup_exact",
