@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import java.time.{Duration, Instant, LocalTime}
+import java.time.{Instant, LocalTime}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -55,7 +55,7 @@ object Quickstart {
     db.read(ReadFilter(Seq(42L)), includeUpdates = true)
       .filter(col("valid_time") === hours(10)).show()
 
-    println("== backtest: day-ahead view 'as known by 07:00 same day' ==")
+    println("== backtest: intraday view 'as known by 07:00 the same day' ==")
     db.readRelativeDaily(
       ReadFilter(Seq(42L), startValid = Some(hours.head)),
       daysAhead = 0, timeOfDay = LocalTime.of(7, 0)).show(5)

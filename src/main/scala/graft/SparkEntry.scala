@@ -543,6 +543,20 @@ object SparkEntry {
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin)),
 
+    ("rel_salted_collect",
+      // The holistic case where salting genuinely matters: exact distinct
+      // values of a hot key collected via per-bucket partial sets.
+      (s, dir) => Salting.saltedCollectSet(
+        Tables.events(s, dir).select("event_type", "props"),
+        Seq("event_type"), "props", buckets = 8)
+        .select(col("event_type"),
+          array_join(col("distinct_values"), "|").as("distinct_props"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        |  array_to_string(list_sort(list(DISTINCT props)), '|') AS distinct_props
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
     // ----- extension: dedup (SURVEY §2.12 X1/X2) -----
 
     ("x_dedup_exact",

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale stress drive: N synthetic rows (default 10M) through the real
+  * write → store → read path. Generates distributed (spark.range — no
+  * driver-side data), writes via the facade (stamping + partitioned
+  * append + run_series lane), then times the read shapes over the
+  * partitioned store. `sbt "runMain graft.Stress [rows]"`.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 10000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = java.nio.file.Files.createTempDirectory("timedb_stress").toString
+    val db = new TimeDb(spark, base)
+    db.create()
+
+    def t(s: String) = Timestamp.from(Instant.parse(s))
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] ${(System.nanoTime() - t0) / 1e9}%8.2f s  $name")
+      r
+    }
+
+    val nSeries = 50000L
+    val startUs = t("2024-01-01T00:00:00Z").getTime * 1000L
+    // Decompose id = pointIdx * nSeries + series so each series gets
+    // pointIdx = 0..(rows/nSeries − 1): two forecast issues (pointIdx/100)
+    // × 100 distinct valid hours (pointIdx%100), spread over 2 retention
+    // tiers; change_time stays globally unique (audit axis).
+    val series = col("id") % nSeries
+    val pointIdx = expr(s"id div $nSeries") // Column./ is double division
+    val vtSlot = pointIdx % 100 // 100 valid times, 29 h apart ⇒ ~4 months
+    val issue = expr(s"(id div $nSeries) div 100") // 0 = 6 h earlier issue, 1 = late
+    val batch = spark.range(rows).select(
+      series.as("series_id"),
+      timestamp_micros(lit(startUs) + vtSlot * (29L * 3600000000L)).as("valid_time"),
+      timestamp_micros(lit(startUs) + vtSlot * (29L * 3600000000L)
+        - (lit(1) - issue) * 21600000000L).as("knowledge_time"),
+      timestamp_micros(lit(startUs) + col("id") * 1000L).as("change_time"),
+      (col("id") % 1000).cast("double").as("value"),
+      when(series % 4 === 0, "short").otherwise("forever").as("retention"))
+
+    val res = timed(s"write $rows rows (stamp + partitioned append + run_series)") {
+      db.write(batch)
+    }
+    println(s"[stress] WriteResult: $res")
+
+    val nParts = spark.read.parquet(db.store.valuesPath).inputFiles.length
+    println(s"[stress] store files: $nParts")
+
+    timed("latest read, 1k-series slice") {
+      db.read(ReadFilter((0L until 1000L), retention = Seq("forever"))).count()
+    }
+    timed("latest read, all 50k series (full argmax)") {
+      db.read(ReadFilter((0L until nSeries))).count()
+    }
+    timed("overlapping read, 1k-series slice") {
+      db.read(ReadFilter((0L until 1000L)), includeKnowledgeTime = true).count()
+    }
+    timed("relative read, 1k-series slice") {
+      db.readRelative(ReadFilter((0L until 1000L)),
+        java.time.Duration.ofDays(1), java.time.Duration.ofHours(7),
+        startWindow = Some(t("2024-01-01T00:00:00Z"))).count()
+    }
+    timed("time-ranged latest (partition-pruned month)") {
+      db.read(ReadFilter((0L until nSeries),
+        startValid = Some(t("2024-02-01T00:00:00Z")),
+        endValid = Some(t("2024-03-01T00:00:00Z")))).count()
+    }
+
+    db.delete()
+    spark.stop()
+  }
+}

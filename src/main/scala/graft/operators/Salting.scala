@@ -5,35 +5,57 @@ import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot grouping keys: two-phase salted aggregation.
   *
-  * A `groupBy(k)` over a key with a few hot values concentrates those
-  * keys' rows on single reducers — at 100 TB one task runs for hours
-  * while the rest idle. Salting splits each key into `buckets`
-  * sub-groups for the partial aggregate (phase 1 spreads a hot key over
-  * `buckets` reducers), then combines the partials per real key
-  * (phase 2 shuffles only one row per (key, salt)).
+  * Scope this honestly: for DECOMPOSABLE aggregates (sum/count/min/max)
+  * Spark's map-side partial aggregation already bounds what a hot key's
+  * reducer receives (one row per key per map task), so salting buys
+  * nothing there. Salting earns its keep for HOLISTIC aggregates —
+  * collect_list/collect_set, exact distincts, exact percentiles — where
+  * the unsalted plan ships every raw row of a hot key to one reducer.
+  * Phase 1 spreads each key over `buckets` sub-groups; phase 2 combines
+  * `buckets` partial states per key instead of all raw rows.
   *
-  * Results are EXACTLY the plain groupBy's for decomposable aggregates
-  * (sum/count/min/max over DECIMAL/integer) — the oracle for a salted
-  * query is the unsalted GROUP BY.
-  *
-  * AQE's skew-join handling covers joins; this covers aggregation skew,
-  * which AQE does not rebalance.
+  * Salts must be DETERMINISTIC under task retry: a salt derived from
+  * spark_partition_id / monotonically_increasing_id / rand can re-salt
+  * rows differently when a lost executor's map output is recomputed,
+  * silently double-counting or dropping rows. We hash the row's columns
+  * instead — identical inputs always land in the same (key, salt) group.
   */
 object Salting {
 
-  /** counts + decimal sum + min/max of `valueCol` per `keyCols`,
-    * two-phase salted. */
-  def saltedStats(df: DataFrame, keyCols: Seq[String], valueCol: String, buckets: Int): DataFrame = {
+  private def salt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(buckets))
+
+  /** Exact distinct values per key, salted: phase 1 collects per-bucket
+    * distinct sets, phase 2 merges `buckets` small arrays per key. The
+    * holistic-aggregate case where salting genuinely matters: unsalted,
+    * a hot key's reducer receives every raw row. Output: key columns +
+    * sorted `distinct_values` array. */
+  def saltedCollectSet(df: DataFrame, keyCols: Seq[String], valueCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
     val keys = keyCols.map(col)
-    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
-    val partial = salted
+    df.withColumn("_salt", salt(df, buckets))
+      .groupBy(keys :+ col("_salt"): _*)
+      .agg(collect_set(col(valueCol)).as("_partial"))
+      .groupBy(keys: _*)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("_partial")))))
+        .as("distinct_values"))
+  }
+
+  /** counts + decimal sum + min/max per key through the same two-phase
+    * recombination. For these decomposable aggregates the plain groupBy
+    * is equally skew-safe (see scaladoc above) — this variant exists to
+    * pin that the salted recombination is EXACTLY the plain GROUP BY
+    * (its oracle), so the pattern can be trusted where it does matter. */
+  def saltedStats(df: DataFrame, keyCols: Seq[String], valueCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val keys = keyCols.map(col)
+    df.withColumn("_salt", salt(df, buckets))
       .groupBy(keys :+ col("_salt"): _*)
       .agg(
         count(lit(1)).as("_n"),
         sum(col(valueCol).cast("decimal(18,2)")).as("_sum"),
         min(col(valueCol)).as("_min"),
         max(col(valueCol)).as("_max"))
-    partial
       .groupBy(keys: _*)
       .agg(
         sum(col("_n")).as("n"),
