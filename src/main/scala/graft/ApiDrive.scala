@@ -183,6 +183,13 @@ object ApiDrive {
       check("streaming failed batch landed nothing")(db.read(ReadFilter(Seq(78L))).count() == 0)
     }
 
+    // SQL surface: temp views over the store.
+    db.createViews()
+    check("sql view over series_values")(
+      spark.sql("SELECT COUNT(*) FROM series_values WHERE series_id = 1").head().getLong(0) > 0)
+    check("sql view over run_series collapse")(
+      spark.sql("SELECT COUNT(DISTINCT run_id) FROM run_series WHERE series_id = 1").head().getLong(0) >= 3)
+
     db.delete()
     spark.stop()
     if (failures.nonEmpty) { println(s"FAILURES: $failures"); sys.exit(1) }

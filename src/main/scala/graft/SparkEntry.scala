@@ -749,6 +749,81 @@ object SparkEntry {
         |FROM dots GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin)),
 
+    ("x_embed_centroids",
+      // IVF training step: per-cell mean vectors, dimension-wise.
+      (s, dir) => Similarity.cellCentroids(Tables.embeddings(s, dir))
+        .orderBy("cell", "dim"),
+      Some("""SELECT label AS cell, d.d - 1 AS dim,
+        |  round(AVG(CAST(embedding[d.d] AS DOUBLE)), 6) AS mean_v,
+        |  COUNT(*) AS n_vectors
+        |FROM embeddings, generate_series(1, 64) d(d)
+        |GROUP BY label, d.d
+        |ORDER BY cell, dim""".stripMargin)),
+
+    ("x_sample_stratified",
+      // Deterministic per-language sampling: membership is a pure hash
+      // function of doc_id — reproducible across runs/engines/retries.
+      (s, dir) => Sampling.stratified(Tables.documents(s, dir),
+        idCol = "doc_id", stratumCol = "lang",
+        rates = Map("en" -> 10, "de" -> 50, "zh" -> 50), default = 25)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |      < (CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'zh' THEN 50 ELSE 25 END)
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_pipeline_curate",
+      // Composed curation pipeline: exact-dedup winners → quality gate →
+      // greedy token-budget cut by quality. (The global running-sum
+      // window is a priority cut — at 100 TB you'd run it per shard with
+      // per-shard budgets; the operators compose identically.)
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val winners = Dedup.exact(docs).select("doc_id")
+        val cand = TextAnalysis.quality(docs)
+          .join(winners, Seq("doc_id"), "left_semi")
+          .filter(col("quality") >= 0.5)
+          .join(TextAnalysis.tokenCounts(docs).select("doc_id", "approx_bpe_tokens"), "doc_id")
+        val w = Window.orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cand
+          .withColumn("running_tokens", sum(col("approx_bpe_tokens")).over(w))
+          .filter(col("running_tokens") <= 20000)
+          .select("doc_id", "quality", "approx_bpe_tokens", "running_tokens")
+          .orderBy(col("quality").desc, col("doc_id"))
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id,
+        |    round(
+        |      least(1.0, CAST(n_tokens AS DOUBLE) / 64)
+        |        * (1.0 - CAST(n_digits AS DOUBLE) / n_chars)
+        |        * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.05
+        |                  AND CAST(n_stop AS DOUBLE) / n_tokens < 0.6
+        |                THEN 1.0 ELSE 0.5 END), 4) AS quality,
+        |    CAST(floor(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS approx_bpe_tokens
+        |  FROM base),
+        |winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |cand AS (
+        |  SELECT q.* FROM quality q
+        |  WHERE q.quality >= 0.5 AND q.doc_id IN (SELECT doc_id FROM winners)),
+        |sel AS (
+        |  SELECT *, CAST(SUM(approx_bpe_tokens) OVER (
+        |    ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_tokens
+        |  FROM cand)
+        |SELECT doc_id, quality, approx_bpe_tokens, running_tokens
+        |FROM sel WHERE running_tokens <= 20000
+        |ORDER BY quality DESC, doc_id""".stripMargin)),
+
     // ----- extension: text analysis (SURVEY §2.12 X4) -----
 
     ("x_text_lang",

@@ -59,6 +59,14 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
   def create(): Unit = store.create()
   def delete(): Unit = store.delete()
 
+  /** Register the two tables as temp views (`series_values` with the
+    * FINAL-style raw rows, `run_series` collapsed) so SQL users can
+    * `spark.sql` against the store directly. */
+  def createViews(): Unit = {
+    store.scanValues().createOrReplaceTempView("series_values")
+    store.scanRunSeries().createOrReplaceTempView("run_series")
+  }
+
   /** Write (timedb/write.py:236-368): validate → stamp → optional
     * skip-unchanged → append to both tables. The reference's concurrent
     * insert lanes collapse to two Spark write jobs; both are always

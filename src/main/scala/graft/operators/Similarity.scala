@@ -58,6 +58,19 @@ object Similarity {
       .select(col("cell"), col("query_id"), col("cand_id"), col("score"), col("rank"))
   }
 
+  /** Per-cell centroids — the training step an IVF index needs: mean of
+    * the embedding vectors per coarse cell, computed dimension-wise via
+    * posexplode + one aggregate (no driver-side vectors). Output is the
+    * flat (cell, dim, mean) form, engine-portable and directly joinable
+    * for assignment. */
+  def cellCentroids(emb: DataFrame,
+      vecCol: String = "embedding", cellCol: String = "label"): DataFrame =
+    emb
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("mean_v"),
+        count(lit(1)).as("n_vectors"))
+
   /** Random-hyperplane LSH bucketing: sign-bit sketch of the embedding
     * against `numPlanes` pseudo-random hyperplanes derived from a
     * portable per-(plane, dim) hash, so the same buckets are computable

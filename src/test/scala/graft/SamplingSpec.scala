@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, Similarity}
+
+/** Deterministic sampling, centroid training, and the SQL view surface. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    .toDF("doc_id", "lang")
+
+  test("stratified sampling is deterministic and respects per-stratum rates") {
+    val a = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 10, "de" -> 50))
+    val b = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 10, "de" -> 50))
+    assert(a.collect().toSeq == b.collect().toSeq) // pure function of ids
+    val byLang = a.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 100 docs per stratum; hash buckets approximate the rate
+    assert(byLang.getOrElse("en", 0L) < byLang("de"))
+    // default rate 0 ⇒ unlisted strata drop out entirely
+    val onlyEn = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 100))
+    assert(onlyEn.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+  }
+
+  test("trainTestSplit is disjoint and covers the input") {
+    val (train, test) = Sampling.trainTestSplit(docs, "doc_id", testPct = 20)
+    assert(train.count() + test.count() == 200)
+    assert(train.join(test, "doc_id").count() == 0)
+  }
+
+  test("cellCentroids averages dimension-wise per cell") {
+    val emb = Seq(
+      (1L, Array(1.0f, 3.0f), 0),
+      (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(10.0f, 10.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.cellCentroids(emb).orderBy("cell", "dim")
+      .as[(Int, Int, Double, Long)].collect().toSeq
+    assert(got == Seq((0, 0, 2.0, 2L), (0, 1, 4.0, 2L), (1, 0, 10.0, 1L), (1, 1, 10.0, 1L)))
+  }
+
+  test("createViews exposes the store to spark.sql") {
+    val base = java.nio.file.Files.createTempDirectory("timedb_views").toString
+    val db = new TimeDb(spark, base)
+    db.create()
+    db.write(Seq((1L, ts("2024-03-01T00:00:00Z"), 1.5)).toDF("series_id", "valid_time", "value"))
+    db.createViews()
+    assert(spark.sql("SELECT value FROM series_values WHERE series_id = 1").as[Double].head() == 1.5)
+    assert(spark.sql("SELECT COUNT(*) FROM run_series").as[Long].head() == 1L)
+    db.delete()
+  }
+}
