@@ -55,10 +55,15 @@ object Stress {
       (col("id") % 1000).cast("double").as("value"),
       when(series % 4 === 0, "short").otherwise("forever").as("retention"))
 
+    Profiling.enable()
     val res = timed(s"write $rows rows (stamp + partitioned append + run_series)") {
       db.write(batch)
     }
     println(s"[stress] WriteResult: $res")
+    Profiling.snapshot().toSeq.sortBy(-_._2._1).foreach { case (phase, (secs, n)) =>
+      println(f"[stress]   phase $phase%-28s ${secs}%8.2f s  ($n calls)")
+    }
+    Profiling.disable(); Profiling.reset()
 
     val nParts = spark.read.parquet(db.store.valuesPath).inputFiles.length
     println(s"[stress] store files: $nParts")
