@@ -18,7 +18,8 @@ object ApiDrive {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone",
+        sys.env.getOrElse("GRAFT_DRIVE_TZ", "UTC")) // non-UTC exercises TZ-pinned partitioning
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,6 +126,15 @@ object ApiDrive {
       val again = db.write(crossMonth, knowledgeTime = Some(t("2024-02-03T00:00:00Z")),
         skipUnchanged = true)
       check("skip-unchanged across month boundary")(again == operators.WriteResult(0, 2))
+      // Partition dirs must be named by UTC month regardless of the
+      // session timezone: 2024-02-01T01:00Z is still January in most
+      // western zones, but belongs in valid_month=202402.
+      val months = new java.io.File(s"$base/series_values")
+        .listFiles().filter(_.isDirectory)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+        .map(_.getName).toSet
+      check("partition dirs named by UTC month")(
+        months.contains("valid_month=202401") && months.contains("valid_month=202402"))
     }
 
     // Meta-source read + profiling through the public surface.

@@ -34,10 +34,13 @@ final case class ReadFilter(
   /** Month-range partition prune derived from the valid_time bounds: the
     * reader also filters the `valid_month` partition column so Catalyst
     * prunes whole month directories, mirroring how the retention filter
-    * prunes tiers (ch_create_tables.sql:11-13). */
+    * prunes tiers (ch_create_tables.sql:11-13). The upper bound is
+    * half-open, so it derives from endValid − 1 µs — an endValid exactly
+    * on a month boundary must not scan that whole extra month. */
   def monthPrune: Option[Column] = {
-    val lo = startValid.map(t => date_format(lit(t), "yyyyMM"))
-    val hi = endValid.map(t => date_format(lit(t), "yyyyMM"))
+    val lo = startValid.map(t => lit(Schema.monthOf(t)))
+    val hi = endValid.map(t =>
+      lit(Schema.monthOf(java.sql.Timestamp.from(t.toInstant.minusNanos(1000)))))
     (lo, hi) match {
       case (Some(a), Some(b)) => Some(col("valid_month") >= a && col("valid_month") <= b)
       case (Some(a), None) => Some(col("valid_month") >= a)
@@ -81,65 +84,71 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
     Profiling.phase(Profiling.PhaseWriteTotal) {
 
     val now = Timestamp.from(Instant.now())
-    var stamped = Profiling.phase(Profiling.PhaseWriteNormalize) {
+    // Cache the stamped batch once: everything downstream (vocabulary
+    // check, bounds, counts, both insert lanes) reuses it instead of
+    // recomputing the caller's upstream plan per consumer.
+    val preFilter = Profiling.phase(Profiling.PhaseWriteNormalize) {
       WritePipeline.stamp(df, retention, knowledgeTime, now)
-    }
+    }.cache()
 
-    var skipped = 0L
-    if (skipUnchanged) Profiling.phase(Profiling.PhaseWriteSkipUnchanged) {
-      // Bounded read-back slab (timedb/write.py:197-214): the incoming
-      // batch's distinct series/retentions and valid_time bounds. These are
-      // catalog-sized driver values (same assumption as the reference).
-      stamped = stamped.cache()
-      val bounds = stamped.agg(
-        min("valid_time"), max("valid_time"),
+    try {
+      // Batch bounds double as the retention-vocabulary check: one
+      // aggregate over the (now cached) batch instead of a separate
+      // distinct+collect scan (timedb/write.py:197-202, 292-301).
+      val bounds = preFilter.agg(
+        count(lit(1)), min("valid_time"), max("valid_time"),
         collect_set("series_id"), collect_set("retention")).head()
-      if (!bounds.isNullAt(0)) {
-        val (minVt, maxVt) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
-        val sids = bounds.getSeq[Long](2)
-        val rets = bounds.getSeq[String](3)
-        // Retention AND valid_month filters hit partition directories, so
-        // the read-back prunes to the batch's tiers × months before any
-        // file is opened (the "bounded slab" of timedb/write.py:197-214).
+      val before = bounds.getLong(0)
+      if (df.columns.contains("retention"))
+        WritePipeline.requireValidRetentions(bounds.getSeq[String](4))
+
+      var stamped = preFilter
+      var skipped = 0L
+      if (skipUnchanged && before > 0) Profiling.phase(Profiling.PhaseWriteSkipUnchanged) {
+        // Bounded read-back slab (timedb/write.py:197-214): the incoming
+        // batch's series/retentions and valid_time bounds — catalog-sized
+        // driver values (same assumption as the reference). Retention AND
+        // valid_month filters hit partition directories, so the read-back
+        // prunes to the batch's tiers × months before any file is opened.
+        val (minVt, maxVt) = (bounds.getTimestamp(1), bounds.getTimestamp(2))
+        val sids = bounds.getSeq[Long](3)
+        val rets = bounds.getSeq[String](4)
         val slab = store.scanValues().filter(
           col("series_id").isin(sids: _*) && col("retention").isin(rets: _*) &&
-            col("valid_month") >= date_format(lit(minVt), "yyyyMM") &&
-            col("valid_month") <= date_format(lit(maxVt), "yyyyMM") &&
+            col("valid_month") >= lit(Schema.monthOf(minVt)) &&
+            col("valid_month") <= lit(Schema.monthOf(maxVt)) &&
             col("valid_time") >= lit(minVt) && col("valid_time") <= lit(maxVt))
         val storedLatest = WritePipeline.storedLatestFor(slab, unchangedScope)
-        val before = stamped.count()
-        stamped = WritePipeline.filterUnchanged(stamped, storedLatest, unchangedScope).cache()
-        skipped = before - stamped.count()
+        stamped = WritePipeline.filterUnchanged(preFilter, storedLatest, unchangedScope).cache()
       }
-    }
 
-    // The stamped batch is consumed three times (count + both insert
-    // lanes); cache it so the upstream isn't recomputed per consumer.
-    stamped = stamped.cache()
-    val written = stamped.count()
-    val rs = WritePipeline.runSeriesOf(stamped, now)
+      val written = stamped.count()
+      if (skipUnchanged) skipped = before - written
+      val rs = WritePipeline.runSeriesOf(stamped, now)
 
-    // Concurrent insert lanes (timedb/write.py:115-158): the values and
-    // run_series writes overlap as two Spark jobs on the shared scheduler
-    // (Spark jobs from one session run concurrently; the lanes write
-    // disjoint paths). Both lanes are always awaited even when one fails —
-    // leaking an in-flight write would leave its outcome unknown — and
-    // the first error is re-raised, values lane first.
-    if (written > 0) {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val valuesLane = Future(
-        Profiling.phase(Profiling.PhaseWriteSeriesValuesInsert)(store.appendValues(stamped)))
-      val rsLane = Future(
-        Profiling.phase(Profiling.PhaseWriteRunSeriesInsert)(store.appendRunSeries(rs)))
-      val valuesErr = Await.ready(valuesLane, Duration.Inf).value.get.failed.toOption
-      val rsErr = Await.ready(rsLane, Duration.Inf).value.get.failed.toOption
-      stamped.unpersist()
-      valuesErr.orElse(rsErr).foreach(throw _)
-    } else stamped.unpersist()
+      // Concurrent insert lanes (timedb/write.py:115-158): the values and
+      // run_series writes overlap as two Spark jobs on the shared scheduler
+      // (Spark jobs from one session run concurrently; the lanes write
+      // disjoint paths). Both lanes are always awaited even when one fails —
+      // leaking an in-flight write would leave its outcome unknown — and
+      // the first error is re-raised, values lane first.
+      try {
+        if (written > 0) {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val valuesLane = Future(
+            Profiling.phase(Profiling.PhaseWriteSeriesValuesInsert)(store.appendValues(stamped)))
+          val rsLane = Future(
+            Profiling.phase(Profiling.PhaseWriteRunSeriesInsert)(store.appendRunSeries(rs)))
+          val valuesErr = Await.ready(valuesLane, Duration.Inf).value.get.failed.toOption
+          val rsErr = Await.ready(rsLane, Duration.Inf).value.get.failed.toOption
+          valuesErr.orElse(rsErr).foreach(throw _)
+        }
+      } finally if (stamped ne preFilter) stamped.unpersist()
 
-    WriteResult(written, skipped)
+      WriteResult(written, skipped)
+    } finally preFilter.unpersist()
   }
 
   private def emptyShape(includeUpdates: Boolean, includeKnowledgeTime: Boolean): DataFrame = {

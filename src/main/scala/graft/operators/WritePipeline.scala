@@ -87,16 +87,18 @@ object WritePipeline {
     validate(df, retentionKwarg, knowledgeTimeKwarg)
     val cols = df.columns.toSet
 
-    if (cols("retention")) {
-      val present = df.select("retention").distinct().collect().map(_.getString(0)).toSet
-      val unknown = present -- Schema.retentionTiers
-      require(unknown.isEmpty,
-        s"Unknown retention values in 'retention' column: ${unknown.toSeq.sorted}. " +
-          s"Valid values: ${Schema.retentionTiers.toSeq.sorted}")
-    }
+    // Null required fields are rejected inline — a guard expression in the
+    // stamped projection rather than a separate validation scan, so it
+    // costs nothing extra at 100 TB and fails at write execution, like the
+    // reference's non-Nullable ClickHouse columns (ch_create_tables.sql:29-33).
+    // (A null valid_time would otherwise land in a
+    // __HIVE_DEFAULT_PARTITION__ directory and be inconsistently visible.)
+    def rejectNull(c: Column, name: String, tpe: String): Column =
+      when(c.isNull, raise_error(lit(s"'$name' must not be null")).cast(tpe)).otherwise(c)
 
     var out = df
-      .withColumn("series_id", col("series_id").cast(LongType))
+      .withColumn("series_id", rejectNull(col("series_id").cast(LongType), "series_id", "bigint"))
+      .withColumn("valid_time", rejectNull(col("valid_time"), "valid_time", "timestamp"))
       .withColumn("value", coalesce(col("value").cast(DoubleType), lit(Double.NaN)))
 
     if (!cols("knowledge_time"))
@@ -114,6 +116,17 @@ object WritePipeline {
       out = out.withColumn(c, lit(""))
 
     out.select(Schema.seriesValuesColumns.map(col): _*)
+  }
+
+  /** Vocabulary check for a caller-supplied retention column
+    * (timedb/write.py:292-301). The caller passes the already-aggregated
+    * distinct values (e.g. from the batch-bounds aggregate) so no extra
+    * scan runs; nulls are reported, not NPE'd. */
+  def requireValidRetentions(present: Seq[String]): Unit = {
+    val unknown = present.filter(v => v == null || !Schema.retentionTiers(v))
+    require(unknown.isEmpty,
+      s"Unknown retention values in 'retention' column: ${unknown.map(String.valueOf).sorted}. " +
+        s"Valid values: ${Schema.retentionTiers.toSeq.sorted}")
   }
 
   /** W3 — run_series derivation (timedb/write.py:357): distinct

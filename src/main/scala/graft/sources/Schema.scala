@@ -70,4 +70,21 @@ object Schema {
     * ClickHouse partition pruning.
     */
   val partitionColumns: Seq[String] = Seq("retention", "valid_month")
+
+  /** THE month derivation — the single definition the writer, the read
+    * prune, and the skip-unchanged slab all share, so they agree by
+    * construction. Pinned to UTC via `convert_timezone` (a bare
+    * `date_format` follows `spark.sql.session.timeZone`, so sessions
+    * with different zones would name partition directories differently
+    * and month pruning would silently drop valid rows — the reference
+    * cannot diverge because it stores DateTime64(6,'UTC')).
+    */
+  def monthOf(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    date_format(convert_timezone(lit("UTC"), ts), "yyyyMM")
+  }
+
+  def monthOf(ts: java.sql.Timestamp): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMM")
+      .withZone(java.time.ZoneOffset.UTC).format(ts.toInstant)
 }

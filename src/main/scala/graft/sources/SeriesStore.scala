@@ -62,7 +62,7 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     */
   def appendValues(stamped: DataFrame): Unit = {
     stamped
-      .withColumn("valid_month", date_format(col("valid_time"), "yyyyMM"))
+      .withColumn("valid_month", Schema.monthOf(col("valid_time")))
       .repartition(col("retention"), col("valid_month"))
       .sortWithinPartitions("series_id", "valid_time", "knowledge_time", "change_time")
       .write

@@ -35,6 +35,9 @@ object StreamingIngest {
         if (!batch.isEmpty) {
           val now = new java.sql.Timestamp(System.currentTimeMillis())
           val stamped = WritePipeline.stamp(batch, retentionKwarg = retention, now = now)
+          if (batch.columns.contains("retention"))
+            WritePipeline.requireValidRetentions(
+              stamped.agg(collect_set("retention")).head().getSeq[String](0))
           val store = new SeriesStore(batch.sparkSession, basePath)
           store.appendValues(stamped)
           store.appendRunSeries(WritePipeline.runSeriesOf(stamped, now))

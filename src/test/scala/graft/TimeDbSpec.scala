@@ -99,6 +99,14 @@ class TimeDbSpec extends SparkSpec {
     }
   }
 
+  test("write rejects unknown values in a caller-supplied retention column") {
+    withDb { db =>
+      val bad = revision(1).withColumn("retention", lit("eternal"))
+      intercept[IllegalArgumentException](db.write(bad))
+      assert(db.read(ReadFilter(Seq(1L))).count() == 0) // nothing landed
+    }
+  }
+
   test("null → NaN → null round trip; clean series stays non-null") {
     withDb { db =>
       val mixed = Seq((1L, vts(0), Option(1.0)), (1L, vts(1), Option.empty[Double]))

@@ -63,8 +63,23 @@ class WritePipelineSpec extends SparkSpec {
   test("validation: unknown retention kwarg and column values") {
     intercept[IllegalArgumentException](
       WritePipeline.stamp(minimal, retentionKwarg = Some("eternal")))
-    val badCol = minimal.withColumn("retention", lit("eternal"))
-    intercept[IllegalArgumentException](WritePipeline.stamp(badCol))
+    intercept[IllegalArgumentException](
+      WritePipeline.requireValidRetentions(Seq("short", "eternal")))
+    // a null retention value reports cleanly instead of NPE-ing
+    val e = intercept[IllegalArgumentException](
+      WritePipeline.requireValidRetentions(Seq("short", null)))
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("null required fields are rejected at write execution") {
+    val nullVt = Seq((1L, Option.empty[java.sql.Timestamp], 1.0))
+      .toDF("series_id", "valid_time", "value")
+    val err = intercept[Exception](WritePipeline.stamp(nullVt).collect())
+    assert(err.getMessage.contains("valid_time") ||
+      Option(err.getCause).exists(_.getMessage.contains("valid_time")))
+    val nullSid = Seq((Option.empty[Long], ts("2024-01-01T00:00:00Z"), 1.0))
+      .toDF("series_id", "valid_time", "value")
+    intercept[Exception](WritePipeline.stamp(nullSid).collect())
   }
 
   test("validation: ambiguous retention / knowledge_time") {
