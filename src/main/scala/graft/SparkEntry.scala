@@ -323,8 +323,9 @@ object SparkEntry {
         |  SELECT user_id AS series_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
         |SELECT series_id, ts, value,
         |  value - lag(value) OVER w AS delta,
-        |  (value - lag(value) OVER w)
-        |    / ((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0) AS rate_per_sec
+        |  CASE WHEN epoch_us(ts) = epoch_us(lag(ts) OVER w) THEN NULL
+        |       ELSE (value - lag(value) OVER w)
+        |            / ((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0) END AS rate_per_sec
         |FROM pts
         |WINDOW w AS (PARTITION BY series_id ORDER BY ts)
         |ORDER BY series_id, ts""".stripMargin)),
@@ -686,7 +687,7 @@ object SparkEntry {
       },
       Some("""WITH pairs AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |         round(list_inner_product(q.e, c.e) / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
+        |         round(list_inner_product(q.e, c.e) / NULLIF(sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8) q,
         |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
         |  WHERE q.vec_id <> c.vec_id)
@@ -705,7 +706,7 @@ object SparkEntry {
       },
       Some("""WITH pairs AS (
         |  SELECT q.label AS cell, q.vec_id AS query_id, c.vec_id AS cand_id,
-        |         round(list_inner_product(q.e, c.e) / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
+        |         round(list_inner_product(q.e, c.e) / NULLIF(sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8) q
         |  JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
         |    ON q.label = c.label AND q.vec_id <> c.vec_id)
@@ -721,13 +722,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b"),
       Some("""SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |    / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |       * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |    / NULLIF(sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6) AS cos
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |    / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |       * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+        |    / NULLIF(sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin)),
 
     ("x_lsh_buckets",
@@ -803,12 +804,12 @@ object SparkEntry {
         |  FROM documents),
         |quality AS (
         |  SELECT doc_id,
-        |    round(
+        |    CASE WHEN n_tokens = 0 OR n_chars = 0 THEN 0.0 ELSE round(
         |      least(1.0, CAST(n_tokens AS DOUBLE) / 64)
         |        * (1.0 - CAST(n_digits AS DOUBLE) / n_chars)
         |        * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.05
         |                  AND CAST(n_stop AS DOUBLE) / n_tokens < 0.6
-        |                THEN 1.0 ELSE 0.5 END), 4) AS quality,
+        |                THEN 1.0 ELSE 0.5 END), 4) END AS quality,
         |    CAST(floor(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS approx_bpe_tokens
         |  FROM base),
         |winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -862,15 +863,15 @@ object SparkEntry {
         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
         |  FROM documents)
         |SELECT doc_id, n_chars, n_tokens,
-        |  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS avg_token_len,
-        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-        |  round(CAST(n_digits AS DOUBLE) / n_chars, 4) AS digit_ratio,
-        |  round(
+        |  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS avg_token_len,
+        |  round(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS stopword_ratio,
+        |  round(CAST(n_digits AS DOUBLE) / NULLIF(n_chars, 0), 4) AS digit_ratio,
+        |  CASE WHEN n_tokens = 0 OR n_chars = 0 THEN 0.0 ELSE round(
         |    least(1.0, CAST(n_tokens AS DOUBLE) / 64)
         |      * (1.0 - CAST(n_digits AS DOUBLE) / n_chars)
         |      * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.05
         |                AND CAST(n_stop AS DOUBLE) / n_tokens < 0.6
-        |              THEN 1.0 ELSE 0.5 END), 4) AS quality
+        |              THEN 1.0 ELSE 0.5 END), 4) END AS quality
         |FROM base
         |ORDER BY doc_id""".stripMargin)),
 
@@ -941,7 +942,7 @@ object SparkEntry {
         |  SELECT asset_id, g.i AS frame_no,
         |         substring(media, g.i * 64 + 1, 16) AS frame
         |  FROM assets, generate_series(0, 63) g(i)
-        |  WHERE g.i <= greatest(octet_length(encode(media)) // 64 - 1, 0))
+        |  WHERE g.i <= greatest((octet_length(encode(media)) + 63) // 64 - 1, 0))
         |SELECT asset_id, frame_no, md5(frame) AS frame_digest
         |FROM frames
         |ORDER BY asset_id, frame_no""".stripMargin)),

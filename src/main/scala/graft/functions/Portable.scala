@@ -58,6 +58,8 @@ object Portable {
     * whole-stage codegen (the HOF lambda plumbing does not). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column = FloatVectorDot(x, y)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    // null (not an ANSI divide-by-zero abort) for zero-norm vectors
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0.0, lit(null)).otherwise(dot(a, b) / denom)
   }
 }

@@ -87,14 +87,18 @@ object Multimodal {
       col("meta.n_frames")))
 
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size
-    * slice of the payload becomes one frame row. Pure columnar explode —
-    * no UDF — so it stays inside whole-stage codegen. */
-  def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    * slice of the payload becomes one frame row (ceiling count, so the
+    * trailing partial window still yields its frame — possibly short at
+    * payload end). Pure columnar explode — no UDF — so it stays inside
+    * whole-stage codegen. */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val span = frameBytes * stride
     assets
       .select(col("asset_id"), col("media"),
         explode(sequence(lit(0),
-          greatest((octet_length(col("media")) / (frameBytes * stride)).cast("int") - 1, lit(0))))
+          greatest(expr(s"(octet_length(media) + ${span - 1}) div $span").cast("int") - 1, lit(0))))
           .as("frame_no"))
       .select(col("asset_id"), col("frame_no"),
-        col("media").substr(col("frame_no") * (frameBytes * stride) + 1, lit(frameBytes)).as("frame"))
+        col("media").substr(col("frame_no") * span + 1, lit(frameBytes)).as("frame"))
+  }
 }

@@ -77,6 +77,8 @@ object Similarity {
     * in plain SQL. Docs sharing a bucket are ANN candidates. */
   def lshBuckets(emb: DataFrame, numPlanes: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 62, "numPlanes must be 1..62 (bucket bits in a positive Long)")
+    require(dim >= 1, "dim must be positive; every embedding must have >= dim elements")
     // plane p, dim d weight ∈ {-1, +1}: parity of a portable hash of "p:d".
     val bucketBits = (0 until numPlanes).map { p =>
       val dot = (0 until dim).map { d =>

@@ -55,9 +55,14 @@ object TextAnalysis {
     val nTok = size(t)
     val nStop = size(filter(t, x => stop.map(m => x === m).reduce(_ || _)))
     val nChars = length(col(textCol))
-    val avgTokLen = (nChars - (nTok - 1)).cast("double") / nTok
-    val stopRatio = nStop.cast("double") / nTok
-    val digitRatio = (nChars - length(regexp_replace(col(textCol), "[0-9]", ""))).cast("double") / nChars
+    // Empty/whitespace-only text: ratios are null and quality 0 — a
+    // plain x/0 would abort the whole job under Spark 4's default ANSI
+    // mode.
+    val avgTokLen = when(nTok === 0, lit(null))
+      .otherwise((nChars - (nTok - 1)).cast("double") / nTok)
+    val stopRatio = when(nTok === 0, lit(null)).otherwise(nStop.cast("double") / nTok)
+    val digitRatio = when(nChars === 0, lit(null))
+      .otherwise((nChars - length(regexp_replace(col(textCol), "[0-9]", ""))).cast("double") / nChars)
     docs.select(
       col(idCol),
       nChars.as("n_chars"),
@@ -65,10 +70,10 @@ object TextAnalysis {
       round(avgTokLen, 4).as("avg_token_len"),
       round(stopRatio, 4).as("stopword_ratio"),
       round(digitRatio, 4).as("digit_ratio"),
-      round(
+      when(nTok === 0 || nChars === 0, 0.0).otherwise(round(
         least(lit(1.0), nTok.cast("double") / 64) * (lit(1.0) - digitRatio) *
           when(stopRatio > 0.05 && stopRatio < 0.6, 1.0).otherwise(0.5),
-        4).as("quality"))
+        4)).as("quality"))
   }
 
   /** Token counting (X4): whitespace tokens plus a BPE-ish subword count

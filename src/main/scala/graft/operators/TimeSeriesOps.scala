@@ -32,19 +32,27 @@ object TimeSeriesOps {
       keyCol: String = "series_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    // Right values travel wrapped in a struct: a right row whose VALUE is
+    // null must still count as a match (and carry its null forward) —
+    // bare-null carrying would make `last(ignoreNulls)` skip it and
+    // resurrect an older value. Ties on (key, ts) among right rows break
+    // deterministically toward the greatest value (the struct joins the
+    // window ordering).
     val l = left.select(
       col(keyCol), col(tsCol), lit(1).as("_side"),
       struct(leftCols.map(col): _*).as("_payload"),
-      lit(null).cast(right.schema(valueCol).dataType).as("_rv"))
+      lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", right.schema(valueCol).dataType))))
+        .as("_rv"))
     val r = right.select(
       col(keyCol), col(tsCol), lit(0).as("_side"),
       lit(null).cast(l.schema("_payload").dataType).as("_payload"),
-      col(valueCol).as("_rv"))
+      struct(col(valueCol).as("v")).as("_rv"))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("_side"))
+      .orderBy(col(tsCol), col("_side"), col("_rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_side") === 1)
       .select(Seq(col(keyCol), col(tsCol)) ++
         leftCols.map(c => col(s"_payload.$c").as(c)) :+ col("asof_value"): _*)
@@ -63,21 +71,31 @@ object TimeSeriesOps {
       start: java.sql.Timestamp, end: java.sql.Timestamp,
       keyCol: String = "series_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
+    require(stepSec > 0, "stepSec must be positive")
     val stepUs = stepSec * 1000000L
+    // Exact µs anchor (Timestamp.getTime is ms-precision — a start with
+    // sub-ms micros would put grid keys and bucket keys off by the
+    // residue and the join would match nothing).
+    val startUs = start.toInstant.getEpochSecond * 1000000L + start.toInstant.getNano / 1000L
+    val endUs = end.toInstant.getEpochSecond * 1000000L + end.toInstant.getNano / 1000L
     val bucketed = values
       .filter(col(tsCol) >= lit(start) && col(tsCol) < lit(end))
       .withColumn("bucket", timestamp_micros(
-        unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)) - unix_micros(lit(start)), lit(stepUs))))
+        unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)) - lit(startUs), lit(stepUs))))
       .groupBy(col(keyCol), col("bucket"))
       .agg(max(struct(col(tsCol), col(valueCol))).getField(valueCol).as("bucket_value"))
     // Grid generated relationally: explode a long sequence then a
     // codegen'd projection to timestamps (a transform() lambda here would
-    // evaluate interpreted per element).
-    val nBuckets = (end.getTime - start.getTime) * 1000L / stepUs
+    // evaluate interpreted per element). Bucket count is the CEILING of
+    // the span (the final partial bucket holds data too), and the
+    // `_i < nBuckets` filter guards the empty-span case (sequence(0,-1)
+    // would generate a DESCENDING range).
+    val nBuckets = (endUs - startUs + stepUs - 1) / stepUs
     val grid = values.select(col(keyCol)).distinct()
-      .select(col(keyCol), explode(sequence(lit(0L), lit(nBuckets - 1))).as("_i"))
+      .select(col(keyCol), explode(sequence(lit(0L), lit(math.max(nBuckets - 1, 0L)))).as("_i"))
+      .filter(col("_i") < nBuckets)
       .select(col(keyCol),
-        timestamp_micros(lit(start.getTime * 1000L) + col("_i") * stepUs).as("bucket"))
+        timestamp_micros(lit(startUs) + col("_i") * stepUs).as("bucket"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(bucketed, Seq(keyCol, "bucket"), "left")
@@ -92,12 +110,16 @@ object TimeSeriesOps {
       keyCol: String = "series_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val elapsedUs = unix_micros(col(tsCol)) - unix_micros(col("_pt"))
     values
       .withColumn("_pv", lag(col(valueCol), 1).over(w))
       .withColumn("_pt", lag(col(tsCol), 1).over(w))
       .withColumn("delta", col(valueCol) - col("_pv"))
+      // zero elapsed (duplicate timestamps) → null rate, not an ANSI
+      // divide-by-zero abort
       .withColumn("rate_per_sec",
-        col("delta") / ((unix_micros(col(tsCol)) - unix_micros(col("_pt"))) / lit(1000000.0)))
+        when(elapsedUs === 0, lit(null))
+          .otherwise(col("delta") / (elapsedUs / lit(1000000.0))))
       .select(col(keyCol), col(tsCol), col(valueCol), col("delta"), col("rate_per_sec"))
   }
 }

@@ -59,11 +59,30 @@ class OperatorsSpec extends SparkSpec {
     assert(sh.values.forall(v => v >= 0 && v < (1L << 48)))
   }
 
-  test("cosine column: exact on known vectors") {
+  test("cosine column: exact on known vectors; zero-norm gives null not an ANSI abort") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
       (Array(1.0f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     val got = df.select(Portable.cosine(col("a"), col("b"))).as[Double].collect()
     assert(got(0) == 0.0 && math.abs(got(1) - 1.0) < 1e-12)
+    val zero = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(zero.select(Portable.cosine(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("quality handles empty and whitespace-only text without dividing by zero") {
+    val d = Seq((1L, ""), (2L, "   "), (3L, "real text here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.quality(d).orderBy("doc_id").collect()
+    assert(got(0).getAs[Double]("quality") == 0.0)
+    assert(got(1).getAs[Double]("quality") == 0.0 && got(1).isNullAt(3)) // null avg_token_len
+    assert(got(2).getAs[Double]("quality") > 0.0)
+  }
+
+  test("sampleFrames emits the trailing partial window's frame") {
+    // 80-byte payload, frameBytes=16, stride=4 (span 64): offsets 0 and 64.
+    val a = Multimodal.assetsFromText(Seq((1L, "x" * 80)).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(a, 16, 4).orderBy("frame_no").collect()
+    assert(frames.length == 2)
+    assert(frames(1).getAs[Array[Byte]]("frame").length == 16)
   }
 
   test("bruteForceTopK ranks by score then id, k respected") {

@@ -45,6 +45,38 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got(4).isNullAt(2) && got(4).getDouble(3) == 9.0)
   }
 
+  test("asOfJoin: a right row with a NULL value still matches (not skipped)") {
+    val left = Seq((1L, ts("2024-01-01T02:00:00Z"), 1L)).toDF("series_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), Option(5.0)),
+      (1L, ts("2024-01-01T01:00:00Z"), Option.empty[Double])) // latest: null value
+      .toDF("series_id", "ts", "value")
+    val got = TimeSeriesOps.asOfJoin(left, right).collect()
+    assert(got.length == 1 && got(0).isNullAt(3)) // null carried, 5.0 NOT resurrected
+  }
+
+  test("resampleFill: partial trailing bucket is generated; empty span yields no grid") {
+    val pts = Seq((1L, ts("2024-01-01T05:10:00Z"), 3.0)).toDF("series_id", "ts", "value")
+    val got = TimeSeriesOps.resampleFill(pts, 3600,
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-01T05:30:00Z"))
+    assert(got.count() == 6) // 00..05, incl. the partial [05:00, 05:30) bucket
+    assert(got.filter(col("bucket") === ts("2024-01-01T05:00:00Z"))
+      .head().getDouble(2) == 3.0)
+    val empty = TimeSeriesOps.resampleFill(pts, 3600,
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:00Z"))
+    assert(empty.count() == 0)
+  }
+
+  test("deltaRate: duplicate timestamps give null rate, not a divide-by-zero abort") {
+    val pts = Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), 1.0),
+      (1L, ts("2024-01-01T00:00:00Z"), 2.0))
+      .toDF("series_id", "ts", "value")
+    val got = TimeSeriesOps.deltaRate(pts).orderBy("value").collect()
+    assert(got.forall(r => r.isNullAt(4) || !r.isNullAt(4))) // executes without throwing
+    assert(got.exists(r => !r.isNullAt(3) && r.isNullAt(4))) // delta set, rate null
+  }
+
   test("deltaRate: per-series difference and per-second rate; first row null") {
     val pts = Seq(
       (1L, ts("2024-01-01T00:00:00Z"), 10.0),
