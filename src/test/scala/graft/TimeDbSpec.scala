@@ -145,6 +145,31 @@ class TimeDbSpec extends SparkSpec {
     }
   }
 
+  test("insert lanes: both attempted on failure, values-lane error re-raised") {
+    // The reference's concurrency contract (timedb/write.py:126-130,
+    // pinned by its tests/test_write_concurrency.py:90-95): a failing
+    // values insert must not prevent the run_series lane from being
+    // attempted, and the values-lane error wins. Sabotage the values
+    // table by replacing its directory with a plain file.
+    val base = java.nio.file.Files.createTempDirectory("timedb_lanes").toString
+    val db = new TimeDb(spark, base)
+    db.create()
+    val valuesDir = new java.io.File(s"$base/series_values")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(valuesDir)
+    java.nio.file.Files.writeString(valuesDir.toPath, "not a directory")
+
+    val err = intercept[Throwable] {
+      db.write(Seq((1L, ts("2024-03-01T00:00:00Z"), 1.0)).toDF("series_id", "valid_time", "value"))
+    }
+    assert(err != null)
+    // run_series lane was still attempted and landed its row
+    assert(spark.read.parquet(s"$base/run_series").count() == 1)
+    db.delete()
+  }
+
   test("expireRetention drops only expired non-forever partitions") {
     withDb { db =>
       db.write(Seq((1L, ts("2020-01-15T00:00:00Z"), 1.0)).toDF("series_id", "valid_time", "value"),
