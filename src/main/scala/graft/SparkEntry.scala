@@ -531,6 +531,24 @@ object SparkEntry {
         |  MIN(CAST(ts AS TIMESTAMP)) AS first_ts, MAX(CAST(ts AS TIMESTAMP)) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    ("rel_percentile",
+      // Exact (holistic) percentiles — the aggregate family where sort
+      // order is the whole cost; interpolation formula matches DuckDB's
+      // quantile_cont, rounded to absorb last-ulp differences.
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
     ("rel_salted_agg",
       // Skew lever: event_type has 5 hot values; the salted two-phase
       // aggregate spreads each over 8 reducers. Decomposable aggregates ⇒
