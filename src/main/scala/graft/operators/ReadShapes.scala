@@ -49,6 +49,19 @@ object ReadShapes {
   def latest(values: DataFrame): DataFrame =
     values
       .groupBy(sid, vt)
+      .agg(graft.functions.ArgMaxLatest(kt, ct, col("value")).as("value"))
+      .select(sid, vt, col("value"))
+
+  /** The built-in formulation of [[latest]]: `max(struct(kt, ct, value))`
+    * via lexicographic struct ordering. Identical semantics, but the
+    * struct aggregation buffer is not hash-aggregable, so Spark plans a
+    * partial+final SortAggregate (per-partition sort) where the custom
+    * [[graft.functions.ArgMaxLatest]] flat-buffer aggregate hash-
+    * aggregates. Kept as the equivalence witness for the property test.
+    */
+  def latestStructMax(values: DataFrame): DataFrame =
+    values
+      .groupBy(sid, vt)
       .agg(max(struct(kt, ct, col("value"))).getField("value").as("value"))
       .select(sid, vt, col("value"))
 

@@ -53,6 +53,22 @@ class PropertiesSpec extends SparkSpec {
     graft.operators.ReadShapes.latest(df)
       .orderBy("series_id", "valid_time").collect().toSeq
 
+  test("custom ArgMaxLatest hash-aggregate ≡ struct-max formulation (incl. NaN)") {
+    for (seed <- 1L to 8L) {
+      val df = toFrame(sample(seed))
+      val viaCustom = graft.operators.ReadShapes.latest(df)
+        .orderBy("series_id", "valid_time").collect().toSeq
+      val viaStruct = graft.operators.ReadShapes.latestStructMax(df)
+        .orderBy("series_id", "valid_time").collect().toSeq
+      assert(viaCustom == viaStruct, s"seed=$seed")
+    }
+    // plan shape: the custom aggregate must hash-aggregate
+    val plan = graft.operators.ReadShapes.latest(toFrame(sample(1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("change collapse is idempotent") {
     for (seed <- 1L to 6L) {
       // Dedupe exact (sid,vt,kt,ct) keys first — a physical store can't
