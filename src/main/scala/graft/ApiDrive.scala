@@ -106,6 +106,15 @@ object ApiDrive {
     check("reject ambiguous kt")(throws(
       db.write(rev1.withColumn("knowledge_time", lit(t("2024-01-01T00:00:00Z"))),
         knowledgeTime = Some(t("2024-01-01T00:00:00Z")))))
+    // A null in a retention COLUMN must fail the write, not slip into a
+    // __HIVE_DEFAULT_PARTITION__ tier that no read or TTL ever touches.
+    check("reject null retention column value")(
+      try {
+        db.write(Seq((8L, t("2024-03-01T00:00:00Z"), 1.0, "short"),
+          (8L, t("2024-03-01T01:00:00Z"), 2.0, null))
+          .toDF("series_id", "valid_time", "value", "retention"))
+        false
+      } catch { case _: Throwable => db.read(ReadFilter(Seq(8L))).count() == 0 })
 
     // TTL expiry: short-retention month long past → partition dropped.
     val old = Seq((9L, t("2020-01-15T00:00:00Z"), 1.0)).toDF("series_id", "valid_time", "value")

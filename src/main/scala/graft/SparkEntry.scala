@@ -304,12 +304,13 @@ object SparkEntry {
         |winners AS (SELECT series_id, bucket, value AS bucket_value FROM bucketed WHERE rn = 1),
         |grid AS (
         |  SELECT s.series_id, g.b AS bucket
-        |  FROM (SELECT DISTINCT series_id FROM pts) s,
+        |  FROM (SELECT DISTINCT series_id FROM pts
+        |        WHERE t >= TIMESTAMP '2024-01-01' AND t < TIMESTAMP '2024-01-08') s,
         |       generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR) g(b))
         |SELECT g.series_id, g.bucket, w.bucket_value,
-        |       last_value(w.bucket_value IGNORE NULLS) OVER (
+        |       (last_value(CASE WHEN w.series_id IS NOT NULL THEN {'v': w.bucket_value} END IGNORE NULLS) OVER (
         |         PARTITION BY g.series_id ORDER BY g.bucket
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS filled_value
         |FROM grid g LEFT JOIN winners w
         |  ON g.series_id = w.series_id AND g.bucket = w.bucket
         |ORDER BY g.series_id, g.bucket""".stripMargin)),

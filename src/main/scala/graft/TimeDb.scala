@@ -94,13 +94,15 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
     try {
       // Batch bounds double as the retention-vocabulary check: one
       // aggregate over the (now cached) batch instead of a separate
-      // distinct+collect scan (timedb/write.py:197-202, 292-301).
+      // distinct+collect scan (timedb/write.py:197-202, 292-301). The
+      // potentially-large distinct series_id set is NOT collected here —
+      // only the skip-unchanged path needs it (timedb/write.py:197).
       val bounds = preFilter.agg(
         count(lit(1)), min("valid_time"), max("valid_time"),
-        collect_set("series_id"), collect_set("retention")).head()
+        collect_set("retention")).head()
       val before = bounds.getLong(0)
       if (df.columns.contains("retention"))
-        WritePipeline.requireValidRetentions(bounds.getSeq[String](4))
+        WritePipeline.requireValidRetentions(bounds.getSeq[String](3))
 
       var stamped = preFilter
       var skipped = 0L
@@ -111,8 +113,8 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
         // valid_month filters hit partition directories, so the read-back
         // prunes to the batch's tiers × months before any file is opened.
         val (minVt, maxVt) = (bounds.getTimestamp(1), bounds.getTimestamp(2))
-        val sids = bounds.getSeq[Long](3)
-        val rets = bounds.getSeq[String](4)
+        val sids = preFilter.agg(collect_set("series_id")).head().getSeq[Long](0)
+        val rets = bounds.getSeq[String](3)
         val slab = store.scanValues().filter(
           col("series_id").isin(sids: _*) && col("retention").isin(rets: _*) &&
             col("valid_month") >= lit(Schema.monthOf(minVt)) &&

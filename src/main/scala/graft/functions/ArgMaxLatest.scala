@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.dsl.expressions._
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, IsNaN, Literal, Or, And, GreaterThan, EqualTo, Not}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, Expression, GreaterThan, If, IsNaN, IsNotNull, IsNull, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.types._
 
@@ -44,20 +44,32 @@ case class ArgMaxLatest(kt: Expression, ct: Expression, value: Expression)
     Literal(null, TimestampType), Literal(null, TimestampType),
     Literal(null, DoubleType), Literal(false, BooleanType))
 
-  /** NaN-aware `a > b` matching Spark's sort order (NaN greatest). */
-  private def nanGt(a: Expression, b: Expression): Expression =
-    Or(And(IsNaN(a), Not(IsNaN(b))), GreaterThan(a, b))
+  /** `a > b` with nulls ordered LOWEST — matching struct ordering, where
+    * a null field sorts below any value. A bare GreaterThan would return
+    * null (→ false) whenever the buffer holds a null key, permanently
+    * poisoning the buffer against all later rows. */
+  private def tsGtNullsLow(a: Expression, b: Expression): Expression =
+    Or(And(IsNull(b), IsNotNull(a)), GreaterThan(a, b))
 
-  /** (kt, ct, value) lexicographically greater than the buffer. */
-  private def beats(k: Expression, c: Expression, v: Expression): Expression =
-    Or(Not(mSet),
-      Or(GreaterThan(k, mKt),
-        And(EqualTo(k, mKt),
-          Or(GreaterThan(c, mCt),
-            And(EqualTo(c, mCt), nanGt(v, mVal))))))
+  /** Same for doubles, with the NaN-greatest value ordering explicit. */
+  private def valGtNullsLow(a: Expression, b: Expression): Expression =
+    Or(And(IsNull(b), IsNotNull(a)),
+      Or(And(IsNaN(a), Not(IsNaN(b))), GreaterThan(a, b)))
+
+  /** (k, c, v) lexicographically greater than buffer (bKt, bCt, bVal),
+    * shared verbatim by the update and merge paths so their semantics
+    * cannot drift. */
+  private def lexBeats(
+      k: Expression, c: Expression, v: Expression,
+      bKt: Expression, bCt: Expression, bVal: Expression, bSet: Expression): Expression =
+    Or(Not(bSet),
+      Or(tsGtNullsLow(k, bKt),
+        And(EqualNullSafe(k, bKt),
+          Or(tsGtNullsLow(c, bCt),
+            And(EqualNullSafe(c, bCt), valGtNullsLow(v, bVal))))))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val better = beats(kt, ct, value)
+    val better = lexBeats(kt, ct, value, mKt, mCt, mVal, mSet)
     Seq(
       If(better, kt, mKt),
       If(better, ct, mCt),
@@ -66,15 +78,8 @@ case class ArgMaxLatest(kt: Expression, ct: Expression, value: Expression)
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
-    // right-side buffer beats left-side buffer (same lexicographic rule)
     val rBeatsL = And(mSet.right,
-      Or(Not(mSet.left),
-        Or(GreaterThan(mKt.right, mKt.left),
-          And(EqualTo(mKt.right, mKt.left),
-            Or(GreaterThan(mCt.right, mCt.left),
-              And(EqualTo(mCt.right, mCt.left),
-                Or(And(IsNaN(mVal.right), Not(IsNaN(mVal.left))),
-                  GreaterThan(mVal.right, mVal.left))))))))
+      lexBeats(mKt.right, mCt.right, mVal.right, mKt.left, mCt.left, mVal.left, mSet.left))
     Seq(
       If(rBeatsL, mKt.right, mKt.left),
       If(rBeatsL, mCt.right, mCt.left),

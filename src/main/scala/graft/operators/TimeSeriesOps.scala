@@ -78,12 +78,16 @@ object TimeSeriesOps {
     // residue and the join would match nothing).
     val startUs = start.toInstant.getEpochSecond * 1000000L + start.toInstant.getNano / 1000L
     val endUs = end.toInstant.getEpochSecond * 1000000L + end.toInstant.getNano / 1000L
-    val bucketed = values
-      .filter(col(tsCol) >= lit(start) && col(tsCol) < lit(end))
+    val inRange = values.filter(col(tsCol) >= lit(start) && col(tsCol) < lit(end))
+    // The winning value travels in a struct so a bucket whose latest
+    // reading is genuinely NULL stays distinguishable from an empty
+    // bucket — bare-null carrying would let the forward fill resurrect a
+    // stale value over a real null (same guard as asOfJoin's _rv).
+    val bucketed = inRange
       .withColumn("bucket", timestamp_micros(
         unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)) - lit(startUs), lit(stepUs))))
       .groupBy(col(keyCol), col("bucket"))
-      .agg(max(struct(col(tsCol), col(valueCol))).getField(valueCol).as("bucket_value"))
+      .agg(struct(max(struct(col(tsCol), col(valueCol))).getField(valueCol).as("v")).as("_bv"))
     // Grid generated relationally: explode a long sequence then a
     // codegen'd projection to timestamps (a transform() lambda here would
     // evaluate interpreted per element). Bucket count is the CEILING of
@@ -91,7 +95,10 @@ object TimeSeriesOps {
     // `_i < nBuckets` filter guards the empty-span case (sequence(0,-1)
     // would generate a DESCENDING range).
     val nBuckets = (endUs - startUs + stepUs - 1) / stepUs
-    val grid = values.select(col(keyCol)).distinct()
+    // Grid keys come from the FILTERED frame: series with no data in
+    // [start, end) contribute nothing (and the distinct doesn't scan
+    // out-of-range history).
+    val grid = inRange.select(col(keyCol)).distinct()
       .select(col(keyCol), explode(sequence(lit(0L), lit(math.max(nBuckets - 1, 0L)))).as("_i"))
       .filter(col("_i") < nBuckets)
       .select(col(keyCol),
@@ -99,8 +106,9 @@ object TimeSeriesOps {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(bucketed, Seq(keyCol, "bucket"), "left")
-      .withColumn("filled_value", last(col("bucket_value"), ignoreNulls = true).over(w))
-      .select(col(keyCol), col("bucket"), col("bucket_value"), col("filled_value"))
+      .withColumn("filled_value", last(col("_bv"), ignoreNulls = true).over(w).getField("v"))
+      .select(col(keyCol), col("bucket"),
+        col("_bv.v").as("bucket_value"), col("filled_value"))
   }
 
   /** Per-series difference and rate of change: value − previous value,

@@ -100,6 +100,11 @@ object WritePipeline {
       .withColumn("series_id", rejectNull(col("series_id").cast(LongType), "series_id", "bigint"))
       .withColumn("valid_time", rejectNull(col("valid_time"), "valid_time", "timestamp"))
       .withColumn("value", coalesce(col("value").cast(DoubleType), lit(Double.NaN)))
+    // A caller-supplied retention column must not smuggle nulls past the
+    // vocabulary check (collect_set drops nulls) — a null would land in a
+    // __HIVE_DEFAULT_PARTITION__ tier that no read or TTL ever touches.
+    if (cols("retention"))
+      out = out.withColumn("retention", rejectNull(col("retention"), "retention", "string"))
 
     if (!cols("knowledge_time"))
       out = out.withColumn("knowledge_time", lit(knowledgeTimeKwarg.getOrElse(now)))

@@ -67,6 +67,17 @@ class PropertiesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), plan)
     assert(!plan.contains("SortAggregate"), plan)
+
+    // null keys must not poison the buffer: nulls sort lowest, exactly
+    // like struct ordering.
+    val withNullKt = toFrame(sample(2))
+      .withColumn("knowledge_time",
+        when(col("value") > 0, col("knowledge_time")).otherwise(lit(null)))
+    val a = graft.operators.ReadShapes.latest(withNullKt)
+      .orderBy("series_id", "valid_time").collect().toSeq
+    val b = graft.operators.ReadShapes.latestStructMax(withNullKt)
+      .orderBy("series_id", "valid_time").collect().toSeq
+    assert(a == b, "null-kt divergence")
   }
 
   test("change collapse is idempotent") {

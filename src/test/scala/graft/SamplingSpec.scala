@@ -23,10 +23,14 @@ class SamplingSpec extends SparkSpec {
     assert(onlyEn.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
   }
 
-  test("trainTestSplit is disjoint and covers the input") {
+  test("trainTestSplit is disjoint and covers the input, including null ids") {
     val (train, test) = Sampling.trainTestSplit(docs, "doc_id", testPct = 20)
     assert(train.count() + test.count() == 200)
     assert(train.join(test, "doc_id").count() == 0)
+    // a null id must land in exactly one split, not vanish from both
+    val withNull = Seq(Option(1L), Option(2L), Option.empty[Long]).toDF("doc_id")
+    val (tr, te) = Sampling.trainTestSplit(withNull, "doc_id", testPct = 50)
+    assert(tr.count() + te.count() == 3)
   }
 
   test("cellCentroids averages dimension-wise per cell") {

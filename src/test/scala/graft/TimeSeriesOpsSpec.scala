@@ -67,6 +67,19 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("resampleFill: a bucket whose latest reading is null stays null (no stale resurrection)") {
+    val pts = Seq(
+      (1L, ts("2024-01-01T00:10:00Z"), Option(5.0)),
+      (1L, ts("2024-01-01T01:10:00Z"), Option.empty[Double]))
+      .toDF("series_id", "ts", "value")
+    val got = TimeSeriesOps.resampleFill(pts, 3600,
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-01T03:00:00Z"))
+      .orderBy("bucket").collect()
+    assert(got(0).getDouble(3) == 5.0)
+    assert(got(1).isNullAt(3)) // real null reading, NOT 5.0 resurrected
+    assert(got(2).isNullAt(3)) // forward fill carries the null state
+  }
+
   test("deltaRate: duplicate timestamps give null rate, not a divide-by-zero abort") {
     val pts = Seq(
       (1L, ts("2024-01-01T00:00:00Z"), 1.0),
