@@ -20,24 +20,37 @@ object Bench {
     SparkEntry.queries("td_latest")(spark, sfDir).count()
 
     // Headline queries: one representative per operator family (the full
-    // 47-query matrix runs under Verify; timing all of them would mostly
-    // measure 47× fixed per-query planning overhead).
+    // query matrix runs under Verify; timing all of them would mostly
+    // measure N× fixed per-query planning overhead).
     val headline = Seq(
       "td_latest", "td_overlapping", "td_latest_changes", "td_overlapping_changes",
       "td_relative", "td_skip_unchanged", "td_where", "td_meta_read",
       "rel_agg", "rel_join_agg", "rel_window", "rel_topk",
       "x_dedup_exact", "x_dedup_lsh", "x_ann_brute", "x_text_quality",
       "ts_asof_join", "ts_resample_fill", "x_pipeline_curate")
-    val results = headline.map { name =>
+    // A query that throws is recorded as an error (not a near-zero time):
+    // it is excluded from the total and flagged, so a broken query can
+    // never masquerade as a speedup.
+    val results: Seq[(String, Either[String, Double])] = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          name -> Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v))  => "\"" + k + "\":" + v
+      case (k, Left(msg)) => "\"" + k + "\":\"ERROR " + msg.replaceAll("[\"\\\\\\n]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(_)) => k }
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

@@ -586,6 +586,12 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Oracle-only bound: DuckDB's generate_series cannot take a correlated
+    // (per-row) upper limit, so token/char position expansions below use
+    // static caps — 2000 token positions and 8000 char positions. Testdata
+    // maxes at ~100 tokens / ~600 chars per document (sf0.1); the caps are
+    // 20x/13x above that so regenerated or larger testdata cannot silently
+    // truncate the oracle while the Spark side stays uncapped.
     ("x_dedup_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 2, threshold = 0.05,
         maxDf = 50)
@@ -597,7 +603,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 200) g(i)
+        |  FROM ft, generate_series(1, 2000) g(i)
         |  WHERE g.i <= len(t) - 1),
         |toks AS (
         |  SELECT * FROM toks_all
@@ -630,7 +636,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 200) g(i)
+        |  FROM ft, generate_series(1, 2000) g(i)
         |  WHERE g.i <= len(t) - 1),
         |perms(i, a, b) AS (VALUES $perms)
         |SELECT doc_id, i, min((a * sh + b) % 2147483647) AS sig
@@ -655,7 +661,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 200) g(i)
+        |  FROM ft, generate_series(1, 2000) g(i)
         |  WHERE g.i <= len(t) - 1),
         |perms(i, a, b) AS (VALUES $perms),
         |sigs AS (
@@ -680,7 +686,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 200) g(i)
+        |  FROM ft, generate_series(1, 2000) g(i)
         |  WHERE g.i <= len(t) - 1),
         |hashed AS (
         |  SELECT doc_id,
@@ -923,7 +929,7 @@ object SparkEntry {
         |ph_terms AS (
         |  SELECT doc_id,
         |         (g.i * CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT)) % 2147483647 AS ph
-        |  FROM toks, generate_series(1, 128) g(i)
+        |  FROM toks, generate_series(1, 2000) g(i)
         |  WHERE g.i <= len(t))
         |SELECT doc_id, CAST(SUM(ph) % 2147483647 AS BIGINT) AS fingerprint
         |FROM ph_terms
@@ -975,7 +981,7 @@ object SparkEntry {
       Some("""WITH chars AS (
         |  SELECT doc_id AS asset_id, (g.i - 1) % 8 AS j,
         |         CAST(ascii(substring(text, g.i, 1)) AS DOUBLE) / 255.0 AS contrib
-        |  FROM documents, generate_series(1, 600) g(i)
+        |  FROM documents, generate_series(1, 8000) g(i)
         |  WHERE g.i <= length(text))
         |SELECT asset_id, j, round(SUM(contrib), 6) AS feat
         |FROM chars
