@@ -801,9 +801,9 @@ object SparkEntry {
 
     ("x_pipeline_curate",
       // Composed curation pipeline: exact-dedup winners → quality gate →
-      // greedy token-budget cut by quality. (The global running-sum
-      // window is a priority cut — at 100 TB you'd run it per shard with
-      // per-shard budgets; the operators compose identically.)
+      // greedy token-budget cut by quality. The running total over the
+      // global priority order is Curation's distributed prefix sum — a
+      // quantile-bucketed window, never a single-partition one.
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val winners = Dedup.exact(docs).select("doc_id")
@@ -811,10 +811,8 @@ object SparkEntry {
           .join(winners, Seq("doc_id"), "left_semi")
           .filter(col("quality") >= 0.5)
           .join(TextAnalysis.tokenCounts(docs).select("doc_id", "approx_bpe_tokens"), "doc_id")
-        val w = Window.orderBy(col("quality").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        cand
-          .withColumn("running_tokens", sum(col("approx_bpe_tokens")).over(w))
+        Curation.runningTotalByPriority(cand, "quality", "doc_id",
+            "approx_bpe_tokens", "running_tokens")
           .filter(col("running_tokens") <= 20000)
           .select("doc_id", "quality", "approx_bpe_tokens", "running_tokens")
           .orderBy(col("quality").desc, col("doc_id"))

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation by global priority: running totals over a total order
+  * WITHOUT a single-partition window.
+  *
+  * The naive formulation — `sum(v) OVER (ORDER BY priority DESC)` — moves
+  * the entire dataset to one partition (Spark logs "No Partition Defined
+  * for Window operation"); at 100 TB that one task is the job. This is the
+  * classic distributed prefix-sum instead:
+  *
+  *  1. one scan fetches approximate quantile boundaries of the priority
+  *     column; they become LITERALS in the plan, so bucket assignment is
+  *     deterministic across jobs and task retries (no spark_partition_id /
+  *     range-sampler dependence);
+  *  2. rows bucket by those thresholds, first-match-wins on `>=`, so ties
+  *     share a bucket and bucket order respects the global (priority DESC)
+  *     order — tie-break columns only ever matter WITHIN a bucket;
+  *  3. per-bucket totals (one row per bucket) cumulate on the driver into
+  *     per-bucket starting offsets, rejoined by broadcast;
+  *  4. running total = bucket offset + a window PARTITIONED by bucket.
+  *
+  * Each window partition holds ~1/buckets of the rows; size `buckets` so a
+  * bucket fits an executor (at 100 TB: thousands). Skew caveat: a single
+  * priority value spanning a quantile range collapses into one bucket —
+  * acceptable for continuous scores; for few-valued priorities add a
+  * higher-cardinality secondary score.
+  */
+object Curation {
+
+  /** `out` = running sum of `valueCol` over the global order
+    * (`priorityCol` DESC, `tieCol` ASC) — exactly equal to the
+    * single-partition window's result, computed scalably. */
+  def runningTotalByPriority(df: DataFrame, priorityCol: String, tieCol: String,
+      valueCol: String, out: String, buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(df.schema(valueCol).dataType),
+      s"runningTotalByPriority needs an integral value column, got " +
+        df.schema(valueCol).dataType.simpleString)
+    // Three passes follow (quantiles, partials, final); materialize the
+    // input once so an expensive upstream pipeline isn't recomputed per
+    // pass. localCheckpoint blocks are reclaimed by the ContextCleaner
+    // when the result is dropped; callers on clusters with dynamic
+    // allocation (where checkpoint blocks can die with executors) should
+    // pass an already-persisted input, which we use as-is.
+    val input =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.localCheckpoint()
+      else df
+    val spark = df.sparkSession
+    val nBuckets =
+      if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+    // Descending thresholds from ascending quantiles; duplicates (heavy
+    // values) just leave some buckets empty. Nulls are ignored by
+    // approxQuantile and fall through to the last bucket, matching
+    // DESC NULLS LAST global ordering.
+    val probes = (1 until nBuckets).map(i => i.toDouble / nBuckets).toArray
+    val thresholds = input.stat.approxQuantile(priorityCol, probes, 0.001)
+      .distinct.sorted(Ordering[Double].reverse)
+
+    val p = col(priorityCol)
+    val bucket = thresholds.zipWithIndex
+      .foldRight(lit(thresholds.length): Column) { case ((t, i), acc) =>
+        when(p >= t, lit(i)).otherwise(acc)
+      }
+    val bucketed = input.withColumn("__bucket", bucket)
+
+    // One row per bucket — a driver-side cumulation of partial sums is
+    // O(buckets), not O(rows).
+    val partials = bucketed.groupBy("__bucket")
+      .agg(sum(col(valueCol)).cast("long").as("__total"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets = (0 to thresholds.length).scanLeft(0L) {
+      (acc, b) => acc + partials.getOrElse(b, 0L)
+    }.dropRight(1)
+    import spark.implicits._
+    val offDf = offsets.zipWithIndex
+      .map { case (off, b) => (b, off) }.toDF("__bucket", "__offset")
+
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(p.desc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offDf), "__bucket")
+      .withColumn(out, col("__offset") + sum(col(valueCol)).over(w))
+      .drop("__bucket", "__offset")
+  }
+
+  /** Greedy token-budget cut: keep the highest-priority prefix whose
+    * cumulative `valueCol` stays within `budget`. */
+  def budgetCut(df: DataFrame, priorityCol: String, tieCol: String,
+      valueCol: String, budget: Long, buckets: Int = 0): DataFrame =
+    runningTotalByPriority(df, priorityCol, tieCol, valueCol, "running_total", buckets)
+      .filter(col("running_total") <= budget)
+}

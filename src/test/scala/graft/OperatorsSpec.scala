@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Unit specs for the extension operators (SURVEY.md §2.12) on
   * handcrafted inputs with known answers. */
@@ -130,6 +130,25 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.count() >= 4)
     val meta = Multimodal.resizeMeta(assets, 8, 8).select("meta.width").as[Int].collect()
     assert(meta.forall(_ <= 8))
+  }
+
+  test("distributed prefix sum equals the single-partition window, incl. ties and nulls") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 500L).map { id =>
+      // bucket-boundary ties (few distinct priorities) + some null priorities
+      val p = if (id % 97 == 0) None else Some((id % 7).toDouble / 10.0)
+      (id, p, id % 13 + 1)
+    }
+    val df = rows.toDF("doc_id", "priority", "v")
+    val naive = df.withColumn("rt",
+      sum(col("v")).over(Window.orderBy(col("priority").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "rt").as[(Long, Long)].collect().toMap
+    val dist = Curation.runningTotalByPriority(df, "priority", "doc_id", "v", "rt", buckets = 8)
+      .select("doc_id", "rt").as[(Long, Long)].collect().toMap
+    assert(dist == naive)
+    val cut = Curation.budgetCut(df, "priority", "doc_id", "v", budget = 100, buckets = 8)
+    assert(cut.agg(sum("v")).as[Long].head() <= 100)
   }
 
   test("portable hash32/hash60 are non-negative and stable") {
