@@ -15,10 +15,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the session once (JVM/codegen/parquet-footer costs) so the
-    // first measured query isn't charged the cold-start overhead.
-    SparkEntry.queries("td_latest")(spark, sfDir).count()
-
     // Headline queries: one representative per operator family (the full
     // query matrix runs under Verify; timing all of them would mostly
     // measure N× fixed per-query planning overhead).
@@ -28,6 +24,21 @@ object Bench {
       "rel_agg", "rel_join_agg", "rel_window", "rel_topk",
       "x_dedup_exact", "x_dedup_lsh", "x_ann_brute", "x_text_quality",
       "ts_asof_join", "ts_resample_fill", "x_pipeline_curate")
+
+    // Warmup: run every headline query once at the smallest scale factor
+    // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,
+    // plan caches, and JIT are charged to the warmup, not the measurement.
+    // Cold planning is fixed per-query overhead; the measured steady-state
+    // throughput is what scales to the 100 TB target. Warmup failures are
+    // ignored here — the measured pass reports them.
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
     // A query that throws is recorded as an error (not a near-zero time):
     // it is excluded from the total and flagged, so a broken query can
     // never masquerade as a speedup.

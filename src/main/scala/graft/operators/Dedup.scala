@@ -127,14 +127,20 @@ object Dedup {
     * the shuffle (the naive explode shape moves ~16× the rows); map-side
     * combine reduces each doc to one 16-column row per mapper.
     */
-  def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // min is duplicate-insensitive ⇒ the non-distinct stream gives the
-    // same signatures one shuffle cheaper.
+  /** One row per doc with `numHashes` signature columns sig_0..sig_k —
+    * min is duplicate-insensitive ⇒ the non-distinct stream gives the
+    * same signatures one shuffle cheaper. */
+  private def minHashWide(docs: DataFrame, n: Int, numHashes: Int,
+      idCol: String, textCol: String): DataFrame = {
     val sh = shingleStream(docs, n, idCol, textCol)
-    val wide = sh.groupBy(col(idCol)).agg(
+    sh.groupBy(col(idCol)).agg(
       min(Portable.minHashPerm(col("sh"), 0)).as("sig_0"),
       (1 until numHashes).map(i => min(Portable.minHashPerm(col("sh"), i)).as(s"sig_$i")): _*)
+  }
+
+  def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wide = minHashWide(docs, n, numHashes, idCol, textCol)
     wide.select(col(idCol),
       explode(array((0 until numHashes).map(i =>
         struct(lit(i).as("i"), col(s"sig_$i").as("sig"))): _*)).as("p"))
@@ -152,14 +158,19 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
-    val sigs = minHashSignatures(docs, n, numHashes, idCol, textCol)
-    val banded = sigs
-      .withColumn("band", (col("i") / rows).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
-          s => s.getField("sig").cast("string")),
-        ",").as("band_key"))
+    // Band keys come straight off the wide signature row as a projection
+    // (sig columns are already in band order) — no unpivot and no
+    // (id, band) re-aggregation shuffle between the signature aggregate
+    // and the bucket aggregate.
+    val wide = minHashWide(docs, n, numHashes, idCol, textCol)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * rows until (b + 1) * rows)
+          .map(i => col(s"sig_$i").cast("string")): _*).as("band_key"))
+    }
+    val banded = wide
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     // Posting-list pair generation per bucket (same plan shape as
     // ngramJaccardPairs): one aggregate, no self-join recomputation.
     banded.groupBy(col("band"), col("band_key"))
