@@ -807,12 +807,15 @@ object SparkEntry {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val winners = Dedup.exact(docs).select("doc_id")
-        val cand = TextAnalysis.quality(docs)
+        val cand = TextAnalysis.profile(docs)
+          .select("doc_id", "quality", "approx_bpe_tokens")
           .join(winners, Seq("doc_id"), "left_semi")
           .filter(col("quality") >= 0.5)
-          .join(TextAnalysis.tokenCounts(docs).select("doc_id", "approx_bpe_tokens"), "doc_id")
+        // quality is a known [0,1] score — fixed thresholds skip the
+        // quantile-estimation scan.
         Curation.runningTotalByPriority(cand, "quality", "doc_id",
-            "approx_bpe_tokens", "running_tokens")
+            "approx_bpe_tokens", "running_tokens",
+            fixedThresholds = (1 to 19).map(_ * 0.05).toArray)
           .filter(col("running_tokens") <= 20000)
           .select("doc_id", "quality", "approx_bpe_tokens", "running_tokens")
           .orderBy(col("quality").desc, col("doc_id"))

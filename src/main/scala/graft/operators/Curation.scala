@@ -33,9 +33,15 @@ object Curation {
 
   /** `out` = running sum of `valueCol` over the global order
     * (`priorityCol` DESC, `tieCol` ASC) — exactly equal to the
-    * single-partition window's result, computed scalably. */
+    * single-partition window's result, computed scalably.
+    *
+    * `fixedThresholds`: when the priority domain is known (e.g. a score
+    * in [0,1]), pass explicit bucket boundaries and the quantile
+    * estimation pass — a full scan — is skipped. Bucket BALANCE then
+    * depends on the score distribution, but correctness never does. */
   def runningTotalByPriority(df: DataFrame, priorityCol: String, tieCol: String,
-      valueCol: String, out: String, buckets: Int = 0): DataFrame = {
+      valueCol: String, out: String, buckets: Int = 0,
+      fixedThresholds: Array[Double] = Array.empty): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(Seq(ByteType, ShortType, IntegerType, LongType)
       .contains(df.schema(valueCol).dataType),
@@ -59,9 +65,13 @@ object Curation {
     // values) just leave some buckets empty. Nulls are ignored by
     // approxQuantile and fall through to the last bucket, matching
     // DESC NULLS LAST global ordering.
-    val probes = (1 until nBuckets).map(i => i.toDouble / nBuckets).toArray
-    val thresholds = input.stat.approxQuantile(priorityCol, probes, 0.001)
-      .distinct.sorted(Ordering[Double].reverse)
+    val thresholds =
+      if (fixedThresholds.nonEmpty) fixedThresholds.distinct.sorted(Ordering[Double].reverse)
+      else {
+        val probes = (1 until nBuckets).map(i => i.toDouble / nBuckets).toArray
+        input.stat.approxQuantile(priorityCol, probes, 0.001)
+          .distinct.sorted(Ordering[Double].reverse)
+      }
 
     val p = col(priorityCol)
     val bucket = thresholds.zipWithIndex

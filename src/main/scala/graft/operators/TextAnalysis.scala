@@ -47,9 +47,8 @@ object TextAnalysis {
       best.getField("score").as("score"))
   }
 
-  /** Quality scoring (X4): length, token stats, stopword ratio, digit
-    * ratio — combined into a [0,1]-ish score. Pure projection. */
-  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The quality-field columns shared by [[quality]] and [[profile]]. */
+  private def qualityCols(textCol: String): Seq[Column] = {
     val t = toks(col(textCol))
     val stop = Seq("the", "a", "and", "of", "to", "in")
     val nTok = size(t)
@@ -63,8 +62,7 @@ object TextAnalysis {
     val stopRatio = when(nTok === 0, lit(null)).otherwise(nStop.cast("double") / nTok)
     val digitRatio = when(nChars === 0, lit(null))
       .otherwise((nChars - length(regexp_replace(col(textCol), "[0-9]", ""))).cast("double") / nChars)
-    docs.select(
-      col(idCol),
+    Seq(
       nChars.as("n_chars"),
       nTok.as("n_tokens"),
       round(avgTokLen, 4).as("avg_token_len"),
@@ -76,15 +74,29 @@ object TextAnalysis {
         4)).as("quality"))
   }
 
+  /** The token-count columns shared by [[tokenCounts]] and [[profile]]. */
+  private def tokenCols(textCol: String): Seq[Column] = Seq(
+    size(toks(col(textCol))).as("ws_tokens"),
+    size(filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => t =!= "")).as("word_tokens"),
+    (length(col(textCol)).cast("double") / 4.0).cast("long").as("approx_bpe_tokens"))
+
+  /** Quality scoring (X4): length, token stats, stopword ratio, digit
+    * ratio — combined into a [0,1]-ish score. Pure projection. */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol) +: qualityCols(textCol): _*)
+
   /** Token counting (X4): whitespace tokens plus a BPE-ish subword count
     * (runs of letters / digits / other via regex), the standard cheap
     * proxy for LLM token cost. */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
-      col(idCol),
-      size(toks(col(textCol))).as("ws_tokens"),
-      size(filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => t =!= "")).as("word_tokens"),
-      (length(col(textCol)).cast("double") / 4.0).cast("long").as("approx_bpe_tokens"))
+    docs.select(col(idCol) +: tokenCols(textCol): _*)
+
+  /** Quality fields AND token counts in ONE projection pass. Callers that
+    * need both (the curation pipeline) use this instead of joining
+    * [[quality]] with [[tokenCounts]] — a self-join on id that scans the
+    * corpus twice and shuffles for no reason. */
+  def profile(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol) +: (qualityCols(textCol) ++ tokenCols(textCol)): _*)
 
   /** Global term frequencies (X4): explode → count per token. Map-side
     * combine keeps the shuffle at one row per distinct term per mapper. */

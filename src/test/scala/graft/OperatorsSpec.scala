@@ -147,6 +147,10 @@ class OperatorsSpec extends SparkSpec {
     val dist = Curation.runningTotalByPriority(df, "priority", "doc_id", "v", "rt", buckets = 8)
       .select("doc_id", "rt").as[(Long, Long)].collect().toMap
     assert(dist == naive)
+    val fixed = Curation.runningTotalByPriority(df, "priority", "doc_id", "v", "rt",
+      fixedThresholds = Array(0.2, 0.4))
+      .select("doc_id", "rt").as[(Long, Long)].collect().toMap
+    assert(fixed == naive)
     val cut = Curation.budgetCut(df, "priority", "doc_id", "v", budget = 100, buckets = 8)
     assert(cut.agg(sum("v")).as[Long].head() <= 100)
   }
