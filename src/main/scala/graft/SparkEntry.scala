@@ -28,6 +28,34 @@ object SparkEntry {
     * as `sv` (FIXTURES.md §3). */
   private val svCte = s"WITH sv AS (${Tables.seriesOracleSql})"
 
+  /** Oracle CTE chain producing bigram-Jaccard near-dup `pairs(id_a,
+    * id_b)` at threshold 0.2 / maxDf 50 — the edge list for the cluster
+    * oracle. Mirrors the x_dedup_jaccard oracle (same shingle hash and
+    * caps; see the bound comment there). */
+  private val jaccardPairsCte: String =
+    """ft AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |toks_all AS (
+      |  SELECT DISTINCT doc_id,
+      |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+      |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+      |  FROM ft, generate_series(1, 2000) g(i)
+      |  WHERE g.i <= len(t) - 1),
+      |toks AS (
+      |  SELECT * FROM toks_all
+      |  WHERE sh IN (SELECT sh FROM toks_all GROUP BY sh HAVING COUNT(*) <= 50)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2)""".stripMargin
+
   private def maskNaN(df: DataFrame): DataFrame =
     df.withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
 
@@ -987,7 +1015,138 @@ object SparkEntry {
         |SELECT asset_id, j, round(SUM(contrib), 6) AS feat
         |FROM chars
         |GROUP BY asset_id, j
-        |ORDER BY asset_id, j""".stripMargin))
+        |ORDER BY asset_id, j""".stripMargin)),
+
+    ("rel_rollup",
+      // Hierarchical totals in one pass: ROLLUP emits (flag, status),
+      // (flag, ALL), (ALL, ALL) grouping sets from a single shuffle —
+      // subtotal levels NULL out to the 'ALL' sentinel (source columns
+      // are never null in this schema).
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("revenue"), col("n"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    ("rel_setops",
+      // Set operators (distinct semantics): high-value custkeys ∩ 1994
+      // buyers, minus small finished orders. Spark plans each as an
+      // aggregate-style shuffle on the full row — no driver-side sets.
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_totalprice") > 300000).select("o_custkey")
+          .intersect(o.filter(col("o_orderdate") >= lit("1996-01-01")
+            && col("o_orderdate") < lit("1997-01-01")).select("o_custkey"))
+          .except(o.filter(col("o_orderstatus") === "F"
+            && col("o_totalprice") < 100000).select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice < 100000
+        |ORDER BY o_custkey""".stripMargin)),
+
+    ("ts_moving_zscore",
+      // Trailing 24-row moving avg/std + z-score per user over the event
+      // stream — the streaming anomaly-score shape, one shuffle on the key.
+      (s, dir) => TimeSeriesOps.movingStats(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
+        windowRows = 24, keyCol = "user_id", tsCol = "ts", valueCol = "value",
+        tieCol = "event_id")
+        .select("user_id", "ts", "value", "moving_avg", "moving_std", "zscore")
+        .orderBy("user_id", "ts"),
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        |stats AS (
+        |  SELECT user_id, ts, value,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sumd,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sumsq
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |derived AS (
+        |  SELECT user_id, ts, value,
+        |    sumd / n AS ma,
+        |    CASE WHEN n > 1
+        |      THEN sqrt(greatest((sumsq - sumd * sumd / n) / (n - 1), 0.0)) END AS std
+        |  FROM stats)
+        |SELECT user_id, ts, value,
+        |  round(ma, 6) AS moving_avg,
+        |  round(std, 6) AS moving_std,
+        |  CASE WHEN std > 0 THEN round((value - ma) / std, 6) END AS zscore
+        |FROM derived
+        |ORDER BY user_id, ts""".stripMargin)),
+
+    ("x_sessionize",
+      // Gap-based sessionization (30-min silence) summarized per session.
+      // The session assignment and the per-session aggregate ride ONE
+      // shuffle on user_id.
+      (s, dir) => TimeSeriesOps.sessionize(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
+        gapSec = 1800, keyCol = "user_id", tsCol = "ts", tieCol = "event_id")
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("user_id", "session_no"),
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        |lagd AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM e),
+        |flagged AS (
+        |  SELECT *, CASE WHEN pts IS NULL
+        |    OR date_diff('microsecond', pts, ts) > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM lagd),
+        |sess AS (
+        |  SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin)),
+
+    ("x_dedup_clusters",
+      // Near-dup pairs → duplicate clusters: connected components by
+      // iterative min-label propagation (oracle: recursive-CTE reachability).
+      (s, dir) => Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 2, threshold = 0.2, maxDf = 50))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $jaccardPairsCte,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, MIN(lab) AS cluster
+        |FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

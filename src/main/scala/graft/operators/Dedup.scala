@@ -208,6 +208,53 @@ object Dedup {
     wide.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Connected components over a near-dup pair list: every doc reachable
+    * through the pair graph is labeled with the MINIMUM doc id of its
+    * component — the canonical "duplicate cluster" assignment that turns
+    * pairwise candidates into keep-one-per-cluster decisions.
+    *
+    * Pregel-style iterative min-label propagation: each round every node
+    * takes the min of its own label and its neighbors' labels; fixpoint
+    * after O(diameter) rounds. Every round is one equi-join + one
+    * groupBy on the edge list — all shuffle-on-key, no driver-side graph.
+    * The label/edge frames hold only docs WITH candidate edges (a tiny
+    * fraction of a 100 TB corpus), and each round's result is
+    * localCheckpoint'ed so lineage doesn't compound across iterations.
+    * Near-dup graphs are star-like (diameters of a few hops); for
+    * adversarially long chains the alternating large-star/small-star
+    * variant halves round counts, at the cost of a second join per round.
+    *
+    * Output: (id, cluster). Throws if `maxIters` rounds don't reach the
+    * fixpoint rather than returning a partial clustering.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 30): DataFrame = {
+    val src = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = src
+      .union(src.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var changed = -1L
+    var iter = 0
+    while (changed != 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("_nc")), "dst")
+        .groupBy("src").agg(min(col("_nc")).as("_nmin"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"),
+          (coalesce(col("_nmin"), col("cluster")) < col("cluster")).as("_chg"))
+        .localCheckpoint()
+      changed = next.filter(col("_chg")).count()
+      labels = next.select("id", "cluster")
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs (X2/X3 hybrid): pairs with cosine ≥
     * threshold, blocked by a coarse `blockCol` (e.g. a cluster/label id)
     * so the pairwise join is per-block, not global — the blocking key is

@@ -111,6 +111,66 @@ object TimeSeriesOps {
         col("_bv.v").as("bucket_value"), col("filled_value"))
   }
 
+  /** Trailing moving statistics per series: over the last `windowRows`
+    * rows (ordered by `tsCol` with `tieCol` breaking timestamp ties
+    * deterministically) — moving average, moving sample-stddev, and the
+    * z-score of the current value against its own trailing window (the
+    * standard streaming anomaly score).
+    *
+    * Sums run through DECIMAL so the moving average is bit-identical
+    * across engines; variance uses the textbook (Σx² − (Σx)²/n)/(n−1)
+    * on those exact sums, with a `greatest(·,0)` guard for the tiny
+    * negative residue float subtraction can leave. One shuffle on the
+    * series key; the frame is rows-based, so state per key is bounded
+    * by `windowRows` regardless of data volume.
+    */
+  def movingStats(
+      values: DataFrame, windowRows: Int,
+      keyCol: String = "series_id", tsCol: String = "ts",
+      valueCol: String = "value", tieCol: String = ""): DataFrame = {
+    require(windowRows > 1, "windowRows must be > 1")
+    val order: Seq[Column] =
+      if (tieCol.isEmpty) Seq(col(tsCol)) else Seq(col(tsCol), col(tieCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    val n = count(lit(1)).over(w)
+    val sumD = sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double")
+    val sumSq = sum((col(valueCol) * col(valueCol)).cast("decimal(28,10)")).over(w).cast("double")
+    val ma = sumD / n
+    val variance = when(n > 1, greatest((sumSq - sumD * sumD / n) / (n - 1), lit(0.0)))
+    val std = sqrt(variance)
+    val keep: Seq[Column] =
+      Seq(col(keyCol), col(tsCol)) ++
+        (if (tieCol.isEmpty) Nil else Seq(col(tieCol))) :+ col(valueCol)
+    values.select(keep: _*)
+      .withColumn("moving_avg", round(ma, 6))
+      .withColumn("moving_std", round(std, 6))
+      .withColumn("zscore",
+        when(std > 0, round((col(valueCol) - ma) / std, 6)))
+  }
+
+  /** Gap-based sessionization: a new session starts at the first event of
+    * a key or after a silence longer than `gapSec`. Appends an increasing
+    * per-key `session_no` (1-based). Two windows over ONE shuffle on the
+    * key; downstream per-(key, session) aggregation reuses the same
+    * partitioning, so a full sessionize-and-summarize is a single
+    * exchange end to end. */
+  def sessionize(
+      events: DataFrame, gapSec: Long,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      tieCol: String = ""): DataFrame = {
+    require(gapSec > 0, "gapSec must be positive")
+    val order: Seq[Column] =
+      if (tieCol.isEmpty) Seq(col(tsCol)) else Seq(col(tsCol), col(tieCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val run = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val newSession = when(prevTs.isNull
+      || unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSec * 1000000L, 1).otherwise(0)
+    events.withColumn("session_no", sum(newSession).over(run))
+  }
+
   /** Per-series difference and rate of change: value − previous value,
     * divided by elapsed seconds. First row of each series is null. */
   def deltaRate(

@@ -155,6 +155,19 @@ class OperatorsSpec extends SparkSpec {
     assert(cut.agg(sum("v")).as[Long].head() <= 100)
   }
 
+  test("duplicateClusters: multi-hop chain collapses to one min-labeled component") {
+    // chain 10-20-30-40 (diameter 3, needs >1 propagation round),
+    // pair 50-60, singleton edge 70-80 with reversed id order
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (50L, 60L), (80L, 70L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) == 10L && got(20L) == 10L && got(30L) == 10L && got(40L) == 10L)
+    assert(got(50L) == 50L && got(60L) == 50L)
+    assert(got(70L) == 70L && got(80L) == 70L)
+    assert(got.size == 8)
+  }
+
   test("portable hash32/hash60 are non-negative and stable") {
     val h = spark.range(1).select(
       Portable.hash32(lit("hello")), Portable.hash60(lit("hello"))).head()

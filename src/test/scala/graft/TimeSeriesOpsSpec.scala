@@ -101,4 +101,55 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got(1).getDouble(3) == 15.0 && got(1).getDouble(4) == 0.5)
     assert(got(2).isNullAt(3)) // new series restarts
   }
+
+  test("movingStats: trailing window avg/std/zscore with known values") {
+    val pts = Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), 2.0),
+      (1L, ts("2024-01-01T00:01:00Z"), 4.0),
+      (1L, ts("2024-01-01T00:02:00Z"), 6.0),
+      (1L, ts("2024-01-01T00:03:00Z"), 100.0))
+      .toDF("series_id", "ts", "value")
+    val got = TimeSeriesOps.movingStats(pts, windowRows = 3)
+      .orderBy("ts").collect()
+    // row 0: n=1 → avg=value, std undefined-ish (n>1 guard) → null z
+    assert(got(0).getDouble(3) == 2.0 && got(0).isNullAt(5))
+    // row 2: window {2,4,6}: avg 4, var ((4+16+36)-144/3)/2 = 4, std 2, z=1
+    assert(got(2).getDouble(3) == 4.0)
+    assert(got(2).getDouble(4) == 2.0)
+    assert(got(2).getDouble(5) == 1.0)
+    // row 3: window {4,6,100} — spike scores high
+    assert(got(3).getDouble(5) > 1.0)
+  }
+
+  test("movingStats: zero-variance window yields null zscore, not a div0") {
+    val pts = Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), 5.0),
+      (1L, ts("2024-01-01T00:01:00Z"), 5.0))
+      .toDF("series_id", "ts", "value")
+    val got = TimeSeriesOps.movingStats(pts, windowRows = 2).orderBy("ts").collect()
+    assert(got(1).getDouble(4) == 0.0 && got(1).isNullAt(5))
+  }
+
+  test("sessionize: gap splits, per-key independence, 1-based numbering") {
+    val ev = Seq(
+      (1L, ts("2024-01-01T00:00:00Z")),
+      (1L, ts("2024-01-01T00:10:00Z")), // same session (gap 10m)
+      (1L, ts("2024-01-01T01:00:00Z")), // gap 50m > 30m → new session
+      (2L, ts("2024-01-01T05:00:00Z"))) // other key starts at 1
+      .toDF("user_id", "ts")
+    val got = TimeSeriesOps.sessionize(ev, gapSec = 1800)
+      .orderBy("user_id", "ts").select("user_id", "session_no")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("sessionize: gap exactly equal to gapSec stays in the session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01T00:00:00Z")),
+      (1L, ts("2024-01-01T00:30:00Z")))
+      .toDF("user_id", "ts")
+    val got = TimeSeriesOps.sessionize(ev, gapSec = 1800)
+      .select(max("session_no")).as[Long].head()
+    assert(got == 1L)
+  }
 }
