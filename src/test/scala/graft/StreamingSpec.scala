@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.StreamingIngest
+import graft.streaming.{StreamingIngest, StreamingSessionize}
 
 /** Streaming ingest reuses the batch write pipeline and lands rows the
   * batch readers see identically. */
@@ -49,5 +49,49 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     q.stop()
     assert(rows.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 9.0)))
+  }
+
+  test("streaming sessionize: in-batch gap split, timeout close, late-drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = StreamingSessionize.sessions(
+      mem.toDF().toDF("user_id", "ts", "value"), gapSec = 1800, watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+
+    // u1: two events 10m apart (one session), then one 2h later in the
+    // SAME batch — the gap closes session 1 immediately, no timeout needed.
+    mem.addData(
+      (1L, ts("2024-03-01T00:00:00Z"), 1.0),
+      (1L, ts("2024-03-01T00:10:00Z"), 2.0),
+      (1L, ts("2024-03-01T02:00:00Z"), 4.0),
+      (2L, ts("2024-03-01T02:00:00Z"), 9.0))
+    q.processAllAvailable()
+    val afterBatch1 = spark.sql("SELECT user_id, n_events, sum_value FROM sess")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterBatch1 == Set((1L, 2L, 3.0))) // u1 open tail + u2 still stateful
+
+    // Advance the watermark far past 02:00+gap: both open sessions time out.
+    mem.addData((3L, ts("2024-03-01T09:00:00Z"), 0.5))
+    q.processAllAvailable()
+    mem.addData((3L, ts("2024-03-01T09:01:00Z"), 0.5)) // extra batch to evaluate timeouts
+    q.processAllAvailable()
+    val afterTimeout = spark.sql(
+      "SELECT user_id, n_events, sum_value FROM sess WHERE user_id IN (1,2)")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterTimeout == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 9.0)))
+    q.stop()
+
+    // Replay equivalence: the batch operator over the same (closed-key)
+    // events yields exactly the emitted sessions.
+    val batch = graft.operators.TimeSeriesOps.sessionize(
+      Seq((1L, ts("2024-03-01T00:00:00Z"), 1.0), (1L, ts("2024-03-01T00:10:00Z"), 2.0),
+        (1L, ts("2024-03-01T02:00:00Z"), 4.0), (2L, ts("2024-03-01T02:00:00Z"), 9.0))
+        .toDF("user_id", "ts", "value"), gapSec = 1800)
+      .groupBy("user_id", "session_no")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.sum("value").as("s"))
+      .select("user_id", "n", "s").as[(Long, Long, Double)].collect().toSet
+    assert(batch == afterTimeout)
   }
 }
