@@ -1146,7 +1146,92 @@ object SparkEntry {
         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
         |SELECT id AS doc_id, MIN(lab) AS cluster
         |FROM reach GROUP BY id
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_dedup_winners",
+      // Clusters → one keeper per cluster: highest quality, then smallest
+      // id. Composes clustering with quality scoring; the winner pick is
+      // a per-cluster row_number, shuffled on the (small) cluster frame.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.2, maxDf = 50))
+          .select(col("id").as("doc_id"), col("cluster"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        clusters.join(TextAnalysis.quality(docs).select("doc_id", "quality"), "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("cluster", "doc_id", "quality")
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $jaccardPairsCte,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY id),
+        |base AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tokens = 0 OR n_chars = 0 THEN 0.0 ELSE round(
+        |      least(1.0, CAST(n_tokens AS DOUBLE) / 64)
+        |        * (1.0 - CAST(n_digits AS DOUBLE) / n_chars)
+        |        * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.05
+        |                  AND CAST(n_stop AS DOUBLE) / n_tokens < 0.6
+        |                THEN 1.0 ELSE 0.5 END), 4) END AS quality
+        |  FROM base),
+        |ranked AS (
+        |  SELECT c.cluster, c.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY c.cluster
+        |                       ORDER BY q.quality DESC, c.doc_id) AS rk
+        |  FROM comp c JOIN quality q ON q.doc_id = c.doc_id)
+        |SELECT cluster, doc_id, quality FROM ranked WHERE rk = 1
+        |ORDER BY cluster""".stripMargin)),
+
+    ("x_range_join",
+      // Non-equi containment join via the bucketed-equi rewrite: value
+      // bands register per fixed-width bucket, probes land in exactly
+      // one, and the residual filter restores exact [lo, hi) semantics —
+      // no BroadcastNestedLoopJoin anywhere in the plan.
+      (s, dir) => {
+        val bands = s.range(50).select(col("id").as("band_id"),
+          (col("id") * 10.0).as("lo"), ((col("id") + 1) * 10.0).as("hi"))
+        RangeJoin.bucketedRangeJoin(
+          Tables.events(s, dir).select("event_id", "value"), "value",
+          bands, "lo", "hi", bucketWidth = 10.0)
+          .select("event_id", "value", "band_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH bands AS (
+        |  SELECT g.i AS band_id, g.i * 10.0 AS lo, (g.i + 1) * 10.0 AS hi
+        |  FROM generate_series(0, 49) g(i))
+        |SELECT event_id, value, band_id
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |ORDER BY event_id""".stripMargin)),
+
+    ("x_text_tfidf",
+      (s, dir) => TextAnalysis.tfIdf(Tables.documents(s, dir))
+        .orderBy("doc_id", "token"),
+      Some("""WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, token, tf, df,
+        |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN df USING (token), n
+        |ORDER BY doc_id, token""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

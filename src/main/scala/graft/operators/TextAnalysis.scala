@@ -105,6 +105,24 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
 
+  /** TF-IDF weights per (doc, term) — the standard relevance weight for
+    * retrieval/curation. tf = in-doc count; idf = ln((N+1)/(df+1)) + 1
+    * (smoothed — never divides by zero, unseen-term safe). Two
+    * shuffle-on-key aggregates over one exploded term stream; the corpus
+    * size joins in as a broadcast 1-row frame so the whole plan stays
+    * lazy. */
+  def tfIdf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol), explode(toks(col(textCol))).as("token"))
+    val tf = terms.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("token")).agg(count_distinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Order-sensitive document fingerprint (X4): positional rolling hash
     * `Σ position_i · hash32(token_i) mod p`. Content AND order sensitive,
     * unlike a bag-of-words hash; portable to the SQL oracle via the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 
 /** Unit specs for the extension operators (SURVEY.md §2.12) on
   * handcrafted inputs with known answers. */
@@ -166,6 +166,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got(50L) == 50L && got(60L) == 50L)
     assert(got(70L) == 70L && got(80L) == 70L)
     assert(got.size == 8)
+  }
+
+  test("bucketedRangeJoin: half-open bounds, multi-bucket spans, no nested loop") {
+    val probe = Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 25.0), (5L, 99.0))
+      .toDF("pid", "v")
+    val intervals = Seq(
+      ("a", 0.0, 10.0),    // pid 1,2 (10.0 itself excluded)
+      ("b", 10.0, 40.0),   // pid 3 (lo inclusive), 4 — spans 4 buckets at w=10
+      ("empty", 5.0, 5.0)) // hi <= lo matches nothing
+      .toDF("name", "lo", "hi")
+    val got = RangeJoin.bucketedRangeJoin(probe, "v", intervals, "lo", "hi", 10.0)
+      .select("pid", "name").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")))
+    val plan = RangeJoin.bucketedRangeJoin(probe, "v", intervals, "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), "range join must not plan a nested loop")
+  }
+
+  test("tfIdf: corpus-wide term gets minimum idf, rare term scores higher") {
+    val d = Seq((1L, "shared rare"), (2L, "shared shared"), (3L, "shared"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(d).orderBy("doc_id", "token").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // "shared": df=3 → idf = ln(4/4)+1 = 1 → tfidf == tf
+    assert(got.filter(_._2 == "shared").forall(r => r._5 == r._3.toDouble))
+    // "rare": df=1 → idf = ln(2)+1 ≈ 1.693147
+    val rare = got.find(_._2 == "rare").get
+    assert(rare._4 == 1L && math.abs(rare._5 - 1.693147) < 1e-6)
   }
 
   test("portable hash32/hash60 are non-negative and stable") {
