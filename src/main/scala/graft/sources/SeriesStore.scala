@@ -83,6 +83,40 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
       Schema.seriesValues.add("valid_month", org.apache.spark.sql.types.StringType)
     ).parquet(valuesPath)
 
+  /** Bucketed mirror of series_values for SHUFFLE-FREE series-keyed
+    * reads. Spark's bucketed tables expose `HashPartitioning(series_id,
+    * n)` to the planner, so every groupBy/window/join clustered on
+    * series_id — the latest-read argmax, the change-collapse windows, an
+    * as-of join between two mirrors with equal bucket counts — plans
+    * with NO exchange: the data is read already laid out for the
+    * operation. At 100 TB that converts every repeated read shape from a
+    * full-data shuffle into a plain scan; the one-time build cost is a
+    * single shuffle. Files are also sorted by (series_id, valid_time),
+    * so per-key windows need only a cheap partial sort.
+    *
+    * The mirror is an EXTERNAL table (data under basePath, metadata in
+    * whatever catalog the session has — in-memory works); rebuild after
+    * appends, like any materialized layout. */
+  def createBucketedMirror(tableName: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val path = new Path(s"$basePath/series_values_bucketed")
+    fs.delete(path, true)
+    scanValues()
+      .drop("valid_month")
+      .write
+      .format("parquet")
+      .option("compression", "zstd")
+      .option("path", path.toString)
+      .bucketBy(nBuckets, "series_id")
+      .sortBy("series_id", "valid_time")
+      .saveAsTable(tableName)
+  }
+
+  /** The bucketed mirror as a DataFrame (bucket partitioning visible to
+    * the planner). */
+  def scanBucketed(tableName: String): DataFrame = spark.table(tableName)
+
   /** run_series with the ReplacingMergeTree(first_seen) + FINAL collapse
     * applied at read time (timedb/client.py:207-212,
     * ch_create_tables.sql:58-65): latest first_seen per (series_id,

@@ -24,6 +24,35 @@ class TimeDbSpec extends SparkSpec {
     vts.zipWithIndex.map { case (vt, i) => (1L, vt, i * mult) }
       .toDF("series_id", "valid_time", "value")
 
+  test("bucketed mirror: same content, latest-read plans with no exchange") {
+    withDb { db =>
+      db.write(revision(10), knowledgeTime = Some(ts("2024-02-29T18:00:00Z")))
+      db.write(revision(100), knowledgeTime = Some(ts("2024-03-01T03:00:00Z")))
+      val store = db.store
+      store.createBucketedMirror("tdspec_bucketed", nBuckets = 4)
+      try {
+        val mirror = store.scanBucketed("tdspec_bucketed")
+        // content identical to the plain scan
+        val plain = store.scanValues().drop("valid_month")
+        assert(mirror.exceptAll(plain).isEmpty && plain.exceptAll(mirror).isEmpty)
+        // the argmax latest-read over the mirror needs NO shuffle; the
+        // same shape over the plain scan does
+        val bucketedPlan = graft.operators.ReadShapes.latest(mirror)
+          .queryExecution.executedPlan.toString
+        assert(!bucketedPlan.contains("Exchange hashpartitioning"),
+          s"bucketed latest-read should be exchange-free:\n$bucketedPlan")
+        val plainPlan = graft.operators.ReadShapes.latest(plain)
+          .queryExecution.executedPlan.toString
+        assert(plainPlan.contains("Exchange hashpartitioning"))
+        // result equivalence on the mirror
+        assert(graft.operators.ReadShapes.latest(mirror)
+          .agg(sum("value")).head().getDouble(0) ==
+          graft.operators.ReadShapes.latest(plain)
+            .agg(sum("value")).head().getDouble(0))
+      } finally spark.sql("DROP TABLE IF EXISTS tdspec_bucketed")
+    }
+  }
+
   test("two revisions: latest returns the later knowledge_time values") {
     withDb { db =>
       db.write(revision(10), knowledgeTime = Some(ts("2024-02-29T18:00:00Z")))
