@@ -25,6 +25,13 @@ object Bench {
       "x_dedup_exact", "x_dedup_lsh", "x_ann_brute", "x_text_quality",
       "ts_asof_join", "ts_resample_fill", "x_pipeline_curate")
 
+    // Round-2 additions, timed separately so `value` stays comparable
+    // across rounds: the headline set and its total are unchanged; the
+    // extended set reports in its own JSON key.
+    val extended = Seq(
+      "rel_rollup", "rel_setops", "ts_moving_zscore", "x_sessionize",
+      "x_dedup_clusters", "x_dedup_winners", "x_range_join", "x_text_tfidf")
+
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,
     // plan caches, and JIT are charged to the warmup, not the measurement.
@@ -35,14 +42,14 @@ object Bench {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
-    headline.foreach { name =>
+    (headline ++ extended).foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
     // A query that throws is recorded as an error (not a near-zero time):
     // it is excluded from the total and flagged, so a broken query can
     // never masquerade as a speedup.
-    val results: Seq[(String, Either[String, Double])] = headline.map { name =>
+    def run(names: Seq[String]): Seq[(String, Either[String, Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
@@ -53,14 +60,19 @@ object Bench {
           name -> Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120))
       }
     }
-    val qs = results.map {
+    def toJson(rs: Seq[(String, Either[String, Double])]): String = rs.map {
       case (k, Right(v))  => "\"" + k + "\":" + v
       case (k, Left(msg)) => "\"" + k + "\":\"ERROR " + msg.replaceAll("[\"\\\\\\n]", " ") + "\""
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, Left(_)) => k }
+    val results = run(headline)
+    val extResults = run(extended)
+    val errors = (results ++ extResults).collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
+    val extTotal = extResults.collect { case (_, Right(v)) => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
+      s""""extended":${toJson(extResults)},"extended_total":$extTotal,""" +
+      s""""errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

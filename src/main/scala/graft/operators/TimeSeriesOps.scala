@@ -133,20 +133,29 @@ object TimeSeriesOps {
       if (tieCol.isEmpty) Seq(col(tsCol)) else Seq(col(tsCol), col(tieCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
       .rowsBetween(-(windowRows - 1), Window.currentRow)
-    val n = count(lit(1)).over(w)
-    val sumD = sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double")
-    val sumSq = sum((col(valueCol) * col(valueCol)).cast("decimal(28,10)")).over(w).cast("double")
-    val ma = sumD / n
-    val variance = when(n > 1, greatest((sumSq - sumD * sumD / n) / (n - 1), lit(0.0)))
-    val std = sqrt(variance)
     val keep: Seq[Column] =
       Seq(col(keyCol), col(tsCol)) ++
         (if (tieCol.isEmpty) Nil else Seq(col(tieCol))) :+ col(valueCol)
-    values.select(keep: _*)
+    // The three window aggregates are materialized in ONE projection so
+    // Catalyst plans a single Window node; deriving avg/std/z directly
+    // from `.over(w)` expressions in separate withColumns stacks three
+    // Window nodes that each re-walk the frame.
+    val withSums = values.select(keep ++ Seq(
+      count(lit(1)).over(w).as("__n"),
+      sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double").as("__sum"),
+      sum((col(valueCol) * col(valueCol)).cast("decimal(28,10)")).over(w)
+        .cast("double").as("__sumsq")): _*)
+    val ma = col("__sum") / col("__n")
+    val variance = when(col("__n") > 1,
+      greatest((col("__sumsq") - col("__sum") * col("__sum") / col("__n")) / (col("__n") - 1),
+        lit(0.0)))
+    val std = sqrt(variance)
+    withSums
       .withColumn("moving_avg", round(ma, 6))
       .withColumn("moving_std", round(std, 6))
       .withColumn("zscore",
         when(std > 0, round((col(valueCol) - ma) / std, 6)))
+      .drop("__n", "__sum", "__sumsq")
   }
 
   /** Gap-based sessionization: a new session starts at the first event of
