@@ -202,6 +202,19 @@ object ApiDrive {
       check("streaming failed batch landed nothing")(db.read(ReadFilter(Seq(78L))).count() == 0)
     }
 
+    // Bucketed mirror: same latest-read result, exchange-free plan.
+    {
+      db.store.createBucketedMirror("apidrive_bucketed", nBuckets = 4)
+      val mirror = db.store.scanBucketed("apidrive_bucketed")
+      val viaMirror = operators.ReadShapes.latest(mirror)
+      check("bucketed mirror latest matches plain latest")(
+        viaMirror.count() ==
+          operators.ReadShapes.latest(db.store.scanValues().drop("valid_month")).count())
+      check("bucketed mirror latest plans with no exchange")(
+        !viaMirror.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+      spark.sql("DROP TABLE IF EXISTS apidrive_bucketed")
+    }
+
     // SQL surface: temp views over the store.
     db.createViews()
     check("sql view over series_values")(

@@ -1231,7 +1231,22 @@ object SparkEntry {
         |SELECT doc_id, token, tf, df,
         |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN df USING (token), n
-        |ORDER BY doc_id, token""".stripMargin))
+        |ORDER BY doc_id, token""".stripMargin)),
+
+    ("x_approx_distinct",
+      // Approximate distinct (HyperLogLog++) next to the exact count —
+      // the sketch the reference lacks but a 100 TB engine needs:
+      // constant-size state per group vs. a full distinct shuffle. No
+      // oracle SQL (sketch estimates are engine-specific) → the driver
+      // records the weaker rows-only check; the error bound is pinned by
+      // OperatorsSpec instead.
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type"),
+      None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -196,6 +196,18 @@ class OperatorsSpec extends SparkSpec {
     assert(rare._4 == 1L && math.abs(rare._5 - 1.693147) < 1e-6)
   }
 
+  test("approx_count_distinct stays within its error bound at 20k ids") {
+    val df = spark.range(100000).select(
+      (col("id") % 5).cast("string").as("grp"), (col("id") % 20000).as("uid"))
+    val got = df.groupBy("grp")
+      .agg(approx_count_distinct(col("uid"), rsd = 0.02).as("approx"),
+        countDistinct(col("uid")).as("exact"))
+      .select("approx", "exact").as[(Long, Long)].collect()
+    got.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.06, s"approx=$approx exact=$exact")
+    }
+  }
+
   test("portable hash32/hash60 are non-negative and stable") {
     val h = spark.range(1).select(
       Portable.hash32(lit("hello")), Portable.hash60(lit("hello"))).head()

@@ -95,6 +95,57 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bucketedRangeJoin ≡ naive theta join on random intervals") {
+    val probeGen = Gen.listOfN(60, Gen.zip(Gen.choose(1L, 1000L), Gen.choose(-20.0, 120.0)))
+    val ivGen = Gen.listOfN(15, for {
+      id <- Gen.choose(1L, 100L)
+      lo <- Gen.choose(-10.0, 100.0)
+      len <- Gen.choose(-2.0, 40.0) // negative → empty interval
+    } yield (id, lo, lo + len))
+    for (seed <- 1L to 5L) {
+      val probe = probeGen.pureApply(Gen.Parameters.default, Seed(seed))
+        .toDF("pid", "v")
+      val ivs = ivGen.pureApply(Gen.Parameters.default, Seed(seed + 100))
+        .toDF("iid", "lo", "hi")
+      val got = graft.operators.RangeJoin.bucketedRangeJoin(probe, "v", ivs, "lo", "hi", 7.0)
+        .select("pid", "v", "iid").as[(Long, Double, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val naive = probe.crossJoin(ivs)
+        .filter(col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "v", "iid").as[(Long, Double, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == naive, s"seed=$seed")
+    }
+  }
+
+  test("movingStats moving_avg ≡ brute-force trailing mean") {
+    val gen = Gen.listOfN(50, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 1000),
+      Gen.choose(-50.0, 50.0)))
+    for (seed <- 1L to 4L) {
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case ((k, t, v), i) => (k, t * 10000 + i, v) } // unique ts per key
+      val df = rows.map { case (k, t, v) => (k, new java.sql.Timestamp(t.toLong), v) }
+        .toDF("series_id", "ts", "value")
+      val got = graft.operators.TimeSeriesOps.movingStats(df, windowRows = 5)
+        .select("series_id", "ts", "moving_avg")
+        .as[(Long, java.sql.Timestamp, Double)].collect()
+        .map { case (k, t, a) => (k, t.getTime, a) }
+      val expect: Map[(Long, Long), BigDecimal] =
+        rows.groupBy(_._1).flatMap { case (k, rs) =>
+          val sorted = rs.sortBy(_._2)
+          sorted.zipWithIndex.map { case ((_, t, _), i) =>
+            val win = sorted.slice(math.max(0, i - 4), i + 1).map(_._3)
+            (k, t.toLong) ->
+              (win.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum / win.length)
+          }
+        }
+      got.foreach { case (k, t, a) =>
+        val e = expect((k, t))
+        assert(math.abs(a - e.toDouble) < 1e-4, s"seed=$seed key=$k ts=$t got=$a want=$e")
+      }
+    }
+  }
+
   test("skip-unchanged is a no-op against an empty store") {
     for (seed <- 1L to 3L) {
       val df = toFrame(sample(seed))
