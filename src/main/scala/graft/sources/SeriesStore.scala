@@ -87,9 +87,10 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     * reads. Spark's bucketed tables expose `HashPartitioning(series_id,
     * n)` to the planner, so every groupBy/window/join clustered on
     * series_id — the latest-read argmax, the change-collapse windows, an
-    * as-of join between two mirrors with equal bucket counts — plans
+    * equi-join between two mirrors with equal bucket counts — plans
     * with NO exchange: the data is read already laid out for the
-    * operation. At 100 TB that converts every repeated read shape from a
+    * operation. (The union-based as-of join still shuffles: a union
+    * does not preserve its inputs' bucketing.) At 100 TB that converts every repeated read shape from a
     * full-data shuffle into a plain scan; the one-time build cost is a
     * single shuffle. Files are also sorted by (series_id, valid_time),
     * so per-key windows need only a cheap partial sort.

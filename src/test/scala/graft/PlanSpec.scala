@@ -56,6 +56,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sessionize-and-summarize rides one data exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = planOf(SparkEntry.queries("x_sessionize")(spark, dir))
+    // one hashpartitioning exchange for windows+aggregate; the trailing
+    // rangepartitioning exchange is the final ORDER BY.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("moving stats plan a single Window node") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = planOf(SparkEntry.queries("ts_moving_zscore")(spark, dir))
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
+  }
+
+  test("range join never plans a nested loop") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = planOf(SparkEntry.queries("x_range_join")(spark, dir))
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("scan-filter query pushes predicate and prunes columns") {
     val dir = "/root/testdata/sf0.001"
     val plan = planOf(SparkEntry.queries("rel_scan_filter")(spark, dir))
