@@ -1233,6 +1233,45 @@ object SparkEntry {
         |FROM tf JOIN df USING (token), n
         |ORDER BY doc_id, token""".stripMargin)),
 
+    ("x_simhash_neardup",
+      // Hamming-banded simhash near-dup: pigeonhole candidates via an
+      // equi-join on 12-bit bands, exact bit_count(xor) on collisions only.
+      (s, dir) => Dedup.simHashNearDup(Tables.documents(s, dir), n = 2)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM ft, generate_series(1, 2000) g(i)
+        |  WHERE g.i <= len(t) - 1),
+        |hashed AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM grams),
+        |votes AS (
+        |  SELECT doc_id, b.b,
+        |         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, generate_series(0, 47) b(b)
+        |  GROUP BY doc_id, b.b),
+        |sims AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 12)) & 4095 AS key
+        |  FROM sims, generate_series(0, 3) b(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.simhash AS sh_a, b.simhash AS sh_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |                           AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     ("x_approx_distinct",
       // Approximate distinct (HyperLogLog++) next to the exact count —
       // the sketch the reference lacks but a 100 TB engine needs:

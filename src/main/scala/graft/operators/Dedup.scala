@@ -208,6 +208,48 @@ object Dedup {
     wide.select(col(idCol), fp.as("simhash"))
   }
 
+  /** SimHash near-dup pairs (X2): Hamming-proximity search banded by the
+    * pigeonhole principle. Two `bits`-bit fingerprints within
+    * `maxHamming` differing bits must agree EXACTLY on at least one of
+    * (maxHamming+1) equal-width bands — so candidate generation is an
+    * equi-join on (band, band-bits), never an O(n²) comparison, and the
+    * exact `bit_count(xor)` filter runs only on bucket collisions. The
+    * same posting-list pair generation as the other dedup plans (one
+    * aggregate, in-array combinatorics).
+    *
+    * Output: (id_a, id_b, hamming) with hamming ≤ maxHamming.
+    */
+  def simHashNearDup(docs: DataFrame, n: Int, bits: Int = 48, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"bits=$bits must divide into ${bands} bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sh = simHash(docs, n, bits, idCol, textCol)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = sh
+      .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col(idCol), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        s"flatten(transform(sequence(0, size(ids) - 2), " +
+          s"i -> transform(slice(ids, i + 2, size(ids)), " +
+          s"j -> struct(ids[i].$idCol AS id_a, ids[i].simhash AS sh_a, " +
+          s"j.$idCol AS id_b, j.simhash AS sh_b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("cast(bit_count(sh_a ^ sh_b) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components over a near-dup pair list: every doc reachable
     * through the pair graph is labeled with the MINIMUM doc id of its
     * component — the canonical "duplicate cluster" assignment that turns

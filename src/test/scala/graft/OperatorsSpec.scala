@@ -155,6 +155,14 @@ class OperatorsSpec extends SparkSpec {
     assert(cut.agg(sum("v")).as[Long].head() <= 100)
   }
 
+  test("simHashNearDup: identical docs at hamming 0, disjoint docs absent") {
+    val got = Dedup.simHashNearDup(docs, n = 2)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 0))) // exact dups share the fingerprint
+    assert(got.forall(p => p._3 <= 3))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc excluded
+  }
+
   test("duplicateClusters: multi-hop chain collapses to one min-labeled component") {
     // chain 10-20-30-40 (diameter 3, needs >1 propagation round),
     // pair 50-60, singleton edge 70-80 with reversed id order
