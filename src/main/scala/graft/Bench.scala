@@ -61,15 +61,15 @@ object Bench {
       }
     }
     def toJson(rs: Seq[(String, Either[String, Double])]): String = rs.map {
-      case (k, Right(v))  => "\"" + k + "\":" + v
-      case (k, Left(msg)) => "\"" + k + "\":\"ERROR " + msg.replaceAll("[\"\\\\\\n]", " ") + "\""
+      case (k, Right(v))  => JsonUtil.quote(k) + ":" + v
+      case (k, Left(msg)) => JsonUtil.quote(k) + ":" + JsonUtil.quote("ERROR " + msg)
     }.mkString("{", ",", "}")
     val results = run(headline)
     val extResults = run(extended)
     val errors = (results ++ extResults).collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val extTotal = extResults.collect { case (_, Right(v)) => v }.sum
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson = errors.map(JsonUtil.quote).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
       s""""extended":${toJson(extResults)},"extended_total":$extTotal,""" +
       s""""errors":$errJson,"sf":"$sfDir"}""")

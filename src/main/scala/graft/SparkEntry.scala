@@ -1044,7 +1044,7 @@ object SparkEntry {
         |ORDER BY returnflag, linestatus""".stripMargin)),
 
     ("rel_setops",
-      // Set operators (distinct semantics): high-value custkeys ∩ 1994
+      // Set operators (distinct semantics): high-value custkeys ∩ 1996
       // buyers, minus small finished orders. Spark plans each as an
       // aggregate-style shuffle on the full row — no driver-side sets.
       (s, dir) => {
@@ -1067,16 +1067,20 @@ object SparkEntry {
     ("ts_moving_zscore",
       // Trailing 24-row moving avg/std + z-score per user over the event
       // stream — the streaming anomaly-score shape, one shuffle on the key.
+      // event_id rides through to the final ORDER BY so tied (user, ts)
+      // rows — which carry different values/zscores — order the same in
+      // both engines, then drops from the projection (a Project preserves
+      // its child's ordering).
       (s, dir) => TimeSeriesOps.movingStats(
         Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
         windowRows = 24, keyCol = "user_id", tsCol = "ts", valueCol = "value",
         tieCol = "event_id")
-        .select("user_id", "ts", "value", "moving_avg", "moving_std", "zscore")
-        .orderBy("user_id", "ts"),
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "ts", "value", "moving_avg", "moving_std", "zscore"),
       Some("""WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
         |stats AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    COUNT(*) OVER w AS n,
         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sumd,
         |    CAST(SUM(CAST(value * value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sumsq
@@ -1084,7 +1088,7 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
         |derived AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    sumd / n AS ma,
         |    CASE WHEN n > 1
         |      THEN sqrt(greatest((sumsq - sumd * sumd / n) / (n - 1), 0.0)) END AS std
@@ -1094,7 +1098,7 @@ object SparkEntry {
         |  round(std, 6) AS moving_std,
         |  CASE WHEN std > 0 THEN round((value - ma) / std, 6) END AS zscore
         |FROM derived
-        |ORDER BY user_id, ts""".stripMargin)),
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
 
     ("x_sessionize",
       // Gap-based sessionization (30-min silence) summarized per session.

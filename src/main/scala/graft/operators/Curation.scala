@@ -82,8 +82,10 @@ object Curation {
 
     // One row per bucket — a driver-side cumulation of partial sums is
     // O(buckets), not O(rows).
+    // coalesce: an all-null bucket sums to null and must contribute 0,
+    // exactly as the naive window's sum would skip the nulls.
     val partials = bucketed.groupBy("__bucket")
-      .agg(sum(col(valueCol)).cast("long").as("__total"))
+      .agg(coalesce(sum(col(valueCol)).cast("long"), lit(0L)).as("__total"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap

@@ -38,10 +38,12 @@ object RangeJoin {
       .filter(col(hiCol) > col(loCol))
       .withColumn("__bucket",
         explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
-    probe
-      .withColumn("__bucket", bucketOf(col(probeCol)))
+    val probed = probe.withColumn("__bucket", bucketOf(col(probeCol)))
+    // frame-qualified refs: the residual filter must resolve even when
+    // probe and intervals share column names
+    probed
       .join(expanded, "__bucket")
-      .filter(col(probeCol) >= col(loCol) && col(probeCol) < col(hiCol))
+      .filter(probed(probeCol) >= expanded(loCol) && probed(probeCol) < expanded(hiCol))
       .drop("__bucket")
   }
 }

@@ -100,8 +100,11 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     * appends, like any materialized layout. */
   def createBucketedMirror(tableName: String, nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
+    require(tableName.matches("[A-Za-z0-9_]+"), s"unsafe table name: $tableName")
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val path = new Path(s"$basePath/series_values_bucketed")
+    // per-table data dir: a second mirror must never rewrite the first
+    // one's files out from under its catalog entry
+    val path = new Path(s"$basePath/bucketed/$tableName")
     fs.delete(path, true)
     scanValues()
       .drop("valid_month")

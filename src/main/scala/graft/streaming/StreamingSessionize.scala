@@ -8,25 +8,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Streaming counterpart of `TimeSeriesOps.sessionize`: gap-based
   * sessions over an unbounded event stream with bounded state.
   *
-  * `flatMapGroupsWithState` keys the stream by user and keeps ONE open
-  * session per key as state; a session closes (and is emitted, Append
-  * mode) either when a same-key event arrives more than `gapSec` after
-  * its end, or when the event-time watermark passes `end + gapSec`
-  * (EventTimeTimeout) — so idle keys emit without waiting for their next
-  * event, and state size is O(active keys), independent of stream
-  * length. Late events behind the watermark are dropped by the engine
-  * before the function runs; in-batch disorder is absorbed by sorting
-  * each micro-batch's group.
+  * `flatMapGroupsWithState` keys the stream by user; state is the list
+  * of OPEN sessions still inside the watermark horizon (not just one —
+  * events may arrive out of order across micro-batches as long as they
+  * are above the watermark, so several gap-separated sessions per key
+  * can all still grow). Each batch merges its events interval-style
+  * into that list; a session is emitted (Append mode) only once the
+  * event-time watermark passes `end + gap` — at that point no
+  * above-watermark event can extend it, so the result is final. Idle
+  * keys flush via EventTimeTimeout without needing another event.
+  * State size is O(active sessions within the watermark horizon) per
+  * key, independent of stream length; events behind the watermark are
+  * dropped by the engine before the function runs.
   *
-  * The batch operator is the oracle for the semantics: replaying a
-  * bounded stream through this yields the same sessions as
+  * Replaying a bounded stream yields exactly the sessions of
   * `TimeSeriesOps.sessionize` + groupBy on the equivalent static frame
-  * (pinned by `StreamingSpec`).
+  * — including cross-batch disorder — pinned by `StreamingSpec`.
   */
 object StreamingSessionize {
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
   case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: Double)
+  case class SessState(open: List[OpenSession])
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_value: Double)
 
@@ -38,6 +41,16 @@ object StreamingSessionize {
     t
   }
 
+  /** Sorted-by-start interval merge: adjacent sessions closer than the
+    * gap collapse into one. Events enter as unit sessions. */
+  private def merge(sessions: List[OpenSession], gapUs: Long): List[OpenSession] =
+    sessions.sortBy(s => (s.startUs, s.endUs)).foldLeft(List.empty[OpenSession]) {
+      case (prev :: rest, s) if s.startUs - prev.endUs <= gapUs =>
+        prev.copy(endUs = math.max(prev.endUs, s.endUs),
+          n = prev.n + s.n, sum = prev.sum + s.sum) :: rest
+      case (acc, s) => s :: acc
+    }.reverse
+
   /** `stream` needs (user_id: long, ts: timestamp, value: double). */
   def sessions(stream: DataFrame, gapSec: Long, watermark: String): Dataset[Session] = {
     import stream.sparkSession.implicits._
@@ -46,38 +59,27 @@ object StreamingSessionize {
       .withWatermark("ts", watermark)
       .as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, events: Iterator[Ev], state: GroupState[OpenSession]) =>
+        (uid: Long, events: Iterator[Ev], state: GroupState[SessState]) =>
           def close(s: OpenSession): Session =
             Session(uid, tsOf(s.startUs), tsOf(s.endUs), s.n, s.sum)
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(close).toList
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = events.toList.sortBy(e => us(e.ts))
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = us(e.ts)
-              cur = cur match {
-                case Some(s) if t - s.endUs <= gapUs =>
-                  Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1, sum = s.sum + e.value))
-                case Some(s) =>
-                  closed ::= close(s)
-                  Some(OpenSession(t, t, 1, e.value))
-                case None =>
-                  Some(OpenSession(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // timeout fires once the WATERMARK passes session end + gap
-              state.setTimeoutTimestamp(s.endUs / 1000L + gapSec * 1000L)
-            }
-            closed.reverse.iterator
+          val incoming = events.map(e => OpenSession(us(e.ts), us(e.ts), 1, e.value)).toList
+          val open = merge(state.getOption.map(_.open).getOrElse(Nil) ++ incoming, gapUs)
+          // A session is final iff the watermark passed end + gap: any
+          // surviving event has ts >= watermark > end + gap, too late to
+          // merge with it.
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (finished, stillOpen) = open.partition(s => s.endUs + gapUs < wmUs)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(SessState(stillOpen))
+            // fire when the earliest still-open session becomes final
+            // (must be strictly beyond the current watermark)
+            val fireMs = stillOpen.map(s => s.endUs / 1000L + gapSec * 1000L + 1L).min
+            state.setTimeoutTimestamp(math.max(fireMs, state.getCurrentWatermarkMs() + 1L))
           }
+          finished.sortBy(_.startUs).map(close).iterator
       }
   }
 }

@@ -190,6 +190,10 @@ class OperatorsSpec extends SparkSpec {
     val plan = RangeJoin.bucketedRangeJoin(probe, "v", intervals, "lo", "hi", 10.0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), "range join must not plan a nested loop")
+    // shared column names between the two sides must not break resolution
+    val ivsShared = intervals.withColumnRenamed("name", "pid")
+    val shared = RangeJoin.bucketedRangeJoin(probe, "v", ivsShared, "lo", "hi", 10.0)
+    assert(shared.count() == 4)
   }
 
   test("tfIdf: corpus-wide term gets minimum idf, rare term scores higher") {

@@ -51,7 +51,7 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 9.0)))
   }
 
-  test("streaming sessionize: in-batch gap split, timeout close, late-drop") {
+  test("streaming sessionize: gap split, cross-batch disorder, watermark-final emission") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
     val sessions = StreamingSessionize.sessions(
@@ -59,8 +59,11 @@ class StreamingSpec extends SparkSpec {
     val q = sessions.writeStream.format("memory").queryName("sess")
       .outputMode(OutputMode.Append).start()
 
-    // u1: two events 10m apart (one session), then one 2h later in the
-    // SAME batch — the gap closes session 1 immediately, no timeout needed.
+    // u1: two events 10m apart + one 2h later; u2: one event. After the
+    // batch the watermark advances to 01:00 (max ts − 1h) and the
+    // engine's no-data batch fires timeouts: [00:00,00:10] is final
+    // (00:40 end+gap < watermark — no acceptable event can extend it),
+    // the 02:00 sessions are not.
     mem.addData(
       (1L, ts("2024-03-01T00:00:00Z"), 1.0),
       (1L, ts("2024-03-01T00:10:00Z"), 2.0),
@@ -69,29 +72,37 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val afterBatch1 = spark.sql("SELECT user_id, n_events, sum_value FROM sess")
       .as[(Long, Long, Double)].collect().toSet
-    assert(afterBatch1 == Set((1L, 2L, 3.0))) // u1 open tail + u2 still stateful
+    assert(afterBatch1 == Set((1L, 2L, 3.0)))
 
-    // Advance the watermark far past 02:00+gap: both open sessions time out.
+    // Cross-batch disorder: 01:50 arrives in batch 2 (above the 01:00
+    // watermark). It must join u1's 02:00 session — NOT the [00:00,00:10]
+    // one — and must NOT corrupt session boundaries.
+    mem.addData((1L, ts("2024-03-01T01:50:00Z"), 0.5))
+    q.processAllAvailable()
+
+    // Advance the watermark far past everything; extra batch evaluates
+    // the timeouts.
     mem.addData((3L, ts("2024-03-01T09:00:00Z"), 0.5))
     q.processAllAvailable()
-    mem.addData((3L, ts("2024-03-01T09:01:00Z"), 0.5)) // extra batch to evaluate timeouts
+    mem.addData((3L, ts("2024-03-01T09:01:00Z"), 0.5))
     q.processAllAvailable()
-    val afterTimeout = spark.sql(
+    val emitted = spark.sql(
       "SELECT user_id, n_events, sum_value FROM sess WHERE user_id IN (1,2)")
       .as[(Long, Long, Double)].collect().toSet
-    assert(afterTimeout == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 9.0)))
+    assert(emitted == Set((1L, 2L, 3.0), (1L, 2L, 4.5), (2L, 1L, 9.0)))
     q.stop()
 
-    // Replay equivalence: the batch operator over the same (closed-key)
-    // events yields exactly the emitted sessions.
+    // Replay equivalence: the batch operator over the same events
+    // (disorder ironed out by its sort) yields exactly these sessions.
     val batch = graft.operators.TimeSeriesOps.sessionize(
       Seq((1L, ts("2024-03-01T00:00:00Z"), 1.0), (1L, ts("2024-03-01T00:10:00Z"), 2.0),
-        (1L, ts("2024-03-01T02:00:00Z"), 4.0), (2L, ts("2024-03-01T02:00:00Z"), 9.0))
+        (1L, ts("2024-03-01T01:50:00Z"), 0.5), (1L, ts("2024-03-01T02:00:00Z"), 4.0),
+        (2L, ts("2024-03-01T02:00:00Z"), 9.0))
         .toDF("user_id", "ts", "value"), gapSec = 1800)
       .groupBy("user_id", "session_no")
       .agg(org.apache.spark.sql.functions.count("*").as("n"),
         org.apache.spark.sql.functions.sum("value").as("s"))
       .select("user_id", "n", "s").as[(Long, Long, Double)].collect().toSet
-    assert(batch == afterTimeout)
+    assert(batch == emitted)
   }
 }
