@@ -1237,6 +1237,54 @@ object SparkEntry {
         |FROM tf JOIN df USING (token), n
         |ORDER BY doc_id, token""".stripMargin)),
 
+    ("x_ann_ivf_probe",
+      // Full IVF path: train centroids, assign each query to its 2
+      // nearest cells, search only those cells.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfProbeTopK(emb, emb.filter(col("vec_id") < 8),
+          Similarity.cellCentroids(emb), k = 5, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cent AS (
+        |  SELECT label AS cell, d.i - 1 AS dim,
+        |         round(AVG(CAST(embedding[d.i] AS DOUBLE)), 6) AS mean_v
+        |  FROM embeddings, generate_series(1, 64) d(i)
+        |  GROUP BY label, d.i),
+        |qd AS (
+        |  SELECT vec_id AS query_id, d.i - 1 AS dim,
+        |         CAST(embedding[d.i] AS DOUBLE) AS qv
+        |  FROM embeddings, generate_series(1, 64) d(i)
+        |  WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT query_id, cell,
+        |         round(SUM(qv * mean_v)
+        |           / NULLIF(sqrt(SUM(qv * qv)) * sqrt(SUM(mean_v * mean_v)), 0), 4) AS cscore
+        |  FROM qd JOIN cent USING (dim)
+        |  GROUP BY query_id, cell),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS crank
+        |    FROM assign)
+        |  WHERE crank <= 2),
+        |pairs AS (
+        |  SELECT p.query_id, c.vec_id AS cand_id, c.label AS cell,
+        |         round(list_inner_product(q.e, c.e)
+        |           / NULLIF(sqrt(list_inner_product(q.e, q.e))
+        |              * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |  FROM probes p
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings WHERE vec_id < 8) q ON q.vec_id = p.query_id
+        |  JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings) c ON c.label = p.cell AND c.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, cell, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, cand_id) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     ("x_simhash_neardup",
       // Hamming-banded simhash near-dup: pigeonhole candidates via an
       // equi-join on 12-bit bands, exact bit_count(xor) on collisions only.

@@ -58,6 +58,52 @@ object Similarity {
       .select(col("cell"), col("query_id"), col("cand_id"), col("score"), col("rank"))
   }
 
+  /** Multi-probe IVF search — the full index path: each query is
+    * assigned to its `nprobe` nearest TRAINED centroids (the
+    * [[cellCentroids]] output) by cosine, then scores only those cells'
+    * vectors. Recall grows with `nprobe` while compute stays
+    * `nprobe · |cell|` per query instead of `|corpus|`. Centroids and
+    * probe lists are catalog-sized broadcasts; the corpus side streams —
+    * the one shuffle is the per-query top-k window.
+    *
+    * Assignment runs dimension-flat (posexplode + sum of products) so
+    * the oracle can reproduce it in SQL; scores round to 4 before
+    * ranking, cells tie-break ascending.
+    */
+  def ivfProbeTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding", cellCol: String = "label"): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val qd = queries
+      .select(col(idCol).as("query_id"), posexplode(col(vecCol)).as(Seq("dim", "qv")))
+      .select(col("query_id"), col("dim"), col("qv").cast("double").as("qv"))
+    val denom = sqrt(sum(col("qv") * col("qv"))) * sqrt(sum(col("mean_v") * col("mean_v")))
+    val assign = qd.join(broadcast(centroids.select(col("cell"), col("dim"), col("mean_v"))), "dim")
+      .groupBy(col("query_id"), col("cell"))
+      .agg(round(
+        when(denom === 0.0, lit(null))
+          .otherwise(sum(col("qv") * col("mean_v")) / denom), 4).as("cscore"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc_nulls_last, col("cell").asc)
+    val probes = assign
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c
+      .join(broadcast(probes), "cell")
+      .join(broadcast(q), "query_id")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(Portable.cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cell"), col("score"), col("rank"))
+  }
+
   /** Per-cell centroids — the training step an IVF index needs: mean of
     * the embedding vectors per coarse cell, computed dimension-wise via
     * posexplode + one aggregate (no driver-side vectors). Output is the

@@ -95,6 +95,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((3L, 1), (1L, 2)))
   }
 
+  test("ivfProbeTopK probes only the nearest cells and ranks within them") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),   // query: x-axis, lives in cell 1
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.8f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f), 2),   // cell 2: y-axis vectors
+      (4L, Array(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.cellCentroids(emb)
+    // nprobe=1: only cell 1 candidates, ranked by cosine
+    val one = Similarity.ivfProbeTopK(emb, emb.filter(col("vec_id") === 0), cents,
+      k = 5, nprobe = 1)
+      .select("cand_id", "cell", "rank").as[(Long, Int, Int)].collect().toSeq.sortBy(_._3)
+    assert(one.map(_._2).toSet == Set(1))
+    assert(one.map(_._1) == Seq(2L, 1L)) // 2 is exactly parallel → rank 1
+    // nprobe=2: cell 2 candidates join the list below the cell-1 ones
+    val two = Similarity.ivfProbeTopK(emb, emb.filter(col("vec_id") === 0), cents,
+      k = 5, nprobe = 2)
+    assert(two.count() == 4)
+  }
+
   test("langId predicts the marker-heavy language deterministically") {
     val d = Seq((1L, "der und der und die"), (2L, "xxx yyy zzz"))
       .toDF("doc_id", "text")
