@@ -88,6 +88,16 @@ object Stress {
         endValid = Some(t("2024-03-01T00:00:00Z")))).count()
     }
 
+    // Bucketed mirror: one build-time shuffle, then the same full argmax
+    // with NO exchange — the repeated-read trade at scale.
+    timed("build bucketed mirror (one-time shuffle)") {
+      db.store.createBucketedMirror("stress_bucketed", nBuckets = cpus.toInt)
+    }
+    timed("full argmax read over bucketed mirror (no exchange)") {
+      operators.ReadShapes.latest(db.store.scanBucketed("stress_bucketed")).count()
+    }
+    spark.sql("DROP TABLE IF EXISTS stress_bucketed")
+
     db.delete()
     spark.stop()
   }
