@@ -1096,7 +1096,7 @@ object SparkEntry {
         |SELECT user_id, ts, value,
         |  round(ma, 6) AS moving_avg,
         |  round(std, 6) AS moving_std,
-        |  CASE WHEN std > 0 THEN round((value - ma) / std, 6) END AS zscore
+        |  CASE WHEN std > 0 THEN round((value - ma) / std, 6) + 0.0 END AS zscore
         |FROM derived
         |ORDER BY user_id, ts, event_id""".stripMargin)),
 

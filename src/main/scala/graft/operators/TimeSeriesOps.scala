@@ -153,8 +153,11 @@ object TimeSeriesOps {
     withSums
       .withColumn("moving_avg", round(ma, 6))
       .withColumn("moving_std", round(std, 6))
+      // + 0.0 normalizes IEEE signed zero: a last-ulp-negative residue
+      // rounds to -0.0 in some engines and 0.0 in others; adding +0.0
+      // maps both to +0.0 (and passes null through).
       .withColumn("zscore",
-        when(std > 0, round((col(valueCol) - ma) / std, 6)))
+        when(std > 0, round((col(valueCol) - ma) / std, 6) + lit(0.0)))
       .drop("__n", "__sum", "__sumsq")
   }
 
