@@ -1324,6 +1324,46 @@ object SparkEntry {
         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    ("ts_seasonal",
+      // Seasonal-naive baseline + residual: mean per (user, hour-of-day)
+      // broadcast back onto the stream — "how unusual is this value for
+      // this hour".
+      (s, dir) => TimeSeriesOps.seasonalResiduals(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
+        keyCol = "user_id")
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "ts", "value", "seasonal_mean", "residual"),
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        |prof AS (
+        |  SELECT user_id, EXTRACT(hour FROM ts) AS slot,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_v
+        |  FROM e GROUP BY user_id, EXTRACT(hour FROM ts))
+        |SELECT e.user_id, e.ts, e.value,
+        |  round(p.mean_v, 6) AS seasonal_mean,
+        |  round(e.value - p.mean_v, 6) + 0.0 AS residual
+        |FROM e JOIN prof p
+        |  ON p.user_id = e.user_id AND p.slot = EXTRACT(hour FROM e.ts)
+        |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin)),
+
+    ("x_feature_lags",
+      // Supervised-training lag features; all lags collapse into ONE
+      // Window node over one shuffle.
+      (s, dir) => TimeSeriesOps.lagFeatures(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
+        lags = Seq(1, 2, 24), keyCol = "user_id", tieCol = "event_id")
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "ts", "value", "lag_1", "lag_2", "lag_24"),
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events)
+        |SELECT user_id, ts, value,
+        |  lag(value, 1) OVER w AS lag_1,
+        |  lag(value, 2) OVER w AS lag_2,
+        |  lag(value, 24) OVER w AS lag_24
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
+
     ("x_approx_distinct",
       // Approximate distinct (HyperLogLog++) next to the exact count —
       // the sketch the reference lacks but a 100 TB engine needs:

@@ -183,6 +183,55 @@ object TimeSeriesOps {
     events.withColumn("session_no", sum(newSession).over(run))
   }
 
+  /** Seasonal (hour-of-day) baseline per series: the mean value per
+    * (key, hour slot) — the seasonal-naive forecast baseline of the
+    * reference's domain. DECIMAL sums keep the mean engine-portable.
+    * One shuffle on (key, slot). */
+  def seasonalProfile(
+      values: DataFrame,
+      keyCol: String = "series_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    values
+      .groupBy(col(keyCol), hour(col(tsCol)).as("slot"))
+      .agg(
+        (sum(col(valueCol).cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("mean_v"),
+        count(lit(1)).as("n"))
+
+  /** Each row with its seasonal baseline and residual (value − baseline)
+    * — the anomaly signal against "normal for this hour". The profile is
+    * far smaller than the data (keys × 24) and broadcasts. */
+  def seasonalResiduals(
+      values: DataFrame,
+      keyCol: String = "series_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val prof = seasonalProfile(values, keyCol, tsCol, valueCol)
+      .select(col(keyCol), col("slot"), col("mean_v"))
+    values
+      .withColumn("slot", hour(col(tsCol)))
+      .join(broadcast(prof), Seq(keyCol, "slot"))
+      // + 0.0 after round: signed-zero normalization (see movingStats)
+      .withColumn("seasonal_mean", round(col("mean_v"), 6))
+      .withColumn("residual", round(col(valueCol) - col("mean_v"), 6) + lit(0.0))
+      .drop("slot", "mean_v")
+  }
+
+  /** Per-series lag features for supervised training: one `lag_k` column
+    * per requested offset. All lags share one window spec, so Catalyst
+    * collapses them into a single Window node over one shuffle. */
+  def lagFeatures(
+      values: DataFrame, lags: Seq[Int],
+      keyCol: String = "series_id", tsCol: String = "ts",
+      valueCol: String = "value", tieCol: String = ""): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    val order: Seq[Column] =
+      if (tieCol.isEmpty) Seq(col(tsCol)) else Seq(col(tsCol), col(tieCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    lags.foldLeft(values) { (df, k) =>
+      df.withColumn(s"lag_$k", lag(col(valueCol), k).over(w))
+    }
+  }
+
   /** Per-series difference and rate of change: value − previous value,
     * divided by elapsed seconds. First row of each series is null. */
   def deltaRate(

@@ -143,6 +143,35 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("seasonalResiduals: per-hour baseline and residual") {
+    val pts = Seq(
+      (1L, ts("2024-01-01T05:00:00Z"), 10.0),
+      (1L, ts("2024-01-02T05:30:00Z"), 20.0), // same hour slot, next day
+      (1L, ts("2024-01-01T06:00:00Z"), 7.0))
+      .toDF("series_id", "ts", "value")
+    val got = TimeSeriesOps.seasonalResiduals(pts).orderBy("ts")
+      .select("seasonal_mean", "residual").as[(Double, Double)].collect()
+    assert(got(0) == ((15.0, -5.0))) // hour-5 mean 15
+    assert(got(2) == ((15.0, 5.0)))
+    assert(got(1) == ((7.0, 0.0))) // hour-6 singleton, residual +0.0 not -0.0
+  }
+
+  test("lagFeatures: per-key offsets in one Window node") {
+    val pts = Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), 1.0),
+      (1L, ts("2024-01-01T01:00:00Z"), 2.0),
+      (1L, ts("2024-01-01T02:00:00Z"), 3.0),
+      (2L, ts("2024-01-01T00:00:00Z"), 9.0))
+      .toDF("series_id", "ts", "value")
+    val f = TimeSeriesOps.lagFeatures(pts, lags = Seq(1, 2))
+    val got = f.orderBy("series_id", "ts")
+      .select("value", "lag_1", "lag_2").collect()
+    assert(got(2).getDouble(1) == 2.0 && got(2).getDouble(2) == 1.0)
+    assert(got(3).isNullAt(1)) // other key restarts
+    val windows = "\\bWindow\\b".r.findAllIn(f.queryExecution.executedPlan.toString).length
+    assert(windows == 1, "all lags must share one Window node")
+  }
+
   test("sessionize: gap exactly equal to gapSec stays in the session") {
     val ev = Seq(
       (1L, ts("2024-01-01T00:00:00Z")),
