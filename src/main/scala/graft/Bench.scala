@@ -29,8 +29,10 @@ object Bench {
     // across rounds: the headline set and its total are unchanged; the
     // extended set reports in its own JSON key.
     val extended = Seq(
-      "rel_rollup", "rel_setops", "ts_moving_zscore", "x_sessionize",
-      "x_dedup_clusters", "x_dedup_winners", "x_range_join", "x_text_tfidf")
+      "rel_rollup", "rel_setops", "ts_moving_zscore", "ts_seasonal",
+      "x_sessionize", "x_dedup_clusters", "x_dedup_winners", "x_range_join",
+      "x_text_tfidf", "x_simhash_neardup", "x_ann_ivf_probe", "x_feature_lags",
+      "x_approx_distinct")
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

@@ -1258,8 +1258,9 @@ object SparkEntry {
         |  WHERE vec_id < 8),
         |assign AS (
         |  SELECT query_id, cell,
-        |         round(SUM(qv * mean_v)
-        |           / NULLIF(sqrt(SUM(qv * qv)) * sqrt(SUM(mean_v * mean_v)), 0), 4) AS cscore
+        |         round(CAST(SUM(CAST(qv * mean_v AS DECIMAL(28,12))) AS DOUBLE)
+        |           / NULLIF(sqrt(CAST(SUM(CAST(qv * qv AS DECIMAL(28,12))) AS DOUBLE))
+        |              * sqrt(CAST(SUM(CAST(mean_v * mean_v AS DECIMAL(28,12))) AS DOUBLE)), 0), 4) AS cscore
         |  FROM qd JOIN cent USING (dim)
         |  GROUP BY query_id, cell),
         |probes AS (

@@ -89,7 +89,12 @@ object Stress {
     }
 
     // Bucketed mirror: one build-time shuffle, then the same full argmax
-    // with NO exchange — the repeated-read trade at scale.
+    // with NO exchange. The apples-to-apples baseline is the identical
+    // unfiltered argmax over the plain store (no facade filters), so the
+    // delta is attributable to the exchange alone.
+    timed("full argmax over plain store (same shape, with exchange)") {
+      operators.ReadShapes.latest(db.store.scanValues().drop("valid_month")).count()
+    }
     timed("build bucketed mirror (one-time shuffle)") {
       db.store.createBucketedMirror("stress_bucketed", nBuckets = cpus.toInt)
     }

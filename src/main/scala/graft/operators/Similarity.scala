@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,12 +77,19 @@ object Similarity {
     val qd = queries
       .select(col(idCol).as("query_id"), posexplode(col(vecCol)).as(Seq("dim", "qv")))
       .select(col("query_id"), col("dim"), col("qv").cast("double").as("qv"))
-    val denom = sqrt(sum(col("qv") * col("qv"))) * sqrt(sum(col("mean_v") * col("mean_v")))
+    // DECIMAL-summed dot products: a raw double SUM accumulates in
+    // partition-dependent order and a last-ulp difference at a cscore
+    // rounding boundary would flip which cell ranks nprobe-th — changing
+    // the whole probe set, not a last digit. Per-row products are
+    // deterministic doubles; the decimal cast + exact sum is
+    // order-independent in both engines.
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,12)")).cast("double")
+    val denom = sqrt(dsum(col("qv") * col("qv"))) * sqrt(dsum(col("mean_v") * col("mean_v")))
     val assign = qd.join(broadcast(centroids.select(col("cell"), col("dim"), col("mean_v"))), "dim")
       .groupBy(col("query_id"), col("cell"))
       .agg(round(
         when(denom === 0.0, lit(null))
-          .otherwise(sum(col("qv") * col("mean_v")) / denom), 4).as("cscore"))
+          .otherwise(dsum(col("qv") * col("mean_v")) / denom), 4).as("cscore"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc_nulls_last, col("cell").asc)
     val probes = assign

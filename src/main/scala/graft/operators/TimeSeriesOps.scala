@@ -200,20 +200,22 @@ object TimeSeriesOps {
 
   /** Each row with its seasonal baseline and residual (value − baseline)
     * — the anomaly signal against "normal for this hour". The profile is
-    * far smaller than the data (keys × 24) and broadcasts. */
+    * far smaller than the data (keys × 24) and broadcasts. Rows with a
+    * null key or timestamp keep a null baseline/residual (left join)
+    * rather than vanishing. */
   def seasonalResiduals(
       values: DataFrame,
       keyCol: String = "series_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
     val prof = seasonalProfile(values, keyCol, tsCol, valueCol)
-      .select(col(keyCol), col("slot"), col("mean_v"))
+      .select(col(keyCol), col("slot").as("__slot"), col("mean_v").as("__mean_v"))
     values
-      .withColumn("slot", hour(col(tsCol)))
-      .join(broadcast(prof), Seq(keyCol, "slot"))
+      .withColumn("__slot", hour(col(tsCol)))
+      .join(broadcast(prof), Seq(keyCol, "__slot"), "left")
       // + 0.0 after round: signed-zero normalization (see movingStats)
-      .withColumn("seasonal_mean", round(col("mean_v"), 6))
-      .withColumn("residual", round(col(valueCol) - col("mean_v"), 6) + lit(0.0))
-      .drop("slot", "mean_v")
+      .withColumn("seasonal_mean", round(col("__mean_v"), 6))
+      .withColumn("residual", round(col(valueCol) - col("__mean_v"), 6) + lit(0.0))
+      .drop("__slot", "__mean_v")
   }
 
   /** Per-series lag features for supervised training: one `lag_k` column
@@ -227,9 +229,10 @@ object TimeSeriesOps {
     val order: Seq[Column] =
       if (tieCol.isEmpty) Seq(col(tsCol)) else Seq(col(tsCol), col(tieCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
-    lags.foldLeft(values) { (df, k) =>
-      df.withColumn(s"lag_$k", lag(col(valueCol), k).over(w))
-    }
+    // one projection, not one withColumn per lag — a single analyzer pass
+    // and the same single Window node
+    values.select(col("*") +:
+      lags.map(k => lag(col(valueCol), k).over(w).as(s"lag_$k")): _*)
   }
 
   /** Per-series difference and rate of change: value − previous value,

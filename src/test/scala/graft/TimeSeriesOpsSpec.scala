@@ -153,7 +153,43 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .select("seasonal_mean", "residual").as[(Double, Double)].collect()
     assert(got(0) == ((15.0, -5.0))) // hour-5 mean 15
     assert(got(2) == ((15.0, 5.0)))
-    assert(got(1) == ((7.0, 0.0))) // hour-6 singleton, residual +0.0 not -0.0
+    assert(got(1) == ((7.0, 0.0))) // hour-6 singleton
+  }
+
+  test("seasonalResiduals: signed zero normalized bit-exactly; null ts row kept") {
+    // mean of {0.1, 0.3, 0.5} in double is 0.30000000000000004, so the
+    // 0.3 row's raw residual is a tiny NEGATIVE that rounds to -0.0
+    // without the + 0.0 normalization. IEEE == can't see the sign —
+    // compare raw bits.
+    val pts = Seq(
+      (1L, ts("2024-01-01T05:10:00Z"), 0.1),
+      (1L, ts("2024-01-01T05:20:00Z"), 0.3),
+      (1L, ts("2024-01-01T05:30:00Z"), 0.5))
+      .toDF("series_id", "ts", "value")
+    val r = TimeSeriesOps.seasonalResiduals(pts)
+      .filter(col("value") === 0.3).select("residual").as[Double].head()
+    assert(java.lang.Double.doubleToRawLongBits(r)
+      == java.lang.Double.doubleToRawLongBits(0.0), s"residual bits of $r")
+    // null-ts row survives with a null baseline instead of vanishing
+    val withNull = pts.unionByName(
+      Seq((1L, null.asInstanceOf[java.sql.Timestamp], 9.0)).toDF("series_id", "ts", "value"))
+    val out = TimeSeriesOps.seasonalResiduals(withNull)
+    assert(out.count() == 4)
+    assert(out.filter(col("ts").isNull).select("residual").head().isNullAt(0))
+  }
+
+  test("movingStats: zscore signed zero normalized bit-exactly") {
+    // window {0.1, 0.5, 0.3}: ma = 0.30000000000000004 → value − ma is a
+    // tiny negative → round gives -0.0 without the + 0.0 normalization
+    val pts = Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), 0.1),
+      (1L, ts("2024-01-01T00:01:00Z"), 0.5),
+      (1L, ts("2024-01-01T00:02:00Z"), 0.3))
+      .toDF("series_id", "ts", "value")
+    val z = TimeSeriesOps.movingStats(pts, windowRows = 3)
+      .filter(col("value") === 0.3).select("zscore").as[Double].head()
+    assert(java.lang.Double.doubleToRawLongBits(z)
+      == java.lang.Double.doubleToRawLongBits(0.0), s"zscore bits of $z")
   }
 
   test("lagFeatures: per-key offsets in one Window node") {
