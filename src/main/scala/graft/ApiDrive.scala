@@ -202,6 +202,18 @@ object ApiDrive {
       check("streaming failed batch landed nothing")(db.read(ReadFilter(Seq(78L))).count() == 0)
     }
 
+    // Compaction: micro-batch appends collapse, reads unchanged.
+    {
+      val preCount = db.read(ReadFilter(Seq(1L))).count()
+      val preFiles = db.store.scanValues().inputFiles.length
+      val compacted = db.compact(maxFiles = 2)
+      check("compaction rewrote at least one partition")(compacted.nonEmpty)
+      check("compaction reduced file count")(
+        db.store.scanValues().inputFiles.length < preFiles)
+      check("compaction preserved read results")(
+        db.read(ReadFilter(Seq(1L))).count() == preCount)
+    }
+
     // Bucketed mirror: same latest-read result, exchange-free plan.
     {
       db.store.createBucketedMirror("apidrive_bucketed", nBuckets = 4)

@@ -254,6 +254,11 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
   def expireRetention(asOf: Instant = Instant.now()): Seq[String] =
     store.expireRetention(asOf)
 
+  /** Small-file maintenance (streaming ingest appends one+ file per
+    * micro-batch); see [[graft.sources.SeriesStore.compactPartitions]]. */
+  def compact(maxFiles: Int = 4): Seq[String] =
+    store.compactPartitions(maxFiles)
+
   /** NaN→null mask at the API boundary (timedb/read.py:57-67): NaN is the
     * storage sentinel, null is the user-facing representation. */
   private def maskNaN(df: DataFrame): DataFrame =

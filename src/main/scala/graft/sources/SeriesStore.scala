@@ -130,6 +130,51 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
       .groupBy("series_id", "run_id")
       .agg(max("first_seen").as("first_seen"))
 
+  /** Small-file compaction, the operational complement of streaming
+    * ingest (each micro-batch appends at least one file per touched
+    * partition — a day of 1-minute batches is 1440 files). Every
+    * (retention, valid_month) directory holding more than `maxFiles`
+    * files is rewritten as sort-key-ordered files sized near
+    * `targetFileBytes` (ClickHouse's merge analog): range-repartition on
+    * the sort key (globally ordered files with tight row-group stats),
+    * write to a temp dir, then swap via two renames. The swap window is
+    * not transactional — run compaction when no concurrent writer
+    * targets the same month partition (old months are naturally quiet);
+    * a reader racing the swap can retry. Returns the partitions
+    * compacted.
+    */
+  def compactPartitions(maxFiles: Int = 4,
+      targetFileBytes: Long = 512L * 1024 * 1024): Seq[String] = {
+    val root = new Path(valuesPath)
+    if (!fs.exists(root)) return Seq.empty
+    val done = Seq.newBuilder[String]
+    for {
+      tierDir <- fs.listStatus(root).toSeq if tierDir.isDirectory
+      monthDir <- fs.listStatus(tierDir.getPath).toSeq if monthDir.isDirectory
+    } {
+      val files = fs.listStatus(monthDir.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length > maxFiles) {
+        val tmp = new Path(monthDir.getPath.getParent, s".compact_${monthDir.getPath.getName}")
+        fs.delete(tmp, true)
+        val totalBytes = files.map(_.getLen).sum
+        val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        spark.read.parquet(monthDir.getPath.toString)
+          .repartitionByRange(nOut, col("series_id"), col("valid_time"),
+            col("knowledge_time"), col("change_time"))
+          .sortWithinPartitions("series_id", "valid_time", "knowledge_time", "change_time")
+          .write.option("compression", "zstd").parquet(tmp.toString)
+        val old = new Path(monthDir.getPath.getParent, s".old_${monthDir.getPath.getName}")
+        fs.delete(old, true)
+        fs.rename(monthDir.getPath, old)
+        fs.rename(tmp, monthDir.getPath)
+        fs.delete(old, true)
+        done += s"${tierDir.getPath.getName}/${monthDir.getPath.getName}"
+      }
+    }
+    done.result()
+  }
+
   /** TTL expiry (ch_create_tables.sql:43-48): month-granular partition
     * drop, like ClickHouse's TTL-aligned partition delete. A
     * (retention=tier, valid_month=m) directory is dropped once every

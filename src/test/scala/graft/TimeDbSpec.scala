@@ -24,6 +24,29 @@ class TimeDbSpec extends SparkSpec {
     vts.zipWithIndex.map { case (vt, i) => (1L, vt, i * mult) }
       .toDF("series_id", "valid_time", "value")
 
+  test("compaction: many small appends collapse to few sorted files, data intact") {
+    withDb { db =>
+      // 6 separate writes to the same month partition = >= 6 files
+      (1 to 6).foreach { i =>
+        db.write(Seq((1L, ts(f"2024-03-01T0$i%01d:00:00Z"), i.toDouble))
+          .toDF("series_id", "valid_time", "value"), retention = Some("short"))
+      }
+      val before = db.store.scanValues().inputFiles.length
+      assert(before >= 6)
+      val pre = db.store.scanValues().drop("valid_month")
+        .orderBy("series_id", "valid_time", "knowledge_time", "change_time").collect().toSeq
+      val compacted = db.store.compactPartitions(maxFiles = 2)
+      assert(compacted.nonEmpty)
+      val after = db.store.scanValues().inputFiles.length
+      assert(after < before, s"$after vs $before")
+      val post = db.store.scanValues().drop("valid_month")
+        .orderBy("series_id", "valid_time", "knowledge_time", "change_time").collect().toSeq
+      assert(post == pre)
+      // below-threshold partitions are left alone
+      assert(db.store.compactPartitions(maxFiles = 2).isEmpty)
+    }
+  }
+
   test("bucketed mirror: same content, latest-read plans with no exchange") {
     withDb { db =>
       db.write(revision(10), knowledgeTime = Some(ts("2024-02-29T18:00:00Z")))
