@@ -45,6 +45,18 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming exact-dedup: drop rows whose key columns repeat within
+    * the watermark horizon — the streaming face of `Dedup.exact`, with
+    * state bounded by the horizon instead of the stream's history
+    * (`dropDuplicatesWithinWatermark` evicts each key's state once the
+    * watermark passes it). The standard guard in front of an
+    * at-least-once ingest source. */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+      eventTimeCol: String, delay: String): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Windowed streaming aggregation over the value stream: per-series
     * tumbling-window mean/count with a watermark for late data — the
     * standard Structured Streaming shape over the same schema. */

@@ -51,6 +51,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 9.0)))
   }
 
+  test("streaming dedup drops repeats across micro-batches within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val deduped = StreamingIngest.dedupStream(
+      mem.toDF().toDF("series_id", "valid_time", "value"),
+      keyCols = Seq("series_id", "valid_time"), eventTimeCol = "valid_time", delay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, ts("2024-03-01T00:00:00Z"), 1.0), (1L, ts("2024-03-01T00:00:00Z"), 1.0))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-03-01T00:00:00Z"), 1.0), (2L, ts("2024-03-01T00:10:00Z"), 2.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT series_id FROM dedup").as[Long].collect().toSeq.sorted
+    q.stop()
+    assert(rows == Seq(1L, 2L)) // in-batch AND cross-batch repeats dropped
+  }
+
   test("streaming sessionize: gap split, cross-batch disorder, watermark-final emission") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
