@@ -1365,6 +1365,47 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    ("x_dedup_incremental",
+      // Incremental ingest: docs 0..249 are the already-seen corpus; keep
+      // only genuinely new content from the rest (anti-join on digest).
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incrementalNew(
+          docs.filter(col("doc_id") >= 250),
+          Dedup.exact(docs.filter(col("doc_id") < 250)).select("digest"))
+          .select("doc_id", "digest")
+          .orderBy("doc_id")
+      },
+      Some("""WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250)
+        |SELECT doc_id, md5(text) AS digest
+        |FROM documents
+        |WHERE doc_id >= 250 AND md5(text) NOT IN (SELECT digest FROM seen)
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_text_normalize",
+      (s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))
+        .select("doc_id", "norm_text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_approx_quantiles",
+      // Sketch quantiles (GK, bounded error via accuracy param) beside
+      // the exact holistic percentile — constant state per group vs. a
+      // full sort of each group's values. Rows-only like
+      // x_approx_distinct; the error bound is spec-pinned.
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("approx_q"),
+          expr("percentile(value, array(0.5, 0.95))").as("exact_q"))
+        .orderBy("event_type"),
+      None),
+
     ("x_approx_distinct",
       // Approximate distinct (HyperLogLog++) next to the exact count —
       // the sketch the reference lacks but a 100 TB engine needs:

@@ -208,6 +208,19 @@ object Dedup {
     wide.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Incremental ingest dedup: keep only the docs of `incoming` whose
+    * content digest does NOT already appear in `seen` (a digest-keyed
+    * frame from prior batches). A left-anti join on the digest — the
+    * shape that keeps continuous corpus ingestion O(batch), shuffling
+    * the batch against the (bloom-filterable) digest index instead of
+    * re-deduping history. */
+  def incrementalNew(incoming: DataFrame, seen: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      seenDigestCol: String = "digest"): DataFrame =
+    incoming
+      .withColumn("digest", md5(col(textCol).cast("binary")))
+      .join(seen.select(col(seenDigestCol).as("digest")), Seq("digest"), "left_anti")
+
   /** SimHash near-dup pairs (X2): Hamming-proximity search banded by the
     * pigeonhole principle. Two `bits`-bit fingerprints within
     * `maxHamming` differing bits must agree EXACTLY on at least one of

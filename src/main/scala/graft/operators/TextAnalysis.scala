@@ -105,6 +105,14 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
 
+  /** Canonical text normalization — the preprocessing step every dedup /
+    * fingerprint pass should share so near-identical docs actually
+    * collide: lowercase, strip non-alphanumerics to spaces, collapse
+    * runs, trim. Pure codegen projection. */
+  def normalize(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.withColumn("norm_text",
+      trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), " +", " ")))
+
   /** TF-IDF weights per (doc, term) — the standard relevance weight for
     * retrieval/curation. tf = in-doc count; idf = ln((N+1)/(df+1)) + 1
     * (smoothed — never divides by zero, unseen-term safe). Two

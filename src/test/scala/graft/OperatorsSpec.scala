@@ -229,6 +229,31 @@ class OperatorsSpec extends SparkSpec {
     assert(rare._4 == 1L && math.abs(rare._5 - 1.693147) < 1e-6)
   }
 
+  test("incrementalNew keeps only unseen digests") {
+    val seen = Dedup.exact(docs.filter(col("doc_id") <= 2)).select("digest")
+    val got = Dedup.incrementalNew(docs.filter(col("doc_id") >= 2), seen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L)) // doc 2's text == doc 1's → already seen
+  }
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val d = Seq((1L, "  Hello,   WORLD!! 42 ")).toDF("doc_id", "text")
+    val got = TextAnalysis.normalize(d).select("norm_text").as[String].head()
+    assert(got == "hello world 42")
+  }
+
+  test("approx_percentile stays near the exact percentile") {
+    val df = spark.range(100000).select((col("id") % 1000).cast("double").as("v"))
+    val r = df.agg(
+      expr("approx_percentile(v, array(0.5, 0.95), 1000)"),
+      expr("percentile(v, array(0.5, 0.95))")).head()
+    val approx = r.getSeq[Double](0)
+    val exact = r.getSeq[Double](1)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= 10.0, s"approx=$a exact=$e") // 1% of the 0..999 domain
+    }
+  }
+
   test("approx_count_distinct stays within its error bound at 20k ids") {
     val df = spark.range(100000).select(
       (col("id") % 5).cast("string").as("grp"), (col("id") % 20000).as("uid"))
