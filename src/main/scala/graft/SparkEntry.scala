@@ -808,7 +808,8 @@ object SparkEntry {
       (s, dir) => Similarity.cellCentroids(Tables.embeddings(s, dir))
         .orderBy("cell", "dim"),
       Some("""SELECT label AS cell, d.d - 1 AS dim,
-        |  round(AVG(CAST(embedding[d.d] AS DOUBLE)), 6) AS mean_v,
+        |  round(CAST(SUM(CAST(CAST(embedding[d.d] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_v,
         |  COUNT(*) AS n_vectors
         |FROM embeddings, generate_series(1, 64) d(d)
         |GROUP BY label, d.d
@@ -1248,7 +1249,8 @@ object SparkEntry {
       },
       Some("""WITH cent AS (
         |  SELECT label AS cell, d.i - 1 AS dim,
-        |         round(AVG(CAST(embedding[d.i] AS DOUBLE)), 6) AS mean_v
+        |         round(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |           / COUNT(*), 6) AS mean_v
         |  FROM embeddings, generate_series(1, 64) d(i)
         |  GROUP BY label, d.i),
         |qd AS (
@@ -1401,8 +1403,10 @@ object SparkEntry {
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("approx_q"),
-          expr("percentile(value, array(0.5, 0.95))").as("exact_q"))
+          expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+          expr("approx_percentile(value, 0.95, 1000)").as("approx_p95"),
+          expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("percentile(value, 0.95)").as("exact_p95"))
         .orderBy("event_type"),
       None),
 

@@ -65,7 +65,7 @@ object Stress {
     }
     Profiling.disable(); Profiling.reset()
 
-    val nParts = spark.read.parquet(db.store.valuesPath).inputFiles.length
+    val nParts = db.store.scanValues().inputFiles.length
     println(s"[stress] store files: $nParts")
 
     timed("latest read, 1k-series slice") {

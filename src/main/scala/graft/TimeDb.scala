@@ -259,6 +259,12 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
   def compact(maxFiles: Int = 4): Seq[String] =
     store.compactPartitions(maxFiles)
 
+  /** Reclaim storage unreferenced by the retained snapshot tail
+    * (superseded compaction inputs, expired months, crashed writes);
+    * see [[graft.sources.SeriesStore.vacuum]]. */
+  def vacuum(keepManifests: Int = 2): Seq[String] =
+    store.vacuum(keepManifests)
+
   /** NaN→null mask at the API boundary (timedb/read.py:57-67): NaN is the
     * storage sentinel, null is the user-facing representation. */
   private def maskNaN(df: DataFrame): DataFrame =

@@ -38,23 +38,30 @@ object Curation {
     * `fixedThresholds`: when the priority domain is known (e.g. a score
     * in [0,1]), pass explicit bucket boundaries and the quantile
     * estimation pass — a full scan — is skipped. Bucket BALANCE then
-    * depends on the score distribution, but correctness never does. */
+    * depends on the score distribution, but correctness never does.
+    *
+    * `materialize`: whether to localCheckpoint the input so the multiple
+    * passes below don't recompute an expensive upstream pipeline.
+    * Default: materialize only on the quantile path (three passes);
+    * with fixed thresholds only two passes remain and for a cheap input
+    * the checkpoint write costs more than the recompute it saves. */
   def runningTotalByPriority(df: DataFrame, priorityCol: String, tieCol: String,
       valueCol: String, out: String, buckets: Int = 0,
-      fixedThresholds: Array[Double] = Array.empty): DataFrame = {
+      fixedThresholds: Array[Double] = Array.empty,
+      materialize: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(Seq(ByteType, ShortType, IntegerType, LongType)
       .contains(df.schema(valueCol).dataType),
       s"runningTotalByPriority needs an integral value column, got " +
         df.schema(valueCol).dataType.simpleString)
-    // Three passes follow (quantiles, partials, final); materialize the
-    // input once so an expensive upstream pipeline isn't recomputed per
-    // pass. localCheckpoint blocks are reclaimed by the ContextCleaner
-    // when the result is dropped; callers on clusters with dynamic
-    // allocation (where checkpoint blocks can die with executors) should
-    // pass an already-persisted input, which we use as-is.
+    // localCheckpoint blocks are reclaimed by the ContextCleaner when the
+    // result is dropped; callers on clusters with dynamic allocation
+    // (where checkpoint blocks can die with executors) should pass an
+    // already-persisted input, which we use as-is.
+    val wantMaterialize = materialize.getOrElse(fixedThresholds.isEmpty)
     val input =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.localCheckpoint()
+      if (wantMaterialize &&
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.localCheckpoint()
       else df
     val spark = df.sparkSession
     val nBuckets =
@@ -108,7 +115,10 @@ object Curation {
   /** Greedy token-budget cut: keep the highest-priority prefix whose
     * cumulative `valueCol` stays within `budget`. */
   def budgetCut(df: DataFrame, priorityCol: String, tieCol: String,
-      valueCol: String, budget: Long, buckets: Int = 0): DataFrame =
-    runningTotalByPriority(df, priorityCol, tieCol, valueCol, "running_total", buckets)
+      valueCol: String, budget: Long, buckets: Int = 0,
+      fixedThresholds: Array[Double] = Array.empty,
+      materialize: Option[Boolean] = None): DataFrame =
+    runningTotalByPriority(df, priorityCol, tieCol, valueCol, "running_total", buckets,
+      fixedThresholds, materialize)
       .filter(col("running_total") <= budget)
 }

@@ -115,13 +115,21 @@ object Similarity {
     * the embedding vectors per coarse cell, computed dimension-wise via
     * posexplode + one aggregate (no driver-side vectors). Output is the
     * flat (cell, dim, mean) form, engine-portable and directly joinable
-    * for assignment. */
+    * for assignment.
+    *
+    * The mean goes through a DECIMAL sum (order-independent), then ONE
+    * double division — a plain double `avg` accumulates in
+    * partition-dependent order, and a last-ulp flip at a rounding
+    * boundary of `mean_v` would ripple into every downstream probe-set
+    * decision. Same discipline as [[ivfProbeTopK]]'s assignment. */
   def cellCentroids(emb: DataFrame,
       vecCol: String = "embedding", cellCol: String = "label"): DataFrame =
     emb
       .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col("cell"), col("dim"))
-      .agg(round(avg(col("v").cast("double")), 6).as("mean_v"),
+      .agg(
+        round(sum(col("v").cast("double").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("mean_v"),
         count(lit(1)).as("n_vectors"))
 
   /** Random-hyperplane LSH bucketing: sign-bit sketch of the embedding

@@ -1,8 +1,9 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Physical storage for the two tables, on any Hadoop-compatible
   * filesystem (local dir here; HDFS/S3 on a cluster — all paths go
@@ -20,6 +21,35 @@ import org.apache.spark.sql.functions._
   *    the MergeTree sort key: Parquet row-group min/max stats on
   *    series_id/valid_time let the reader skip row groups, and ZSTD +
   *    dictionary/RLE encodings replace the per-column codecs.
+  *
+  * ==Snapshot manifests==
+  *
+  * `series_values` visibility is gated by a tiny versioned manifest
+  * (`_manifests/v<NNNNNNNN>.list`, one relative data-file path per line)
+  * — the same commit discipline as a table-format log (Delta/Iceberg),
+  * scaled down to what this store needs. Every mutation follows
+  * write-ahead ordering:
+  *
+  *   1. new data files are written under `_staging/<uuid>/` and MOVED
+  *      (per-file rename) into their partition directory — invisible to
+  *      readers, who only read manifest-listed files;
+  *   2. the next manifest version is written to a dot-temp file and
+  *      RENAMED into place — the single atomic commit point;
+  *   3. superseded files are NOT deleted at commit: in-flight readers
+  *      planned against an older manifest keep reading them. [[vacuum]]
+  *      reclaims files unreferenced by the retained manifest tail.
+  *
+  * A crash at any step leaves either the old manifest (uncommitted data
+  * files are invisible garbage for [[vacuum]]) or the new one (complete).
+  * Readers therefore never observe a partially-compacted or half-expired
+  * month — the non-transactional rename-swap window of the previous
+  * design is gone. Writers are single-writer-per-table (the reference's
+  * deployment shape); the rename-commit fails on a version collision on
+  * filesystems with atomic no-overwrite rename (HDFS), which is the
+  * cheap guard — multi-writer deployments need a real lock/CAS service.
+  *
+  * `run_series` stays a plain append-only parquet directory: it is never
+  * rewritten, so directory listing is already safe for it.
   */
 final class SeriesStore(spark: SparkSession, basePath: String) {
 
@@ -28,15 +58,99 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
 
   private def fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Idempotent create (timedb/client.py:106-118): materialize both table
-    * directories with their schemas via an empty partition-structured
-    * write, so reads before any data arrives see the right schema. */
-  def create(): Unit = {
-    if (!fs.exists(new Path(valuesPath))) {
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema.seriesValues)
-      appendValues(empty)
+  private def valuesRoot = fs.makeQualified(new Path(valuesPath))
+  private def manifestsDir = new Path(valuesRoot, "_manifests")
+  private def stagingRoot = new Path(valuesRoot, "_staging")
+
+  /** Columns physically present in the data files: everything except the
+    * two partition columns (`retention` lives in the dir name;
+    * `valid_month` likewise). */
+  private val dataFileSchema: StructType =
+    StructType(Schema.seriesValues.filterNot(_.name == "retention"))
+
+  private val ManifestName = raw"v(\d{8})\.list".r
+
+  private def manifestVersions(): Seq[(Long, Path)] = {
+    if (!fs.exists(manifestsDir)) return Seq.empty
+    fs.listStatus(manifestsDir).toSeq.collect {
+      case st if st.isFile =>
+        st.getPath.getName match {
+          case ManifestName(v) => Some(v.toLong -> st.getPath)
+          case _ => None
+        }
+    }.flatten.sortBy(_._1)
+  }
+
+  private def readManifest(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** Relative paths of the data files in the CURRENT snapshot. */
+  def currentFiles(): Seq[String] =
+    manifestVersions().lastOption.map { case (_, p) => readManifest(p) }.getOrElse(Seq.empty)
+
+  /** The atomic commit point: write the full file list as the next
+    * manifest version (dot-temp + rename). */
+  private def commitManifest(files: Seq[String]): Long = {
+    fs.mkdirs(manifestsDir)
+    val next = manifestVersions().lastOption.map(_._1 + 1L).getOrElse(1L)
+    val tmp = new Path(manifestsDir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(manifestsDir, f"v$next%08d.list")
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest commit collision at $target — concurrent writer on single-writer table")
     }
+    next
+  }
+
+  private def newStagingDir(): Path =
+    new Path(stagingRoot, java.util.UUID.randomUUID().toString)
+
+  /** Recursively list real data files (skips `_SUCCESS`, dot-temps). */
+  private def dataFiles(dir: Path): Seq[FileStatus] = {
+    val out = Seq.newBuilder[FileStatus]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith(".") && !n.startsWith("_")) out += f
+    }
+    out.result()
+  }
+
+  /** Move every staged data file into its partition directory and return
+    * the relative paths. The moves land BEFORE the manifest commit, so
+    * readers cannot see them early. */
+  private def promoteStaged(staging: Path): Seq[String] = {
+    val qStaging = fs.makeQualified(staging)
+    dataFiles(qStaging).map { f =>
+      val rel = f.getPath.toString.stripPrefix(qStaging.toString + "/")
+      val dst = new Path(valuesRoot, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(f.getPath, dst))
+        throw new IllegalStateException(s"failed to move staged file to $dst")
+      rel
+    }
+  }
+
+  /** Idempotent create (timedb/client.py:106-118): an empty snapshot for
+    * series_values, an empty (schema-bearing) parquet dir for
+    * run_series, so reads before any data arrives see the right
+    * schemas. */
+  def create(): Unit = {
+    if (manifestVersions().isEmpty) commitManifest(Seq.empty)
     if (!fs.exists(new Path(runSeriesPath))) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema.runSeries)
@@ -51,7 +165,8 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     ()
   }
 
-  /** Append a stamped batch to series_values.
+  /** Append a stamped batch to series_values: stage → move → one
+    * manifest commit (see class doc).
     *
     * `repartition(retention, valid_month)` routes each physical partition's
     * rows to one task (no small-file explosion when a batch spans many
@@ -61,27 +176,42 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     * already task-parallel.
     */
   def appendValues(stamped: DataFrame): Unit = {
+    val staging = newStagingDir()
     stamped
       .withColumn("valid_month", Schema.monthOf(col("valid_time")))
       .repartition(col("retention"), col("valid_month"))
       .sortWithinPartitions("series_id", "valid_time", "knowledge_time", "change_time")
       .write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
       .partitionBy(Schema.partitionColumns: _*)
       .option("compression", "zstd")
-      .parquet(valuesPath)
+      .parquet(staging.toString)
+    try {
+      val added = promoteStaged(staging)
+      if (added.nonEmpty) commitManifest(currentFiles() ++ added)
+    } finally {
+      fs.delete(staging, true)
+      ()
+    }
   }
 
   def appendRunSeries(rs: DataFrame): Unit =
     rs.write.mode(SaveMode.Append).option("compression", "zstd").parquet(runSeriesPath)
 
-  /** Scan series_values with `retention` (a partition column) restored as
-    * a regular data column. `valid_month` stays available for manual
-    * pruning; readers project it away. */
-  def scanValues(): DataFrame =
-    spark.read.schema(
-      Schema.seriesValues.add("valid_month", org.apache.spark.sql.types.StringType)
-    ).parquet(valuesPath)
+  /** Scan series_values — the CURRENT snapshot's files, with `retention`
+    * and `valid_month` recovered from the partition paths (`basePath`
+    * keeps Catalyst's partition pruning on both). `valid_month` stays
+    * available for manual pruning; readers project it away. */
+  def scanValues(): DataFrame = {
+    val schema = Schema.seriesValues.add("valid_month", StringType)
+    val files = currentFiles()
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .option("basePath", valuesRoot.toString)
+        .parquet(files.map(f => s"$valuesRoot/$f"): _*)
+  }
 
   /** Bucketed mirror of series_values for SHUFFLE-FREE series-keyed
     * reads. Spark's bucketed tables expose `HashPartitioning(series_id,
@@ -96,25 +226,42 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     * so per-key windows need only a cheap partial sort.
     *
     * The mirror is an EXTERNAL table (data under basePath, metadata in
-    * whatever catalog the session has — in-memory works); rebuild after
-    * appends, like any materialized layout. */
+    * whatever catalog the session has — in-memory works). Each rebuild
+    * writes a fresh versioned directory (`bucketed/<name>/v<millis>`)
+    * and re-points the catalog entry only after the write completes, so
+    * a reader holding the previous mirror's plan keeps its files; prior
+    * version dirs are dropped on the NEXT rebuild (keep-one grace),
+    * mirroring the manifest vacuum discipline. Rebuild after appends,
+    * like any materialized layout. */
   def createBucketedMirror(tableName: String, nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(tableName.matches("[A-Za-z0-9_]+"), s"unsafe table name: $tableName")
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    // per-table data dir: a second mirror must never rewrite the first
-    // one's files out from under its catalog entry
-    val path = new Path(s"$basePath/bucketed/$tableName")
-    fs.delete(path, true)
+    val tableRoot = new Path(s"$basePath/bucketed/$tableName")
+    val versions =
+      if (fs.exists(tableRoot))
+        fs.listStatus(tableRoot).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("v"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+      else Seq.empty
+    val next = (versions.sorted.lastOption.getOrElse(0L)) + 1L
+    val path = new Path(tableRoot, s"v$next")
     scanValues()
       .drop("valid_month")
       .write
       .format("parquet")
+      .mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("path", path.toString)
       .bucketBy(nBuckets, "series_id")
       .sortBy("series_id", "valid_time")
-      .saveAsTable(tableName)
+      .saveAsTable(s"${tableName}__v$next")
+    // swap the public name to the new version, then drop version dirs
+    // older than the one we just superseded (keep-one grace window).
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"ALTER TABLE ${tableName}__v$next RENAME TO $tableName")
+    versions.sorted.dropRight(1).foreach { v =>
+      fs.delete(new Path(tableRoot, s"v$v"), true)
+    }
   }
 
   /** The bucketed mirror as a DataFrame (bucket partitioning visible to
@@ -130,77 +277,125 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
       .groupBy("series_id", "run_id")
       .agg(max("first_seen").as("first_seen"))
 
+  private def dirOf(rel: String): String = rel.substring(0, rel.lastIndexOf('/'))
+
   /** Small-file compaction, the operational complement of streaming
     * ingest (each micro-batch appends at least one file per touched
     * partition — a day of 1-minute batches is 1440 files). Every
-    * (retention, valid_month) directory holding more than `maxFiles`
-    * files is rewritten as sort-key-ordered files sized near
+    * (retention, valid_month) partition holding more than `maxFiles`
+    * live files is rewritten as sort-key-ordered files sized near
     * `targetFileBytes` (ClickHouse's merge analog): range-repartition on
     * the sort key (globally ordered files with tight row-group stats),
-    * write to a temp dir, then swap via two renames. The swap window is
-    * not transactional — run compaction when no concurrent writer
-    * targets the same month partition (old months are naturally quiet);
-    * a reader racing the swap can retry. Returns the partitions
-    * compacted.
+    * stage, move in, then swap via ONE manifest commit per partition.
+    * Readers racing the swap keep the old file set (still on disk until
+    * [[vacuum]]) — no retry needed. Returns the partitions compacted.
     */
   def compactPartitions(maxFiles: Int = 4,
       targetFileBytes: Long = 512L * 1024 * 1024): Seq[String] = {
-    val root = new Path(valuesPath)
-    if (!fs.exists(root)) return Seq.empty
     val done = Seq.newBuilder[String]
-    for {
-      tierDir <- fs.listStatus(root).toSeq if tierDir.isDirectory
-      monthDir <- fs.listStatus(tierDir.getPath).toSeq if monthDir.isDirectory
-    } {
-      val files = fs.listStatus(monthDir.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (files.length > maxFiles) {
-        val tmp = new Path(monthDir.getPath.getParent, s".compact_${monthDir.getPath.getName}")
-        fs.delete(tmp, true)
-        val totalBytes = files.map(_.getLen).sum
-        val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-        spark.read.parquet(monthDir.getPath.toString)
-          .repartitionByRange(nOut, col("series_id"), col("valid_time"),
-            col("knowledge_time"), col("change_time"))
-          .sortWithinPartitions("series_id", "valid_time", "knowledge_time", "change_time")
-          .write.option("compression", "zstd").parquet(tmp.toString)
-        val old = new Path(monthDir.getPath.getParent, s".old_${monthDir.getPath.getName}")
-        fs.delete(old, true)
-        fs.rename(monthDir.getPath, old)
-        fs.rename(tmp, monthDir.getPath)
-        fs.delete(old, true)
-        done += s"${tierDir.getPath.getName}/${monthDir.getPath.getName}"
+    var live = currentFiles()
+    val groups = live.groupBy(dirOf).toSeq.sortBy(_._1)
+    for ((dir, rels) <- groups if rels.length > maxFiles) {
+      val abs = rels.map(r => new Path(valuesRoot, r))
+      val totalBytes = abs.map(p => fs.getFileStatus(p).getLen).sum
+      val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val staging = newStagingDir()
+      spark.read.schema(dataFileSchema).parquet(abs.map(_.toString): _*)
+        .repartitionByRange(nOut, col("series_id"), col("valid_time"),
+          col("knowledge_time"), col("change_time"))
+        .sortWithinPartitions("series_id", "valid_time", "knowledge_time", "change_time")
+        .write.option("compression", "zstd").parquet(staging.toString)
+      try {
+        // staged layout is flat; the files belong to this partition dir
+        val added = promoteStagedInto(staging, dir)
+        live = live.filterNot(rels.toSet) ++ added
+        commitManifest(live)
+      } finally {
+        fs.delete(staging, true)
+        ()
       }
+      done += dir
     }
     done.result()
   }
 
+  /** Like [[promoteStaged]] for a flat (non-partitioned) staging dir
+    * whose files all belong to partition directory `dir`. */
+  private def promoteStagedInto(staging: Path, dir: String): Seq[String] = {
+    dataFiles(fs.makeQualified(staging)).map { f =>
+      val rel = s"$dir/${f.getPath.getName}"
+      val dst = new Path(valuesRoot, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(f.getPath, dst))
+        throw new IllegalStateException(s"failed to move staged file to $dst")
+      rel
+    }
+  }
+
+  /** Garbage collection: delete manifests older than the retained tail
+    * and any on-disk data file no retained manifest references —
+    * superseded compaction inputs, expired months, files from crashed
+    * (uncommitted) writes, staging leftovers. `keepManifests >= 2` gives
+    * readers planned against the previous snapshot a grace window; run
+    * vacuum on a schedule longer than your longest query, the same
+    * contract as table-format VACUUM/expire-snapshots. Returns deleted
+    * relative paths. */
+  def vacuum(keepManifests: Int = 2): Seq[String] = {
+    require(keepManifests >= 1, "must keep at least the current manifest")
+    val versions = manifestVersions()
+    if (versions.isEmpty) return Seq.empty
+    val keep = versions.takeRight(keepManifests)
+    val liveSet = keep.flatMap { case (_, p) => readManifest(p) }.toSet
+    versions.dropRight(keep.length).foreach { case (_, p) => fs.delete(p, false) }
+    if (fs.exists(stagingRoot))
+      fs.listStatus(stagingRoot).foreach(d => fs.delete(d.getPath, true))
+    val deleted = Seq.newBuilder[String]
+    for {
+      tierDir <- fs.listStatus(valuesRoot).toSeq
+      if tierDir.isDirectory && !tierDir.getPath.getName.startsWith("_")
+      monthDir <- fs.listStatus(tierDir.getPath).toSeq if monthDir.isDirectory
+    } {
+      val dir = s"${tierDir.getPath.getName}/${monthDir.getPath.getName}"
+      fs.listStatus(monthDir.getPath).filter(_.isFile).foreach { f =>
+        val rel = s"$dir/${f.getPath.getName}"
+        if (!liveSet.contains(rel)) {
+          fs.delete(f.getPath, false)
+          deleted += rel
+        }
+      }
+      if (fs.listStatus(monthDir.getPath).isEmpty) fs.delete(monthDir.getPath, false)
+      if (fs.listStatus(tierDir.getPath).isEmpty) fs.delete(tierDir.getPath, false)
+    }
+    deleted.result()
+  }
+
   /** TTL expiry (ch_create_tables.sql:43-48): month-granular partition
     * drop, like ClickHouse's TTL-aligned partition delete. A
-    * (retention=tier, valid_month=m) directory is dropped once every
+    * (retention=tier, valid_month=m) partition is dropped once every
     * possible valid_time in month m is past its TTL, i.e.
     * lastDay(m) + ttlDays(tier) < asOf. `forever` never expires.
-    * Returns the dropped partition directory names.
+    * The drop is ONE manifest commit (readers never see a half-expired
+    * tier); the physical bytes are reclaimed by [[vacuum]]. Returns the
+    * dropped partition directory names.
     */
   def expireRetention(asOf: java.time.Instant): Seq[String] = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMM")
-    val root = new Path(valuesPath)
-    if (!fs.exists(root)) return Seq.empty
-    val dropped = Seq.newBuilder[String]
-    for {
-      tierDir <- fs.listStatus(root).toSeq if tierDir.isDirectory
-      tier = tierDir.getPath.getName.stripPrefix("retention=")
-      ttl <- Schema.ttlDays.get(tier).toSeq // 'forever' absent → never expires
-      monthDir <- fs.listStatus(tierDir.getPath).toSeq if monthDir.isDirectory
-      month = monthDir.getPath.getName.stripPrefix("valid_month=")
-    } {
-      val ym = java.time.YearMonth.parse(month, fmt)
-      val monthEnd = ym.atEndOfMonth().plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
-      if (monthEnd.plus(java.time.Duration.ofDays(ttl.toLong)).isBefore(asOf)) {
-        fs.delete(monthDir.getPath, true)
-        dropped += s"retention=$tier/valid_month=$month"
+    val live = currentFiles()
+    val expired = live.map(dirOf).distinct.filter { dir =>
+      val parts = dir.split('/')
+      val tier = parts(0).stripPrefix("retention=")
+      val month = parts(1).stripPrefix("valid_month=")
+      Schema.ttlDays.get(tier).exists { ttl => // 'forever' absent → never expires
+        val ym = java.time.YearMonth.parse(month, fmt)
+        val monthEnd = ym.atEndOfMonth().plusDays(1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+        monthEnd.plus(java.time.Duration.ofDays(ttl.toLong)).isBefore(asOf)
       }
+    }.sorted
+    if (expired.nonEmpty) {
+      val gone = expired.toSet
+      commitManifest(live.filterNot(f => gone.contains(dirOf(f))))
     }
-    dropped.result()
+    expired
   }
 }

@@ -24,11 +24,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Replaying a bounded stream yields exactly the sessions of
   * `TimeSeriesOps.sessionize` + groupBy on the equivalent static frame
   * — including cross-batch disorder — pinned by `StreamingSpec`.
+  * Session sums accumulate as exact decimals (each value rounded once to
+  * 18 fractional digits on entry), so `sum_value` is independent of
+  * batch-arrival merge order; it equals the batch double sum whenever
+  * that sum is exact, and matches it to the double rounding of the exact
+  * total otherwise. Values must fit decimal(38,18) (state encoding).
   */
 object StreamingSessionize {
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
-  case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: Double)
+  case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: java.math.BigDecimal)
   case class SessState(open: List[OpenSession])
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_value: Double)
@@ -47,7 +52,7 @@ object StreamingSessionize {
     sessions.sortBy(s => (s.startUs, s.endUs)).foldLeft(List.empty[OpenSession]) {
       case (prev :: rest, s) if s.startUs - prev.endUs <= gapUs =>
         prev.copy(endUs = math.max(prev.endUs, s.endUs),
-          n = prev.n + s.n, sum = prev.sum + s.sum) :: rest
+          n = prev.n + s.n, sum = prev.sum.add(s.sum)) :: rest
       case (acc, s) => s :: acc
     }.reverse
 
@@ -63,8 +68,11 @@ object StreamingSessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, events: Iterator[Ev], state: GroupState[SessState]) =>
           def close(s: OpenSession): Session =
-            Session(uid, tsOf(s.startUs), tsOf(s.endUs), s.n, s.sum)
-          val incoming = events.map(e => OpenSession(us(e.ts), us(e.ts), 1, e.value)).toList
+            Session(uid, tsOf(s.startUs), tsOf(s.endUs), s.n, s.sum.doubleValue)
+          // One rounding per EVENT (not per merge): sums of scale-18
+          // decimals are exact, so the total is merge-order-independent.
+          val incoming = events.map(e => OpenSession(us(e.ts), us(e.ts), 1,
+            new java.math.BigDecimal(e.value).setScale(18, java.math.RoundingMode.HALF_EVEN))).toList
           val open = merge(state.getOption.map(_.open).getOrElse(Nil) ++ incoming, gapUs)
           // A session is final iff the watermark passed end + gap: any
           // surviving event has ts >= watermark > end + gap, too late to

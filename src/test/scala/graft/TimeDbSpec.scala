@@ -47,6 +47,52 @@ class TimeDbSpec extends SparkSpec {
     }
   }
 
+  test("manifest snapshots: concurrent readers never see a partial month; vacuum reclaims") {
+    withDb { db =>
+      (1 to 6).foreach { i =>
+        db.write(Seq((1L, ts(f"2024-03-01T0$i%01d:00:00Z"), i.toDouble))
+          .toDF("series_id", "valid_time", "value"), retention = Some("short"))
+      }
+      val expectedRows = db.store.scanValues().count()
+      val expectedSum = db.store.scanValues().agg(sum("value")).head().getDouble(0)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      @volatile var stop = false
+      val reader = new Thread(() => {
+        while (!stop) {
+          try {
+            val agg = db.store.scanValues().agg(count(lit(1)), sum("value")).head()
+            if (agg.getLong(0) != expectedRows || agg.getDouble(1) != expectedSum)
+              errors.add(s"partial snapshot: rows=${agg.getLong(0)} sum=${agg.getDouble(1)}")
+          } catch { case t: Throwable => errors.add(t.toString) }
+        }
+      })
+      reader.start()
+      try {
+        val compacted = db.store.compactPartitions(maxFiles = 2)
+        assert(compacted.nonEmpty)
+        Thread.sleep(300) // let the reader also observe the post-commit snapshot
+      } finally { stop = true; reader.join() }
+      assert(errors.isEmpty, s"racing reader observed: ${errors.toArray.mkString("; ")}")
+
+      // a stray (crashed-write) file in the month dir is invisible to readers
+      val monthDir = new org.apache.hadoop.fs.Path(
+        db.store.scanValues().inputFiles.head).getParent
+      val fs = monthDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val liveBefore = db.store.scanValues().inputFiles.length
+      val stray = new org.apache.hadoop.fs.Path(monthDir, "part-stray-uncommitted.parquet")
+      val out = fs.create(stray); out.write(Array[Byte](1, 2, 3)); out.close()
+      assert(db.store.scanValues().inputFiles.length == liveBefore)
+
+      // vacuum removes superseded + stray files, keeps the live snapshot
+      val removed = db.store.vacuum(keepManifests = 1)
+      assert(removed.nonEmpty && removed.exists(_.endsWith("part-stray-uncommitted.parquet")))
+      assert(db.store.scanValues().count() == expectedRows)
+      assert(db.store.scanValues().agg(sum("value")).head().getDouble(0) == expectedSum)
+      // on-disk files now equal the manifest exactly
+      assert(db.store.vacuum(keepManifests = 1).isEmpty)
+    }
+  }
+
   test("bucketed mirror: same content, latest-read plans with no exchange") {
     withDb { db =>
       db.write(revision(10), knowledgeTime = Some(ts("2024-02-29T18:00:00Z")))
