@@ -56,6 +56,29 @@ object SparkEntry {
       |  JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2)""".stripMargin
 
+  /** Oracle CTE chain for the IVF index: decimal-mean centroids →
+    * float-quantized centroid vectors → per-(vector, cell) cosine
+    * `scores` — the SQL mirror of `Similarity.cellCentroids` →
+    * `centroidVectors` → `centroidScores`. The float round-trip on the
+    * centroid matches Spark's `cast("array<float>")`; `+ 0.0`
+    * normalizes IEEE −0.0 on both engines. */
+  private val IvfScoreCtes: String =
+    """cent AS (
+      |  SELECT label AS cell, d.i - 1 AS dim,
+      |         round(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+      |           / COUNT(*), 6) AS mean_v
+      |  FROM embeddings, generate_series(1, 64) d(i)
+      |  GROUP BY label, d.i),
+      |cvec AS (
+      |  SELECT cell, CAST(CAST(list(mean_v ORDER BY dim) AS FLOAT[]) AS DOUBLE[]) AS centroid
+      |  FROM cent GROUP BY cell),
+      |scores AS (
+      |  SELECT e.vec_id, c.cell,
+      |         round(list_inner_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+      |           / NULLIF(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |              * sqrt(list_inner_product(c.centroid, c.centroid)), 0), 4) + 0.0 AS cscore
+      |  FROM embeddings e, cvec c)""".stripMargin
+
   private def maskNaN(df: DataFrame): DataFrame =
     df.withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
 
@@ -704,6 +727,54 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    ("x_dedup_lsh_verified",
+      // Generate-then-verify: LSH banding proposes candidates, exact
+      // Jaccard on ONLY those pairs drops the banding false-positives.
+      (s, dir) => Dedup.minHashLshVerified(Tables.documents(s, dir),
+        n = 2, numHashes = 16, bands = 8, threshold = 0.2)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val perms = (0 until 16).map { i =>
+          val (a, b) = Portable.minHashCoeffs(i)
+          s"($i, $a, $b)"
+        }.mkString(", ")
+        s"""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM ft, generate_series(1, 2000) g(i)
+        |  WHERE g.i <= len(t) - 1),
+        |perms(i, a, b) AS (VALUES $perms),
+        |sigs AS (
+        |  SELECT doc_id, i, min((a * sh + b) % 2147483647) AS sig
+        |  FROM grams, perms GROUP BY doc_id, i),
+        |banded AS (
+        |  SELECT doc_id, i // 2 AS band, string_agg(sig::VARCHAR, ',' ORDER BY i) AS band_key
+        |  FROM sigs GROUP BY doc_id, i // 2),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+        |toks AS (SELECT DISTINCT doc_id, sh FROM grams),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN toks a ON a.doc_id = c.id_a
+        |  JOIN toks b ON b.doc_id = c.id_b AND b.sh = a.sh
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     ("x_simhash",
       (s, dir) => Dedup.simHash(Tables.documents(s, dir), n = 2)
         .orderBy("doc_id"),
@@ -1238,49 +1309,60 @@ object SparkEntry {
         |FROM tf JOIN df USING (token), n
         |ORDER BY doc_id, token""".stripMargin)),
 
-    ("x_ann_ivf_probe",
-      // Full IVF path: train centroids, assign each query to its 2
-      // nearest cells, search only those cells.
+    ("x_ann_ivf_assigned",
+      // IVF index BUILD: every corpus vector assigned to its nearest
+      // TRAINED centroid — cells come from the training output, not a
+      // pre-existing label (raw 100 TB embeddings have none).
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfProbeTopK(emb, emb.filter(col("vec_id") < 8),
-          Similarity.cellCentroids(emb), k = 5, nprobe = 2)
+        Similarity.assignCells(emb, Similarity.cellCentroids(emb))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $IvfScoreCtes
+        |SELECT vec_id, cell, cscore FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cscore DESC NULLS LAST, cell) AS rn
+        |  FROM scores)
+        |WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin)),
+
+    ("x_ann_ivf_probe",
+      // Full IVF path over the BUILT index: train centroids, assign the
+      // corpus by argmax over them, assign each query to its 2 nearest
+      // cells, search only those cells' assigned vectors.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cent = Similarity.cellCentroids(emb)
+        val corpus = emb.join(
+          Similarity.assignCells(emb, cent).select(col("vec_id"), col("cell")), "vec_id")
+        Similarity.ivfProbeTopK(corpus, emb.filter(col("vec_id") < 8), cent,
+          k = 5, nprobe = 2, cellCol = "cell")
           .orderBy("query_id", "rank")
       },
-      Some("""WITH cent AS (
-        |  SELECT label AS cell, d.i - 1 AS dim,
-        |         round(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-        |           / COUNT(*), 6) AS mean_v
-        |  FROM embeddings, generate_series(1, 64) d(i)
-        |  GROUP BY label, d.i),
-        |qd AS (
-        |  SELECT vec_id AS query_id, d.i - 1 AS dim,
-        |         CAST(embedding[d.i] AS DOUBLE) AS qv
-        |  FROM embeddings, generate_series(1, 64) d(i)
-        |  WHERE vec_id < 8),
-        |assign AS (
-        |  SELECT query_id, cell,
-        |         round(CAST(SUM(CAST(qv * mean_v AS DECIMAL(28,12))) AS DOUBLE)
-        |           / NULLIF(sqrt(CAST(SUM(CAST(qv * qv AS DECIMAL(28,12))) AS DOUBLE))
-        |              * sqrt(CAST(SUM(CAST(mean_v * mean_v AS DECIMAL(28,12))) AS DOUBLE)), 0), 4) AS cscore
-        |  FROM qd JOIN cent USING (dim)
-        |  GROUP BY query_id, cell),
+      Some(s"""WITH $IvfScoreCtes,
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS rn
+        |    FROM scores)
+        |  WHERE rn = 1),
         |probes AS (
-        |  SELECT query_id, cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
         |      ORDER BY cscore DESC NULLS LAST, cell) AS crank
-        |    FROM assign)
+        |    FROM scores WHERE vec_id < 8)
         |  WHERE crank <= 2),
         |pairs AS (
-        |  SELECT p.query_id, c.vec_id AS cand_id, c.label AS cell,
+        |  SELECT p.query_id, c.vec_id AS cand_id, a.cell,
         |         round(list_inner_product(q.e, c.e)
         |           / NULLIF(sqrt(list_inner_product(q.e, q.e))
         |              * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
         |  FROM probes p
         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |        FROM embeddings WHERE vec_id < 8) q ON q.vec_id = p.query_id
-        |  JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-        |        FROM embeddings) c ON c.label = p.cell AND c.vec_id <> p.query_id)
+        |  JOIN assigned a ON a.cell = p.cell
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings) c ON c.vec_id = a.vec_id AND c.vec_id <> p.query_id)
         |SELECT query_id, cand_id, cell, score, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, cand_id) AS rank

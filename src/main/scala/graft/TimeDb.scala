@@ -55,7 +55,8 @@ final case class ReadFilter(
   * The reference's HTTP/ClickHouse boundary disappears — each read is a
   * declarative Spark plan executed where the data lives.
   */
-final class TimeDb(val spark: SparkSession, basePath: String) {
+final class TimeDb(val spark: SparkSession, basePath: String,
+    maxInlineSeriesIds: Long = 100000L) {
 
   val store = new SeriesStore(spark, basePath)
 
@@ -99,7 +100,7 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
       // only the skip-unchanged path needs it (timedb/write.py:197).
       val bounds = preFilter.agg(
         count(lit(1)), min("valid_time"), max("valid_time"),
-        collect_set("retention")).head()
+        collect_set("retention"), approx_count_distinct("series_id")).head()
       val before = bounds.getLong(0)
       if (df.columns.contains("retention"))
         WritePipeline.requireValidRetentions(bounds.getSeq[String](3))
@@ -113,13 +114,25 @@ final class TimeDb(val spark: SparkSession, basePath: String) {
         // valid_month filters hit partition directories, so the read-back
         // prunes to the batch's tiers × months before any file is opened.
         val (minVt, maxVt) = (bounds.getTimestamp(1), bounds.getTimestamp(2))
-        val sids = preFilter.agg(collect_set("series_id")).head().getSeq[Long](0)
         val rets = bounds.getSeq[String](3)
-        val slab = store.scanValues().filter(
-          col("series_id").isin(sids: _*) && col("retention").isin(rets: _*) &&
+        val slabBase = store.scanValues().filter(
+          col("retention").isin(rets: _*) &&
             col("valid_month") >= lit(Schema.monthOf(minVt)) &&
             col("valid_month") <= lit(Schema.monthOf(maxVt)) &&
             col("valid_time") >= lit(minVt) && col("valid_time") <= lit(maxVt))
+        // Driver-safety valve: for catalog-sized batches the literal
+        // isin pushes all the way into the parquet scan; but a
+        // crawl-scale batch touching tens of millions of series would
+        // OOM the driver on the collect, so above `maxInlineSeriesIds`
+        // the read-back restriction becomes a semi-join on series_id —
+        // shuffle-on-key, zero driver state; the retention + month
+        // partition prunes above still bound the scanned slab.
+        val slab =
+          if (bounds.getLong(4) <= maxInlineSeriesIds) {
+            val sids = preFilter.agg(collect_set("series_id")).head().getSeq[Long](0)
+            slabBase.filter(col("series_id").isin(sids: _*))
+          } else
+            slabBase.join(preFilter.select("series_id").distinct(), Seq("series_id"), "left_semi")
         val storedLatest = WritePipeline.storedLatestFor(slab, unchangedScope)
         stamped = WritePipeline.filterUnchanged(preFilter, storedLatest, unchangedScope).cache()
       }

@@ -183,6 +183,45 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
+  /** MinHash-LSH candidates → EXACT Jaccard verify (X2) — the
+    * generate-then-verify composition a production near-dup pipeline
+    * runs (the Hamming analog is [[simHashNearDup]]): banding proposes
+    * candidate pairs, the exact measure is computed ONLY on those pairs,
+    * and pairs below `threshold` (banding false-positives) are dropped.
+    *
+    * The verify pass never touches the O(n²) pair space: the candidate
+    * list joins back to the per-doc shingle sets on doc id, and the
+    * intersection count is one equi-join on (id_b, shingle) followed by
+    * a per-pair count — every stage keyed on doc ids / content keys.
+    * Per-pair work is O(|shingles(a)| + |shingles(b)|). Unlike
+    * [[ngramJaccardPairs]] (which caps posting lists with `maxDf` to
+    * bound its d² pair generation), the verify runs on FULL shingle
+    * sets — candidates are already bounded by the banding, so the true
+    * Jaccard needs no stop-shingle approximation here.
+    *
+    * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard ≥ threshold).
+    */
+  def minHashLshVerified(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+      threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are dropped)")
+    val cand = minHashLshCandidates(docs, n, numHashes, bands, idCol, textCol)
+    val sh = shingles(docs, n, idCol, textCol)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** SimHash fingerprint (X2): 48-bit weighted-bit-vote fingerprint over
     * the doc's distinct shingles. Near-dups then reduce to Hamming
     * proximity on a 64-bit integer — cheap to band/bucket at scale.

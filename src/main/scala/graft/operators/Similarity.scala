@@ -58,41 +58,72 @@ object Similarity {
       .select(col("cell"), col("query_id"), col("cand_id"), col("score"), col("rank"))
   }
 
+  /** [[cellCentroids]]' flat output re-shaped to one broadcastable row
+    * per cell: (cell, centroid) with the centroid an ordered FLOAT
+    * vector. Float storage matches the corpus dtype — a real IVF index
+    * quantizes its centroids to the vector dtype — and lets centroid
+    * scoring run through the same codegen'd [[Portable.cosine]] /
+    * FloatVectorDot loop as vector-vector scoring: a per-row
+    * left-to-right double fold, deterministic across partitionings and
+    * reproducible by the oracle's sequential list_inner_product. */
+  def centroidVectors(centroids: DataFrame): DataFrame =
+    centroids
+      .groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mean_v))), s -> s.mean_v)")
+        .as("c"))
+      .select(col("cell"), col("c").cast("array<float>").as("centroid"))
+
+  /** Per-(vector, cell) cosine against every trained centroid — the
+    * shared scoring step of corpus assignment and query probing. A
+    * crossJoin against the broadcast centroid set: no shuffle, no row
+    * explosion beyond the inherent |vectors|·|cells| score space.
+    * `+ 0.0` normalizes IEEE −0.0 so downstream ordering is
+    * engine-portable. */
+  private def centroidScores(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centroidVectors(centroids)))
+      .withColumn("cscore", round(Portable.cosine(col("__v"), col("centroid")), 4) + lit(0.0))
+
+  /** IVF index BUILD: assign every corpus vector to its nearest trained
+    * centroid (argmax cosine; ties to the lexically smallest cell,
+    * zero-norm vectors rank all cells null-last). This is what replaces
+    * a pre-existing partition label at 100 TB — raw embeddings have no
+    * labels. The argmax is ONE map-side-combined aggregate (min over a
+    * (−score, cell) struct), so the shuffle carries one row per vector,
+    * not |cells| rows; re-run after [[cellCentroids]] retraining to
+    * rebuild the index (drift). */
+  def assignCells(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    centroidScores(vectors, centroids, idCol, vecCol)
+      .groupBy(col(idCol))
+      .agg(min(struct(
+        coalesce(-col("cscore"), lit(2.0)).as("neg"),
+        col("cell").as("cell"),
+        col("cscore").as("cscore"))).as("m"))
+      .select(col(idCol), col("m.cell").as("cell"), col("m.cscore").as("cscore"))
+
   /** Multi-probe IVF search — the full index path: each query is
     * assigned to its `nprobe` nearest TRAINED centroids (the
     * [[cellCentroids]] output) by cosine, then scores only those cells'
-    * vectors. Recall grows with `nprobe` while compute stays
+    * vectors (the corpus side carrying [[assignCells]] output as
+    * `cellCol`). Recall grows with `nprobe` while compute stays
     * `nprobe · |cell|` per query instead of `|corpus|`. Centroids and
     * probe lists are catalog-sized broadcasts; the corpus side streams —
     * the one shuffle is the per-query top-k window.
     *
-    * Assignment runs dimension-flat (posexplode + sum of products) so
-    * the oracle can reproduce it in SQL; scores round to 4 before
-    * ranking, cells tie-break ascending.
+    * Probe scoring runs through the same [[centroidScores]] as corpus
+    * assignment, so a query's own cell is always its rank-1 probe;
+    * scores round to 4 before ranking, cells tie-break ascending.
     */
   def ivfProbeTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding", cellCol: String = "label"): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
-    val qd = queries
-      .select(col(idCol).as("query_id"), posexplode(col(vecCol)).as(Seq("dim", "qv")))
-      .select(col("query_id"), col("dim"), col("qv").cast("double").as("qv"))
-    // DECIMAL-summed dot products: a raw double SUM accumulates in
-    // partition-dependent order and a last-ulp difference at a cscore
-    // rounding boundary would flip which cell ranks nprobe-th — changing
-    // the whole probe set, not a last digit. Per-row products are
-    // deterministic doubles; the decimal cast + exact sum is
-    // order-independent in both engines.
-    def dsum(c: Column): Column = sum(c.cast("decimal(28,12)")).cast("double")
-    val denom = sqrt(dsum(col("qv") * col("qv"))) * sqrt(dsum(col("mean_v") * col("mean_v")))
-    val assign = qd.join(broadcast(centroids.select(col("cell"), col("dim"), col("mean_v"))), "dim")
-      .groupBy(col("query_id"), col("cell"))
-      .agg(round(
-        when(denom === 0.0, lit(null))
-          .otherwise(dsum(col("qv") * col("mean_v")) / denom), 4).as("cscore"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc_nulls_last, col("cell").asc)
-    val probes = assign
+    val probes = centroidScores(queries, centroids, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("cell"))

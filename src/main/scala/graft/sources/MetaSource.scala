@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** External-catalog series resolution (timedb/read.py:73-180
@@ -53,4 +53,30 @@ final case class MetaSource(
       .agg(collect_list("series_id"), collect_set("retention")).head()
     (row.getSeq[Long](0), row.getSeq[String](1))
   }
+}
+
+object MetaSource {
+
+  /** Catalog backed by a live JDBC engine table — the direct analog of
+    * the reference's PostgreSQL `PgEngineMeta` (timedb/read.py:73-180,
+    * where the catalog is a PG table surfaced inside the query engine).
+    * Same addressing contract as the DataFrame constructor; the
+    * addressing predicate and column projection PUSH DOWN through
+    * Spark's JDBC source, so [[MetaSource.resolve]] ships only the
+    * matched catalog rows — the single catalog-sized round trip the
+    * reference's scalar-subquery trick achieves.
+    *
+    * `properties` carries auth/driver options (e.g. `user`, `password`,
+    * `driver`); pass `numPartitions`/bounds there only if the catalog is
+    * unusually large — one partition is right for catalog-sized tables.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties(),
+      rootPath: Option[String] = None,
+      paths: Seq[String] = Nil,
+      nodeUuids: Seq[String] = Nil,
+      names: Seq[String] = Nil,
+      dataType: Option[String] = None): MetaSource =
+    MetaSource(spark.read.jdbc(url, table, properties),
+      rootPath, paths, nodeUuids, names, dataType)
 }

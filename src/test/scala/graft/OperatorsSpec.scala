@@ -52,6 +52,38 @@ class OperatorsSpec extends SparkSpec {
     assert(cand.contains((1L, 2L)))
   }
 
+  test("LSH verified = exact Jaccard restricted to the candidate pairs") {
+    val verified = Dedup.minHashLshVerified(docs, n = 2, numHashes = 8, bands = 4,
+      threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    val cand = Dedup.minHashLshCandidates(docs, n = 2, numHashes = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    // ground truth: exact Jaccard over ALL pairs (threshold ~0, no df cap)
+    val exact = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 1e-9)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    val expected = exact.filter { case (pair, j) => cand.contains(pair) && j >= 0.3 }
+    assert(verified == expected)
+    assert(verified.contains((1L, 2L)) && verified((1L, 2L)) == 1.0)
+  }
+
+  test("assignCells: vectors land on their nearest trained centroid") {
+    // two well-separated clusters; labels deliberately MISLEAD (both "x")
+    // to prove assignment ignores pre-existing labels
+    val emb = Seq(
+      (1L, "a", Array(1.0f, 0.0f)), (2L, "a", Array(0.9f, 0.1f)),
+      (3L, "b", Array(0.0f, 1.0f)), (4L, "b", Array(0.1f, 0.9f)),
+      (5L, "a", Array(0.05f, 1.0f))) // labeled a, but lives in cluster b
+      .toDF("vec_id", "label", "embedding")
+    val cent = Similarity.cellCentroids(emb)
+    val got = Similarity.assignCells(emb, cent)
+      .select("vec_id", "cell").as[(Long, String)].collect().toMap
+    assert(got(1L) == "a" && got(2L) == "a")
+    assert(got(3L) == "b" && got(4L) == "b")
+    assert(got(5L) == "b") // reassigned to the geometrically nearest cell
+  }
+
   test("simhash: identical docs identical, fits 48 bits") {
     val sh = Dedup.simHash(docs, n = 2).orderBy("doc_id")
       .as[(Long, Long)].collect().toMap

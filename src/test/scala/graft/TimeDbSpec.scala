@@ -185,6 +185,28 @@ class TimeDbSpec extends SparkSpec {
     }
   }
 
+  test("skip_unchanged above the id threshold: semi-join path, same result, no collect") {
+    val base = java.nio.file.Files.createTempDirectory("timedb_semijoin").toString
+    // threshold 0 forces every skip-unchanged write through the
+    // semi-join read-back (the crawl-scale path that must not collect
+    // the batch's series ids to the driver)
+    val db = new TimeDb(spark, base, maxInlineSeriesIds = 0L)
+    db.create()
+    try {
+      val batch = revision(10)
+      assert(db.write(batch, skipUnchanged = true).written == 6L)
+      // identical rewrite: everything skipped, exactly as the isin path
+      val again = db.write(batch, skipUnchanged = true)
+      assert(again.written == 0L && again.skipped == 6L)
+      // one changed row: only it lands
+      val changed = vts.zipWithIndex
+        .map { case (vt, i) => (1L, vt, if (i == 3) 999.0 else i * 10.0) }
+        .toDF("series_id", "valid_time", "value")
+      val res = db.write(changed, skipUnchanged = true)
+      assert(res.written == 1L && res.skipped == 5L)
+    } finally db.delete()
+  }
+
   test("skip_unchanged knowledge_time scope keeps new-kt restatements") {
     withDb { db =>
       db.write(revision(10), knowledgeTime = Some(ts("2024-03-01T00:00:00Z")))
