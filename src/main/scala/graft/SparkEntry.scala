@@ -906,16 +906,25 @@ object SparkEntry {
       // quantile-bucketed window, never a single-partition one.
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val winners = Dedup.exact(docs).select("doc_id")
-        val cand = TextAnalysis.profile(docs)
+        // keep-min-doc_id-per-digest as ONE digest-keyed window over the
+        // doc rows — same winner set as Dedup.exact + semi-join, two
+        // shuffles and a join cheaper (the digest window is the only
+        // exchange before the prefix sum).
+        val w = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
+        val winners = docs
+          .withColumn("__digest", md5(col("text").cast("binary")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__digest", "__rn")
+        val cand = TextAnalysis.profile(winners)
           .select("doc_id", "quality", "approx_bpe_tokens")
-          .join(winners, Seq("doc_id"), "left_semi")
           .filter(col("quality") >= 0.5)
         // quality is a known [0,1] score — fixed thresholds skip the
         // quantile-estimation scan.
         Curation.runningTotalByPriority(cand, "quality", "doc_id",
             "approx_bpe_tokens", "running_tokens",
-            fixedThresholds = (1 to 19).map(_ * 0.05).toArray)
+            fixedThresholds = (1 to 19).map(_ * 0.05).toArray,
+            materialize = Some(true))
           .filter(col("running_tokens") <= 20000)
           .select("doc_id", "quality", "approx_bpe_tokens", "running_tokens")
           .orderBy(col("quality").desc, col("doc_id"))

@@ -130,13 +130,15 @@ object Dedup {
   /** One row per doc with `numHashes` signature columns sig_0..sig_k —
     * min is duplicate-insensitive ⇒ the non-distinct stream gives the
     * same signatures one shuffle cheaper. */
-  private def minHashWide(docs: DataFrame, n: Int, numHashes: Int,
-      idCol: String, textCol: String): DataFrame = {
-    val sh = shingleStream(docs, n, idCol, textCol)
-    sh.groupBy(col(idCol)).agg(
+  private def minHashWideFromStream(stream: DataFrame, numHashes: Int,
+      idCol: String): DataFrame =
+    stream.groupBy(col(idCol)).agg(
       min(Portable.minHashPerm(col("sh"), 0)).as("sig_0"),
       (1 until numHashes).map(i => min(Portable.minHashPerm(col("sh"), i)).as(s"sig_$i")): _*)
-  }
+
+  private def minHashWide(docs: DataFrame, n: Int, numHashes: Int,
+      idCol: String, textCol: String): DataFrame =
+    minHashWideFromStream(shingleStream(docs, n, idCol, textCol), numHashes, idCol)
 
   def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -155,14 +157,18 @@ object Dedup {
     * bucket collisions.
     */
   def minHashLshCandidates(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lshCandidatesFromWide(minHashWide(docs, n, numHashes, idCol, textCol),
+      numHashes, bands, idCol)
+
+  private def lshCandidatesFromWide(wide: DataFrame, numHashes: Int, bands: Int,
+      idCol: String): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
     // Band keys come straight off the wide signature row as a projection
     // (sig columns are already in band order) — no unpivot and no
     // (id, band) re-aggregation shuffle between the signature aggregate
     // and the bucket aggregate.
-    val wide = minHashWide(docs, n, numHashes, idCol, textCol)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (b * rows until (b + 1) * rows)
@@ -205,8 +211,15 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are dropped)")
-    val cand = minHashLshCandidates(docs, n, numHashes, bands, idCol, textCol)
-    val sh = shingles(docs, n, idCol, textCol)
+    // Both branches (MinHash signatures, exact shingle sets) consume the
+    // same shingle stream; materialize it once rather than re-running
+    // tokenize + md5 + the per-doc lead windows per branch. (At corpus
+    // scale you'd persist the shingle frame across pipeline stages; a
+    // localCheckpoint is the single-job analog.)
+    val stream = shingleStream(docs, n, idCol, textCol).localCheckpoint()
+    val cand = lshCandidatesFromWide(
+      minHashWideFromStream(stream, numHashes, idCol), numHashes, bands, idCol)
+    val sh = stream.distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")

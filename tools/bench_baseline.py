@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle queries on the same parquet tables — the
+same-scale, same-host single-node baseline the bench compares against
+(the reference publishes no query benchmark; DuckDB running the
+semantically identical SQL on identical data is the closest commensurable
+anchor).
+
+Usage: python3 tools/bench_baseline.py <sfdir> <oracle_sql.json> <out.json>
+
+<oracle_sql.json> is the dump Verify writes (the SQL is scale-factor
+independent; tables resolve against <sfdir>). Each query runs 3 times;
+the MIN is recorded (steady-state, caches warm — the same discipline as
+Bench's warmup pass). DuckDB uses all cores by default, comparable to
+the bench's local[N].
+
+The output is committed as BASELINE_LOCAL.json and embedded verbatim by
+graft.Bench under the "baseline_duckdb" key.
+"""
+import json
+import sys
+import time
+import glob
+import os
+
+import duckdb
+
+
+def main(sfdir, oracle_json, out_path):
+    con = duckdb.connect()
+    for f in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(f)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+    oracles = json.load(open(oracle_json))
+    times = {}
+    for name in sorted(oracles):
+        sql = oracles[name]
+        best = None
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001 - record, don't abort the sweep
+            times[name] = f"ERROR {str(e)[:120]}"
+        print(f"{name}: {times[name]}")
+
+    out = {
+        "sf": os.path.basename(os.path.normpath(sfdir)),
+        "engine": "duckdb " + duckdb.__version__,
+        "method": "min of 3 runs per oracle query, identical parquet, same host",
+        "times": times,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3])
