@@ -86,22 +86,28 @@ object Similarity {
       .withColumn("cscore", round(Portable.cosine(col("__v"), col("centroid")), 4) + lit(0.0))
 
   /** IVF index BUILD: assign every corpus vector to its nearest trained
-    * centroid (argmax cosine; ties to the lexically smallest cell,
-    * zero-norm vectors rank all cells null-last). This is what replaces
-    * a pre-existing partition label at 100 TB — raw embeddings have no
-    * labels. The argmax is ONE map-side-combined aggregate (min over a
-    * (−score, cell) struct), so the shuffle carries one row per vector,
-    * not |cells| rows; re-run after [[cellCentroids]] retraining to
-    * rebuild the index (drift). */
+    * centroid (argmax cosine; ties to the smallest cell, zero-norm
+    * vectors get the smallest cell with a null score). This is what
+    * replaces a pre-existing partition label at 100 TB — raw embeddings
+    * have no labels.
+    *
+    * The centroid set is catalog-sized, so it is collected once and
+    * shipped inside a [[graft.functions.NearestCentroid]] expression:
+    * the whole assignment is scan → project — no |cells|-way row
+    * expansion, no aggregate, NO shuffle (compute is the inherent
+    * n·cells·dim multiply-adds). Re-run after [[cellCentroids]]
+    * retraining to rebuild the index (drift). Building the plan
+    * materializes the centroid frame (one catalog-sized job). */
   def assignCells(vectors: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    centroidScores(vectors, centroids, idCol, vecCol)
-      .groupBy(col(idCol))
-      .agg(min(struct(
-        coalesce(-col("cscore"), lit(2.0)).as("neg"),
-        col("cell").as("cell"),
-        col("cscore").as("cscore"))).as("m"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cv = centroidVectors(centroids)
+    val cellType = cv.schema("cell").dataType
+    val rows = cv.collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Float](1)))
+    vectors.select(col(idCol),
+      graft.functions.NearestCentroid(col(vecCol), cellType, rows).as("m"))
       .select(col(idCol), col("m.cell").as("cell"), col("m.cscore").as("cscore"))
+  }
 
   /** Multi-probe IVF search — the full index path: each query is
     * assigned to its `nprobe` nearest TRAINED centroids (the

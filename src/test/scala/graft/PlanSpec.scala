@@ -86,4 +86,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema") &&
       !plan.contains("l_extendedprice"), plan)
   }
+
+  test("IVF corpus assignment is a pure projection — no shuffle, no join, no aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = graft.operators.Similarity.assignCells(
+      emb, graft.operators.Similarity.cellCentroids(emb))
+    val plan = planOf(assigned)
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Aggregate"), plan)
+    assert(plan.contains("nearest_centroid"), plan)
+  }
 }
