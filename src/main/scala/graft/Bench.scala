@@ -38,7 +38,8 @@ object Bench {
       "rel_rollup", "rel_setops", "ts_moving_zscore", "ts_seasonal",
       "x_sessionize", "x_dedup_clusters", "x_dedup_winners", "x_range_join",
       "x_text_tfidf", "x_simhash_neardup", "x_ann_ivf_probe", "x_feature_lags",
-      "x_approx_distinct", "x_dedup_lsh_verified", "x_ann_ivf_assigned"))
+      "x_approx_distinct", "x_dedup_lsh_verified", "x_ann_ivf_assigned",
+      "x_ann_recall"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

@@ -1379,6 +1379,73 @@ object SparkEntry {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
 
+    ("x_ann_recall",
+      // Index evaluation: recall@5 of the multi-probe IVF search (built
+      // index, nprobe=2) against the brute-force ground truth — the
+      // tuning measurement that decides nprobe/centroid count.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+        val cent = Similarity.cellCentroids(emb)
+        val corpus = emb.join(
+          Similarity.assignCells(emb, cent).select(col("vec_id"), col("cell")), "vec_id")
+        val approx = Similarity.ivfProbeTopK(corpus, queries, cent,
+          k = 5, nprobe = 2, cellCol = "cell")
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+        Similarity.recallAtK(approx, exact).orderBy("query_id")
+      },
+      Some(s"""WITH $IvfScoreCtes,
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS rn
+        |    FROM scores)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS crank
+        |    FROM scores WHERE vec_id < 8)
+        |  WHERE crank <= 2),
+        |apairs AS (
+        |  SELECT p.query_id, c.vec_id AS cand_id,
+        |         round(list_inner_product(q.e, c.e)
+        |           / NULLIF(sqrt(list_inner_product(q.e, q.e))
+        |              * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |  FROM probes p
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings WHERE vec_id < 8) q ON q.vec_id = p.query_id
+        |  JOIN assigned a ON a.cell = p.cell
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings) c ON c.vec_id = a.vec_id AND c.vec_id <> p.query_id),
+        |approx AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, cand_id) AS rank
+        |    FROM apairs)
+        |  WHERE rank <= 5),
+        |bpairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_inner_product(q.e, c.e)
+        |           / NULLIF(sqrt(list_inner_product(q.e, q.e))
+        |              * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings WHERE vec_id < 8) q,
+        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
+        |  WHERE q.vec_id <> c.vec_id),
+        |exact AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, cand_id) AS rank
+        |    FROM bpairs)
+        |  WHERE rank <= 5)
+        |SELECT e.query_id AS query_id, COUNT(*) AS truth_k, COUNT(a.cand_id) AS hits,
+        |       round(CAST(COUNT(a.cand_id) AS DOUBLE) / COUNT(*), 4) AS recall
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+        |GROUP BY e.query_id
+        |ORDER BY e.query_id""".stripMargin)),
+
     ("x_simhash_neardup",
       // Hamming-banded simhash near-dup: pigeonhole candidates via an
       // equi-join on 12-bit bands, exact bit_count(xor) on collisions only.

@@ -169,6 +169,23 @@ object Similarity {
           / count(lit(1)), 6).as("mean_v"),
         count(lit(1)).as("n_vectors"))
 
+  /** Recall of an ANN result against the exact ground truth — the
+    * evaluation loop every approximate index needs to tune
+    * nprobe/centroid count. Per query: the fraction of the true top-k
+    * the approximate search retrieved (`truth_k` from the exact frame,
+    * so queries with fewer than k true neighbors divide by what
+    * exists). Both inputs are per-query top-k frames (rows keyed
+    * (query, cand)); the join is equi-keyed and the ground-truth side
+    * at tuning time is a sampled query set — catalog-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+      queryCol: String = "query_id", candCol: String = "cand_id"): DataFrame =
+    exact.select(col(queryCol), col(candCol))
+      .join(approx.select(col(queryCol), col(candCol)).withColumn("__hit", lit(1)),
+        Seq(queryCol, candCol), "left")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("truth_k"), count(col("__hit")).as("hits"))
+      .withColumn("recall", round(col("hits").cast("double") / col("truth_k"), 4))
+
   /** Random-hyperplane LSH bucketing: sign-bit sketch of the embedding
     * against `numPlanes` pseudo-random hyperplanes derived from a
     * portable per-(plane, dim) hash, so the same buckets are computable

@@ -24,11 +24,22 @@ import graft.sources.{Schema, SeriesStore}
 object StreamingIngest {
 
   /** Wire a streaming frame of (series_id, valid_time, value[, ...]) into
-    * the store at `basePath`. Caller starts/stops the returned writer. */
+    * the store at `basePath`. Caller starts/stops the returned writer.
+    *
+    * `compactEvery` > 0 folds small-file maintenance into the ingest
+    * loop: every N micro-batches the touched store runs
+    * [[SeriesStore.compactPartitions]] + [[SeriesStore.vacuum]] from the
+    * SAME foreachBatch thread — micro-batches execute sequentially, so
+    * the single-writer contract holds by construction, and the
+    * manifest-snapshot commits mean concurrent READERS are unaffected.
+    * This caps the file count a day of 1-minute batches would otherwise
+    * accumulate, without an external maintenance job. */
   def writer(
       stream: DataFrame,
       basePath: String,
-      retention: Option[String] = None): DataStreamWriter[Row] = {
+      retention: Option[String] = None,
+      compactEvery: Long = 0L,
+      compactMaxFiles: Int = 4): DataStreamWriter[Row] = {
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -41,6 +52,11 @@ object StreamingIngest {
           val store = new SeriesStore(batch.sparkSession, basePath)
           store.appendValues(stamped)
           store.appendRunSeries(WritePipeline.runSeriesOf(stamped, now))
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            store.compactPartitions(compactMaxFiles)
+            store.vacuum()
+            ()
+          }
         }
       }
   }

@@ -84,6 +84,17 @@ class OperatorsSpec extends SparkSpec {
     assert(got(5L) == "b") // reassigned to the geometrically nearest cell
   }
 
+  test("recallAtK: perfect self-recall, counted misses, short truth lists") {
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("query_id", "cand_id")
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("query_id", "cand_id")
+    val got = Similarity.recallAtK(approx, exact)
+      .select("query_id", "truth_k", "hits", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (q, t, h, r) => (q, (t, h, r)) }.toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))  // all true neighbors found
+    assert(got(2L) == ((2L, 0L, 0.0)))  // probe missed the cell entirely
+  }
+
   test("simhash: identical docs identical, fits 48 bits") {
     val sh = Dedup.simHash(docs, n = 2).orderBy("doc_id")
       .as[(Long, Long)].collect().toMap

@@ -35,6 +35,32 @@ class StreamingSpec extends SparkSpec {
     db.delete()
   }
 
+  test("ingest-loop compaction caps file growth without losing rows") {
+    val base = java.nio.file.Files.createTempDirectory("timedb_stream_compact").toString
+    val db = new TimeDb(spark, base)
+    db.create()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("series_id", "valid_time", "value")
+    // compact every 4 batches, threshold 2 files per partition
+    val q = StreamingIngest.writer(stream, base, retention = Some("short"),
+      compactEvery = 4L, compactMaxFiles = 2).start()
+    (0 until 8).foreach { i =>
+      mem.addData((1L, ts(f"2024-03-01T0$i%01d:00:00Z"), i.toDouble))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val rows = db.read(ReadFilter(Seq(1L), retention = Seq("short"))).count()
+    assert(rows == 8L)
+    // 8 appended files were compacted down at batches 4 (and vacuumed);
+    // well under one file per micro-batch
+    val files = db.store.scanValues().inputFiles.length
+    assert(files < 8, s"expected compaction to cap files, got $files")
+    db.delete()
+  }
+
   test("windowed streaming aggregation with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
