@@ -80,6 +80,25 @@ object Bench {
     val extTotal = extResults.collect { case (_, Right(v)) => v }.sum
     val errJson = errors.map(JsonUtil.quote).mkString("[", ",", "]")
 
+    // Auxiliary (scaling/baseline) failures: reported under their own
+    // key — a failed evidence run must never fabricate a data point
+    // (same discipline as run()'s error handling), but it also isn't a
+    // correctness failure of a measured query, so it doesn't flip the
+    // exit code.
+    val auxErrors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // A failed aux query yields no (name, time) entry at all.
+    def timeAux(name: String, dir: String): Option[(String, Double)] = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          auxErrors += s"$name@$dir: ${e.getClass.getSimpleName}"
+          None
+      }
+    }
+
     // Scaling evidence: the heaviest queries re-timed on the 10×-smaller
     // sibling dir. ratio = wall(measured sf) / wall(sf/10); a ratio far
     // below 10 means fixed per-job overhead (scheduling, codegen reuse,
@@ -88,20 +107,26 @@ object Bench {
     // 100 TB target.
     val scalingSet = keep(Seq("td_latest_changes", "x_dedup_lsh", "x_pipeline_curate",
       "x_dedup_clusters", "x_simhash_neardup", "x_text_tfidf"))
+    def dirBytes(d: java.io.File): Long = {
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      fs.map(f => if (f.isDirectory) dirBytes(f) else f.length()).sum
+    }
     val smallDir = {
-      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
-      if (sib.isDirectory && sib.getPath != sfDir) Some(sib.getPath) else None
+      val measured = new java.io.File(sfDir)
+      val sib = new java.io.File(measured.getParentFile, "sf0.01")
+      // canonical compare (trailing slashes etc.), and the sibling must
+      // actually be the SMALLER dataset or the ratio inverts silently
+      if (sib.isDirectory &&
+        sib.getCanonicalPath != measured.getCanonicalPath &&
+        dirBytes(sib) < dirBytes(measured)) Some(sib.getPath)
+      else None
     }
     val largeTimes = (results ++ extResults).collect { case (k, Right(v)) => k -> v }.toMap
     val scalingJson = smallDir.map { dir =>
-      val small = scalingSet.map { name =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, dir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-      small.collect { case (k, s) if largeTimes.contains(k) && s > 0 =>
-        val l = largeTimes(k)
-        JsonUtil.quote(k) + s""":{"small":$s,"large":$l,"ratio":${l / s}}"""
+      scalingSet.flatMap(timeAux(_, dir)).collect {
+        case (k, s) if largeTimes.contains(k) && s > 0 =>
+          val l = largeTimes(k)
+          JsonUtil.quote(k) + s""":{"small":$s,"large":$l,"ratio":${l / s}}"""
       }.mkString("{", ",", "}")
     }.getOrElse("{}")
 
@@ -116,7 +141,7 @@ object Bench {
       "ts_moving_zscore", "ts_resample_fill", "x_sessionize"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
-      else {
+      else try {
         val upDir = new java.io.File(
           sys.props("java.io.tmpdir"), "graft_scaleup_events").getPath
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -124,6 +149,8 @@ object Bench {
         val bounds = base.agg(
           org.apache.spark.sql.functions.max("user_id"),
           org.apache.spark.sql.functions.max("event_id")).head()
+        if (bounds.isNullAt(0) || bounds.isNullAt(1))
+          throw new IllegalStateException("events table is empty — nothing to scale up")
         val uOff = bounds.getAs[Number](0).longValue() + 1L
         val eOff = bounds.getAs[Number](1).longValue() + 1L
         import org.apache.spark.sql.functions.{col, lit}
@@ -132,16 +159,16 @@ object Bench {
             .withColumn("event_id", col("event_id") + lit(i * eOff)))
           .reduce(_ union _)
           .write.mode("overwrite").parquet(s"$upDir/events.parquet")
-        val entries = upSet.map { name =>
-          val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, upDir).count() }
-          catch { case _: Throwable => () }
-          val t = (System.nanoTime() - t0) / 1e9
+        val entries = upSet.flatMap(timeAux(_, upDir)).map { case (name, t) =>
           val ratio = largeTimes.get(name).map(l => t / l)
           JsonUtil.quote(name) +
             s""":{"t10x":$t${ratio.map(r => s""","ratio_vs_1x":$r""").getOrElse("")}}"""
         }
         entries.mkString("""{"factor":10,"queries":{""", ",", "}}")
+      } catch {
+        case e: Throwable =>
+          auxErrors += s"scale_up: ${e.getClass.getSimpleName}"
+          "{}"
       }
 
     // Same-scale single-node baseline: DuckDB running the semantically
@@ -161,10 +188,11 @@ object Bench {
     } catch { case _: Throwable => None }
     val baselineField = baselineJson.map(b => s""","baseline_duckdb":$b""").getOrElse("")
 
+    val auxErrJson = auxErrors.map(JsonUtil.quote).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
       s""""extended":${toJson(extResults)},"extended_total":$extTotal,""" +
       s""""scaling":$scalingJson,"scale_up":$scaleUpJson,""" +
-      s""""errors":$errJson,"sf":"$sfDir"$baselineField}""")
+      s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"$baselineField}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

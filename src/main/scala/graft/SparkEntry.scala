@@ -1341,7 +1341,9 @@ object SparkEntry {
       // cells, search only those cells' assigned vectors.
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val cent = Similarity.cellCentroids(emb)
+        // one training pass: assignCells' collect and the probe-side
+        // broadcast both read the checkpointed centroid frame
+        val cent = Similarity.cellCentroids(emb).localCheckpoint()
         val corpus = emb.join(
           Similarity.assignCells(emb, cent).select(col("vec_id"), col("cell")), "vec_id")
         Similarity.ivfProbeTopK(corpus, emb.filter(col("vec_id") < 8), cent,
@@ -1386,7 +1388,8 @@ object SparkEntry {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") < 8)
-        val cent = Similarity.cellCentroids(emb)
+        // one training pass shared by assignment and probing
+        val cent = Similarity.cellCentroids(emb).localCheckpoint()
         val corpus = emb.join(
           Similarity.assignCells(emb, cent).select(col("vec_id"), col("cell")), "vec_id")
         val approx = Similarity.ivfProbeTopK(corpus, queries, cent,

@@ -274,9 +274,11 @@ final class TimeDb(val spark: SparkSession, basePath: String,
 
   /** Reclaim storage unreferenced by the retained snapshot tail
     * (superseded compaction inputs, expired months, crashed writes);
-    * see [[graft.sources.SeriesStore.vacuum]]. */
-  def vacuum(keepManifests: Int = 2): Seq[String] =
-    store.vacuum(keepManifests)
+    * see [[graft.sources.SeriesStore.vacuum]] for the reader-grace and
+    * in-flight-write age guards. */
+  def vacuum(keepManifests: Int = 2,
+      minAgeMillis: Long = 15L * 60 * 1000): Seq[String] =
+    store.vacuum(keepManifests, minAgeMillis)
 
   /** NaN→null mask at the API boundary (timedb/read.py:57-67): NaN is the
     * storage sentinel, null is the user-facing representation. */

@@ -40,11 +40,15 @@ object Curation {
     * estimation pass — a full scan — is skipped. Bucket BALANCE then
     * depends on the score distribution, but correctness never does.
     *
-    * `materialize`: whether to localCheckpoint the input so the multiple
-    * passes below don't recompute an expensive upstream pipeline.
-    * Default: materialize only on the quantile path (three passes);
-    * with fixed thresholds only two passes remain and for a cheap input
-    * the checkpoint write costs more than the recompute it saves. */
+    * `materialize`: whether to localCheckpoint the input. The operator
+    * makes MULTIPLE passes (quantiles, bucket partials, the final
+    * window), so the default materializes once — that also pins a
+    * single snapshot of the input, which is REQUIRED for correctness if
+    * the input is nondeterministic (sample(), rand()-derived priority,
+    * a source mutating between jobs): offsets from one evaluation added
+    * to windows over another would corrupt the running totals silently.
+    * Pass `Some(false)` only for a deterministic input cheap enough to
+    * recompute per pass (with `fixedThresholds`, two passes remain). */
   def runningTotalByPriority(df: DataFrame, priorityCol: String, tieCol: String,
       valueCol: String, out: String, buckets: Int = 0,
       fixedThresholds: Array[Double] = Array.empty,
@@ -58,7 +62,7 @@ object Curation {
     // result is dropped; callers on clusters with dynamic allocation
     // (where checkpoint blocks can die with executors) should pass an
     // already-persisted input, which we use as-is.
-    val wantMaterialize = materialize.getOrElse(fixedThresholds.isEmpty)
+    val wantMaterialize = materialize.getOrElse(true)
     val input =
       if (wantMaterialize &&
         df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.localCheckpoint()

@@ -212,14 +212,18 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are dropped)")
     // Both branches (MinHash signatures, exact shingle sets) consume the
-    // same shingle stream; materialize it once rather than re-running
-    // tokenize + md5 + the per-doc lead windows per branch. (At corpus
-    // scale you'd persist the shingle frame across pipeline stages; a
-    // localCheckpoint is the single-job analog.)
+    // same shingle stream, and the distinct set feeds three consumers
+    // (sizes + both pair joins); materialize each once rather than
+    // re-running tokenize + md5 + the per-doc lead windows per consumer.
+    // Eager on purpose: a lazy checkpoint would not share across the
+    // independent stages of the single verify job. (At corpus scale
+    // you'd persist the shingle frame across pipeline stages; these
+    // localCheckpoints are the single-job analog — note they run the
+    // shingle pipeline at CONSTRUCTION time.)
     val stream = shingleStream(docs, n, idCol, textCol).localCheckpoint()
     val cand = lshCandidatesFromWide(
       minHashWideFromStream(stream, numHashes, idCol), numHashes, bands, idCol)
-    val sh = stream.distinct()
+    val sh = stream.distinct().localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")

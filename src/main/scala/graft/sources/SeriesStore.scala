@@ -255,18 +255,41 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
       .bucketBy(nBuckets, "series_id")
       .sortBy("series_id", "valid_time")
       .saveAsTable(s"${tableName}__v$next")
-    // swap the public name to the new version, then drop version dirs
-    // older than the one we just superseded (keep-one grace window).
+    // Swap the public name to the new version. DROP + RENAME is two
+    // catalog calls, so a crash between them leaves no base-name table —
+    // scanBucketed recovers by resolving the highest __vN entry, which
+    // this write just created, so the mirror stays readable through any
+    // crash point. Stale versioned entries and dirs older than the one
+    // just superseded are then dropped (keep-one grace window).
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     spark.sql(s"ALTER TABLE ${tableName}__v$next RENAME TO $tableName")
+    versionedTables(tableName).filter(_._1 < next).foreach { case (_, t) =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
     versions.sorted.dropRight(1).foreach { v =>
       fs.delete(new Path(tableRoot, s"v$v"), true)
     }
   }
 
+  private def versionedTables(tableName: String): Seq[(Long, String)] =
+    spark.catalog.listTables().collect().toSeq
+      .map(_.name)
+      .filter(_.startsWith(s"${tableName}__v"))
+      .flatMap { t =>
+        scala.util.Try(t.stripPrefix(s"${tableName}__v").toLong).toOption.map(_ -> t)
+      }
+      .sortBy(_._1)
+
   /** The bucketed mirror as a DataFrame (bucket partitioning visible to
-    * the planner). */
-  def scanBucketed(tableName: String): DataFrame = spark.table(tableName)
+    * the planner). Falls back to the newest versioned entry when the
+    * public name is missing (a rebuild crashed between its DROP and
+    * RENAME — the versioned table it wrote is complete). */
+  def scanBucketed(tableName: String): DataFrame =
+    if (spark.catalog.tableExists(tableName)) spark.table(tableName)
+    else versionedTables(tableName).lastOption match {
+      case Some((_, t)) => spark.table(t)
+      case None => spark.table(tableName) // surface the standard error
+    }
 
   /** run_series with the ReplacingMergeTree(first_seen) + FINAL collapse
     * applied at read time (timedb/client.py:207-212,
@@ -335,20 +358,34 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
   /** Garbage collection: delete manifests older than the retained tail
     * and any on-disk data file no retained manifest references —
     * superseded compaction inputs, expired months, files from crashed
-    * (uncommitted) writes, staging leftovers. `keepManifests >= 2` gives
-    * readers planned against the previous snapshot a grace window; run
-    * vacuum on a schedule longer than your longest query, the same
-    * contract as table-format VACUUM/expire-snapshots. Returns deleted
-    * relative paths. */
-  def vacuum(keepManifests: Int = 2): Seq[String] = {
+    * (uncommitted) writes, staging leftovers. Two guards make this safe
+    * to schedule:
+    *
+    *  - `keepManifests >= 2` gives readers planned against the previous
+    *    snapshot a grace window (run vacuum on a schedule longer than
+    *    your longest query, the table-format VACUUM contract);
+    *  - `minAgeMillis` protects an IN-FLIGHT write: files a writer has
+    *    staged or promoted but not yet committed are unreferenced, and
+    *    deleting them would corrupt the commit that follows — so only
+    *    files older than the age floor are eligible (the same file-age
+    *    gate table formats use). Pass 0 only from the writer thread
+    *    itself (e.g. the ingest loop), where no mutation can be in
+    *    flight.
+    *
+    * Returns deleted relative paths. */
+  def vacuum(keepManifests: Int = 2,
+      minAgeMillis: Long = 15L * 60 * 1000): Seq[String] = {
     require(keepManifests >= 1, "must keep at least the current manifest")
     val versions = manifestVersions()
     if (versions.isEmpty) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     val keep = versions.takeRight(keepManifests)
     val liveSet = keep.flatMap { case (_, p) => readManifest(p) }.toSet
     versions.dropRight(keep.length).foreach { case (_, p) => fs.delete(p, false) }
     if (fs.exists(stagingRoot))
-      fs.listStatus(stagingRoot).foreach(d => fs.delete(d.getPath, true))
+      fs.listStatus(stagingRoot)
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(d => fs.delete(d.getPath, true))
     val deleted = Seq.newBuilder[String]
     for {
       tierDir <- fs.listStatus(valuesRoot).toSeq
@@ -356,13 +393,15 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
       monthDir <- fs.listStatus(tierDir.getPath).toSeq if monthDir.isDirectory
     } {
       val dir = s"${tierDir.getPath.getName}/${monthDir.getPath.getName}"
-      fs.listStatus(monthDir.getPath).filter(_.isFile).foreach { f =>
-        val rel = s"$dir/${f.getPath.getName}"
-        if (!liveSet.contains(rel)) {
-          fs.delete(f.getPath, false)
-          deleted += rel
+      fs.listStatus(monthDir.getPath)
+        .filter(f => f.isFile && f.getModificationTime <= cutoff)
+        .foreach { f =>
+          val rel = s"$dir/${f.getPath.getName}"
+          if (!liveSet.contains(rel)) {
+            fs.delete(f.getPath, false)
+            deleted += rel
+          }
         }
-      }
       if (fs.listStatus(monthDir.getPath).isEmpty) fs.delete(monthDir.getPath, false)
       if (fs.listStatus(tierDir.getPath).isEmpty) fs.delete(tierDir.getPath, false)
     }

@@ -54,7 +54,9 @@ object StreamingIngest {
           store.appendRunSeries(WritePipeline.runSeriesOf(stamped, now))
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
             store.compactPartitions(compactMaxFiles)
-            store.vacuum()
+            // this IS the writer thread — no mutation can be in flight,
+            // so the in-flight-write age guard is unnecessary
+            store.vacuum(minAgeMillis = 0L)
             ()
           }
         }

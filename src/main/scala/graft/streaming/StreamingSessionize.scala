@@ -28,12 +28,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * 18 fractional digits on entry), so `sum_value` is independent of
   * batch-arrival merge order; it equals the batch double sum whenever
   * that sum is exact, and matches it to the double rounding of the exact
-  * total otherwise. Values must fit decimal(38,18) (state encoding).
+  * total otherwise. Values outside the exact-decimal range — NaN,
+  * ±Infinity, |v| ≥ 1e18 (the decimal(38,18) state encoding bound) —
+  * accumulate on a double side-channel instead of crashing the query:
+  * they propagate into `sum_value` with plain double semantics (NaN/Inf
+  * sticky, like the batch double sum), at the cost of order-independence
+  * for only those values.
   */
 object StreamingSessionize {
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
-  case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: java.math.BigDecimal)
+  case class OpenSession(startUs: Long, endUs: Long, n: Long,
+      sum: java.math.BigDecimal, sumNf: Double)
   case class SessState(open: List[OpenSession])
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_value: Double)
@@ -52,7 +58,8 @@ object StreamingSessionize {
     sessions.sortBy(s => (s.startUs, s.endUs)).foldLeft(List.empty[OpenSession]) {
       case (prev :: rest, s) if s.startUs - prev.endUs <= gapUs =>
         prev.copy(endUs = math.max(prev.endUs, s.endUs),
-          n = prev.n + s.n, sum = prev.sum.add(s.sum)) :: rest
+          n = prev.n + s.n, sum = prev.sum.add(s.sum),
+          sumNf = prev.sumNf + s.sumNf) :: rest
       case (acc, s) => s :: acc
     }.reverse
 
@@ -68,11 +75,21 @@ object StreamingSessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, events: Iterator[Ev], state: GroupState[SessState]) =>
           def close(s: OpenSession): Session =
-            Session(uid, tsOf(s.startUs), tsOf(s.endUs), s.n, s.sum.doubleValue)
+            Session(uid, tsOf(s.startUs), tsOf(s.endUs), s.n,
+              if (s.sumNf == 0.0) s.sum.doubleValue else s.sum.doubleValue + s.sumNf)
+          val zero = java.math.BigDecimal.ZERO
           // One rounding per EVENT (not per merge): sums of scale-18
           // decimals are exact, so the total is merge-order-independent.
-          val incoming = events.map(e => OpenSession(us(e.ts), us(e.ts), 1,
-            new java.math.BigDecimal(e.value).setScale(18, java.math.RoundingMode.HALF_EVEN))).toList
+          // Non-finite / out-of-decimal-range values ride the double
+          // side-channel (see object doc).
+          val incoming = events.map { e =>
+            val decimalSafe = java.lang.Double.isFinite(e.value) && math.abs(e.value) < 1e18
+            OpenSession(us(e.ts), us(e.ts), 1,
+              if (decimalSafe)
+                new java.math.BigDecimal(e.value).setScale(18, java.math.RoundingMode.HALF_EVEN)
+              else zero,
+              if (decimalSafe) 0.0 else e.value)
+          }.toList
           val open = merge(state.getOption.map(_.open).getOrElse(Nil) ++ incoming, gapUs)
           // A session is final iff the watermark passed end + gap: any
           // surviving event has ts >= watermark > end + gap, too late to

@@ -83,13 +83,17 @@ class TimeDbSpec extends SparkSpec {
       val out = fs.create(stray); out.write(Array[Byte](1, 2, 3)); out.close()
       assert(db.store.scanValues().inputFiles.length == liveBefore)
 
-      // vacuum removes superseded + stray files, keeps the live snapshot
-      val removed = db.store.vacuum(keepManifests = 1)
+      // a young stray is protected by the in-flight-write age guard
+      assert(!db.store.vacuum(keepManifests = 1)
+        .exists(_.endsWith("part-stray-uncommitted.parquet")))
+      // vacuum from the writer (age 0) removes superseded + stray files,
+      // keeps the live snapshot
+      val removed = db.store.vacuum(keepManifests = 1, minAgeMillis = 0L)
       assert(removed.nonEmpty && removed.exists(_.endsWith("part-stray-uncommitted.parquet")))
       assert(db.store.scanValues().count() == expectedRows)
       assert(db.store.scanValues().agg(sum("value")).head().getDouble(0) == expectedSum)
       // on-disk files now equal the manifest exactly
-      assert(db.store.vacuum(keepManifests = 1).isEmpty)
+      assert(db.store.vacuum(keepManifests = 1, minAgeMillis = 0L).isEmpty)
     }
   }
 
