@@ -775,6 +775,60 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    ("x_dedup_contamination",
+      // Benchmark decontamination: score every training doc by its
+      // bigram overlap with a held-out "benchmark" slice (doc_id % 20).
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.contaminationScores(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), n = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM ft, generate_series(1, 2000) g(i)
+        |  WHERE g.i <= len(t) - 1),
+        |toks AS (SELECT DISTINCT doc_id, sh FROM grams),
+        |bench AS (SELECT DISTINCT sh FROM toks WHERE doc_id % 20 = 0),
+        |train AS (SELECT * FROM toks WHERE doc_id % 20 <> 0),
+        |scored AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS contaminated
+        |  FROM train t LEFT JOIN bench b ON b.sh = t.sh
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |       COALESCE(s.n_shingles, 0) AS n_shingles,
+        |       COALESCE(s.contaminated, 0) AS contaminated,
+        |       round(COALESCE(CAST(s.contaminated AS DOUBLE) / s.n_shingles, 0.0), 6) AS contamination
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN scored s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    ("x_text_repetition",
+      // Within-doc repetition (Gopher-style quality signal):
+      // 1 − distinct bigrams / total bigrams.
+      (s, dir) => Dedup.repetitionScores(Tables.documents(s, dir), n = 2)
+        .orderBy("doc_id"),
+      Some("""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM ft, generate_series(1, 2000) g(i)
+        |  WHERE g.i <= len(t) - 1)
+        |SELECT doc_id, COUNT(*) AS total_ngrams,
+        |       COUNT(DISTINCT sh) AS distinct_ngrams,
+        |       round(1.0 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*), 6) AS repetition
+        |FROM grams GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
     ("x_simhash",
       (s, dir) => Dedup.simHash(Tables.documents(s, dir), n = 2)
         .orderBy("doc_id"),

@@ -319,6 +319,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Benchmark DECONTAMINATION scores — the fraction of each training
+    * doc's distinct n-gram shingles that also appear in a benchmark/eval
+    * corpus. Standard pre-training hygiene: docs overlapping an eval set
+    * above a threshold are dropped so benchmark numbers stay meaningful.
+    *
+    * One shuffle-on-shingle semi-join against the (deduplicated)
+    * benchmark shingle set — at 100 TB the training side streams through
+    * the join partitioned by content hash; the benchmark side is usually
+    * small enough to broadcast, and Spark's planner picks that up from
+    * its size. Docs with no shingles (shorter than n tokens) score 0.
+    *
+    * Output: (id, n_shingles, contaminated, contamination ∈ [0,1]).
+    */
+  def contaminationScores(docs: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = shingles(docs, n, idCol, textCol)
+    val b = shingles(benchmark, n, idCol, textCol).select(col("sh")).distinct()
+    val scored = d
+      .join(b.withColumn("__hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("contaminated"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        round(coalesce(col("contaminated").cast("double") / col("n_shingles"), lit(0.0)), 6)
+          .as("contamination"))
+  }
+
+  /** Within-doc repetition ratio — the Gopher-style quality signal:
+    * `1 − distinct n-grams / total n-grams`. Boilerplate, keyword
+    * stuffing, and templated spam score high; one map-side-combined
+    * aggregate over the shingle stream (the distinct count rides the
+    * same shuffle). Docs shorter than n tokens yield no row. */
+  def repetitionScores(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleStream(docs, n, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_ngrams"), countDistinct(col("sh")).as("distinct_ngrams"))
+      .withColumn("repetition",
+        round(lit(1.0) - col("distinct_ngrams").cast("double") / col("total_ngrams"), 6))
+
   /** Connected components over a near-dup pair list: every doc reachable
     * through the pair graph is labeled with the MINIMUM doc id of its
     * component — the canonical "duplicate cluster" assignment that turns

@@ -84,6 +84,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got(5L) == "b") // reassigned to the geometrically nearest cell
   }
 
+  test("contaminationScores: full overlap = 1, disjoint = 0, short docs = 0") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),   // identical to benchmark doc
+      (2L, "completely different words entirely"),
+      (3L, "solo"))                     // < n tokens: no shingles
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val got = Dedup.contaminationScores(train, bench, n = 2)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0 && got(2L) == 0.0 && got(3L) == 0.0)
+  }
+
+  test("repetitionScores: templated text scores high, all-distinct scores 0") {
+    val got = Dedup.repetitionScores(Seq(
+      (1L, "buy now buy now buy now buy now"),
+      (2L, "a quick brown fox jumps"))
+      .toDF("doc_id", "text"), n = 2)
+      .select("doc_id", "repetition").as[(Long, Double)].collect().toMap
+    // doc 1: 7 bigrams, 2 distinct ("buy now"/"now buy") → 1 - 2/7
+    assert(math.abs(got(1L) - (1.0 - 2.0 / 7.0)) < 1e-6)
+    assert(got(2L) == 0.0)
+  }
+
   test("recallAtK: perfect self-recall, counted misses, short truth lists") {
     val approx = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("query_id", "cand_id")
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("query_id", "cand_id")
