@@ -132,7 +132,10 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
 
   /** Move every staged data file into its partition directory and return
     * the relative paths. The moves land BEFORE the manifest commit, so
-    * readers cannot see them early. */
+    * readers cannot see them early. Each moved file's mtime is bumped to
+    * promote time — rename preserves the WRITE-time mtime, and
+    * [[vacuum]]'s age guard must measure from the commit window, not
+    * from when a long write job happened to finish the file. */
   private def promoteStaged(staging: Path): Seq[String] = {
     val qStaging = fs.makeQualified(staging)
     dataFiles(qStaging).map { f =>
@@ -141,6 +144,7 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
       fs.mkdirs(dst.getParent)
       if (!fs.rename(f.getPath, dst))
         throw new IllegalStateException(s"failed to move staged file to $dst")
+      fs.setTimes(dst, System.currentTimeMillis(), -1)
       rel
     }
   }
@@ -245,6 +249,16 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
       else Seq.empty
     val next = (versions.sorted.lastOption.getOrElse(0L)) + 1L
     val path = new Path(tableRoot, s"v$next")
+    // The version dir the OUTGOING public table reads from — that is the
+    // one in-flight readers may still be scanning, and NOT necessarily
+    // the highest version on disk (a crashed rebuild leaves an orphan
+    // dir above it).
+    val prevLive: Option[Long] =
+      if (spark.catalog.tableExists(tableName))
+        spark.table(tableName).inputFiles.headOption.flatMap { f =>
+          "/v(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toLong)
+        }
+      else None
     scanValues()
       .drop("valid_month")
       .write
@@ -266,7 +280,9 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     versionedTables(tableName).filter(_._1 < next).foreach { case (_, t) =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
-    versions.sorted.dropRight(1).foreach { v =>
+    // keep-one grace: retain the previously-live dir; crashed-rebuild
+    // orphans and older superseded dirs go
+    versions.filter(v => !prevLive.contains(v)).foreach { v =>
       fs.delete(new Path(tableRoot, s"v$v"), true)
     }
   }
@@ -351,6 +367,7 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
       fs.mkdirs(dst.getParent)
       if (!fs.rename(f.getPath, dst))
         throw new IllegalStateException(s"failed to move staged file to $dst")
+      fs.setTimes(dst, System.currentTimeMillis(), -1) // see promoteStaged
       rel
     }
   }
@@ -382,9 +399,18 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     val keep = versions.takeRight(keepManifests)
     val liveSet = keep.flatMap { case (_, p) => readManifest(p) }.toSet
     versions.dropRight(keep.length).foreach { case (_, p) => fs.delete(p, false) }
+    // A staging dir's own mtime is set at job START; a long write keeps
+    // producing files, so age the dir by its NEWEST content — an active
+    // writer's staging dir always looks fresh.
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
+    }
     if (fs.exists(stagingRoot))
       fs.listStatus(stagingRoot)
-        .filter(_.getModificationTime <= cutoff)
+        .filter(d => newestMtime(d.getPath) <= cutoff)
         .foreach(d => fs.delete(d.getPath, true))
     val deleted = Seq.newBuilder[String]
     for {

@@ -52,13 +52,21 @@ object StreamingIngest {
           val store = new SeriesStore(batch.sparkSession, basePath)
           store.appendValues(stamped)
           store.appendRunSeries(WritePipeline.runSeriesOf(stamped, now))
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-            store.compactPartitions(compactMaxFiles)
-            // this IS the writer thread — no mutation can be in flight,
-            // so the in-flight-write age guard is unnecessary
-            store.vacuum(minAgeMillis = 0L)
-            ()
-          }
+        }
+        // Outside the isEmpty guard: an empty micro-batch landing on the
+        // multiple must not silently skip maintenance (a periodic data
+        // cadence could align empties with every trigger).
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          val store = new SeriesStore(batch.sparkSession, basePath)
+          store.compactPartitions(compactMaxFiles)
+          // Default age floor on purpose: with manifests committed every
+          // batch, the retained-manifest tail spans well under one
+          // compaction cycle, so the age floor is what actually carries
+          // the reader grace window here (physical cleanup lags ~15 min
+          // behind the logical swap — files are already superseded, the
+          // delay costs nothing).
+          store.vacuum()
+          ()
         }
       }
   }

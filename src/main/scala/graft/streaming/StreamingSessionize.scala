@@ -34,6 +34,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * they propagate into `sum_value` with plain double semantics (NaN/Inf
   * sticky, like the batch double sum), at the cost of order-independence
   * for only those values.
+  *
+  * MIGRATION: the decimal accumulator changed the `OpenSession` state
+  * encoding — a query checkpointed under the earlier double-sum state
+  * schema fails Spark's state-schema compatibility check on restart and
+  * must start from a fresh checkpoint directory (reprocessing from the
+  * source or accepting the gap).
   */
 object StreamingSessionize {
 
