@@ -332,6 +332,60 @@ object SparkEntry {
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin)),
 
+    ("ts_asof_forward",
+      // Forward as-of: the NEXT purchase at-or-after each click — the
+      // label-generation direction ("what happened next").
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        TimeSeriesOps.asOfJoin(clicks, purchases, keyCol = "user_id",
+          direction = "forward")
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+        |clicks AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.ts, l.event_id, r.value AS asof_value
+        |FROM clicks l ASOF LEFT JOIN purchases r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY event_id""".stripMargin)),
+
+    ("ts_asof_nearest",
+      // Nearest as-of: the time-closest purchase either side of each
+      // click, ties to the preceding one.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        TimeSeriesOps.asOfJoin(clicks, purchases, keyCol = "user_id",
+          direction = "nearest")
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+        |clicks AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT l.user_id, l.ts, l.event_id, r.ts AS bts, r.value AS bv
+        |  FROM clicks l ASOF LEFT JOIN purchases r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (
+        |  SELECT l.event_id, r.ts AS fts, r.value AS fv
+        |  FROM clicks l ASOF LEFT JOIN purchases r
+        |    ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT b.user_id, b.ts, b.event_id,
+        |       CASE WHEN fts IS NULL THEN bv
+        |            WHEN bts IS NULL THEN fv
+        |            WHEN epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)
+        |              THEN bv
+        |            ELSE fv END AS asof_value
+        |FROM b JOIN f ON f.event_id = b.event_id
+        |ORDER BY b.event_id""".stripMargin)),
+
     ("ts_resample_fill",
       // Hourly grid over the first week, latest value per bucket,
       // forward-filled gaps — downsampling + gap-fill in one pass.

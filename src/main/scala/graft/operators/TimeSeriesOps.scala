@@ -12,50 +12,85 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
-  /** As-of join: for every left row, the latest right row with
-    * `right.ts <= left.ts` within the same key — "what was the last
-    * known value when this event happened".
+  /** As-of join: for every left row, the matching right row within the
+    * same key by `direction`:
     *
-    * Planned as the union-and-carry-forward pattern rather than a range
-    * join: tag both sides, sort each series by (ts, side) with right
-    * rows first on ties (⇒ at-or-before inclusive), and carry the last
-    * non-null right value forward with one window. One shuffle on the
-    * key, linear in rows — a range-join formulation would rescan the
-    * right side per left row.
+    *  - `backward` (default): latest right with `right.ts <= left.ts` —
+    *    "last value known when this event happened";
+    *  - `forward`: earliest right with `right.ts >= left.ts` — "next
+    *    observation after this event";
+    *  - `nearest`: whichever of the two is closer in time, ties to
+    *    backward.
+    *
+    * Planned as the union-and-sweep pattern rather than a range join:
+    * tag both sides, sort each series by (ts, side) so same-ts right
+    * rows land on the inclusive side of the comparison, and carry the
+    * neighboring right value with one window per direction. One shuffle
+    * on the key, linear in rows — a range-join formulation would rescan
+    * the right side per left row (`nearest` costs a second sort over
+    * the same exchange, never a second shuffle).
     *
     * `left`/`right` must share `keyCol` and `tsCol`; the right side
     * contributes `valueCol` (emitted as `asof_value`, null when no
-    * right row precedes).
+    * right row qualifies). Ties on (key, ts) among right rows break
+    * deterministically toward the greatest value in every direction.
     */
   def asOfJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String = "series_id", tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value", direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
     // Right values travel wrapped in a struct: a right row whose VALUE is
     // null must still count as a match (and carry its null forward) —
-    // bare-null carrying would make `last(ignoreNulls)` skip it and
-    // resurrect an older value. Ties on (key, ts) among right rows break
-    // deterministically toward the greatest value (the struct joins the
-    // window ordering).
+    // bare-null carrying would make last/first(ignoreNulls) skip it and
+    // resurrect a different value. The struct also carries the matched
+    // right ts (`rts`) so `nearest` can compare distances.
     val l = left.select(
       col(keyCol), col(tsCol), lit(1).as("_side"),
       struct(leftCols.map(col): _*).as("_payload"),
       lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rts", right.schema(tsCol).dataType),
         org.apache.spark.sql.types.StructField("v", right.schema(valueCol).dataType))))
         .as("_rv"))
     val r = right.select(
       col(keyCol), col(tsCol), lit(0).as("_side"),
       lit(null).cast(l.schema("_payload").dataType).as("_payload"),
-      struct(col(valueCol).as("v")).as("_rv"))
-    val w = Window.partitionBy(col(keyCol))
+      struct(col(tsCol).as("rts"), col(valueCol).as("v")).as("_rv"))
+    val u = l.unionByName(r)
+    // backward sweep: right rows sort BEFORE left on equal ts (side asc)
+    // ⇒ at-or-before is inclusive; last non-null in the prefix wins.
+    val wb = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"), col("_rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w).getField("v"))
+    // forward sweep: right rows sort AFTER left on equal ts (side desc)
+    // ⇒ at-or-after is inclusive; first non-null in the suffix wins.
+    // _rv desc keeps the greatest-value tie-break (first hit = greatest).
+    val wf = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side").desc, col("_rv").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withPick = direction match {
+      case "backward" =>
+        u.withColumn("_pick", last(col("_rv"), ignoreNulls = true).over(wb))
+      case "forward" =>
+        u.withColumn("_pick", first(col("_rv"), ignoreNulls = true).over(wf))
+      case "nearest" =>
+        u.withColumn("_b", last(col("_rv"), ignoreNulls = true).over(wb))
+          .withColumn("_f", first(col("_rv"), ignoreNulls = true).over(wf))
+          .withColumn("_pick",
+            when(col("_f").isNull, col("_b"))
+              .when(col("_b").isNull, col("_f"))
+              .when(unix_micros(col(tsCol)) - unix_micros(col("_b.rts")) <=
+                unix_micros(col("_f.rts")) - unix_micros(col(tsCol)), col("_b"))
+              .otherwise(col("_f")))
+          .drop("_b", "_f")
+    }
+    withPick
       .filter(col("_side") === 1)
       .select(Seq(col(keyCol), col(tsCol)) ++
-        leftCols.map(c => col(s"_payload.$c").as(c)) :+ col("asof_value"): _*)
+        leftCols.map(c => col(s"_payload.$c").as(c)) :+
+        col("_pick.v").as("asof_value"): _*)
   }
 
   /** Gap-fill resample: snap each point to a `stepSec` grid over

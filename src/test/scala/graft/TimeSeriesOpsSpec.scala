@@ -28,6 +28,35 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got(3).isNullAt(1)) // key never quoted
   }
 
+  test("asOfJoin forward/nearest: inclusive bounds, distance pick, ties to backward") {
+    val left = Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), 100L), // equal-ts right row exists
+      (1L, ts("2024-01-01T10:40:00Z"), 101L), // 11:00 (20m ahead) beats 10:00 (40m back)
+      (1L, ts("2024-01-01T10:30:00Z"), 102L), // exact midpoint: tie → backward
+      (1L, ts("2024-01-01T12:00:00Z"), 103L), // after all right rows
+      (1L, ts("2024-01-01T09:00:00Z"), 104L)) // before all right rows
+      .toDF("series_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), 5.0),
+      (1L, ts("2024-01-01T11:00:00Z"), 7.0))
+      .toDF("series_id", "ts", "value")
+    def run(dir: String): Map[Long, Option[Double]] =
+      TimeSeriesOps.asOfJoin(left, right, direction = dir)
+        .select("event_id", "asof_value").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val fwd = run("forward")
+    assert(fwd(100L).contains(5.0)) // inclusive at equal ts
+    assert(fwd(101L).contains(7.0))
+    assert(fwd(103L).isEmpty)       // nothing after
+    assert(fwd(104L).contains(5.0))
+    val near = run("nearest")
+    assert(near(100L).contains(5.0))
+    assert(near(101L).contains(7.0)) // forward closer
+    assert(near(102L).contains(5.0)) // tie → backward
+    assert(near(103L).contains(7.0)) // only backward exists
+    assert(near(104L).contains(5.0)) // only forward exists
+  }
+
   test("resampleFill: bucket winners + forward fill, leading gaps stay null") {
     val pts = Seq(
       (1L, ts("2024-01-01T01:10:00Z"), 1.0),
