@@ -386,6 +386,44 @@ object SparkEntry {
         |FROM b JOIN f ON f.event_id = b.event_id
         |ORDER BY b.event_id""".stripMargin)),
 
+    ("ts_interval_union",
+      // Union coverage of overlapping activity intervals per user:
+      // event_id-derived durations so the arithmetic is integer-exact
+      // on both engines.
+      (s, dir) => {
+        val iv = Tables.events(s, dir).select(
+          col("user_id").as("series_id"),
+          col("ts").as("start_ts"),
+          timestamp_micros(unix_micros(col("ts"))
+            + (col("event_id") % 7200 + 60) * 1000000L).as("end_ts"))
+        TimeSeriesOps.intervalUnionLength(iv).orderBy("series_id")
+      },
+      Some("""WITH iv AS (
+        |  SELECT user_id AS series_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS su,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 7200 + 60) * 1000000 AS eu
+        |  FROM events),
+        |marked AS (
+        |  SELECT series_id, su, eu,
+        |    CASE WHEN max(eu) OVER (PARTITION BY series_id ORDER BY su, eu
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR su > max(eu) OVER (PARTITION BY series_id ORDER BY su, eu
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM iv WHERE eu > su),
+        |seg AS (
+        |  SELECT series_id, su, eu,
+        |    SUM(opens) OVER (PARTITION BY series_id ORDER BY su, eu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM marked),
+        |lens AS (
+        |  SELECT series_id, seg, max(eu) - min(su) AS len
+        |  FROM seg GROUP BY series_id, seg)
+        |SELECT series_id, COUNT(*) AS n_segments,
+        |       CAST(SUM(len) AS BIGINT) AS covered_us
+        |FROM lens GROUP BY series_id
+        |ORDER BY series_id""".stripMargin)),
+
     ("ts_resample_fill",
       // Hourly grid over the first week, latest value per bucket,
       // forward-filled gaps — downsampling + gap-fill in one pass.

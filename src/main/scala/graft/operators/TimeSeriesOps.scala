@@ -196,6 +196,41 @@ object TimeSeriesOps {
       .drop("__n", "__sum", "__sumsq")
   }
 
+  /** Union coverage of possibly-overlapping `[start, end)` intervals per
+    * key: total covered time and the number of disjoint covered
+    * segments — "how long was this series actually active" (session
+    * coverage, SLA uptime, sensor availability).
+    *
+    * The classic sweep, distributed: per key in start order, an
+    * interval OPENS a new covered segment iff its start lies beyond the
+    * running max end of every earlier interval; the running count of
+    * opens is the segment id; coverage = Σ per-segment
+    * (max end − min start). Two windows + two aggregates, ALL clustered
+    * on the key — one shuffle end to end, linear in intervals (the
+    * naive pairwise-overlap formulation is O(n²) per key).
+    *
+    * Zero/negative-length intervals (end ≤ start) are dropped. Output:
+    * (key, n_segments, covered_us).
+    */
+  def intervalUnionLength(
+      intervals: DataFrame,
+      keyCol: String = "series_id", startCol: String = "start_ts",
+      endCol: String = "end_ts"): DataFrame = {
+    val sUs = unix_micros(col(startCol))
+    val eUs = unix_micros(col(endCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(sUs, eUs)
+    val prevMaxEnd = max(eUs).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(prevMaxEnd.isNull || sUs > prevMaxEnd, 1).otherwise(0)
+    intervals
+      .filter(eUs > sUs)
+      .withColumn("__seg",
+        sum(opens).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__seg"))
+      .agg((max(eUs) - min(sUs)).as("__len"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_segments"), sum(col("__len")).as("covered_us"))
+  }
+
   /** Gap-based sessionization: a new session starts at the first event of
     * a key or after a silence longer than `gapSec`. Appends an increasing
     * per-key `session_no` (1-based). Two windows over ONE shuffle on the

@@ -57,6 +57,27 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(near(104L).contains(5.0)) // only forward exists
   }
 
+  test("intervalUnionLength: overlaps merge, touching intervals merge, gaps split") {
+    val iv = Seq(
+      // key 1: [0,10) ∪ [5,20) ∪ [20,25) = one 25-min segment (touching
+      // endpoints merge: half-open [a,b) ∪ [b,c) is contiguous),
+      // then [40,45) after a gap
+      (1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:10:00Z")),
+      (1L, ts("2024-01-01T00:05:00Z"), ts("2024-01-01T00:20:00Z")),
+      (1L, ts("2024-01-01T00:20:00Z"), ts("2024-01-01T00:25:00Z")),
+      (1L, ts("2024-01-01T00:40:00Z"), ts("2024-01-01T00:45:00Z")),
+      // key 1: contained interval adds nothing
+      (1L, ts("2024-01-01T00:41:00Z"), ts("2024-01-01T00:43:00Z")),
+      // key 2: zero-length dropped entirely
+      (2L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:00Z")))
+      .toDF("series_id", "start_ts", "end_ts")
+    val got = TimeSeriesOps.intervalUnionLength(iv)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, us) => k -> ((n, us / 60000000L)) }.toMap
+    assert(got(1L) == ((2L, 30L))) // 25 min + 5 min over 2 segments
+    assert(!got.contains(2L))
+  }
+
   test("resampleFill: bucket winners + forward fill, leading gaps stay null") {
     val pts = Seq(
       (1L, ts("2024-01-01T01:10:00Z"), 1.0),
