@@ -252,12 +252,17 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     // The version dir the OUTGOING public table reads from — that is the
     // one in-flight readers may still be scanning, and NOT necessarily
     // the highest version on disk (a crashed rebuild leaves an orphan
-    // dir above it).
+    // dir above it). The version parses from the path segment DIRECTLY
+    // under tableRoot — an unanchored /v<digits>/ search could match a
+    // version-like segment of basePath or the table name itself.
+    val qRoot = fs.makeQualified(tableRoot).toString + "/"
     val prevLive: Option[Long] =
       if (spark.catalog.tableExists(tableName))
-        spark.table(tableName).inputFiles.headOption.flatMap { f =>
-          "/v(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toLong)
-        }
+        spark.table(tableName).inputFiles.headOption
+          .filter(_.startsWith(qRoot))
+          .flatMap { f =>
+            "^v(\\d+)/".r.findFirstMatchIn(f.stripPrefix(qRoot)).map(_.group(1).toLong)
+          }
       else None
     scanValues()
       .drop("valid_month")
@@ -281,8 +286,12 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
     // keep-one grace: retain the previously-live dir; crashed-rebuild
-    // orphans and older superseded dirs go
-    versions.filter(v => !prevLive.contains(v)).foreach { v =>
+    // orphans and older superseded dirs go. With no resolvable live
+    // version (crashed rebuild: readers were on the scanBucketed
+    // highest-version fallback), retain the highest old dir instead of
+    // deleting the one those readers are mid-scan on.
+    val keepV = prevLive.orElse(versions.sorted.lastOption)
+    versions.filter(v => !keepV.contains(v)).foreach { v =>
       fs.delete(new Path(tableRoot, s"v$v"), true)
     }
   }
@@ -401,16 +410,20 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     versions.dropRight(keep.length).foreach { case (_, p) => fs.delete(p, false) }
     // A staging dir's own mtime is set at job START; a long write keeps
     // producing files, so age the dir by its NEWEST content — an active
-    // writer's staging dir always looks fresh.
-    def newestMtime(p: Path): Long = {
-      val st = fs.getFileStatus(p)
+    // writer's staging dir always looks fresh. A child vanishing
+    // mid-walk (the writer just promoted or cleaned it) means ACTIVE:
+    // treat the dir as fresh rather than failing the maintenance job.
+    def newestMtime(st: FileStatus): Long =
       if (!st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +:
-        fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
-    }
+      else {
+        val children =
+          try fs.listStatus(st.getPath).toSeq
+          catch { case _: java.io.FileNotFoundException => return Long.MaxValue }
+        (st.getModificationTime +: children.map(newestMtime)).max
+      }
     if (fs.exists(stagingRoot))
       fs.listStatus(stagingRoot)
-        .filter(d => newestMtime(d.getPath) <= cutoff)
+        .filter(d => newestMtime(d) <= cutoff)
         .foreach(d => fs.delete(d.getPath, true))
     val deleted = Seq.newBuilder[String]
     for {

@@ -43,13 +43,13 @@ object StreamingIngest {
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val store = new SeriesStore(batch.sparkSession, basePath)
         if (!batch.isEmpty) {
           val now = new java.sql.Timestamp(System.currentTimeMillis())
           val stamped = WritePipeline.stamp(batch, retentionKwarg = retention, now = now)
           if (batch.columns.contains("retention"))
             WritePipeline.requireValidRetentions(
               stamped.agg(collect_set("retention")).head().getSeq[String](0))
-          val store = new SeriesStore(batch.sparkSession, basePath)
           store.appendValues(stamped)
           store.appendRunSeries(WritePipeline.runSeriesOf(stamped, now))
         }
@@ -57,7 +57,6 @@ object StreamingIngest {
         // multiple must not silently skip maintenance (a periodic data
         // cadence could align empties with every trigger).
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          val store = new SeriesStore(batch.sparkSession, basePath)
           store.compactPartitions(compactMaxFiles)
           // Default age floor on purpose: with manifests committed every
           // batch, the retained-manifest tail spans well under one
