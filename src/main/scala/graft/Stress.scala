@@ -103,7 +103,45 @@ object Stress {
     }
     spark.sql("DROP TABLE IF EXISTS stress_bucketed")
 
+    // Maintenance under concurrent reads at scale: fragment one month
+    // with small appends, then compact + vacuum while a reader loop
+    // hammers the store — the snapshot-manifest guarantee (no partial
+    // month, no vanished files) exercised on millions of rows, not just
+    // the unit-spec's six.
+    (1 to 6).foreach { i =>
+      db.write(
+        spark.range(10000).select(
+          (col("id") % 100).as("series_id"),
+          timestamp_micros(lit(startUs) + (col("id") % 100) * 3600000000L).as("valid_time"),
+          (col("id") + i * 10000).cast("double").as("value")),
+        retention = Some("short"))
+    }
+    val expected = db.store.scanValues().filter(col("retention") === "short").count()
+    @volatile var stop = false
+    val readerErrors = new java.util.concurrent.atomic.AtomicLong
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          if (db.store.scanValues().filter(col("retention") === "short").count() != expected)
+            readerErrors.incrementAndGet()
+        } catch { case _: Throwable => readerErrors.incrementAndGet() }
+        ()
+      }
+    })
+    reader.start()
+    try {
+      timed("compact fragmented month under concurrent reads") {
+        db.compact(maxFiles = 4)
+      }
+      timed("vacuum superseded files (writer-thread, age 0)") {
+        db.store.vacuum(minAgeMillis = 0L)
+      }
+    } finally { stop = true; reader.join() }
+    println(s"[stress] concurrent-reader anomalies during maintenance: ${readerErrors.get()}"
+      + (if (readerErrors.get() == 0) " (PASS)" else " (FAIL)"))
+
     db.delete()
     spark.stop()
+    if (readerErrors.get() != 0) sys.exit(1)
   }
 }
