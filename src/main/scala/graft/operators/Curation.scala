@@ -116,6 +116,39 @@ object Curation {
       .drop("__bucket", "__offset")
   }
 
+  /** Sequence packing for training: concatenate documents in `orderCol`
+    * order into one logical token stream and cut it into fixed
+    * `packTokens`-sized context windows. Emits per doc its global
+    * `token_start` offset, the window it starts in (`pack_id`), and its
+    * offset within that window — the assignment a pretraining data
+    * loader needs to materialize packed sequences (documents may span a
+    * window boundary, the standard "chunked packing" regime).
+    *
+    * The global running offset is [[runningTotalByPriority]]'s
+    * distributed prefix sum over ASCENDING `orderCol` (priority =
+    * −order), so there is no single-partition window: the one shape that
+    * dies first at 100 TB in naive packing implementations.
+    *
+    * `fixedThresholds` (optional) are bucket boundaries in `orderCol`
+    * units; they skip the quantile-estimation scan exactly as in
+    * [[runningTotalByPriority]] (the wrapper negates them internally). */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+      packTokens: Long, buckets: Int = 0,
+      fixedThresholds: Array[Double] = Array.empty,
+      materialize: Option[Boolean] = None): DataFrame = {
+    require(packTokens > 0, "packTokens must be positive")
+    val negOrd = "__neg_order"
+    val running = "__running_tokens"
+    runningTotalByPriority(
+      df.withColumn(negOrd, -col(orderCol).cast("double")),
+      negOrd, orderCol, tokenCol, running, buckets,
+      fixedThresholds.map(-_), materialize)
+      .withColumn("token_start", (col(running) - col(tokenCol)).cast("long"))
+      .withColumn("pack_id", expr(s"token_start div ${packTokens}L"))
+      .withColumn("pack_offset", pmod(col("token_start"), lit(packTokens)))
+      .drop(negOrd, running)
+  }
+
   /** Greedy token-budget cut: keep the highest-priority prefix whose
     * cumulative `valueCol` stays within `budget`. */
   def budgetCut(df: DataFrame, priorityCol: String, tieCol: String,

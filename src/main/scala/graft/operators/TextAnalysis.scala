@@ -131,6 +131,33 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** PII patterns for [[redactPii]]. Kept to the regex subset with
+    * identical semantics in Java (Spark) and RE2 (the oracle): character
+    * classes, bounded/greedy quantifiers, `\b` word boundaries — no
+    * lookaround, no backreferences. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+    ("phone", "\\+[0-9][0-9()\\- ]{6,}[0-9]", "[PHONE]"))
+
+  /** PII redaction — the scrubbing pass a training corpus runs before
+    * anything else ships: replaces emails, IPv4 addresses, and
+    * international-format phone numbers with class markers and counts
+    * each class. One codegen'd projection (3 regexp_replace + 3
+    * regexp_count), embarrassingly parallel at 100 TB; counts are taken
+    * on the ORIGINAL text so they are independent of redaction order,
+    * while replacements apply sequentially (markers contain no digits,
+    * so later patterns never match earlier markers). */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, marker)) => regexp_replace(acc, pat, marker)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).as(s"n_$name")
+    }
+    docs.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
+  }
+
   /** Order-sensitive document fingerprint (X4): positional rolling hash
     * `Σ position_i · hash32(token_i) mod p`. Content AND order sensitive,
     * unlike a bag-of-words hash; portable to the SQL oracle via the
