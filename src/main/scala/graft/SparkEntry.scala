@@ -1066,7 +1066,9 @@ object SparkEntry {
           .select("doc_id", "quality", "approx_bpe_tokens")
           .filter(col("quality") >= 0.5)
         // quality is a known [0,1] score — fixed thresholds skip the
-        // quantile-estimation scan.
+        // quantile-estimation scan. Materialize: the digest window +
+        // profile input is expensive enough that one checkpoint beats
+        // evaluating it in both branches of the prefix-sum job.
         Curation.runningTotalByPriority(cand, "quality", "doc_id",
             "approx_bpe_tokens", "running_tokens",
             fixedThresholds = (1 to 19).map(_ * 0.05).toArray,

@@ -12,8 +12,19 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  // Memoized per (session, dir, table): a DataFrame is an immutable
+  // logical plan, and re-creating it per query re-lists the directory
+  // and re-reads parquet footers — pure fixed overhead when the same
+  // driver process runs dozens of queries over the same testdata. The
+  // cached entry pins the file listing; call [[invalidate]] if the
+  // underlying directory changes.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def invalidate(): Unit = cache.clear()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    cache.getOrElseUpdate((spark, dir, name), spark.read.parquet(path(dir, name)))
 
   /** `events` with `ts` converted to a µs timestamp.
     *

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *  2. rows bucket by those thresholds, first-match-wins on `>=`, so ties
   *     share a bucket and bucket order respects the global (priority DESC)
   *     order — tie-break columns only ever matter WITHIN a bucket;
-  *  3. per-bucket totals (one row per bucket) cumulate on the driver into
-  *     per-bucket starting offsets, rejoined by broadcast;
+  *  3. per-bucket totals (one row per bucket) cumulate into per-bucket
+  *     starting offsets via a window over the O(buckets) partials frame,
+  *     rejoined by broadcast — no driver collect, no extra action;
   *  4. running total = bucket offset + a window PARTITIONED by bucket.
   *
   * Each window partition holds ~1/buckets of the rows; size `buckets` so a
@@ -41,14 +42,16 @@ object Curation {
     * depends on the score distribution, but correctness never does.
     *
     * `materialize`: whether to localCheckpoint the input. The operator
-    * makes MULTIPLE passes (quantiles, bucket partials, the final
-    * window), so the default materializes once — that also pins a
-    * single snapshot of the input, which is REQUIRED for correctness if
-    * the input is nondeterministic (sample(), rand()-derived priority,
-    * a source mutating between jobs): offsets from one evaluation added
-    * to windows over another would corrupt the running totals silently.
+    * evaluates the input MULTIPLE times (the optional quantile scan,
+    * plus the partials and window branches of the main job), so the
+    * default materializes once — that also pins a single snapshot of
+    * the input, which is REQUIRED for correctness if the input is
+    * nondeterministic (sample(), rand()-derived priority, a source
+    * mutating between jobs): offsets from one evaluation added to
+    * windows over another would corrupt the running totals silently.
     * Pass `Some(false)` only for a deterministic input cheap enough to
-    * recompute per pass (with `fixedThresholds`, two passes remain). */
+    * evaluate twice (with `fixedThresholds` there is no quantile scan,
+    * so the whole operator is then ONE job). */
   def runningTotalByPriority(df: DataFrame, priorityCol: String, tieCol: String,
       valueCol: String, out: String, buckets: Int = 0,
       fixedThresholds: Array[Double] = Array.empty,
@@ -91,21 +94,25 @@ object Curation {
       }
     val bucketed = input.withColumn("__bucket", bucket)
 
-    // One row per bucket — a driver-side cumulation of partial sums is
-    // O(buckets), not O(rows).
+    // One row per bucket; the bucket-offset cumulation is a window over
+    // THIS O(buckets) frame (thousands of rows at most), not over the
+    // data — so the whole prefix sum is ONE job, with no driver-side
+    // collect and no extra action for the offsets.
     // coalesce: an all-null bucket sums to null and must contribute 0,
     // exactly as the naive window's sum would skip the nulls.
     val partials = bucketed.groupBy("__bucket")
       .agg(coalesce(sum(col(valueCol)).cast("long"), lit(0L)).as("__total"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    val offsets = (0 to thresholds.length).scanLeft(0L) {
-      (acc, b) => acc + partials.getOrElse(b, 0L)
-    }.dropRight(1)
-    import spark.implicits._
-    val offDf = offsets.zipWithIndex
-      .map { case (off, b) => (b, off) }.toDF("__bucket", "__offset")
+    // Single-partition window — intentionally: it runs over `buckets`
+    // rows, not data rows, so one partition is O(buckets) regardless of
+    // input volume. The constant partition key keeps WindowExec from
+    // logging its all-data-to-one-partition warning, which here would
+    // be a false alarm.
+    val offW = Window.partitionBy(lit(0))
+      .orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = partials
+      .withColumn("__offset", coalesce(sum(col("__total")).over(offW), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
 
     val w = Window.partitionBy(col("__bucket"))
       .orderBy(p.desc, col(tieCol).asc)

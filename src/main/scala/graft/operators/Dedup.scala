@@ -195,15 +195,15 @@ object Dedup {
     * candidate pairs, the exact measure is computed ONLY on those pairs,
     * and pairs below `threshold` (banding false-positives) are dropped.
     *
-    * The verify pass never touches the O(n²) pair space: the candidate
-    * list joins back to the per-doc shingle sets on doc id, and the
-    * intersection count is one equi-join on (id_b, shingle) followed by
-    * a per-pair count — every stage keyed on doc ids / content keys.
-    * Per-pair work is O(|shingles(a)| + |shingles(b)|). Unlike
-    * [[ngramJaccardPairs]] (which caps posting lists with `maxDf` to
-    * bound its d² pair generation), the verify runs on FULL shingle
-    * sets — candidates are already bounded by the banding, so the true
-    * Jaccard needs no stop-shingle approximation here.
+    * The verify pass never touches the O(n²) pair space: each doc's
+    * distinct shingles collapse to ONE sorted-array row, the candidate
+    * list joins those arrays on doc id (two equi-joins), and the
+    * intersection is a per-pair `array_intersect` — O(|A| + |B|) per
+    * candidate, no per-shingle row explosion and no (pair, shingle)
+    * shuffle. Unlike [[ngramJaccardPairs]] (which caps posting lists
+    * with `maxDf` to bound its d² pair generation), the verify runs on
+    * FULL shingle sets — candidates are already bounded by the banding,
+    * so the true Jaccard needs no stop-shingle approximation here.
     *
     * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard ≥ threshold).
     */
@@ -212,26 +212,28 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are dropped)")
     // Both branches (MinHash signatures, exact shingle sets) consume the
-    // same shingle stream, and the distinct set feeds three consumers
-    // (sizes + both pair joins); materialize each once rather than
-    // re-running tokenize + md5 + the per-doc lead windows per consumer.
-    // Eager on purpose: a lazy checkpoint would not share across the
-    // independent stages of the single verify job. (At corpus scale
-    // you'd persist the shingle frame across pipeline stages; these
-    // localCheckpoints are the single-job analog — note they run the
-    // shingle pipeline at CONSTRUCTION time.)
-    val stream = shingleStream(docs, n, idCol, textCol).localCheckpoint()
+    // distinct shingle set — MinHash minima are duplicate-insensitive, so
+    // signatures off the distinct frame are identical to signatures off
+    // the raw stream, and the set feeds four consumers (signatures,
+    // sizes, both intersection joins). ONE lazy persist shares the
+    // tokenize + md5 work across all of them; earlier rounds used two
+    // eager localCheckpoints here, which cost two extra materialization
+    // jobs without being any faster.
+    val sh = shingleStream(docs, n, idCol, textCol).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatesFromWide(
-      minHashWideFromStream(stream, numHashes, idCol), numHashes, bands, idCol)
-    val sh = stream.distinct().localCheckpoint()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      minHashWideFromStream(sh, numHashes, idCol), numHashes, bands, idCol)
+    // One aggregate folds each doc's shingle set into a sorted array +
+    // size; the verify is then candidate-keyed joins + array_intersect.
+    val sets = sh.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("sh"))).as("__set"), count(lit(1)).as("__sz"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"),
+        col("__set").as("__set_a"), col("__sz").as("sz_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"),
+        col("__set").as("__set_b"), col("__sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("__set_a"), col("__set_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -367,12 +369,21 @@ object Dedup {
     * component — the canonical "duplicate cluster" assignment that turns
     * pairwise candidates into keep-one-per-cluster decisions.
     *
-    * Pregel-style iterative min-label propagation: each round every node
-    * takes the min of its own label and its neighbors' labels; fixpoint
-    * after O(diameter) rounds. Every round is one equi-join + one
-    * groupBy on the edge list — all shuffle-on-key, no driver-side graph.
+    * Pregel-style iterative min-label propagation with self-loops: the
+    * symmetrized edge list carries an (id, id) loop per node, so each
+    * round is ONE equi-join + ONE groupBy-min — `min` over a node's
+    * neighborhood-including-itself IS the update, no second join to
+    * merge the old label back in. Fixpoint after O(diameter) rounds,
+    * detected by the label SUM: min-propagation only ever decreases
+    * labels, so an unchanged (exact, decimal) sum is an unchanged
+    * labeling — one tiny aggregate instead of a change-flag join.
+    *
     * The label/edge frames hold only docs WITH candidate edges (a tiny
-    * fraction of a 100 TB corpus), and each round's result is
+    * fraction of a 100 TB corpus), so the loop sizes its own shuffle
+    * parallelism from the edge count rather than inheriting the
+    * corpus-scale `spark.sql.shuffle.partitions` — at any scale the
+    * per-round frames are candidate-graph-sized, and a few million
+    * edges do not want thousands of near-empty reducers. Each round is
     * localCheckpoint'ed so lineage doesn't compound across iterations.
     * Near-dup graphs are star-like (diameters of a few hops); for
     * adversarially long chains the alternating large-star/small-star
@@ -383,30 +394,45 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIters: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
     val src = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = src
       .union(src.select(col("dst").as("src"), col("src").as("dst")))
+      .union(src.select(col("src").as("src"), col("src").as("dst")))
+      .union(src.select(col("dst").as("src"), col("dst").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
-    var changed = -1L
-    var iter = 0
-    while (changed != 0 && iter < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster").as("_nc")), "dst")
-        .groupBy("src").agg(min(col("_nc")).as("_nmin"))
-        .withColumnRenamed("src", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"),
-          (coalesce(col("_nmin"), col("cluster")) < col("cluster")).as("_chg"))
-        .localCheckpoint()
-      changed = next.filter(col("_chg")).count()
-      labels = next.select("id", "cluster")
-      iter += 1
-    }
-    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
-    labels
+    // Scope shuffle parallelism to the graph, not the corpus: ~64k edge
+    // rows per reducer, restored after the loop (construction AND
+    // execution happen inside this block — every round is eager).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, edges.count() / 65536L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id"))
+      // exact decimal sum: overflow-free for any Long ids at any node
+      // count; coalesce so an EMPTY graph (sum → null) still converges
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+      var prevSum: java.math.BigDecimal = null
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val next = edges
+          .join(labels.select(col("id").as("dst"), col("cluster").as("_nc")), "dst")
+          .groupBy("src").agg(min(col("_nc")).as("cluster"))
+          .withColumnRenamed("src", "id")
+          .localCheckpoint()
+        val s = labelSum(next)
+        converged = prevSum != null && s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = next
+        iter += 1
+      }
+      require(converged, s"label propagation did not converge in $maxIters rounds")
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Embedding-cosine near-dup pairs (X2/X3 hybrid): pairs with cosine ≥
