@@ -449,4 +449,33 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** SemDeDup-style semantic dedup: [[embeddingNearDup]] pairs →
+    * [[duplicateClusters]] components → ONE keeper per semantic cluster,
+    * by (`scoreCol` desc, id asc) — e.g. "keep the longest / highest-
+    * quality document among embedding near-duplicates". Docs in no pair
+    * are their own singleton cluster and always keep.
+    *
+    * Scale shape: the pairwise step is blocked (per `blockCol`), the
+    * clustering touches only the candidate-edge subgraph, and the winner
+    * pick is a per-cluster window over the full id set — every stage
+    * keyed, nothing driver-side.
+    *
+    * Output: (idCol, cluster, scoreCol, keep ∈ {0,1}).
+    */
+  def semanticWinners(emb: DataFrame, scores: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockCol: String = "label", scoreCol: String = "score"): DataFrame = {
+    val pairs = embeddingNearDup(emb, threshold, idCol, vecCol, blockCol)
+    val clusters = duplicateClusters(pairs)
+    val labeled = emb.select(col(idCol).cast("long").as("id"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col("id").asc)
+    labeled
+      .join(scores.select(col(idCol).cast("long").as("id"), col(scoreCol)), "id")
+      .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+      .select(col("id").as(idCol), col("cluster"), col(scoreCol), col("keep"))
+  }
 }
