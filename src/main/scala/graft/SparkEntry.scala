@@ -251,17 +251,19 @@ object SparkEntry {
     // ----- skip-unchanged write dedup (SURVEY §2.2 W4 + §2.4 J2) -----
 
     ("td_skip_unchanged",
+      // stored + incoming are parity slices of ONE table here, so the
+      // co-located W4 variant applies: one scan, one shuffle on the scope
+      // key (the two-frame filterUnchanged path costs 2 scans + 4
+      // exchanges and is pinned equivalent by WritePipelineSpec).
       (s, dir) => {
         val sv = Tables.series(s, dir)
           .withColumn("value",
             when(col("value") < 25, lit(Double.NaN))
               .otherwise(floor(col("value") / 50) * 50.0))
           .withColumn("annotation", lit(""))
-        val stored = sv.filter(pmod(unix_micros(col("knowledge_time")), lit(2)) === 0)
-        val incoming = sv.filter(pmod(unix_micros(col("knowledge_time")), lit(2)) === 1)
-        val storedLatest = WritePipeline.storedLatestFor(stored, UnchangedScope.ValidTime)
+        val isStored = pmod(unix_micros(col("knowledge_time")), lit(2)) === 0
         maskNaN(
-          WritePipeline.filterUnchanged(incoming, storedLatest, UnchangedScope.ValidTime)
+          WritePipeline.filterUnchangedCoLocated(sv, isStored, UnchangedScope.ValidTime)
             .select("series_id", "valid_time", "knowledge_time", "value", "changed_by"))
           .orderBy("series_id", "valid_time", "knowledge_time")
       },
@@ -1705,34 +1707,204 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     ("x_approx_quantiles",
-      // Sketch quantiles (GK, bounded error via accuracy param) beside
-      // the exact holistic percentile — constant state per group vs. a
-      // full sort of each group's values. Rows-only like
-      // x_approx_distinct; the error bound is spec-pinned.
+      // Sketch quantiles (GK, bounded rank error 1/accuracy) beside the
+      // exact holistic percentile — constant state per group vs. a full
+      // sort of each group's values. The sketch ESTIMATE is
+      // engine-specific, so the declared output carries the exact
+      // percentiles plus booleans asserting the estimate landed inside a
+      // 10× rank-error corridor (the estimate must lie between the exact
+      // q∓0.01 quantiles) — deterministic on fixed data, so the oracle
+      // hash-matches it with literal TRUEs and a violated bound fails
+      // the driver check instead of hiding behind "rows-only".
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
-          expr("approx_percentile(value, 0.95, 1000)").as("approx_p95"),
-          expr("percentile(value, 0.5)").as("exact_p50"),
-          expr("percentile(value, 0.95)").as("exact_p95"))
+          expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(value, 0.95, 1000)").as("ap95"),
+          round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("exact_p95"),
+          expr("percentile(value, 0.49)").as("lo50"),
+          expr("percentile(value, 0.51)").as("hi50"),
+          expr("percentile(value, 0.94)").as("lo95"),
+          expr("percentile(value, 0.96)").as("hi95"))
+        .select(col("event_type"), col("exact_p50"), col("exact_p95"),
+          col("ap50").between(col("lo50"), col("hi50")).as("p50_within_bound"),
+          col("ap95").between(col("lo95"), col("hi95")).as("p95_within_bound"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(value, 0.95), 4) AS exact_p95,
+        |  TRUE AS p50_within_bound,
+        |  TRUE AS p95_within_bound
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
 
     ("x_approx_distinct",
       // Approximate distinct (HyperLogLog++) next to the exact count —
       // the sketch the reference lacks but a 100 TB engine needs:
-      // constant-size state per group vs. a full distinct shuffle. No
-      // oracle SQL (sketch estimates are engine-specific) → the driver
-      // records the weaker rows-only check; the error bound is pinned by
-      // OperatorsSpec instead.
+      // constant-size state per group vs. a full distinct shuffle. Same
+      // deterministic-bound trick as x_approx_quantiles: the declared
+      // output is (exact count, |approx−exact|/exact ≤ 5·rsd), which
+      // both engines can hash-match; the tighter 2% rsd behavior is
+      // additionally spec-pinned in OperatorsSpec.
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
           count_distinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("au") - col("exact_users")).cast("double") / col("exact_users")
+            <= lit(0.1)).as("within_bound"))
         .orderBy("event_type"),
-      None)
+      Some("""SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
+    // ----- rounds-3/4 operators, now oracle-declared (r4 verdict #2) -----
+
+    ("x_pii_redact",
+      // PII scrubbing over text that deterministically CONTAINS PII: the
+      // raw corpus has none, so both engines append a synthetic
+      // email/IP/phone derived from doc_id before redacting — the
+      // patterns are exercised for real, and the redacted text plus
+      // per-class counts hash-match.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"), lit("@example.org via 10.2."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 or +33 1404"),
+            pmod(col("doc_id"), lit(10)).cast("string"), lit("552")).as("text"))
+        TextAnalysis.redactPii(docs).orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.org via 10.2.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.7 or +33 1404'
+        |      || CAST(doc_id % 10 AS VARCHAR) || '552' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(text, '\+[0-9][0-9()\- ]{6,}[0-9]')) AS n_phone
+        |FROM d
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_pack_sequences",
+      // Sequence packing: global token offsets in doc_id order, cut into
+      // 2048-token context windows — the distributed prefix sum under a
+      // single-partition-window-free plan (Curation scaladoc).
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= "")).as("n_tokens"))
+        Curation.packSequences(toks, "doc_id", "n_tokens", packTokens = 2048L)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("token_start"), col("pack_id"), col("pack_offset"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, token_start,
+        |  token_start // 2048 AS pack_id,
+        |  token_start % 2048 AS pack_offset
+        |FROM r
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_mix_proportions",
+      // Mixture re-weighting: down-sample the corpus toward a 50/30/20
+      // en/de/zh language mix (es/fr dropped) via the deterministic
+      // fractional hash bucket; rates are derived from per-stratum
+      // counts, so the oracle re-derives them relationally.
+      (s, dir) => Sampling.mixToProportions(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH counts AS (
+        |  SELECT lang AS s, COUNT(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |t(s, tgt) AS (VALUES ('en', 0.5), ('de', 0.3), ('zh', 0.2)),
+        |kk AS (SELECT MIN(n / tgt) AS k FROM counts JOIN t USING (s)),
+        |rates AS (
+        |  SELECT s, least(1.0, kk.k * tgt / n) AS rate
+        |  FROM counts JOIN t USING (s), kk)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates r ON r.s = d.lang
+        |WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       % 10000) / 10000.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    ("x_semantic_winners",
+      // SemDeDup composition: embedding near-dup pairs (blocked by
+      // label) → connected components → one keeper per semantic cluster
+      // by (score desc, id); singletons always keep. Scores join in from
+      // the documents table (doc length as the quality proxy).
+      (s, dir) => {
+        val scores = Tables.documents(s, dir)
+          .select(col("doc_id").as("vec_id"), col("n_chars").cast("double").as("score"))
+        Dedup.semanticWinners(Tables.embeddings(s, dir), scores, threshold = 0.35)
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / NULLIF(sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0) >= 0.35),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+        |labeled AS (
+        |  SELECT e.vec_id AS id, COALESCE(c.cluster, e.vec_id) AS cluster
+        |  FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id),
+        |scored AS (
+        |  SELECT l.id, l.cluster, CAST(d.n_chars AS DOUBLE) AS score
+        |  FROM labeled l JOIN documents d ON d.doc_id = l.id)
+        |SELECT id AS vec_id, cluster, score,
+        |  CASE WHEN row_number() OVER (PARTITION BY cluster
+        |                               ORDER BY score DESC, id) = 1
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM scored
+        |ORDER BY vec_id""".stripMargin)),
+
+    ("x_json_fields",
+      // Semi-structured promotion: the event `props` JSON sidecar parsed
+      // once, scalar field extracted to a typed column — pure codegen'd
+      // projection.
+      (s, dir) => SemiStructured.extractJsonFields(
+        Tables.events(s, dir).select("event_id", "props"), "props",
+        Seq(("k", "$.k", "int")))
+        .select("event_id", "k")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin)),
+
+    ("x_json_keys",
+      // Schema-discovery pass: top-level key frequency across the JSON
+      // sidecar — decides which fields to promote to typed columns.
+      (s, dir) => SemiStructured.jsonKeyProfile(Tables.events(s, dir), "props")
+        .orderBy("key"),
+      Some("""SELECT k AS key, COUNT(*) AS freq FROM (
+        |  SELECT unnest(json_keys(props)) AS k FROM events)
+        |GROUP BY k
+        |ORDER BY key""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -157,11 +157,29 @@ object Dedup {
     * bucket collisions.
     */
   def minHashLshCandidates(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+      maxBucket: Int = DefaultMaxBucket,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     lshCandidatesFromWide(minHashWide(docs, n, numHashes, idCol, textCol),
-      numHashes, bands, idCol)
+      numHashes, bands, idCol, maxBucket)
 
-  private def lshCandidatesFromWide(wide: DataFrame, numHashes: Int, bands: Int,
+  /** Degenerate-bucket cap for the LSH/SimHash candidate generators.
+    * A bucket holding d docs emits d²/2 pair rows from ONE
+    * `sort_array(collect_list(...))` array in ONE task — at 100 TB a
+    * degenerate band key (empty docs, boilerplate, an all-zero SimHash
+    * band) would collect millions of ids into a single row and OOM the
+    * executor before the d² explosion even starts. Like `maxDf` in
+    * [[ngramJaccardPairs]], a bucket that hot carries no similarity
+    * signal (its members collide on a band key shared by a meaningful
+    * fraction of the corpus, not because they resemble each other), so
+    * dropping it is the standard practical semantics, not an
+    * approximation loss. Use the `*DroppedBuckets` companions to audit
+    * what a given cap discards. */
+  val DefaultMaxBucket: Int = 1000
+
+  /** Per-bucket posting lists of the MinHash-LSH banding: (band,
+    * band_key, ids). Shared by candidate generation and drop
+    * accounting. */
+  private def lshBucketsFromWide(wide: DataFrame, numHashes: Int, bands: Int,
       idCol: String): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
@@ -174,20 +192,39 @@ object Dedup {
         concat_ws(",", (b * rows until (b + 1) * rows)
           .map(i => col(s"sig_$i").cast("string")): _*).as("band_key"))
     }
-    val banded = wide
+    wide
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+  }
+
+  private def lshCandidatesFromWide(wide: DataFrame, numHashes: Int, bands: Int,
+      idCol: String, maxBucket: Int): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be > 1")
     // Posting-list pair generation per bucket (same plan shape as
     // ngramJaccardPairs): one aggregate, no self-join recomputation.
-    banded.groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    // Buckets over `maxBucket` are dropped BEFORE the in-array pair
+    // explosion (see [[DefaultMaxBucket]]).
+    lshBucketsFromWide(wide, numHashes, bands, idCol)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         "flatten(transform(sequence(0, size(ids) - 2), " +
           "i -> transform(slice(ids, i + 2, size(ids)), j -> struct(ids[i] AS id_a, j AS id_b))))"
       )).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
+
+  /** Drop-accounting companion of [[minHashLshCandidates]]: the buckets a
+    * given `maxBucket` cap discards, with their sizes — emit/log this
+    * beside the candidate run so capped corpora are auditable.
+    * Output: (band, band_key, bucket_size). */
+  def minHashLshDroppedBuckets(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+      maxBucket: Int = DefaultMaxBucket,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lshBucketsFromWide(minHashWide(docs, n, numHashes, idCol, textCol), numHashes, bands, idCol)
+      .filter(size(col("ids")) > maxBucket)
+      .select(col("band"), col("band_key"), size(col("ids")).as("bucket_size"))
 
   /** MinHash-LSH candidates → EXACT Jaccard verify (X2) — the
     * generate-then-verify composition a production near-dup pipeline
@@ -208,7 +245,7 @@ object Dedup {
     * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard ≥ threshold).
     */
   def minHashLshVerified(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
-      threshold: Double,
+      threshold: Double, maxBucket: Int = DefaultMaxBucket,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are dropped)")
     // Both branches (MinHash signatures, exact shingle sets) consume the
@@ -222,12 +259,12 @@ object Dedup {
     val sh = shingleStream(docs, n, idCol, textCol).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatesFromWide(
-      minHashWideFromStream(sh, numHashes, idCol), numHashes, bands, idCol)
+      minHashWideFromStream(sh, numHashes, idCol), numHashes, bands, idCol, maxBucket)
     // One aggregate folds each doc's shingle set into a sorted array +
     // size; the verify is then candidate-keyed joins + array_intersect.
     val sets = sh.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("sh"))).as("__set"), count(lit(1)).as("__sz"))
-    cand
+    val verified = cand
       .join(sets.select(col(idCol).as("id_a"),
         col("__set").as("__set_a"), col("__sz").as("sz_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"),
@@ -239,6 +276,14 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
         round(col("jaccard"), 6).as("jaccard"))
+    // The verified pair set is tiny (it is the banding's true positives);
+    // materialize it eagerly so the shared shingle cache can be RELEASED
+    // here instead of leaking a cache entry per call for the session
+    // lifetime. Checkpoint blocks are reclaimed by the ContextCleaner
+    // when the result is dropped.
+    val out = verified.localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** SimHash fingerprint (X2): 48-bit weighted-bit-vote fingerprint over
@@ -291,9 +336,11 @@ object Dedup {
     * Output: (id_a, id_b, hamming) with hamming ≤ maxHamming.
     */
   def simHashNearDup(docs: DataFrame, n: Int, bits: Int = 48, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits=$bits must divide into ${bands} bands")
+    require(maxBucket > 1, "maxBucket must be > 1")
     val width = bits / bands
     val mask = (1L << width) - 1
     val sh = simHash(docs, n, bits, idCol, textCol)
@@ -304,9 +351,12 @@ object Dedup {
     val banded = sh
       .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Degenerate-bucket cap before the d² pair explosion — same rationale
+    // as [[DefaultMaxBucket]] (an all-zero band key over near-empty docs
+    // is the classic SimHash hot bucket).
     banded.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(struct(col(idCol), col("simhash")))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         s"flatten(transform(sequence(0, size(ids) - 2), " +
           s"i -> transform(slice(ids, i + 2, size(ids)), " +
@@ -319,6 +369,27 @@ object Dedup {
         expr("cast(bit_count(sh_a ^ sh_b) as int)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Drop-accounting companion of [[simHashNearDup]]: the (band, key)
+    * buckets a given `maxBucket` cap discards, with their sizes. */
+  def simHashDroppedBuckets(docs: DataFrame, n: Int, bits: Int = 48, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"bits=$bits must divide into ${bands} bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sh = simHash(docs, n, bits, idCol, textCol)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
+    }
+    sh.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
   }
 
   /** Benchmark DECONTAMINATION scores — the fraction of each training
@@ -396,43 +467,56 @@ object Dedup {
       maxIters: Int = 30): DataFrame = {
     val spark = pairs.sparkSession
     val src = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val edges = src
-      .union(src.select(col("dst").as("src"), col("src").as("dst")))
-      .union(src.select(col("src").as("src"), col("src").as("dst")))
-      .union(src.select(col("dst").as("src"), col("dst").as("dst")))
+    // Symmetrized edges + per-node self-loops built in ONE pass over the
+    // pair frame (explode of 4 directed edges per pair). The earlier
+    // 4-way `union` referenced the pair frame once per branch, so the
+    // whole upstream candidate pipeline (shingle → postings → Jaccard)
+    // was recomputed FOUR times before the checkpoint materialized.
+    val edges = src.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")),
+        struct(col("src").as("s"), col("src").as("d")),
+        struct(col("dst").as("s"), col("dst").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
       .distinct().localCheckpoint()
-    // Scope shuffle parallelism to the graph, not the corpus: ~64k edge
-    // rows per reducer, restored after the loop (construction AND
-    // execution happen inside this block — every round is eager).
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, edges.count() / 65536L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("cluster", col("id"))
-      // exact decimal sum: overflow-free for any Long ids at any node
-      // count; coalesce so an EMPTY graph (sum → null) still converges
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-      var prevSum: java.math.BigDecimal = null
-      var converged = false
-      var iter = 0
-      while (!converged && iter < maxIters) {
-        val next = edges
-          .join(labels.select(col("id").as("dst"), col("cluster").as("_nc")), "dst")
-          .groupBy("src").agg(min(col("_nc")).as("cluster"))
-          .withColumnRenamed("src", "id")
-          .localCheckpoint()
-        val s = labelSum(next)
-        converged = prevSum != null && s.compareTo(prevSum) == 0
-        prevSum = s
-        labels = next
-        iter += 1
-      }
-      require(converged, s"label propagation did not converge in $maxIters rounds")
-      labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // Scope the loop's shuffle parallelism to the graph, not the corpus
+    // (~64k edge rows per reducer): explicit repartition on each round's
+    // frames. The per-round frames hold only docs WITH candidate edges —
+    // a tiny fraction of the corpus — and a few million edges do not
+    // want thousands of near-empty reducers. Explicit repartition keeps
+    // the scoping LOCAL to this plan; mutating the session-global
+    // spark.sql.shuffle.partitions (the earlier approach) silently
+    // re-planned any concurrent query on the same session.
+    val parts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toLong,
+      edges.count() / 65536L + 1L)).toInt
+    var labels = edges.select(col("src").as("id"))
+      .repartition(parts, col("id")).distinct()
+      .withColumn("cluster", col("id"))
+    // exact decimal sum: overflow-free for any Long ids at any node
+    // count; coalesce so an EMPTY graph (sum → null) still converges
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("_nc"))
+          .repartition(parts, col("dst")), "dst")
+        .repartition(parts, col("src"))
+        .groupBy("src").agg(min(col("_nc")).as("cluster"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels
   }
 
   /** Embedding-cosine near-dup pairs (X2/X3 hybrid): pairs with cosine ≥

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -172,6 +173,39 @@ object WritePipeline {
     incoming.join(stored, scope.keys, "left")
       .filter(col("_in_store").isNull || !sameState)
       .select(incoming.columns.map(col): _*)
+  }
+
+  /** W4 in co-located form: stored rows and incoming rows live in ONE
+    * frame, distinguished by the `isStored` predicate. Semantically
+    * identical to `filterUnchanged(all.filter(!isStored),
+    * storedLatestFor(all.filter(isStored), scope), scope)` — pinned by
+    * WritePipelineSpec — but planned as ONE scan + ONE shuffle: a
+    * conditional window-max over the stored rows resolves the read-back
+    * argmax, and the NaN-aware compare runs in the same projection. The
+    * two-frame path costs two scans of the store plus a groupBy and a
+    * join (4 exchanges); when the incoming batch is itself a slice of
+    * the stored table (re-ingestion, backfill replay, the bench
+    * surrogate) this variant is the plan you want at 100 TB: everything
+    * rides one hash-exchange on the scope key.
+    */
+  def filterUnchangedCoLocated(all: DataFrame, isStored: Column, scope: UnchangedScope): DataFrame = {
+    val ordering = scope match {
+      case UnchangedScope.ValidTime =>
+        struct(col("knowledge_time"), col("change_time"),
+          col("value"), col("annotation"), col("changed_by"))
+      case UnchangedScope.KnowledgeTime =>
+        struct(col("change_time"), col("value"), col("annotation"), col("changed_by"))
+    }
+    val w = Window.partitionBy(scope.keys.map(col): _*)
+    val sameAsWin =
+      (col("value") === col("_win.value")) &&
+        (col("annotation") === col("_win.annotation")) &&
+        (col("changed_by") === col("_win.changed_by"))
+    val out = all
+      .withColumn("_win", max(when(isStored, ordering)).over(w))
+      .filter(!isStored)
+      .filter(col("_win").isNull || !sameAsWin)
+    out.select(all.columns.map(col): _*)
   }
 
   /** The read-back for W4 (timedb/write.py:205-214): latest stored state

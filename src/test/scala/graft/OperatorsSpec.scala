@@ -338,4 +338,103 @@ class OperatorsSpec extends SparkSpec {
     assert(h.getLong(0) == 1564557354L) // 0x5d41402a
     assert(h.getLong(1) == 419982666956583591L)
   }
+
+  test("LSH bucket cap drops the degenerate bucket and accounts for it") {
+    // 500 identical docs: every band key collides into ONE bucket of 500.
+    // Uncapped that is 500²/2 pair rows from one array in one task; the
+    // cap completes with zero candidates and the drop is auditable.
+    val clones = (0L until 500L).map(i => (i, "the cat sat on the mat again"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashLshCandidates(clones, n = 2, numHashes = 8, bands = 4,
+      maxBucket = 100)
+    assert(capped.count() == 0)
+    val dropped = Dedup.minHashLshDroppedBuckets(clones, n = 2, numHashes = 8, bands = 4,
+      maxBucket = 100)
+    assert(dropped.count() == 4) // one hot bucket per band
+    assert(dropped.select(max("bucket_size")).as[Int].head() == 500)
+    // a cap above the bucket size changes nothing
+    val uncapped = Dedup.minHashLshCandidates(clones, n = 2, numHashes = 8, bands = 4,
+      maxBucket = 1000)
+    assert(uncapped.count() == 500L * 499L / 2L)
+  }
+
+  test("SimHash bucket cap drops the degenerate bucket and accounts for it") {
+    val clones = (0L until 300L).map(i => (i, "the cat sat on the mat again"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simHashNearDup(clones, n = 2, maxBucket = 100)
+    assert(capped.count() == 0)
+    val dropped = Dedup.simHashDroppedBuckets(clones, n = 2, maxBucket = 100)
+    assert(dropped.count() == 4)
+    assert(dropped.select(max("bucket_size")).as[Long].head() == 300L)
+  }
+
+  test("duplicateClusters leaves session shuffle partitions untouched") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
+  test("semanticWinners keeps the top-scored doc per cluster, singletons keep") {
+    // two blocks: vectors 1,2 colinear (cos=1) in block 0; 3 orthogonal to
+    // nothing (singleton in block 1); 4 in block 0 but orthogonal to 1,2.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 1.0), (4L, 2.0))
+      .toDF("vec_id", "score")
+    val got = Dedup.semanticWinners(emb, scores, threshold = 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "cluster", "keep").as[(Long, Long, Int)].collect().toSeq
+    // {1,2} cluster → 2 wins (higher score); 3 and 4 are singletons
+    assert(got == Seq((1L, 1L, 0), (2L, 1L, 1), (3L, 3L, 1), (4L, 4L, 1)))
+  }
+
+  test("redactPii replaces and counts emails, IPs, phone numbers") {
+    val d = Seq(
+      (1L, "mail me at a.b+c@ex-site.org or 10.0.0.7 or +44 (0)20 1234 5678 ok"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(d).orderBy("doc_id")
+      .select("redacted", "n_email", "n_ip", "n_phone")
+      .as[(String, Int, Int, Int)].collect().toSeq
+    assert(got(0)._1 == "mail me at [EMAIL] or [IP] or [PHONE] ok")
+    assert((got(0)._2, got(0)._3, got(0)._4) == ((1, 1, 1)))
+    assert(got(1) == (("no pii here at all", 0, 0, 0)))
+  }
+
+  test("packSequences assigns global offsets and context windows") {
+    val d = Seq((1L, 100), (2L, 50), (3L, 120), (4L, 10))
+      .toDF("doc_id", "n_tokens")
+    val got = Curation.packSequences(d, "doc_id", "n_tokens", packTokens = 128L)
+      .orderBy("doc_id")
+      .select("doc_id", "token_start", "pack_id", "pack_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L),      // [0, 100)
+      (2L, 100L, 0L, 100L),  // [100, 150) — spans the 128 boundary
+      (3L, 150L, 1L, 22L),   // starts inside pack 1
+      (4L, 270L, 2L, 14L)))
+  }
+
+  test("extractJsonFields promotes typed columns; jsonKeyProfile counts keys") {
+    val d = Seq(
+      (1L, """{"k": 7, "tag": "x"}"""),
+      (2L, """{"k": 9}"""),
+      (3L, """{"tag": "y"}""")).toDF("event_id", "props")
+    val fields = graft.operators.SemiStructured.extractJsonFields(
+      d, "props", Seq(("k", "$.k", "int"), ("tag", "$.tag", "string")))
+      .orderBy("event_id")
+      .select("event_id", "k", "tag")
+      .as[(Long, Option[Int], Option[String])].collect().toSeq
+    assert(fields == Seq(
+      (1L, Some(7), Some("x")), (2L, Some(9), None), (3L, None, Some("y"))))
+    val keys = graft.operators.SemiStructured.jsonKeyProfile(d, "props")
+      .orderBy("key").as[(String, Long)].collect().toSeq
+    assert(keys == Seq(("k", 2L), ("tag", 2L)))
+  }
 }

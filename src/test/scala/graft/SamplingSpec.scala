@@ -33,6 +33,28 @@ class SamplingSpec extends SparkSpec {
     assert(tr.count() + te.count() == 3)
   }
 
+  test("mixToProportions hits the target mix without up-sampling") {
+    // 300 en / 100 de: target 50/50 → de is binding (keeps 100%), en
+    // keeps ~1/3. Deterministic: same call twice → same rows.
+    val skewed = ((0L until 300L).map(i => (i, "en")) ++ (300L until 400L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val got = Sampling.mixToProportions(skewed, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 100L) // binding stratum keeps everything
+    assert(math.abs(byLang("en") - 100L) <= 15L) // hash bucket ≈ 1/3 of 300
+    val again = Sampling.mixToProportions(skewed, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5))
+    assert(got.collect().toSeq == again.collect().toSeq)
+    // absent / zero-target strata drop out
+    val dropped = Sampling.mixToProportions(skewed, "doc_id", "lang", Map("de" -> 1.0))
+    assert(dropped.select("lang").distinct().as[String].collect().toSeq == Seq("de"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixToProportions(skewed, "doc_id", "lang", Map("zz" -> 1.0))
+    }
+  }
+
   test("cellCentroids averages dimension-wise per cell") {
     val emb = Seq(
       (1L, Array(1.0f, 3.0f), 0),

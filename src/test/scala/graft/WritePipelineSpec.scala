@@ -118,6 +118,36 @@ class WritePipelineSpec extends SparkSpec {
     assert(kept.select("series_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("filterUnchangedCoLocated ≡ filterUnchanged ∘ storedLatestFor on one frame") {
+    // stored (flag=0) and incoming (flag=1) share one frame; includes a
+    // NaN match, a value change, a key with NO stored row, and a stored
+    // correction chain (argmax must pick kt2/ct3 before comparing).
+    val all = Seq(
+      (0, 1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T01:00:00Z"), ts("2024-01-01T01:00:00Z"), 1.0, "", "a"),
+      (0, 1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T02:00:00Z"), ts("2024-01-01T03:00:00Z"), 3.0, "", "a"),
+      (1, 1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T04:00:00Z"), ts("2024-01-01T04:00:00Z"), 3.0, "", "a"), // matches latest → dropped
+      (0, 2L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T01:00:00Z"), ts("2024-01-01T01:00:00Z"), Double.NaN, "", "a"),
+      (1, 2L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T04:00:00Z"), ts("2024-01-01T04:00:00Z"), Double.NaN, "", "a"), // NaN==NaN → dropped
+      (1, 3L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T04:00:00Z"), ts("2024-01-01T04:00:00Z"), 9.0, "", "a"), // no store → kept
+      (1, 1L, ts("2024-01-01T01:00:00Z"), ts("2024-01-01T04:00:00Z"), ts("2024-01-01T04:00:00Z"), 3.0, "", "a")) // other vt, no store → kept
+      .toDF("flag", "series_id", "valid_time", "knowledge_time", "change_time", "value", "annotation", "changed_by")
+    for (scope <- Seq(UnchangedScope.ValidTime: UnchangedScope, UnchangedScope.KnowledgeTime)) {
+      val coLocated = WritePipeline
+        .filterUnchangedCoLocated(all, col("flag") === 0, scope)
+        .drop("flag")
+      val twoFrame = WritePipeline.filterUnchanged(
+        all.filter(col("flag") === 1).drop("flag"),
+        WritePipeline.storedLatestFor(all.filter(col("flag") === 0).drop("flag"), scope),
+        scope)
+      val key = Seq("series_id", "valid_time", "knowledge_time")
+      assert(coLocated.orderBy(key.map(col): _*).collect().toSeq ==
+        twoFrame.orderBy(key.map(col): _*).collect().toSeq, s"scope $scope")
+    }
+    val kept = WritePipeline
+      .filterUnchangedCoLocated(all, col("flag") === 0, UnchangedScope.ValidTime)
+    assert(kept.select("series_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("storedLatestFor picks the argmax state per scope key") {
     val stored = Seq(
       (1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T01:00:00Z"), ts("2024-01-01T01:00:00Z"), 1.0, "", "a"),
