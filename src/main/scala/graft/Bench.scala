@@ -3,6 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  // Locale-pinned decimal formatting: the f"" interpolator uses the JVM
+  // default locale, and a comma-decimal locale would turn the compact
+  // bench line into invalid JSON.
+  private def fmt(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -59,11 +65,14 @@ object Bench {
     // it is excluded from the total and flagged, so a broken query can
     // never masquerade as a speedup.
     //
-    // Queries over `rerunFloorSec` are measured twice and the MIN kept:
-    // the committed DuckDB baseline is itself a min-of-3, and single-shot
-    // wall times on this box swing ±50% under scheduler noise — one
-    // retry recovers most of that without doubling total bench time
-    // (fast queries, the majority, still run once).
+    // Queries over `rerunFloorSec` are measured three times and the MIN
+    // kept — the same discipline as the committed DuckDB baseline
+    // (min-of-3). Single-shot wall times on this box swing far more than
+    // ±50%: profiling sessions show the same 256k-row aggregate taking
+    // 0.5 s in one run and 15 s in the next under external scheduler
+    // interference, so one retry is not enough to recover the steady
+    // state. Fast queries (the majority) still run once, which bounds
+    // total bench time.
     val rerunFloorSec = 0.35
     def run(names: Seq[String]): Seq[(String, Either[String, Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -78,7 +87,8 @@ object Bench {
       val first = once()
       name -> (first match {
         case Right(t) if t > rerunFloorSec =>
-          once() match { case Right(t2) => Right(math.min(t, t2)); case _ => first }
+          val retries = Seq(once(), once()).collect { case Right(v) => v }
+          Right((t +: retries).min)
         case other => other
       })
     }
@@ -151,13 +161,19 @@ object Bench {
     // overhead still dominates at these scale factors and amortizes away
     // toward the 100 TB target. Disable with SPARK_GRAFT_SCALEUP=0.
     val upSet = keep(Seq("td_latest_changes", "td_overlapping_changes",
-      "ts_moving_zscore", "ts_resample_fill", "x_sessionize"))
+      "ts_moving_zscore", "ts_resample_fill", "x_sessionize",
+      // dedup/ANN family — where the 100 TB claims live. Their 10×
+      // documents table is sharded with DISJOINT token spaces (see
+      // below), so the workload grows linearly by construction and a
+      // ratio ≪ 10 is fixed-overhead amortization, not sublinear magic.
+      "x_dedup_lsh", "x_dedup_lsh_verified", "x_simhash_neardup"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {
         val upDir = new java.io.File(
           sys.props("java.io.tmpdir"), "graft_scaleup_events").getPath
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace}
         val base = spark.read.parquet(s"$sfDir/events.parquet")
         val bounds = base.agg(
           org.apache.spark.sql.functions.max("user_id"),
@@ -166,12 +182,31 @@ object Bench {
           throw new IllegalStateException("events table is empty — nothing to scale up")
         val uOff = bounds.getAs[Number](0).longValue() + 1L
         val eOff = bounds.getAs[Number](1).longValue() + 1L
-        import org.apache.spark.sql.functions.{col, lit}
         (0 until 10).map(i => base
             .withColumn("user_id", col("user_id") + lit(i * uOff))
             .withColumn("event_id", col("event_id") + lit(i * eOff)))
           .reduce(_ union _)
           .write.mode("overwrite").parquet(s"$upDir/events.parquet")
+        // 10× documents: ten id-shifted shards whose tokens are prefixed
+        // with a per-shard marker, so shingle/signature spaces are
+        // DISJOINT across shards — ten copies of identical text would
+        // instead put 10× the docs in each LSH bucket and grow the pair
+        // space 100×, a quadratic workload masquerading as a 10× one.
+        // Per-shard similarity structure is untouched (a bijective token
+        // rename preserves every shingle-set relation).
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val dOff = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+          .head().getAs[Number](0).longValue() + 1L
+        (0 until 10).map(i => docs
+            .withColumn("doc_id", col("doc_id") + lit(i * dOff))
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"s${i}x$$1")))
+          .reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$upDir/documents.parquet")
+        // The table memo pins file listings per (session, dir, table);
+        // the scale-up dir was just (re)written, so any entry cached from
+        // an earlier run of this process must not survive the rewrite.
+        Tables.invalidate()
         val entries = upSet.flatMap(timeAux(_, upDir)).map { case (name, t) =>
           val ratio = largeTimes.get(name).map(l => t / l)
           JsonUtil.quote(name) +
@@ -215,8 +250,8 @@ object Bench {
     val baseHeadline = baseTotal(headline)
     val baselineSummary = baseHeadline.map { bh =>
       val ratio = if (bh > 0) total / bh else 0.0
-      s""","baseline_duckdb":{"headline_total":${f"$bh%.3f"},""" +
-        s""""spark_over_duckdb":${f"$ratio%.2f"},"detail":"BENCH_DETAIL.json"}"""
+      s""","baseline_duckdb":{"headline_total":${fmt(bh, 3)},""" +
+        s""""spark_over_duckdb":${fmt(ratio, 2)},"detail":"BENCH_DETAIL.json"}"""
     }.getOrElse("")
 
     val auxErrJson = auxErrors.map(JsonUtil.quote).mkString("[", ",", "]")
@@ -240,7 +275,7 @@ object Bench {
     // Compact summary, printed LAST: must fit (with margin) inside the
     // driver's 2000-char tail capture. 3-decimal times, ratios only for
     // the evidence sections, totals-only baseline.
-    def f3(v: Double): String = f"$v%.3f"
+    def f3(v: Double): String = fmt(v, 3)
     def compactTimes(rs: Seq[(String, Either[String, Double])]): String = rs.map {
       case (k, Right(v))  => JsonUtil.quote(k) + ":" + f3(v)
       case (k, Left(_))   => JsonUtil.quote(k) + ":" + JsonUtil.quote("ERROR")
@@ -250,7 +285,7 @@ object Bench {
       // key like "queries":{ can never swallow the first entry's name.
       val entry = ("\"([A-Za-z0-9_]+)\":\\{[^{}]*\"" + field + "\":([0-9.Ee+-]+)").r
       entry.findAllMatchIn(json)
-        .map(m => JsonUtil.quote(m.group(1)) + ":" + f"${m.group(2).toDouble}%.2f")
+        .map(m => JsonUtil.quote(m.group(1)) + ":" + fmt(m.group(2).toDouble, 2))
         .mkString("{", ",", "}")
     }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${compactTimes(results)},""" +

@@ -83,13 +83,18 @@ object ReadShapes {
     * The reference's semi-join (`(sid, vt, kt) IN (SELECT sid, vt,
     * max(kt) ...)`) is planned here as a window max over the same
     * partition key as the lag that follows — one exchange serves both
-    * window functions, where a join would shuffle both sides.
+    * window functions, where a join would shuffle both sides. The max
+    * window declares the chain's `change_time` ordering with an explicit
+    * whole-partition frame (same result as the unordered partition max),
+    * so BOTH windows share one Sort: exchange → sort → max-window →
+    * filter (order-preserving) → lag-window, with no re-sort between —
+    * at scale that is one full sort pass of the fact table saved.
     */
   def latestWithChanges(values: DataFrame): DataFrame = {
-    val byKey = Window.partitionBy(sid, vt)
     val chain = Window.partitionBy(sid, vt).orderBy(ct.asc)
+    val whole = chain.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     values
-      .withColumn("_max_kt", max(kt).over(byKey))
+      .withColumn("_max_kt", max(kt).over(whole))
       .filter(kt === col("_max_kt"))
       .withColumn("_prev", lag(stateTuple, 1).over(chain))
       .filter(col("_prev").isNull || !(col("_prev") <=> stateTuple))
