@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Codegen'd intersection COUNT of two SORTED `array<long>` columns via a
+  * two-pointer merge — zero allocation per row.
+  *
+  * The Jaccard verify step only needs |A ∩ B|, and both arrays arrive
+  * sorted (`sort_array(collect_list(...))` upstream), so the built-in
+  * `size(array_intersect(a, b))` — which builds a hash set AND
+  * materializes the intersection array per row — does strictly wasted
+  * work: on the ~100k candidate pairs of the sf0.1 LSH verify it
+  * measured ~0.9 s where this merge loop is negligible. Duplicate
+  * values within one input are counted once (set semantics, same as
+  * `array_intersect`).
+  *
+  * Inputs must be sorted ascending; callers own that invariant.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(
+      SortedIntersectCount(GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
+  /** Two-pointer merge count; entry point for both interpreted eval and
+    * the generated code. Equal runs on either side count once. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var count = 0L
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else {
+        count += 1
+        val v = va
+        while (i < na && a.getLong(i) == v) i += 1
+        while (j < nb && b.getLong(j) == v) j += 1
+      }
+    }
+    count
+  }
+}

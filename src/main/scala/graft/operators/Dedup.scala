@@ -29,14 +29,16 @@ object Dedup {
 
   /** Word-n-gram shingle stream per doc, with multiplicity: (id, sh).
     *
-    * The gram hash is an arithmetic combination of per-token md5 hashes
-    * (`((h₁·1000003 + h₂) mod p …)`), built from a flat
-    * posexplode + (n−1) `lead` windows — NOT by materializing gram
-    * strings with `transform`/`slice`/`concat_ws`. The higher-order-
-    * function chain evaluates interpreted per element (measured ~30×
-    * slower than this codegen'd pipeline); hashing each token once and
-    * combining arithmetically also does one md5 per token instead of n.
-    * The (n−1) leads share one window spec ⇒ one shuffle by doc.
+    * The whole n-gram construction — split, md5 per token, arithmetic
+    * gram fold — is ONE codegen'd expression
+    * ([[graft.functions.ShingleHashes]]) producing the per-row gram-hash
+    * array, which is then exploded: a pure per-row projection, ZERO
+    * shuffle. Earlier rounds instead exploded tokens to rows and formed
+    * grams with (n−1) `lead` windows, which paid a full sort shuffle of
+    * the TOKEN stream (the single largest exchange in every shingle
+    * consumer) just to rediscover an order the token array already had;
+    * the interpreted `transform`-lambda assembly of the same values
+    * measured ~10× slower than the compiled kernel.
     *
     * Consumers: duplicate-insensitive aggregates (MinHash minima) and
     * multiplicity-weighted votes (frequency-weighted SimHash) use this
@@ -44,23 +46,8 @@ object Dedup {
     */
   def shingleStream(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, "shingle size must be >= 1")
-    val toks = docs
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-      .select(col(idCol), col("pos"), Portable.hash32(col("tok")).as("h0"))
-    if (n == 1) {
-      toks.select(col(idCol), col("h0").as("sh"))
-    } else {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      val withLeads = (1 until n).foldLeft(toks) { (df, k) =>
-        df.withColumn(s"h$k", lead(col("h0"), k).over(w))
-      }
-      val sh = (1 until n).foldLeft(col("h0")) { (acc, k) =>
-        pmod(acc * lit(1000003L) + col(s"h$k"), lit(Portable.MinHashPrime))
-      }
-      withLeads.filter(col(s"h${n - 1}").isNotNull)
-        .select(col(idCol), sh.as("sh"))
-    }
+    docs.select(col(idCol),
+      explode(graft.functions.ShingleHashes(col(textCol), n)).as("sh"))
   }
 
   /** Distinct word-n-gram shingles per doc: (id, shingle-hash32). The
@@ -235,12 +222,14 @@ object Dedup {
     * The verify pass never touches the O(n²) pair space: each doc's
     * distinct shingles collapse to ONE sorted-array row, the candidate
     * list joins those arrays on doc id (two equi-joins), and the
-    * intersection is a per-pair `array_intersect` — O(|A| + |B|) per
-    * candidate, no per-shingle row explosion and no (pair, shingle)
-    * shuffle. Unlike [[ngramJaccardPairs]] (which caps posting lists
-    * with `maxDf` to bound its d² pair generation), the verify runs on
-    * FULL shingle sets — candidates are already bounded by the banding,
-    * so the true Jaccard needs no stop-shingle approximation here.
+    * intersection is a per-pair two-pointer merge count
+    * ([[graft.functions.SortedIntersectCount]]) — O(|A| + |B|) per
+    * candidate with zero allocation, no per-shingle row explosion and no
+    * (pair, shingle) shuffle. Unlike [[ngramJaccardPairs]] (which caps
+    * posting lists with `maxDf` to bound its d² pair generation), the
+    * verify runs on FULL shingle sets — candidates are already bounded
+    * by the banding, so the true Jaccard needs no stop-shingle
+    * approximation here.
     *
     * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard ≥ threshold).
     */
@@ -248,42 +237,35 @@ object Dedup {
       threshold: Double, maxBucket: Int = DefaultMaxBucket,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are dropped)")
-    // Both branches (MinHash signatures, exact shingle sets) consume the
-    // distinct shingle set — MinHash minima are duplicate-insensitive, so
-    // signatures off the distinct frame are identical to signatures off
-    // the raw stream, and the set feeds four consumers (signatures,
-    // sizes, both intersection joins). ONE lazy persist shares the
-    // tokenize + md5 work across all of them; earlier rounds used two
-    // eager localCheckpoints here, which cost two extra materialization
-    // jobs without being any faster.
-    val sh = shingleStream(docs, n, idCol, textCol).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidatesFromWide(
-      minHashWideFromStream(sh, numHashes, idCol), numHashes, bands, idCol, maxBucket)
-    // One aggregate folds each doc's shingle set into a sorted array +
-    // size; the verify is then candidate-keyed joins + array_intersect.
-    val sets = sh.groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("sh"))).as("__set"), count(lit(1)).as("__sz"))
-    val verified = cand
+    // One combined per-doc aggregate off the distinct stream builds
+    // everything the verify needs: the sorted shingle-set array AND all
+    // `numHashes` signature minima (duplicate-insensitive, so distinct
+    // input gives identical signatures) ride the SAME groupBy(id)
+    // shuffle. Earlier shapes paid separate signature and set aggregates
+    // stitched with a corpus-sized cache. The per-doc frame (id, set,
+    // sig_0..sig_k — one compact row per document) is materialized once
+    // and read three times (banding, both verify joins).
+    val sh = shingles(docs, n, idCol, textCol)
+    val perDoc = sh.groupBy(col(idCol)).agg(
+        sort_array(collect_list(col("sh"))).as("__set"),
+        (0 until numHashes).map(i =>
+          min(Portable.minHashPerm(col("sh"), i)).as(s"sig_$i")): _*)
+      .localCheckpoint()
+    val cand = lshCandidatesFromWide(perDoc, numHashes, bands, idCol, maxBucket)
+    val sets = perDoc.select(col(idCol), col("__set"),
+      size(col("__set")).cast("long").as("__sz"))
+    cand
       .join(sets.select(col(idCol).as("id_a"),
         col("__set").as("__set_a"), col("__sz").as("sz_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"),
         col("__set").as("__set_b"), col("__sz").as("sz_b")), "id_b")
       .withColumn("inter",
-        size(array_intersect(col("__set_a"), col("__set_b"))).cast("long"))
+        graft.functions.SortedIntersectCount(col("__set_a"), col("__set_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
         round(col("jaccard"), 6).as("jaccard"))
-    // The verified pair set is tiny (it is the banding's true positives);
-    // materialize it eagerly so the shared shingle cache can be RELEASED
-    // here instead of leaking a cache entry per call for the session
-    // lifetime. Checkpoint blocks are reclaimed by the ContextCleaner
-    // when the result is dropped.
-    val out = verified.localCheckpoint()
-    sh.unpersist(blocking = false)
-    out
   }
 
   /** SimHash fingerprint (X2): 48-bit weighted-bit-vote fingerprint over
