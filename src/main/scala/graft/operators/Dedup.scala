@@ -346,11 +346,15 @@ object Dedup {
           s"j.$idCol AS id_b, j.simhash AS sh_b))))"
       )).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
-      .distinct()
+      // Hamming is a pure projection of the pair, so filter BEFORE the
+      // distinct: the dedup exchange then carries only true near-dups
+      // (collisions above maxHamming — usually the vast majority of
+      // bucket co-occupants — never shuffle).
       .withColumn("hamming",
         expr("cast(bit_count(sh_a ^ sh_b) as int)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Drop-accounting companion of [[simHashNearDup]]: the (band, key)

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{Portable, ShingleHashes, SortedIntersectCount}
+import graft.operators.Dedup
+
+/** Pins the codegen scalar kernels to their SQL-primitive reference
+  * formulations — the kernels replaced those formulations on the hot
+  * path, so any divergence is silent oracle corruption. */
+class FunctionsKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The SQL-primitive shingle formulation the kernel replaced:
+    * posexplode tokens, per-token [[Portable.hash32]], (n−1) lead
+    * windows, arithmetic fold — kept here as the reference semantics. */
+  private def referenceShingles(docs: org.apache.spark.sql.DataFrame, n: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("pos"), Portable.hash32(col("tok")).as("h0"))
+    if (n == 1) {
+      toks.select(col("doc_id"), col("h0").as("sh"))
+    } else {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val withLeads = (1 until n).foldLeft(toks) { (df, k) =>
+        df.withColumn(s"h$k", lead(col("h0"), k).over(w))
+      }
+      val sh = (1 until n).foldLeft(col("h0")) { (acc, k) =>
+        pmod(acc * lit(1000003L) + col(s"h$k"), lit(Portable.MinHashPrime))
+      }
+      withLeads.filter(col(s"h${n - 1}").isNotNull)
+        .select(col("doc_id"), sh.as("sh"))
+    }
+  }
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a b c d"),
+    (3L, "solo"),
+    (4L, ""),
+    (5L, "  double  spaces   everywhere  "),
+    (6L, "répétition naïve café déjà vu naïve café"),
+    (7L, "x y x y x y x y"),
+    (8L, "tab\tis one token here"))
+
+  test("ShingleHashes matches the SQL-primitive formulation for n=1,2,3") {
+    for (n <- 1 to 3) {
+      val docs = corpus.toDF("doc_id", "text")
+      val kernel = Dedup.shingleStream(docs, n)
+        .groupBy("doc_id", "sh").count().orderBy("doc_id", "sh")
+      val reference = referenceShingles(docs, n)
+        .groupBy("doc_id", "sh").count().orderBy("doc_id", "sh")
+      assert(kernel.collect().toSeq == reference.collect().toSeq, s"n=$n")
+    }
+  }
+
+  test("ShingleHashes: null text yields null array (no rows after explode)") {
+    val docs = Seq((1L, Option.empty[String]), (2L, Some("a b"))).toDF("doc_id", "text")
+    val arr = docs.select(col("doc_id"), ShingleHashes(col("text"), 2).as("hs"))
+      .orderBy("doc_id").collect()
+    assert(arr(0).isNullAt(1))
+    assert(arr(1).getSeq[Long](1).nonEmpty)
+    assert(Dedup.shingleStream(docs, 2).filter(col("doc_id") === 1L).count() == 0)
+  }
+
+  test("ShingleHashes: interpreted compute agrees with the DataFrame (codegen) path") {
+    val viaDf = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), ShingleHashes(col("text"), 2).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    corpus.foreach { case (id, text) =>
+      val direct = ShingleHashes.compute(UTF8String.fromString(text), 2)
+      assert(direct.toLongArray().toList == viaDf(id), s"doc $id")
+    }
+  }
+
+  test("ShingleHashes: hash32 value matches Portable.hash32 per token") {
+    val tok = "fox"
+    val viaSql = spark.range(1)
+      .select(Portable.hash32(lit(tok)).as("h")).head().getLong(0)
+    val viaKernel = ShingleHashes.compute(UTF8String.fromString(tok), 1).getLong(0)
+    assert(viaKernel == viaSql)
+  }
+
+  test("SortedIntersectCount equals size(array_intersect) on sorted arrays") {
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 200).map { i =>
+      def arr() = Array.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong).sorted
+      (i.toLong, arr(), arr())
+    } :+ ((1000L, Array.empty[Long], Array(1L, 2L))) :+
+      ((1001L, Array(5L, 5L, 5L), Array(5L, 5L)))
+    val df = cases.toDF("id", "a", "b")
+    val mismatches = df.select(col("id"),
+      SortedIntersectCount(col("a"), col("b")).as("merge"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .filter(col("merge") =!= col("builtin"))
+    assert(mismatches.count() == 0)
+  }
+}
