@@ -103,6 +103,24 @@ object Bench {
     val extTotal = extResults.collect { case (_, Right(v)) => v }.sum
     val errJson = errors.map(JsonUtil.quote).mkString("[", ",", "]")
 
+    // Per-job overhead floor: the wall time of a minimal Spark job at
+    // this parallelism — schedule 32 tasks, one shuffle exchange, a
+    // 1-row result, no meaningful data. Every measured query pays this
+    // floor at least once (multi-job queries pay it per job); DuckDB's
+    // in-process model pays ~none of it. Reported beside the ratios so
+    // a sub-second query at Nx the baseline can be read for what it is:
+    // fixed scheduling cost that amortizes away at the 100 TB target,
+    // not a plan defect. min-of-5 (it is itself scheduling-noisy).
+    val overheadFloor = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(1000).repartition(32).groupBy().count().collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      (1 to 5).map(_ => once()).min
+    }
+
     // Auxiliary (scaling/baseline) failures: reported under their own
     // key — a failed evidence run must never fabricate a data point
     // (same discipline as run()'s error handling), but it also isn't a
@@ -264,6 +282,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
       s""""extended":${toJson(extResults)},"extended_total":$extTotal,""" +
       s""""scaling":$scalingJson,"scale_up":$scaleUpJson,""" +
+      s""""overhead_floor_sec":$overheadFloor,""" +
       s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"""" +
       baselineRaw.map(b => s""","baseline_duckdb":$b""").getOrElse("") + "}"
     try {
@@ -292,6 +311,7 @@ object Bench {
       s""""extended_total":${f3(extTotal)},"extended_count":${extResults.size},""" +
       s""""scaling_ratio_10x_down":${ratioMap(scalingJson, "ratio")},""" +
       s""""scale_up_ratio_10x":${ratioMap(scaleUpJson, "ratio_vs_1x")},""" +
+      s""""overhead_floor_sec":${f3(overheadFloor)},""" +
       s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"$baselineSummary}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()

@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression, so it is the single hottest scalar kernel in the dedup
   * family.
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = false)
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -44,11 +45,11 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $n);")
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -56,18 +57,26 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
 object ShingleHashes {
 
-  def apply(text: Column, n: Int): Column =
+  def apply(text: Column, n: Int): Column = apply(text, n, distinct = false)
+
+  /** `distinct = true` dedups the gram multiset IN the kernel and
+    * returns it SORTED ascending — set-semantics consumers get the
+    * row-level equivalent of `distinct()` (and `sort_array`) without
+    * any exchange. */
+  def apply(text: Column, n: Int, distinct: Boolean): Column =
     GraftColumnBridge.toColumn(
-      ShingleHashes(GraftColumnBridge.toExpression(text), n))
+      ShingleHashes(GraftColumnBridge.toExpression(text), n, distinct))
 
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  def compute(text: UTF8String, n: Int): ArrayData = compute(text, n, distinct = false)
+
   /** Gram-hash array for one row; entry point for both interpreted eval
-    * and the generated code. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+    * and the generated code. `distinct` dedups AND sorts ascending. */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val bytes = text.getBytes
     val digest = md5.get()
     // First pass: per-token hash32 values, tokens = non-empty runs
@@ -91,22 +100,36 @@ object ShingleHashes {
       }
       i += 1
     }
-    if (n == 1) {
-      return new GenericArrayData(java.util.Arrays.copyOf(hashes, m))
-    }
-    if (m < n) return new GenericArrayData(Array.emptyLongArray)
-    val grams = new Array[Long](m - n + 1)
-    var g = 0
-    while (g <= m - n) {
-      var acc = hashes(g)
-      var k = 1
-      while (k < n) {
-        acc = java.lang.Math.floorMod(acc * 1000003L + hashes(g + k), Portable.MinHashPrime)
-        k += 1
+    val grams =
+      if (n == 1) java.util.Arrays.copyOf(hashes, m)
+      else if (m < n) Array.emptyLongArray
+      else {
+        val out = new Array[Long](m - n + 1)
+        var g = 0
+        while (g <= m - n) {
+          var acc = hashes(g)
+          var k = 1
+          while (k < n) {
+            acc = java.lang.Math.floorMod(acc * 1000003L + hashes(g + k), Portable.MinHashPrime)
+            k += 1
+          }
+          out(g) = acc
+          g += 1
+        }
+        out
       }
-      grams(g) = acc
-      g += 1
+    new GenericArrayData(if (distinct) sortedDistinct(grams) else grams)
+  }
+
+  private def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.length <= 1) return a
+    java.util.Arrays.sort(a)
+    var w = 1
+    var r = 1
+    while (r < a.length) {
+      if (a(r) != a(w - 1)) { a(w) = a(r); w += 1 }
+      r += 1
     }
-    new GenericArrayData(grams)
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
   }
 }

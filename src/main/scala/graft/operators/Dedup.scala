@@ -52,9 +52,12 @@ object Dedup {
 
   /** Distinct word-n-gram shingles per doc: (id, shingle-hash32). The
     * inverted-index building block for set-semantics consumers
-    * (Jaccard). */
+    * (Jaccard). A doc's shingles all live in its own row, so the dedup
+    * happens IN the kernel (`distinct = true`) — this is a pure
+    * projection, not the full-stream `distinct()` exchange it replaces. */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    shingleStream(docs, n, idCol, textCol).distinct()
+    docs.select(col(idCol),
+      explode(graft.functions.ShingleHashes(col(textCol), n, distinct = true)).as("sh"))
 
   /** N-gram Jaccard near-dup pairs (X2): inverted-index self-join on the
     * shingle hash, count co-occurrences per pair, Jaccard =
@@ -108,24 +111,26 @@ object Dedup {
   /** MinHash signatures (X2): for each doc, `numHashes` permutation
     * minima over its shingle hashes. Output: (id, i, sig).
     *
-    * Planned as ONE wide aggregate — `numHashes` independent `min`
-    * expressions over a single pass of the shingle stream — then a tiny
-    * per-doc unpivot. This avoids a `numHashes`-way row expansion before
-    * the shuffle (the naive explode shape moves ~16× the rows); map-side
-    * combine reduces each doc to one 16-column row per mapper.
+    * A signature is a pure function of ONE document's shingles, so the
+    * whole signature layer is a per-row projection
+    * ([[graft.functions.MinHashFromGrams]] over the
+    * [[graft.functions.ShingleHashes]] gram array) — ZERO shuffle.
+    * Earlier rounds aggregated `numHashes` `min` expressions over the
+    * exploded shingle stream, which shuffled every token-derived row by
+    * doc id to fold minima that never needed to leave the row.
     */
   /** One row per doc with `numHashes` signature columns sig_0..sig_k —
-    * min is duplicate-insensitive ⇒ the non-distinct stream gives the
-    * same signatures one shuffle cheaper. */
-  private def minHashWideFromStream(stream: DataFrame, numHashes: Int,
-      idCol: String): DataFrame =
-    stream.groupBy(col(idCol)).agg(
-      min(Portable.minHashPerm(col("sh"), 0)).as("sig_0"),
-      (1 until numHashes).map(i => min(Portable.minHashPerm(col("sh"), i)).as(s"sig_$i")): _*)
-
+    * a pure projection; docs with no shingles yield no row (the
+    * aggregate formulation had no group for them). */
   private def minHashWide(docs: DataFrame, n: Int, numHashes: Int,
-      idCol: String, textCol: String): DataFrame =
-    minHashWideFromStream(shingleStream(docs, n, idCol, textCol), numHashes, idCol)
+      idCol: String, textCol: String): DataFrame = {
+    val sigs = graft.functions.MinHashFromGrams(
+      graft.functions.ShingleHashes(col(textCol), n), numHashes)
+    docs.select(col(idCol), sigs.as("__sigs"))
+      .filter(col("__sigs").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        col("__sigs").getItem(i).as(s"sig_$i")): _*)
+  }
 
   def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -237,19 +242,24 @@ object Dedup {
       threshold: Double, maxBucket: Int = DefaultMaxBucket,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are dropped)")
-    // One combined per-doc aggregate off the distinct stream builds
-    // everything the verify needs: the sorted shingle-set array AND all
-    // `numHashes` signature minima (duplicate-insensitive, so distinct
-    // input gives identical signatures) ride the SAME groupBy(id)
-    // shuffle. Earlier shapes paid separate signature and set aggregates
-    // stitched with a corpus-sized cache. The per-doc frame (id, set,
-    // sig_0..sig_k — one compact row per document) is materialized once
-    // and read three times (banding, both verify joins).
-    val sh = shingles(docs, n, idCol, textCol)
-    val perDoc = sh.groupBy(col(idCol)).agg(
-        sort_array(collect_list(col("sh"))).as("__set"),
-        (0 until numHashes).map(i =>
-          min(Portable.minHashPerm(col("sh"), i)).as(s"sig_$i")): _*)
+    // The per-doc verify state — sorted distinct shingle-set array AND
+    // the full signature vector — is a pure function of each document's
+    // text, so it is ONE kernel projection (the deduped-sorted
+    // [[graft.functions.ShingleHashes]] array feeds
+    // [[graft.functions.MinHashFromGrams]]; min is
+    // duplicate-insensitive, so signatures off the distinct array are
+    // identical to stream signatures): ZERO aggregate, ZERO shuffle.
+    // Earlier shapes shuffled the whole shingle stream by doc id to
+    // fold this state. The frame (one compact row per document) is
+    // checkpointed once and read three times (banding, both verify
+    // joins).
+    val grams = graft.functions.ShingleHashes(col(textCol), n, distinct = true)
+    val perDoc = docs
+      .select(col(idCol), grams.as("__set"),
+        graft.functions.MinHashFromGrams(grams, numHashes).as("__sigs"))
+      .filter(col("__sigs").isNotNull)
+      .select(col(idCol) +: col("__set") +: (0 until numHashes).map(i =>
+        col("__sigs").getItem(i).as(s"sig_$i")): _*)
       .localCheckpoint()
     val cand = lshCandidatesFromWide(perDoc, numHashes, bands, idCol, maxBucket)
     val sets = perDoc.select(col(idCol), col("__set"),
@@ -274,24 +284,17 @@ object Dedup {
     * 48 bits keeps every partial sum and the final `Σ bit<<b` inside a
     * non-negative BIGINT in both engines. */
   def simHash(docs: DataFrame, n: Int, bits: Int = 48,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // Frequency-weighted (classic) SimHash: each occurrence votes, so the
-    // non-distinct stream is both the right semantics and a shuffle
-    // cheaper.
-    val sh = shingleStream(docs, n, idCol, textCol)
-      .select(col(idCol), Portable.hash60(col("sh").cast("string")).as("h"))
-    // One wide aggregate: a ±1 vote sum per bit position in a single pass
-    // (no bits× row expansion), then combine the sign bits into the
-    // fingerprint as a plain projection.
-    val voteCols = (0 until bits).map { b =>
-      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v_$b")
-    }
-    val wide = sh.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
-    val fp = (0 until bits).map { b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    wide.select(col(idCol), fp.as("simhash"))
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // Frequency-weighted (classic) SimHash: each gram OCCURRENCE votes,
+    // so the kernel consumes the multiset gram array. The fingerprint
+    // is a pure function of one document's grams, so the whole thing is
+    // a per-row projection ([[graft.functions.SimHashFromGrams]]) —
+    // ZERO shuffle; earlier rounds aggregated ±1 bit votes over the
+    // exploded shingle stream, a full stream shuffle keyed by doc id.
+    docs.select(col(idCol),
+        graft.functions.SimHashFromGrams(
+          graft.functions.ShingleHashes(col(textCol), n), bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Incremental ingest dedup: keep only the docs of `incoming` whose
     * content digest does NOT already appear in `seen` (a digest-keyed
@@ -410,14 +413,20 @@ object Dedup {
 
   /** Within-doc repetition ratio — the Gopher-style quality signal:
     * `1 − distinct n-grams / total n-grams`. Boilerplate, keyword
-    * stuffing, and templated spam score high; one map-side-combined
-    * aggregate over the shingle stream (the distinct count rides the
-    * same shuffle). Docs shorter than n tokens yield no row. */
+    * stuffing, and templated spam score high. Both counts are sizes of
+    * the per-row gram array (multiset and kernel-deduped), so the whole
+    * score is ONE projection — no explode, no shuffle; earlier rounds
+    * aggregated count + countDistinct over the exploded stream. Docs
+    * shorter than n tokens yield no row. */
   def repetitionScores(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    shingleStream(docs, n, idCol, textCol)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("total_ngrams"), countDistinct(col("sh")).as("distinct_ngrams"))
+    docs
+      .select(col(idCol),
+        size(graft.functions.ShingleHashes(col(textCol), n)).cast("long")
+          .as("total_ngrams"),
+        size(graft.functions.ShingleHashes(col(textCol), n, distinct = true)).cast("long")
+          .as("distinct_ngrams"))
+      .filter(col("total_ngrams") > 0)
       .withColumn("repetition",
         round(lit(1.0) - col("distinct_ngrams").cast("double") / col("total_ngrams"), 6))
 

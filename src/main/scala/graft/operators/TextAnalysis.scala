@@ -161,12 +161,17 @@ object TextAnalysis {
   /** Order-sensitive document fingerprint (X4): positional rolling hash
     * `Σ position_i · hash32(token_i) mod p`. Content AND order sensitive,
     * unlike a bag-of-words hash; portable to the SQL oracle via the
-    * md5-based token hash. */
+    * md5-based token hash.
+    *
+    * One codegen'd projection ([[graft.functions.TextFingerprint]]) —
+    * the fingerprint is a pure function of the text, so there is no row
+    * explosion and no doc-keyed shuffle: the operator is scan-shaped at
+    * any scale. (Earlier rounds posexploded tokens and aggregated by
+    * doc — a full shuffle to compute a per-row value.) Docs with zero
+    * tokens yield no row, matching the aggregate formulation. */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("pos", "token")))
       .select(col(idCol),
-        pmod((col("pos") + 1) * Portable.hash32(col("token")), lit(Portable.MinHashPrime)).as("ph"))
-      .groupBy(col(idCol))
-      .agg(pmod(sum(col("ph")), lit(Portable.MinHashPrime)).as("fingerprint"))
+        graft.functions.TextFingerprint(col(textCol)).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
 }

@@ -84,6 +84,88 @@ class FunctionsKernelSpec extends SparkSpec {
     assert(viaKernel == viaSql)
   }
 
+  test("ShingleHashes distinct mode equals distinct() + sort over the stream") {
+    val docs = corpus.toDF("doc_id", "text")
+    val kernel = Dedup.shingles(docs, 2).orderBy("doc_id", "sh")
+    val reference = Dedup.shingleStream(docs, 2).distinct().orderBy("doc_id", "sh")
+    assert(kernel.collect().toSeq == reference.collect().toSeq)
+    // within-row ordering: the distinct array itself is sorted ascending
+    val arr = docs.filter(col("doc_id") === 1L)
+      .select(ShingleHashes(col("text"), 2, distinct = true)).head().getSeq[Long](0)
+    assert(arr == arr.sorted && arr.distinct == arr)
+  }
+
+  test("MinHashFromGrams matches the min-aggregate formulation") {
+    val docs = corpus.toDF("doc_id", "text")
+    val numHashes = 16
+    val kernel = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashFromGrams(ShingleHashes(col("text"), 2), numHashes).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id") +: (0 until numHashes).map(i => col("s").getItem(i).as(s"sig_$i")): _*)
+      .orderBy("doc_id")
+    val reference = Dedup.shingleStream(docs, 2)
+      .groupBy(col("doc_id")).agg(
+        min(Portable.minHashPerm(col("sh"), 0)).as("sig_0"),
+        (1 until numHashes).map(i => min(Portable.minHashPerm(col("sh"), i)).as(s"sig_$i")): _*)
+      .orderBy("doc_id")
+    assert(kernel.collect().toSeq == reference.collect().toSeq)
+    // duplicate-insensitivity: distinct grams give the same signature
+    val distinctIn = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashFromGrams(
+          ShingleHashes(col("text"), 2, distinct = true), numHashes).as("s"))
+      .filter(col("s").isNotNull).orderBy("doc_id").collect()
+    val multisetIn = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashFromGrams(ShingleHashes(col("text"), 2), numHashes).as("s"))
+      .filter(col("s").isNotNull).orderBy("doc_id").collect()
+    assert(distinctIn.toSeq == multisetIn.toSeq)
+  }
+
+  test("SimHashFromGrams matches the bit-vote aggregate formulation") {
+    val docs = corpus.toDF("doc_id", "text")
+    val bits = 48
+    val kernel = Dedup.simHash(docs, 2, bits).orderBy("doc_id")
+    val sh = Dedup.shingleStream(docs, 2)
+      .select(col("doc_id"), Portable.hash60(col("sh").cast("string")).as("h"))
+    val voteCols = (0 until bits).map { b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val wide = sh.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val fp = (0 until bits).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val reference = wide.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+    assert(kernel.collect().toSeq == reference.collect().toSeq)
+  }
+
+  test("TextFingerprint matches the posexplode + aggregate formulation") {
+    import org.apache.spark.sql.DataFrame
+    def referenceFingerprint(docs: DataFrame): DataFrame =
+      docs
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), t => t =!= "")).as(Seq("pos", "token")))
+        .select(col("doc_id"),
+          pmod((col("pos") + 1) * Portable.hash32(col("token")),
+            lit(Portable.MinHashPrime)).as("ph"))
+        .groupBy(col("doc_id"))
+        .agg(pmod(sum(col("ph")), lit(Portable.MinHashPrime)).as("fingerprint"))
+    val docs = corpus.toDF("doc_id", "text")
+    val kernel = graft.operators.TextAnalysis.fingerprint(docs).orderBy("doc_id")
+    val reference = referenceFingerprint(docs).orderBy("doc_id")
+    assert(kernel.collect().toSeq == reference.collect().toSeq)
+    // order sensitivity: same bag of tokens, different order, different print
+    val ab = graft.operators.TextAnalysis.fingerprint(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text")).head().getLong(1)
+    val ba = graft.operators.TextAnalysis.fingerprint(
+      Seq((1L, "beta alpha")).toDF("doc_id", "text")).head().getLong(1)
+    assert(ab != ba)
+    // zero-token text yields no row, like the aggregate formulation
+    assert(graft.operators.TextAnalysis.fingerprint(
+      Seq((1L, "   ")).toDF("doc_id", "text")).count() == 0)
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on sorted arrays") {
     val rnd = new scala.util.Random(42)
     val cases = (0 until 200).map { i =>
