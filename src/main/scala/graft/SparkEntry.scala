@@ -1096,19 +1096,23 @@ object SparkEntry {
       // quantile-bucketed window, never a single-partition one.
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        // keep-min-doc_id-per-digest as ONE digest-keyed window over the
-        // doc rows — same winner set as Dedup.exact + semi-join, two
-        // shuffles and a join cheaper (the digest window is the only
-        // exchange before the prefix sum).
+        // keep-min-doc_id-per-digest as ONE digest-keyed window — same
+        // winner set as Dedup.exact + semi-join, two shuffles and a
+        // join cheaper (the digest window is the only exchange before
+        // the prefix sum). Profile columns are projected BEFORE the
+        // window and the text column dropped, so the exchange carries
+        // (id, digest, quality, tokens) — not document bodies: at
+        // 100 TB the winner shuffle moves ~50× less than rows that
+        // still hold text. Winner choice (min doc_id per digest) is
+        // independent of the profile values, so the reorder is exact.
         val w = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
-        val winners = docs
-          .withColumn("__digest", md5(col("text").cast("binary")))
+        val cand = TextAnalysis.withProfile(
+            docs.withColumn("__digest", md5(col("text").cast("binary"))))
+          .select(col("__digest"), col("doc_id"), col("quality"), col("approx_bpe_tokens"))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
-          .drop("__digest", "__rn")
-        val cand = TextAnalysis.profile(winners)
-          .select("doc_id", "quality", "approx_bpe_tokens")
           .filter(col("quality") >= 0.5)
+          .select("doc_id", "quality", "approx_bpe_tokens")
         // quality is a known [0,1] score — fixed thresholds skip the
         // quantile-estimation scan. Materialize: the digest window +
         // profile input is expensive enough that one checkpoint beats

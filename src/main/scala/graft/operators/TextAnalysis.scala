@@ -98,6 +98,13 @@ object TextAnalysis {
   def profile(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol) +: (qualityCols(textCol) ++ tokenCols(textCol)): _*)
 
+  /** [[profile]] columns APPENDED to the input's own columns — for
+    * pipelines that need the profile fields alongside other derived
+    * columns (and that then drop `textCol` themselves, e.g. before a
+    * shuffle that should not carry document bodies). */
+  def withProfile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("*") +: (qualityCols(textCol) ++ tokenCols(textCol)): _*)
+
   /** Global term frequencies (X4): explode → count per token. Map-side
     * combine keeps the shuffle at one row per distinct term per mapper. */
   def termFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =

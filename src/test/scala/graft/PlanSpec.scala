@@ -97,4 +97,27 @@ class PlanSpec extends SparkSpec {
       !plan.contains("Aggregate"), plan)
     assert(plan.contains("nearest_centroid"), plan)
   }
+
+  test("dedup signature layer is projection-shaped — no shuffle, no aggregate") {
+    // parquet-backed input: a local Seq relation would be constant-folded
+    // into a LocalTableScan and hide the kernel projection from the plan
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // MinHash signatures, SimHash fingerprints, and repetition scores are
+    // pure per-document functions via the gram kernels; a shuffle or an
+    // aggregate in any of these plans is a scale regression.
+    val sigs = planOf(graft.operators.Dedup.minHashSignatures(docs, n = 2, numHashes = 16))
+    assert(!sigs.contains("Exchange") && !sigs.contains("Aggregate"), sigs)
+    assert(sigs.contains("minhash_from_grams"), sigs)
+    val sim = planOf(graft.operators.Dedup.simHash(docs, n = 2))
+    assert(!sim.contains("Exchange") && !sim.contains("Aggregate"), sim)
+    assert(sim.contains("simhash_from_grams"), sim)
+    val rep = planOf(graft.operators.Dedup.repetitionScores(docs, n = 2))
+    assert(!rep.contains("Exchange") && !rep.contains("Aggregate"), rep)
+    val fp = planOf(graft.operators.TextAnalysis.fingerprint(docs))
+    assert(!fp.contains("Exchange") && !fp.contains("Aggregate"), fp)
+    assert(fp.contains("text_fingerprint"), fp)
+    // the distinct-shingle stream dedups in the kernel, not an exchange
+    val shingles = planOf(graft.operators.Dedup.shingles(docs, n = 2))
+    assert(!shingles.contains("Exchange") && !shingles.contains("Aggregate"), shingles)
+  }
 }
