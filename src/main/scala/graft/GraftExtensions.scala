@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{GraftFunctionRegistryBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions._
+
+/** SQL surface for graft's codegen kernels: registers each custom
+  * `Expression` as a named SQL function, so the whole kernel layer is
+  * usable from `spark.sql(...)` / `selectExpr` — not only the Scala
+  * Column API. Two entry points:
+  *
+  *  - cluster-wide: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (the standard `SparkSessionExtensions` injection point — every
+  *    session on the cluster gets the functions at build time);
+  *  - per-session: `GraftExtensions.register(spark)` for sessions that
+  *    already exist (tests, notebooks).
+  *
+  * Cardinality arguments (n, numHashes, bits) must be integer literals
+  * — they parameterize generated code, exactly like the Column API's
+  * plain-Int parameters.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INTEGER literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (identifier, info, builder) triple per kernel — the shape
+    * `SparkSessionExtensions.injectFunction` consumes. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text, n[, distinct]) - word-n-gram shingle-hash array; distinct=true dedups sorted"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) =>
+          ShingleHashes(text, intLit(n, "shingle_hashes", "n"))
+        case Seq(text, n, Literal(d: Boolean, _)) =>
+          ShingleHashes(text, intLit(n, "shingle_hashes", "n"), d)
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes expects (text, n[, distinct literal]), got ${other.size} args")
+      }),
+    (FunctionIdentifier("minhash_from_grams"),
+      info("minhash_from_grams",
+        "minhash_from_grams(grams, numHashes) - MinHash signature array of a gram-hash array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(grams, k) =>
+          MinHashFromGrams(grams, intLit(k, "minhash_from_grams", "numHashes"))
+        case other => throw new IllegalArgumentException(
+          s"minhash_from_grams expects (grams, numHashes), got ${other.size} args")
+      }),
+    (FunctionIdentifier("simhash_from_grams"),
+      info("simhash_from_grams",
+        "simhash_from_grams(grams, bits) - frequency-weighted SimHash fingerprint of a gram-hash array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(grams, bits) =>
+          SimHashFromGrams(grams, intLit(bits, "simhash_from_grams", "bits"))
+        case other => throw new IllegalArgumentException(
+          s"simhash_from_grams expects (grams, bits), got ${other.size} args")
+      }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A intersect B| of two SORTED long arrays, zero-alloc merge"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => SortedIntersectCount(a, b)
+        case other => throw new IllegalArgumentException(
+          s"sorted_intersect_count expects (a, b), got ${other.size} args")
+      }),
+    (FunctionIdentifier("text_fingerprint"),
+      info("text_fingerprint",
+        "text_fingerprint(text) - order-sensitive positional rolling-hash fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => TextFingerprint(text)
+        case other => throw new IllegalArgumentException(
+          s"text_fingerprint expects (text), got ${other.size} args")
+      }),
+    (FunctionIdentifier("float_vector_dot"),
+      info("float_vector_dot",
+        "float_vector_dot(a, b) - dot product of two float arrays, double accumulation in array order"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => FloatVectorDot(a, b)
+        case other => throw new IllegalArgumentException(
+          s"float_vector_dot expects (a, b), got ${other.size} args")
+      }))
+
+  /** Register all kernel functions on an EXISTING session (the
+    * extensions class covers sessions not yet built). Idempotent:
+    * re-registration overwrites with identical builders. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, fnInfo, builder) =>
+      GraftFunctionRegistryBridge.register(spark, id, fnInfo, builder)
+    }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleHashes
+
+/** The kernels' SQL surface: every registered function must evaluate
+  * identically to its Column-API form, and the `spark.sql.extensions`
+  * injection class must register the same set. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val registered: Unit = GraftExtensions.register(spark)
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a b c d"),
+    (3L, "solo")).toDF("doc_id", "text")
+
+  test("SQL shingle_hashes / minhash / simhash / fingerprint match the Column API") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |  shingle_hashes(text, 2) AS grams,
+        |  shingle_hashes(text, 2, true) AS grams_distinct,
+        |  minhash_from_grams(shingle_hashes(text, 2), 16) AS sigs,
+        |  simhash_from_grams(shingle_hashes(text, 2), 48) AS simhash,
+        |  text_fingerprint(text) AS fp
+        |FROM ext_docs ORDER BY doc_id""".stripMargin).collect()
+    val api = docs.select(col("doc_id"),
+      ShingleHashes(col("text"), 2).as("grams"),
+      ShingleHashes(col("text"), 2, distinct = true).as("grams_distinct"),
+      graft.functions.MinHashFromGrams(ShingleHashes(col("text"), 2), 16).as("sigs"),
+      graft.functions.SimHashFromGrams(ShingleHashes(col("text"), 2), 48).as("simhash"),
+      graft.functions.TextFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(sql.toSeq == api.toSeq)
+  }
+
+  test("SQL sorted_intersect_count and float_vector_dot match the Column API") {
+    registered
+    val arrs = Seq((Array(1L, 3L, 5L), Array(1L, 2L, 5L), Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b", "va", "vb")
+    arrs.createOrReplaceTempView("ext_arrs")
+    val row = spark.sql(
+      """SELECT sorted_intersect_count(a, b) AS ic, float_vector_dot(va, vb) AS dot
+        |FROM ext_arrs""".stripMargin).head()
+    assert(row.getLong(0) == 2L)
+    assert(row.getDouble(1) == 11.0)
+  }
+
+  test("non-literal cardinality argument is rejected with a clear error") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(text, CAST(doc_id AS INT)) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal") ||
+      String.valueOf(e.getCause).contains("INTEGER literal"), e.getMessage)
+  }
+
+  test("the SparkSessionExtensions class injects the shared function set") {
+    // A fresh session isn't available mid-JVM (getOrCreate reuses the
+    // test session), so pin what CAN be pinned: applying the extensions
+    // class to a fresh SparkSessionExtensions succeeds (every triple is
+    // injectFunction-shaped), and both entry points share ONE function
+    // list, whose names are the documented surface.
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
+      Set("shingle_hashes", "minhash_from_grams", "simhash_from_grams",
+        "sorted_intersect_count", "text_fingerprint", "float_vector_dot"))
+  }
+}
