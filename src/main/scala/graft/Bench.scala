@@ -180,11 +180,14 @@ object Bench {
     // toward the 100 TB target. Disable with SPARK_GRAFT_SCALEUP=0.
     val upSet = keep(Seq("td_latest_changes", "td_overlapping_changes",
       "ts_moving_zscore", "ts_resample_fill", "x_sessionize",
-      // dedup/ANN family — where the 100 TB claims live. Their 10×
-      // documents table is sharded with DISJOINT token spaces (see
+      // dedup/ANN/curation family — where the 100 TB claims live. Their
+      // 10× documents table is sharded with DISJOINT token spaces (see
       // below), so the workload grows linearly by construction and a
       // ratio ≪ 10 is fixed-overhead amortization, not sublinear magic.
-      "x_dedup_lsh", "x_dedup_lsh_verified", "x_simhash_neardup"))
+      // x_dedup_clusters exercises iterative CC on the 10× pair graph;
+      // x_pipeline_curate the distributed prefix sum at 10× the rows.
+      "x_dedup_lsh", "x_dedup_lsh_verified", "x_simhash_neardup",
+      "x_dedup_clusters", "x_pipeline_curate"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {

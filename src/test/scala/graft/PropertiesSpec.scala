@@ -156,4 +156,60 @@ class PropertiesSpec extends SparkSpec {
       assert(kept.count() == df.count(), s"seed=$seed")
     }
   }
+
+  // ----- dedup generate-then-verify soundness -----
+
+  private val docGen = for {
+    n <- Gen.choose(4, 12)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+  } yield toks.mkString(" ")
+
+  private def corpus(seed: Long): List[(Long, String)] =
+    Gen.listOfN(20, docGen).pureApply(Gen.Parameters.default, Seed(seed))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("minHashLshVerified pairs are SOUND: each appears in the exact Jaccard truth, same score") {
+    // Banding may MISS pairs (that is its contract — recall < 1), but a
+    // verified pair must carry the true Jaccard and clear the threshold.
+    // Tiny vocab + short docs force heavy shingle collisions.
+    for (seed <- 1L to 4L) {
+      val docs = corpus(seed).toDF("doc_id", "text")
+      val truth = graft.operators.Dedup
+        .ngramJaccardPairs(docs, n = 2, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+      val verified = graft.operators.Dedup
+        .minHashLshVerified(docs, n = 2, numHashes = 16, bands = 8, threshold = 0.3)
+        .collect()
+      verified.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert(truth.contains(key), s"seed=$seed: $key not in exact truth")
+        assert(truth(key) == r.getDouble(5), s"seed=$seed: jaccard mismatch at $key")
+      }
+    }
+  }
+
+  test("duplicateClusters labels equal BFS components on random pair graphs") {
+    for (seed <- 1L to 4L) {
+      val pairs = Gen.listOfN(15,
+        for { a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L) if a != b } yield (a, b))
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      if (pairs.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val expected = nodes.map(x => x -> find(x)).toMap
+        val got = graft.operators.Dedup.duplicateClusters(pairs.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed=$seed")
+      }
+    }
+  }
 }
