@@ -127,13 +127,19 @@ object Bench {
     // correctness failure of a measured query, so it doesn't flip the
     // exit code.
     val auxErrors = scala.collection.mutable.ArrayBuffer.empty[String]
-    // A failed aux query yields no (name, time) entry at all.
+    // A failed aux query yields no (name, time) entry at all. min-of-2:
+    // single-shot aux times swung 3× between otherwise-identical runs
+    // (e.g. a 10× scale-up ratio reading 4.2 one run and 12.7 the
+    // next), which makes the evidence unusable; one retry recovers most
+    // of the steady state at tolerable cost.
     def timeAux(name: String, dir: String): Option[(String, Double)] = {
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch {
+        (System.nanoTime() - t0) / 1e9
+      }
+      try Some(name -> math.min(once(), once()))
+      catch {
         case e: Throwable =>
           auxErrors += s"$name@$dir: ${e.getClass.getSimpleName}"
           None

@@ -318,6 +318,18 @@ object Dedup {
     * same posting-list pair generation as the other dedup plans (one
     * aggregate, in-array combinatorics).
     *
+    * Sizing for scale — band KEY-SPACE SATURATION: each band has
+    * 2^(bits/(maxHamming+1)) possible keys, and random fingerprints
+    * spread uniformly, so expected bucket size is n / 2^width and
+    * expected candidate-pair work n² / 2^width — QUADRATIC in corpus
+    * size once n approaches the key space. The default (48 bits, 4
+    * bands, 12-bit keys ⇒ 4096 buckets/band) is sized for ~10⁵-doc
+    * blocks; at larger n widen the fingerprint (`bits` up to 60 ⇒
+    * 15-bit keys) and/or pre-block the corpus (by language/length/
+    * domain) so each banding instance sees a bounded n — `maxBucket`
+    * caps the degenerate hot keys but cannot linearize a saturated key
+    * space.
+    *
     * Output: (id_a, id_b, hamming) with hamming ≤ maxHamming.
     */
   def simHashNearDup(docs: DataFrame, n: Int, bits: Int = 48, maxHamming: Int = 3,
