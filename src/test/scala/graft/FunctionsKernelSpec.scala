@@ -166,6 +166,24 @@ class FunctionsKernelSpec extends SparkSpec {
       Seq((1L, "   ")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("kernels handle a 200k-token document without quadratic blowup") {
+    // One pathological row: the kernels are per-row loops, so a huge doc
+    // must stream through linearly (array growth is doubling, signature
+    // loop is k·m) — a regression to quadratic behavior would time out.
+    val big = (0 until 200000).map(i => s"t${i % 5000}").mkString(" ")
+    val df = Seq((1L, big)).toDF("doc_id", "text")
+    val row = df.select(
+      size(ShingleHashes(col("text"), 2)).as("total"),
+      size(ShingleHashes(col("text"), 2, distinct = true)).as("dist"),
+      graft.functions.MinHashFromGrams(ShingleHashes(col("text"), 2), 16).as("sigs"),
+      graft.functions.SimHashFromGrams(ShingleHashes(col("text"), 2), 48).as("sh"),
+      graft.functions.TextFingerprint(col("text")).as("fp")).head()
+    assert(row.getInt(0) == 199999)
+    assert(row.getInt(1) > 0 && row.getInt(1) <= 5000 * 5000)
+    assert(row.getSeq[Long](2).size == 16)
+    assert(!row.isNullAt(3) && !row.isNullAt(4))
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on sorted arrays") {
     val rnd = new scala.util.Random(42)
     val cases = (0 until 200).map { i =>
