@@ -68,12 +68,16 @@ object ReadShapes {
   /** One row per (series_id, valid_time, knowledge_time): the latest
     * correction (largest change_time) of each issued forecast
     * (timedb/read.py:295-317, the `LIMIT 1 BY` shape). Same argmax
-    * aggregation, one level deeper.
+    * aggregation, one level deeper — `ArgMaxLatest(ct, ct, value)`
+    * degenerates to the lexicographic (ct, value) max, identical to
+    * `max(struct(ct, value))`, but with a FLAT hash-aggregable buffer:
+    * a pure HashAggregate instead of the struct-buffer SortAggregate
+    * (no per-partition sort of the fact table).
     */
   def overlapping(values: DataFrame): DataFrame =
     values
       .groupBy(sid, vt, kt)
-      .agg(max(struct(ct, col("value"))).getField("value").as("value"))
+      .agg(graft.functions.ArgMaxLatest(ct, ct, col("value")).as("value"))
       .select(sid, kt, vt, col("value"))
 
   /** Correction chain of the winning (max-knowledge_time) forecast per

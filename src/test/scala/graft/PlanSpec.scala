@@ -41,6 +41,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_max") || plan.contains("partial"), plan)
   }
 
+  test("overlapping read hash-aggregates (no struct-buffer SortAggregate)") {
+    val df = Seq((1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:00Z"),
+      ts("2024-01-01T00:00:00Z"), 1.0, "", ""))
+      .toDF("series_id", "valid_time", "knowledge_time", "change_time", "value", "changed_by", "annotation")
+    val plan = planOf(ReadShapes.overlapping(df))
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+  }
+
   test("latestWithChanges plans ONE exchange for both window functions") {
     val df = Seq((1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:00Z"),
       ts("2024-01-01T00:00:00Z"), 1.0, "", ""))
