@@ -911,6 +911,76 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    ("x_dedup_lsh_dropped",
+      // Drop-accounting audit of the LSH banding: the (band, band_key)
+      // buckets a given maxBucket cap would discard, with sizes —
+      // maxBucket=1 turns it into the full collision census, so the cap
+      // logic is exercised on real buckets at every scale factor.
+      (s, dir) => Dedup.minHashLshDroppedBuckets(Tables.documents(s, dir),
+        n = 2, numHashes = 16, bands = 8, maxBucket = 1)
+        .select(col("band"), col("band_key"), col("bucket_size").cast("long").as("bucket_size"))
+        .orderBy("band", "band_key"),
+      Some {
+        val perms = (0 until 16).map { i =>
+          val (a, b) = Portable.minHashCoeffs(i)
+          s"($i, $a, $b)"
+        }.mkString(", ")
+        s"""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM ft, generate_series(1, 2000) g(i)
+        |  WHERE g.i <= len(t) - 1),
+        |perms(i, a, b) AS (VALUES $perms),
+        |sigs AS (
+        |  SELECT doc_id, i, min((a * sh + b) % 2147483647) AS sig
+        |  FROM grams, perms GROUP BY doc_id, i),
+        |banded AS (
+        |  SELECT doc_id, i // 2 AS band, string_agg(sig::VARCHAR, ',' ORDER BY i) AS band_key
+        |  FROM sigs GROUP BY doc_id, i // 2)
+        |SELECT CAST(band AS INT) AS band, band_key, COUNT(*) AS bucket_size
+        |FROM banded GROUP BY band, band_key HAVING COUNT(*) > 1
+        |ORDER BY band, band_key""".stripMargin
+      }),
+
+    ("x_simhash_dropped",
+      // Same audit for the SimHash pigeonhole banding: (band, key)
+      // buckets above the cap — maxBucket=1 = the collision census.
+      (s, dir) => Dedup.simHashDroppedBuckets(Tables.documents(s, dir),
+        n = 2, maxBucket = 1)
+        .orderBy("band", "key"),
+      Some("""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM ft, generate_series(1, 2000) g(i)
+        |  WHERE g.i <= len(t) - 1),
+        |hashed AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM grams),
+        |votes AS (
+        |  SELECT doc_id, b.b,
+        |         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, generate_series(0, 47) b(b)
+        |  GROUP BY doc_id, b.b),
+        |sims AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |bandkeys AS (
+        |  SELECT doc_id, b.band, (simhash >> (b.band * 12)) & 4095 AS key
+        |  FROM sims, (VALUES (0), (1), (2), (3)) b(band))
+        |SELECT CAST(band AS INT) AS band, key, COUNT(*) AS bucket_size
+        |FROM bandkeys GROUP BY band, key HAVING COUNT(*) > 1
+        |ORDER BY band, key""".stripMargin)),
+
     ("x_dedup_contamination",
       // Benchmark decontamination: score every training doc by its
       // bigram overlap with a held-out "benchmark" slice (doc_id % 20).
