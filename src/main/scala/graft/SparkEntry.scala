@@ -981,6 +981,22 @@ object SparkEntry {
         |FROM bandkeys GROUP BY band, key HAVING COUNT(*) > 1
         |ORDER BY band, key""".stripMargin)),
 
+    ("x_quality_gate",
+      // Per-stratum quantile gate: keep the top 30% of each language by
+      // document length (deterministic doc_id tie-break) — the curation
+      // step between quality scoring and mixture weighting.
+      (s, dir) => Curation.keepTopQuantile(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        stratumCol = "lang", scoreCol = "n_chars", tieCol = "doc_id", q = 0.3)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         PERCENT_RANK() OVER (PARTITION BY lang
+        |                              ORDER BY n_chars DESC, doc_id) AS pr
+        |  FROM documents)
+        |WHERE pr <= 0.3
+        |ORDER BY doc_id""".stripMargin)),
+
     ("x_dedup_contamination",
       // Benchmark decontamination: score every training doc by its
       // bigram overlap with a held-out "benchmark" slice (doc_id % 20).

@@ -165,4 +165,30 @@ object Curation {
     runningTotalByPriority(df, priorityCol, tieCol, valueCol, "running_total", buckets,
       fixedThresholds, materialize)
       .filter(col("running_total") <= budget)
+
+  /** Per-stratum quantile gate — "keep the top `q` fraction of each
+    * language/domain by quality": rows whose `percent_rank` within
+    * their stratum (ordered `scoreCol` DESC, `tieCol` ASC — the tie
+    * column makes the order total, so the kept set is deterministic)
+    * is ≤ `q`. The standard per-stratum curation step between quality
+    * scoring and mixture weighting.
+    *
+    * Scale shape: ONE window partitioned by stratum. Strata are
+    * usually few (languages, domains), so each partition is
+    * corpus/|strata|-sized — fine up to the point where one stratum
+    * outgrows an executor's sort budget; past that, gate on
+    * PRE-COMPUTED score thresholds instead (one `approxQuantile` pass
+    * per stratum → literal filter, the same trick
+    * [[runningTotalByPriority]] uses for its buckets) and accept the
+    * approximate cut point.
+    */
+  def keepTopQuantile(df: DataFrame, stratumCol: String, scoreCol: String,
+      tieCol: String, q: Double): DataFrame = {
+    require(q > 0.0 && q <= 1.0, "q must be in (0, 1]")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= q)
+      .drop("__pr")
+  }
 }

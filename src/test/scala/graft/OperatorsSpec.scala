@@ -437,4 +437,26 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("key").as[(String, Long)].collect().toSeq
     assert(keys == Seq(("k", 2L), ("tag", 2L)))
   }
+
+  test("keepTopQuantile keeps the per-stratum top fraction with deterministic ties") {
+    // stratum a: scores 10..1 over ids 1..10 → pr = (rank−1)/9 ≤ 0.3
+    // keeps ranks 1-3 (scores 10, 9, 8); stratum b: 2 rows, pr ∈ {0, 1}
+    // → only the winner survives q=0.3.
+    val df = ((1 to 10).map(i => ("a", i.toLong, 11.0 - i)) ++
+      Seq(("b", 100L, 5.0), ("b", 101L, 4.0))).toDF("lang", "doc_id", "score")
+    val kept = graft.operators.Curation
+      .keepTopQuantile(df, "lang", "score", "doc_id", q = 0.3)
+      .orderBy("doc_id").as[(String, Long, Double)].collect().toSeq
+    assert(kept == Seq(("a", 1L, 10.0), ("a", 2L, 9.0), ("a", 3L, 8.0), ("b", 100L, 5.0)))
+    // tie determinism: equal scores rank by the tie column, so the cut
+    // keeps a fixed FRACTION even through a tie group — and the same
+    // ids every run (pr over (score, id) = 0, 1/3, 2/3, 1 → q=0.5
+    // keeps ids 1 and 2)
+    val ties = Seq(("a", 1L, 7.0), ("a", 2L, 7.0), ("a", 3L, 7.0), ("a", 4L, 7.0))
+      .toDF("lang", "doc_id", "score")
+    val keptTies = graft.operators.Curation
+      .keepTopQuantile(ties, "lang", "score", "doc_id", q = 0.5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keptTies == Seq(1L, 2L))
+  }
 }
