@@ -230,10 +230,12 @@ object Bench {
               regexp_replace(col("text"), "(\\S+)", s"s${i}x$$1")))
           .reduce(_ union _)
           .write.mode("overwrite").parquet(s"$upDir/documents.parquet")
-        // The table memo pins file listings per (session, dir, table);
-        // the scale-up dir was just (re)written, so any entry cached from
-        // an earlier run of this process must not survive the rewrite.
+        // The table memo pins file listings per (session, dir, table) and
+        // SparkEntry's build memos pin checkpointed index/cluster frames;
+        // the scale-up dir was just (re)written, so nothing cached from an
+        // earlier run of this process may survive the rewrite.
         Tables.invalidate()
+        SparkEntry.invalidateBuildMemos()
         val entries = upSet.flatMap(timeAux(_, upDir)).map { case (name, t) =>
           val ratio = largeTimes.get(name).map(l => t / l)
           JsonUtil.quote(name) +

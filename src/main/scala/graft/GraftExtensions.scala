@@ -49,6 +49,8 @@ object GraftExtensions {
           ShingleHashes(text, intLit(n, "shingle_hashes", "n"))
         case Seq(text, n, Literal(d: Boolean, _)) =>
           ShingleHashes(text, intLit(n, "shingle_hashes", "n"), d)
+        case Seq(_, _, d) => throw new IllegalArgumentException(
+          s"shingle_hashes: distinct must be a BOOLEAN literal, got $d")
         case other => throw new IllegalArgumentException(
           s"shingle_hashes expects (text, n[, distinct literal]), got ${other.size} args")
       }),

@@ -132,6 +132,16 @@ object SparkEntry {
       Dedup.duplicateClusters(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 2, threshold = 0.2, maxDf = 50)))
 
+  /** Drop the build-artifact memos — MUST accompany `Tables.invalidate()`
+    * whenever a data directory is rewritten in-process (the bench's
+    * scale-up dir): the memos pin checkpointed frames computed from the
+    * directory's PREVIOUS contents, and a memo hit after a rewrite would
+    * silently serve stale results. */
+  def invalidateBuildMemos(): Unit = {
+    ivfIndexMemo.clear()
+    clusterMemo.clear()
+  }
+
   // ---------------------------------------------------------------------
   // Query registry — insertion order is build order
   // ---------------------------------------------------------------------
@@ -856,9 +866,16 @@ object SparkEntry {
         |  FROM grams, perms GROUP BY doc_id, i),
         |banded AS (
         |  SELECT doc_id, i // 2 AS band, string_agg(sig::VARCHAR, ',' ORDER BY i) AS band_key
-        |  FROM sigs GROUP BY doc_id, i // 2)
+        |  FROM sigs GROUP BY doc_id, i // 2),
+        |-- mirror the Spark side's DefaultMaxBucket cap so the declared
+        |-- equivalence holds BY CONSTRUCTION, not by data luck
+        |ok AS (
+        |  SELECT band, band_key FROM banded GROUP BY band, band_key
+        |  HAVING COUNT(*) <= 1000)
         |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        |FROM banded l JOIN banded r
+        |FROM banded l
+        |JOIN ok ON ok.band = l.band AND ok.band_key = l.band_key
+        |JOIN banded r
         |  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
         |ORDER BY id_a, id_b""".stripMargin
       }),
@@ -890,9 +907,16 @@ object SparkEntry {
         |banded AS (
         |  SELECT doc_id, i // 2 AS band, string_agg(sig::VARCHAR, ',' ORDER BY i) AS band_key
         |  FROM sigs GROUP BY doc_id, i // 2),
+        |-- mirror the Spark side's DefaultMaxBucket cap so the declared
+        |-- equivalence holds BY CONSTRUCTION, not by data luck
+        |ok AS (
+        |  SELECT band, band_key FROM banded GROUP BY band, band_key
+        |  HAVING COUNT(*) <= 1000),
         |cand AS (
         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        |  FROM banded l JOIN banded r
+        |  FROM banded l
+        |  JOIN ok ON ok.band = l.band AND ok.band_key = l.band_key
+        |  JOIN banded r
         |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
         |toks AS (SELECT DISTINCT doc_id, sh FROM grams),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
@@ -918,7 +942,6 @@ object SparkEntry {
       // logic is exercised on real buckets at every scale factor.
       (s, dir) => Dedup.minHashLshDroppedBuckets(Tables.documents(s, dir),
         n = 2, numHashes = 16, bands = 8, maxBucket = 1)
-        .select(col("band"), col("band_key"), col("bucket_size").cast("long").as("bucket_size"))
         .orderBy("band", "band_key"),
       Some {
         val perms = (0 until 16).map { i =>
@@ -1758,11 +1781,18 @@ object SparkEntry {
         |bands AS (
         |  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 12)) & 4095 AS key
         |  FROM sims, generate_series(0, 3) b(b)),
+        |-- mirror the Spark side's DefaultMaxBucket cap so the declared
+        |-- equivalence holds BY CONSTRUCTION, not by data luck
+        |ok AS (
+        |  SELECT band, key FROM bands GROUP BY band, key
+        |  HAVING COUNT(*) <= 1000),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |         a.simhash AS sh_a, b.simhash AS sh_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-        |                           AND a.doc_id < b.doc_id)
+        |  FROM bands a
+        |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+        |  JOIN bands b ON a.band = b.band AND a.key = b.key
+        |               AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         |ORDER BY id_a, id_b""".stripMargin)),

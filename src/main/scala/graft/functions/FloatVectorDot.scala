@@ -23,9 +23,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<float>; used internally on embedding columns
-  // only, so no ExpectsInputTypes contract (its AbstractDataType is
-  // private[sql]).
+  // SQL-reachable via GraftExtensions: getFloat over a non-float array
+  // reads misaligned bytes — reject anything but array<float> at
+  // analysis (ExpectsInputTypes' AbstractDataType is private[sql]).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.firstFailure(
+      KernelTypeChecks.expectArrayOf(prettyName, "a", left, org.apache.spark.sql.types.FloatType),
+      KernelTypeChecks.expectArrayOf(prettyName, "b", right, org.apache.spark.sql.types.FloatType))
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "float_vector_dot"

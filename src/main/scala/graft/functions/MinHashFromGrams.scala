@@ -29,6 +29,11 @@ case class MinHashFromGrams(child: Expression, numHashes: Int) extends UnaryExpr
 
   require(numHashes >= 1, "numHashes must be >= 1")
 
+  // SQL-reachable via GraftExtensions: a non-long array would read
+  // misaligned bytes via getLong — reject at analysis.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.expectArrayOf(prettyName, "grams", child, LongType)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullable: Boolean = true
@@ -59,20 +64,32 @@ object MinHashFromGrams {
     GraftColumnBridge.toColumn(
       MinHashFromGrams(GraftColumnBridge.toExpression(grams), numHashes))
 
+  // Permutation coefficients depend only on numHashes — memoized so the
+  // per-row path never reallocates/reboxes them (short documents are the
+  // common case; a per-row rebuild was a measurable fixed overhead).
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coeffs(numHashes: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(numHashes, k => {
+      val as = new Array[Long](k)
+      val bs = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        val (a, b) = Portable.minHashCoeffs(i)
+        as(i) = a; bs(i) = b
+        i += 1
+      }
+      (as, bs)
+    })
+
   /** Signature array for one row's grams; null when the row has no
     * grams. Entry point for interpreted eval and generated code. */
   def compute(grams: ArrayData, numHashes: Int): ArrayData = {
     val m = grams.numElements()
     if (m == 0) return null
     val p = Portable.MinHashPrime
-    val as = new Array[Long](numHashes)
-    val bs = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      val (a, b) = Portable.minHashCoeffs(i)
-      as(i) = a; bs(i) = b
-      i += 1
-    }
+    val (as, bs) = coeffs(numHashes)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var g = 0

@@ -39,7 +39,11 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = false)
 
   require(n >= 1, "shingle size must be >= 1")
 
-  // Input must be a string column; used internally on text columns only.
+  // SQL-reachable via GraftExtensions, so wrong-typed input must fail
+  // ANALYSIS, not crash mid-job.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.expectString(prettyName, "text", child)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def prettyName: String = "shingle_hashes"
@@ -74,13 +78,16 @@ object ShingleHashes {
 
   def compute(text: UTF8String, n: Int): ArrayData = compute(text, n, distinct = false)
 
-  /** Gram-hash array for one row; entry point for both interpreted eval
-    * and the generated code. `distinct` dedups AND sorts ascending. */
-  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
-    val bytes = text.getBytes
+  /** Per-token [[Portable.hash32]] values of a row's text — tokens are
+    * the non-empty runs between 0x20 bytes (byte-split is UTF-8-safe),
+    * hash = the md5 digest's first 4 bytes, big-endian, unsigned. THE
+    * single copy of the load-bearing tokenize+hash loop: every kernel
+    * that tokenizes ([[ShingleHashes]], [[TextFingerprint]]) goes
+    * through here, so the oracle-pinned token semantics cannot drift
+    * between them. Returns the hash array and the token count (the
+    * array may be longer). */
+  private[functions] def tokenHashes(bytes: Array[Byte]): (Array[Long], Int) = {
     val digest = md5.get()
-    // First pass: per-token hash32 values, tokens = non-empty runs
-    // between 0x20 bytes.
     var hashes = new Array[Long](math.max(8, bytes.length / 4))
     var m = 0
     var start = 0
@@ -100,6 +107,13 @@ object ShingleHashes {
       }
       i += 1
     }
+    (hashes, m)
+  }
+
+  /** Gram-hash array for one row; entry point for both interpreted eval
+    * and the generated code. `distinct` dedups AND sorts ascending. */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val (hashes, m) = tokenHashes(text.getBytes)
     val grams =
       if (n == 1) java.util.Arrays.copyOf(hashes, m)
       else if (m < n) Array.emptyLongArray

@@ -25,6 +25,11 @@ case class SimHashFromGrams(child: Expression, bits: Int) extends UnaryExpressio
 
   require(bits >= 1 && bits <= 60, "bits must be in 1..60 (hash60 source)")
 
+  // SQL-reachable via GraftExtensions: reject non-long arrays at analysis.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.expectArrayOf(prettyName, "grams", child,
+      org.apache.spark.sql.types.LongType)
+
   override def dataType: DataType = LongType
 
   override def nullable: Boolean = true

@@ -25,6 +25,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // SQL-reachable via GraftExtensions: getLong over an array<int> would
+  // read misaligned bytes and return garbage counts silently — reject
+  // anything but array<bigint> at analysis.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.firstFailure(
+      KernelTypeChecks.expectArrayOf(prettyName, "a", left, LongType),
+      KernelTypeChecks.expectArrayOf(prettyName, "b", right, LongType))
+
   override def prettyName: String = "sorted_intersect_count"
 
   override def nullSafeEval(a: Any, b: Any): Any =

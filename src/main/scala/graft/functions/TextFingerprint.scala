@@ -27,6 +27,10 @@ case class TextFingerprint(child: Expression) extends UnaryExpression {
 
   override def nullable: Boolean = true
 
+  // SQL-reachable via GraftExtensions: reject non-string input at analysis.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.expectString(prettyName, "text", child)
+
   override def prettyName: String = "text_fingerprint"
 
   override def nullSafeEval(input: Any): Any =
@@ -51,37 +55,22 @@ object TextFingerprint {
   def apply(text: Column): Column =
     GraftColumnBridge.toColumn(TextFingerprint(GraftColumnBridge.toExpression(text)))
 
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** Positional fingerprint of one row; null (boxed) when the text has
     * no tokens — the caller's aggregate formulation had no group to
-    * emit. Entry point for both interpreted eval and generated code. */
+    * emit. Tokenization and per-token hashing go through the SHARED
+    * [[ShingleHashes.tokenHashes]] loop (one copy of the oracle-pinned
+    * token semantics); this kernel only adds the positional fold.
+    * Entry point for both interpreted eval and generated code. */
   def compute(text: UTF8String): java.lang.Long = {
-    val bytes = text.getBytes
-    val digest = md5.get()
+    val (hashes, m) = ShingleHashes.tokenHashes(text.getBytes)
+    if (m == 0) return null
     val p = Portable.MinHashPrime
     var sum = 0L
-    var pos = 0L
-    var start = 0
     var i = 0
-    while (i <= bytes.length) {
-      if (i == bytes.length || bytes(i) == ' ') {
-        if (i > start) {
-          digest.reset()
-          digest.update(bytes, start, i - start)
-          val d = digest.digest()
-          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-          pos += 1L
-          sum += java.lang.Math.floorMod(pos * h, p)
-        }
-        start = i + 1
-      }
+    while (i < m) {
+      sum += java.lang.Math.floorMod((i + 1L) * hashes(i), p)
       i += 1
     }
-    if (pos == 0L) null else java.lang.Long.valueOf(java.lang.Math.floorMod(sum, p))
+    java.lang.Long.valueOf(java.lang.Math.floorMod(sum, p))
   }
 }

@@ -185,10 +185,14 @@ object Curation {
   def keepTopQuantile(df: DataFrame, stratumCol: String, scoreCol: String,
       tieCol: String, q: Double): DataFrame = {
     require(q > 0.0 && q <= 1.0, "q must be in (0, 1]")
+    // fresh internal name: a caller whose frame already carries __pr
+    // must not have it clobbered and dropped
+    val pr = Iterator.from(0).map(i => s"__pr$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col(scoreCol).desc, col(tieCol).asc)
-    df.withColumn("__pr", percent_rank().over(w))
-      .filter(col("__pr") <= q)
-      .drop("__pr")
+    df.withColumn(pr, percent_rank().over(w))
+      .filter(col(pr) <= q)
+      .drop(pr)
   }
 }

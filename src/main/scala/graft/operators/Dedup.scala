@@ -216,7 +216,8 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     lshBucketsFromWide(minHashWide(docs, n, numHashes, idCol, textCol), numHashes, bands, idCol)
       .filter(size(col("ids")) > maxBucket)
-      .select(col("band"), col("band_key"), size(col("ids")).as("bucket_size"))
+      // long, matching simHashDroppedBuckets' count-based column
+      .select(col("band"), col("band_key"), size(col("ids")).cast("long").as("bucket_size"))
 
   /** MinHash-LSH candidates → EXACT Jaccard verify (X2) — the
     * generate-then-verify composition a production near-dup pipeline
@@ -332,22 +333,30 @@ object Dedup {
     *
     * Output: (id_a, id_b, hamming) with hamming ≤ maxHamming.
     */
-  def simHashNearDup(docs: DataFrame, n: Int, bits: Int = 48, maxHamming: Int = 3,
-      maxBucket: Int = DefaultMaxBucket,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** (id, simhash, band, key) rows of the pigeonhole banding — ONE
+    * definition shared by [[simHashNearDup]] and its drop-accounting
+    * companion, so the audit can never drift from what the candidate
+    * path actually buckets. */
+  private def simHashBanded(docs: DataFrame, n: Int, bits: Int, maxHamming: Int,
+      idCol: String, textCol: String): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits=$bits must divide into ${bands} bands")
-    require(maxBucket > 1, "maxBucket must be > 1")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sh = simHash(docs, n, bits, idCol, textCol)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
     }
-    val banded = sh
+    simHash(docs, n, bits, idCol, textCol)
       .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def simHashNearDup(docs: DataFrame, n: Int, bits: Int = 48, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be > 1")
+    val banded = simHashBanded(docs, n, bits, maxHamming, idCol, textCol)
     // Degenerate-bucket cap before the d² pair explosion — same rationale
     // as [[DefaultMaxBucket]] (an all-zero band key over near-empty docs
     // is the classic SimHash hot bucket).
@@ -373,25 +382,15 @@ object Dedup {
   }
 
   /** Drop-accounting companion of [[simHashNearDup]]: the (band, key)
-    * buckets a given `maxBucket` cap discards, with their sizes. */
+    * buckets a given `maxBucket` cap discards, with their sizes —
+    * built on the SAME [[simHashBanded]] frame as the candidate path. */
   def simHashDroppedBuckets(docs: DataFrame, n: Int, bits: Int = 48, maxHamming: Int = 3,
       maxBucket: Int = DefaultMaxBucket,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bands = maxHamming + 1
-    require(bits % bands == 0, s"bits=$bits must divide into ${bands} bands")
-    val width = bits / bands
-    val mask = (1L << width) - 1
-    val sh = simHash(docs, n, bits, idCol, textCol)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
-    }
-    sh.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simHashBanded(docs, n, bits, maxHamming, idCol, textCol)
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
-  }
 
   /** Benchmark DECONTAMINATION scores — the fraction of each training
     * doc's distinct n-gram shingles that also appear in a benchmark/eval
@@ -432,12 +431,18 @@ object Dedup {
     * shorter than n tokens yield no row. */
   def repetitionScores(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // ONE kernel evaluation per row: the multiset/distinct variants
+    // differ in the `distinct` flag, so two kernel calls would defeat
+    // subexpression elimination and tokenize + md5 every document
+    // TWICE. The gram array is materialized once; the distinct count is
+    // an `array_distinct` over the in-memory array — cheap next to the
+    // per-token md5 work it avoids repeating.
     docs
       .select(col(idCol),
-        size(graft.functions.ShingleHashes(col(textCol), n)).cast("long")
-          .as("total_ngrams"),
-        size(graft.functions.ShingleHashes(col(textCol), n, distinct = true)).cast("long")
-          .as("distinct_ngrams"))
+        graft.functions.ShingleHashes(col(textCol), n).as("__g"))
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("total_ngrams"),
+        size(array_distinct(col("__g"))).cast("long").as("distinct_ngrams"))
       .filter(col("total_ngrams") > 0)
       .withColumn("repetition",
         round(lit(1.0) - col("distinct_ngrams").cast("double") / col("total_ngrams"), 6))

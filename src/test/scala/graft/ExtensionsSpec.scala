@@ -50,6 +50,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(1) == 11.0)
   }
 
+  test("wrong-typed kernel input fails at ANALYSIS, not mid-job") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    // array<int> into a long-array kernel would read misaligned bytes
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array(1, 2), array(1, 2))").collect()
+    }
+    assert(e1.getMessage.contains("array<bigint>"), e1.getMessage)
+    // non-string text into the tokenizing kernels
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(doc_id, 2) FROM ext_docs").collect()
+    }
+    assert(e2.getMessage.contains("must be string"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT float_vector_dot(array(1.0, 2.0), array(1.0))").collect()
+    }
+    assert(e3.getMessage.contains("array<float>"), e3.getMessage)
+  }
+
   test("non-literal cardinality argument is rejected with a clear error") {
     registered
     docs.createOrReplaceTempView("ext_docs")

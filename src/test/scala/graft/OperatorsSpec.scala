@@ -351,7 +351,7 @@ class OperatorsSpec extends SparkSpec {
     val dropped = Dedup.minHashLshDroppedBuckets(clones, n = 2, numHashes = 8, bands = 4,
       maxBucket = 100)
     assert(dropped.count() == 4) // one hot bucket per band
-    assert(dropped.select(max("bucket_size")).as[Int].head() == 500)
+    assert(dropped.select(max("bucket_size")).as[Long].head() == 500L)
     // a cap above the bucket size changes nothing
     val uncapped = Dedup.minHashLshCandidates(clones, n = 2, numHashes = 8, bands = 4,
       maxBucket = 1000)
