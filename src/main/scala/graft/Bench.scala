@@ -74,6 +74,22 @@ object Bench {
     // state. Fast queries (the majority) still run once, which bounds
     // total bench time.
     val rerunFloorSec = 0.35
+    // Per-query job counter: a query's wall time is bounded below by
+    // (its Spark job count) × (the per-job overhead floor measured
+    // further down) — the decomposition that lets a sub-second ratio be
+    // read per query as fixed scheduling cost vs. plan defect, instead
+    // of excusing everything with one global floor. The listener bus is
+    // async, so counts are read only after an explicit drain.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
+    def drainBus(): Unit =
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+    val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def run(names: Seq[String]): Seq[(String, Either[String, Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Either[String, Double] = {
@@ -84,7 +100,11 @@ object Bench {
             Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120))
         }
       }
+      drainBus()
+      val jobsBefore = jobCounter.get()
       val first = once()
+      drainBus()
+      if (first.isRight) jobCounts(name) = jobCounter.get() - jobsBefore
       name -> (first match {
         case Right(t) if t > rerunFloorSec =>
           val retries = Seq(once(), once()).collect { case Right(v) => v }
@@ -103,14 +123,30 @@ object Bench {
     val extTotal = extResults.collect { case (_, Right(v)) => v }.sum
     val errJson = errors.map(JsonUtil.quote).mkString("[", ",", "]")
 
-    // Per-job overhead floor: the wall time of a minimal Spark job at
-    // this parallelism — schedule 32 tasks, one shuffle exchange, a
-    // 1-row result, no meaningful data. Every measured query pays this
-    // floor at least once (multi-job queries pay it per job); DuckDB's
-    // in-process model pays ~none of it. Reported beside the ratios so
-    // a sub-second query at Nx the baseline can be read for what it is:
-    // fixed scheduling cost that amortizes away at the 100 TB target,
-    // not a plan defect. min-of-5 (it is itself scheduling-noisy).
+    // Per-job overhead floors, two calibrations (both min-of-5; they
+    // are themselves scheduling-noisy):
+    //  - job_floor_sec: the MINIMAL job — 32 no-shuffle tasks, no
+    //    data. Every Spark job pays at least this, and under AQE every
+    //    stage submission is its own job, so (query's job count) ×
+    //    job_floor_sec is a per-query SCHEDULING LOWER BOUND — the
+    //    decomposition `floor_decomp` reports beside the DuckDB
+    //    ratios. DuckDB's in-process model pays ~none of it, and it
+    //    amortizes away at the 100 TB target.
+    //  - overhead_floor_sec: the historical 2-stage calibration
+    //    (32-way repartition + global agg — one shuffle exchange),
+    //    kept so BENCH_r* floors stay comparable across rounds. It is
+    //    HEAVIER than a light query's actual jobs, so it must not be
+    //    used per-query (r5 lesson: it over-excused 8 of 19 headline
+    //    queries whose whole wall time was below it).
+    val jobFloor = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(32000).foreach((_: java.lang.Long) => ())
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      (1 to 5).map(_ => once()).min
+    }
     val overheadFloor = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -127,19 +163,27 @@ object Bench {
     // correctness failure of a measured query, so it doesn't flip the
     // exit code.
     val auxErrors = scala.collection.mutable.ArrayBuffer.empty[String]
-    // A failed aux query yields no (name, time) entry at all. min-of-2:
-    // single-shot aux times swung 3× between otherwise-identical runs
-    // (e.g. a 10× scale-up ratio reading 4.2 one run and 12.7 the
-    // next), which makes the evidence unusable; one retry recovers most
-    // of the steady state at tolerable cost.
+    // A failed aux query yields no (name, time) entry at all.
+    // Discipline (r5 lesson — the committed td_latest_changes 10× ratio
+    // read 14.25 where an isolated rerun measured 1.12, pure full-bench
+    // interference): (a) one DISCARDED warmup run per (query, dir), so
+    // first-touch relation resolution, codegen, and checkpoint builds
+    // are charged to warmup exactly as the headline measurements charge
+    // theirs; (b) min-of-2 after that, escalating to min-of-3 while the
+    // best time stays over 1 s — single-shot aux times swung 3× between
+    // otherwise-identical runs, and slow queries swing the most in
+    // absolute terms.
     def timeAux(name: String, dir: String): Option[(String, Double)] = {
       def once(): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      try Some(name -> math.min(once(), once()))
-      catch {
+      try {
+        once() // warmup, discarded
+        val best2 = math.min(once(), once())
+        Some(name -> (if (best2 > 1.0) math.min(best2, once()) else best2))
+      } catch {
         case e: Throwable =>
           auxErrors += s"$name@$dir: ${e.getClass.getSimpleName}"
           None
@@ -236,6 +280,14 @@ object Bench {
         // earlier run of this process may survive the rewrite.
         Tables.invalidate()
         SparkEntry.invalidateBuildMemos()
+        // Executor-state reset between the 10× table build and the
+        // timings: the build itself unions/writes ~10× the measured SF
+        // and leaves cached blocks, shuffle files, and a heap full of
+        // garbage behind — exactly the interference that inflated the
+        // r5 committed ratios. (timeAux's discarded warmup then charges
+        // first-touch planning to warmup, not to the ratio.)
+        spark.catalog.clearCache()
+        System.gc()
         val entries = upSet.flatMap(timeAux(_, upDir)).map { case (name, t) =>
           val ratio = largeTimes.get(name).map(l => t / l)
           JsonUtil.quote(name) +
@@ -284,6 +336,17 @@ object Bench {
     }.getOrElse("")
 
     val auxErrJson = auxErrors.map(JsonUtil.quote).mkString("[", ",", "]")
+    // Per-query decomposition: jobs × job_floor is the part of each
+    // wall time that is pure scheduling cost at this parallelism — a
+    // query whose wall time sits near it is floor-bound BY MEASUREMENT
+    // (its DuckDB ratio reflects Spark's fixed per-job cost, which
+    // amortizes away at the 100 TB target), while a query well above
+    // it owes its time to the plan. Counted on the first measured run;
+    // AQE can shift a count by ±1 between runs.
+    val floorDecompJson = jobCounts.map { case (k, n) =>
+      JsonUtil.quote(k) +
+        s""":{"jobs":$n,"jobs_x_floor":${fmt(n * jobFloor, 3)}}"""
+    }.mkString("{", ",", "}")
     // Full-fidelity record: everything, including per-query extended
     // times, scaling/scale-up detail, and the verbatim DuckDB baseline.
     // Written to a file (readable by the judge from the repo) and
@@ -293,7 +356,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
       s""""extended":${toJson(extResults)},"extended_total":$extTotal,""" +
       s""""scaling":$scalingJson,"scale_up":$scaleUpJson,""" +
-      s""""overhead_floor_sec":$overheadFloor,""" +
+      s""""overhead_floor_sec":$overheadFloor,"job_floor_sec":$jobFloor,""" +
+      s""""floor_decomp":$floorDecompJson,""" +
       s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"""" +
       baselineRaw.map(b => s""","baseline_duckdb":$b""").getOrElse("") + "}"
     try {
@@ -322,7 +386,7 @@ object Bench {
       s""""extended_total":${f3(extTotal)},"extended_count":${extResults.size},""" +
       s""""scaling_ratio_10x_down":${ratioMap(scalingJson, "ratio")},""" +
       s""""scale_up_ratio_10x":${ratioMap(scaleUpJson, "ratio_vs_1x")},""" +
-      s""""overhead_floor_sec":${f3(overheadFloor)},""" +
+      s""""overhead_floor_sec":${f3(overheadFloor)},"job_floor_sec":${f3(jobFloor)},""" +
       s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"$baselineSummary}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()

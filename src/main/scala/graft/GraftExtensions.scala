@@ -74,7 +74,9 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
-        "sorted_intersect_count(a, b) - |A intersect B| of two SORTED long arrays, zero-alloc merge"),
+        "sorted_intersect_count(a, b) - |A intersect B| of two long arrays that MUST be " +
+          "sorted ascending (use sort_array(); unsorted input fails the query at runtime); " +
+          "zero-alloc two-pointer merge"),
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => SortedIntersectCount(a, b)
         case other => throw new IllegalArgumentException(

@@ -40,7 +40,7 @@ object SparkEntry {
       |  SELECT DISTINCT doc_id,
       |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
       |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-      |  FROM ft, generate_series(1, 2000) g(i)
+      |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
       |  WHERE g.i <= len(t) - 1),
       |toks AS (
       |  SELECT * FROM toks_all
@@ -783,12 +783,13 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin)),
 
-    // Oracle-only bound: DuckDB's generate_series cannot take a correlated
-    // (per-row) upper limit, so token/char position expansions below use
-    // static caps — 2000 token positions and 8000 char positions. Testdata
-    // maxes at ~100 tokens / ~600 chars per document (sf0.1); the caps are
-    // 20x/13x above that so regenerated or larger testdata cannot silently
-    // truncate the oracle while the Spark side stays uncapped.
+    // Oracle position expansions: DuckDB's TABLE-function generate_series
+    // rejects correlated bounds, so every per-token/char expansion goes
+    // through the scalar form — `unnest(generate_series(1, len(t)))` in a
+    // subquery — sized from the row itself. No static cap: the oracle can
+    // never silently truncate long documents while the Spark side stays
+    // uncapped (earlier rounds capped at 2000 positions, which held only
+    // because testdata maxes at ~100 tokens per doc).
     ("x_dedup_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 2, threshold = 0.05,
         maxDf = 50)
@@ -800,7 +801,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
         |  WHERE g.i <= len(t) - 1),
         |toks AS (
         |  SELECT * FROM toks_all
@@ -833,7 +834,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
         |  WHERE g.i <= len(t) - 1),
         |perms(i, a, b) AS (VALUES $perms)
         |SELECT doc_id, i, min((a * sh + b) % 2147483647) AS sig
@@ -858,7 +859,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
         |  WHERE g.i <= len(t) - 1),
         |perms(i, a, b) AS (VALUES $perms),
         |sigs AS (
@@ -898,7 +899,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
         |  WHERE g.i <= len(t) - 1),
         |perms(i, a, b) AS (VALUES $perms),
         |sigs AS (
@@ -909,6 +910,99 @@ object SparkEntry {
         |  FROM sigs GROUP BY doc_id, i // 2),
         |-- mirror the Spark side's DefaultMaxBucket cap so the declared
         |-- equivalence holds BY CONSTRUCTION, not by data luck
+        |ok AS (
+        |  SELECT band, band_key FROM banded GROUP BY band, band_key
+        |  HAVING COUNT(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM banded l
+        |  JOIN ok ON ok.band = l.band AND ok.band_key = l.band_key
+        |  JOIN banded r
+        |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+        |toks AS (SELECT DISTINCT doc_id, sh FROM grams),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN toks a ON a.doc_id = c.id_a
+        |  JOIN toks b ON b.doc_id = c.id_b AND b.sh = a.sh
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    ("x_sql_neardup",
+      // The whole generate-then-verify near-dup pipeline as ONE
+      // spark.sql(...) statement — proof that the GraftExtensions SQL
+      // surface carries the dedup family end-to-end (shingle_hashes →
+      // minhash_from_grams → banding → capped buckets →
+      // sorted_intersect_count verify), the differentiator a
+      // Spark-native engine claims over a client library. Same
+      // parameters as x_dedup_lsh_verified (n=2, 16 hashes, 8 bands,
+      // threshold 0.2, maxBucket 1000), so the two paths must agree
+      // row-for-row; reads the parquet directly (`FROM parquet.`…``) —
+      // no DataFrame API anywhere in the data path.
+      (s, dir) => {
+        GraftExtensions.register(s)
+        s.sql(s"""
+          |WITH perdoc AS (
+          |  SELECT doc_id, s, minhash_from_grams(s, 16) AS sigs
+          |  FROM (SELECT doc_id, shingle_hashes(text, 2, true) AS s
+          |        FROM parquet.`$dir/documents.parquet`)
+          |  WHERE minhash_from_grams(s, 16) IS NOT NULL),
+          |banded AS (
+          |  SELECT doc_id,
+          |         array_join(transform(slice(sigs, band * 2 + 1, 2),
+          |                    x -> CAST(x AS STRING)), ',') AS band_key, band
+          |  FROM perdoc LATERAL VIEW explode(sequence(0, 7)) t AS band),
+          |ok AS (
+          |  SELECT band, band_key FROM banded
+          |  GROUP BY band, band_key HAVING COUNT(*) BETWEEN 2 AND 1000),
+          |cand AS (
+          |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          |  FROM banded l
+          |  JOIN ok ON ok.band = l.band AND ok.band_key = l.band_key
+          |  JOIN banded r
+          |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+          |sets AS (SELECT doc_id, s, CAST(size(s) AS BIGINT) AS sz FROM perdoc),
+          |scored AS (
+          |  SELECT id_a, id_b, sorted_intersect_count(a.s, b.s) AS inter,
+          |         a.sz AS sz_a, b.sz AS sz_b
+          |  FROM cand
+          |  JOIN sets a ON a.doc_id = cand.id_a
+          |  JOIN sets b ON b.doc_id = cand.id_b)
+          |SELECT id_a, id_b, inter, sz_a, sz_b,
+          |       round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+          |FROM scored
+          |WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.2
+          |ORDER BY id_a, id_b""".stripMargin)
+      },
+      Some {
+        val perms = (0 until 16).map { i =>
+          val (a, b) = Portable.minHashCoeffs(i)
+          s"($i, $a, $b)"
+        }.mkString(", ")
+        s"""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
+        |  WHERE g.i <= len(t) - 1),
+        |perms(i, a, b) AS (VALUES $perms),
+        |sigs AS (
+        |  SELECT doc_id, i, min((a * sh + b) % 2147483647) AS sig
+        |  FROM grams, perms GROUP BY doc_id, i),
+        |banded AS (
+        |  SELECT doc_id, i // 2 AS band, string_agg(sig::VARCHAR, ',' ORDER BY i) AS band_key
+        |  FROM sigs GROUP BY doc_id, i // 2),
         |ok AS (
         |  SELECT band, band_key FROM banded GROUP BY band, band_key
         |  HAVING COUNT(*) <= 1000),
@@ -955,7 +1049,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
         |  WHERE g.i <= len(t) - 1),
         |perms(i, a, b) AS (VALUES $perms),
         |sigs AS (
@@ -982,7 +1076,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
         |  WHERE g.i <= len(t) - 1),
         |hashed AS (
         |  SELECT doc_id,
@@ -1020,6 +1114,50 @@ object SparkEntry {
         |WHERE pr <= 0.3
         |ORDER BY doc_id""".stripMargin)),
 
+    ("x_quality_gate_approx",
+      // Threshold-based (scale-path) stratum gate beside the exact one:
+      // keepTopQuantileApprox cuts on a per-stratum percentile_approx
+      // threshold instead of a per-stratum sort, so it survives strata
+      // larger than an executor's sort budget. The score embeds the
+      // doc_id tie-break into its low digits (a value cut cannot see a
+      // tie column), so both gates act on the same total order and the
+      // kept-count difference is pure sketch rank error. Declared
+      // output: per-stratum exact kept count plus a boolean asserting
+      // the approx count landed inside a 5× rank-error corridor —
+      // deterministic on fixed data, so the oracle hash-matches literal
+      // TRUEs and a violated bound FAILS the driver check (the
+      // x_approx_quantiles trick).
+      (s, dir) => {
+        val acc = 1000
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          (col("n_chars").cast("long") * lit(1000000L)
+            + pmod(col("doc_id"), lit(1000000L))).as("score"))
+        val approxN = Curation
+          .keepTopQuantileApprox(docs, "lang", "score", q = 0.3, accuracy = acc)
+          .groupBy("lang").agg(count(lit(1)).as("__n_approx"))
+        val exactN = Curation
+          .keepTopQuantile(docs, "lang", "score", "doc_id", q = 0.3)
+          .groupBy("lang").agg(count(lit(1)).as("n_exact"))
+        val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_rows"))
+        totals.join(exactN, "lang").join(approxN, "lang")
+          .select(col("lang"), col("n_rows"), col("n_exact"),
+            (abs(col("__n_approx") - col("n_exact"))
+              <= greatest(ceil(col("n_rows") * lit(5.0) / lit(acc)), lit(2L)))
+              .as("within_bound"))
+          .orderBy("lang")
+      },
+      Some("""WITH scored AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) * 1000000 + doc_id % 1000000 AS score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, PERCENT_RANK() OVER (PARTITION BY lang ORDER BY score DESC) AS pr
+        |  FROM scored)
+        |SELECT lang, COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN pr <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |       TRUE AS within_bound
+        |FROM ranked GROUP BY lang
+        |ORDER BY lang""".stripMargin)),
+
     ("x_dedup_contamination",
       // Benchmark decontamination: score every training doc by its
       // bigram overlap with a held-out "benchmark" slice (doc_id % 20).
@@ -1037,7 +1175,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
         |  WHERE g.i <= len(t) - 1),
         |toks AS (SELECT DISTINCT doc_id, sh FROM grams),
         |bench AS (SELECT DISTINCT sh FROM toks WHERE doc_id % 20 = 0),
@@ -1066,7 +1204,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
         |  WHERE g.i <= len(t) - 1)
         |SELECT doc_id, COUNT(*) AS total_ngrams,
         |       COUNT(DISTINCT sh) AS distinct_ngrams,
@@ -1084,7 +1222,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
         |  WHERE g.i <= len(t) - 1),
         |hashed AS (
         |  SELECT doc_id,
@@ -1223,13 +1361,18 @@ object SparkEntry {
           .filter(col("quality") >= 0.5)
           .select("doc_id", "quality", "approx_bpe_tokens")
         // quality is a known [0,1] score — fixed thresholds skip the
-        // quantile-estimation scan. Materialize: the digest window +
-        // profile input is expensive enough that one checkpoint beats
-        // evaluating it in both branches of the prefix-sum job.
+        // quantile-estimation scan, making the whole operator ONE job.
+        // materialize=Some(false): the input is deterministic (pure
+        // projection + digest window over parquet), and the digest
+        // exchange is REUSED across the two branches of the prefix-sum
+        // plan (ReuseExchange), so skipping the localCheckpoint removes
+        // a whole materialization job (r5: 0.727 s, 5.8× DuckDB, two of
+        // three jobs were the checkpoint). At 100 TB callers pass a
+        // persisted input anyway.
         Curation.runningTotalByPriority(cand, "quality", "doc_id",
             "approx_bpe_tokens", "running_tokens",
             fixedThresholds = (1 to 19).map(_ * 0.05).toArray,
-            materialize = Some(true))
+            materialize = Some(false))
           .filter(col("running_tokens") <= 20000)
           .select("doc_id", "quality", "approx_bpe_tokens", "running_tokens")
           .orderBy(col("quality").desc, col("doc_id"))
@@ -1344,7 +1487,7 @@ object SparkEntry {
         |ph_terms AS (
         |  SELECT doc_id,
         |         (g.i * CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT)) % 2147483647 AS ph
-        |  FROM toks, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM toks) g
         |  WHERE g.i <= len(t))
         |SELECT doc_id, CAST(SUM(ph) % 2147483647 AS BIGINT) AS fingerprint
         |FROM ph_terms
@@ -1381,8 +1524,9 @@ object SparkEntry {
         |frames AS (
         |  SELECT asset_id, g.i AS frame_no,
         |         substring(media, g.i * 64 + 1, 16) AS frame
-        |  FROM assets, generate_series(0, 63) g(i)
-        |  WHERE g.i <= greatest((octet_length(encode(media)) + 63) // 64 - 1, 0))
+        |  FROM (SELECT *, unnest(generate_series(0,
+        |          greatest((octet_length(encode(media)) + 63) // 64 - 1, 0))) AS i
+        |        FROM assets) g)
         |SELECT asset_id, frame_no, md5(frame) AS frame_digest
         |FROM frames
         |ORDER BY asset_id, frame_no""".stripMargin)),
@@ -1396,8 +1540,7 @@ object SparkEntry {
       Some("""WITH chars AS (
         |  SELECT doc_id AS asset_id, (g.i - 1) % 8 AS j,
         |         CAST(ascii(substring(text, g.i, 1)) AS DOUBLE) / 255.0 AS contrib
-        |  FROM documents, generate_series(1, 8000) g(i)
-        |  WHERE g.i <= length(text))
+        |  FROM (SELECT *, unnest(generate_series(1, length(text))) AS i FROM documents) g)
         |SELECT asset_id, j, round(SUM(contrib), 6) AS feat
         |FROM chars
         |GROUP BY asset_id, j
@@ -1763,7 +1906,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
         |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM ft, generate_series(1, 2000) g(i)
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
         |  WHERE g.i <= len(t) - 1),
         |hashed AS (
         |  SELECT doc_id,

@@ -36,6 +36,28 @@ private[functions] object KernelTypeChecks {
         s"$fn: argument '$arg' must be array<${element.simpleString}>, got ${other.simpleString}")
     }
 
+  /** Like [[expectArrayOf]], but also rejects `containsNull = true`
+    * arrays. The long-array kernels stride `getLong` over the raw
+    * buffer, where a null element reads as 0 SILENTLY — fine for the
+    * internal producers ([[ShingleHashes]], `collect_list`, which
+    * declare containsNull = false), but a `spark.sql(...)` user passing
+    * `array(1L, NULL)` would get a plausible-looking wrong signature or
+    * count with no error. Since analysis can't prove element
+    * non-nullness at runtime, require the TYPE to promise it; callers
+    * with nullable arrays make the promise explicit via
+    * `filter(x -> x IS NOT NULL)` (which narrows containsNull). */
+  def expectNonNullArrayOf(fn: String, arg: String, child: Expression,
+      element: DataType): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(e, false) if e == element => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(e, true) if e == element => TypeCheckResult.TypeCheckFailure(
+        s"$fn: argument '$arg' must be array<${element.simpleString}> WITHOUT null " +
+          "elements (containsNull = false); null elements would read as 0 silently — " +
+          "apply filter(x -> x IS NOT NULL) first")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn: argument '$arg' must be array<${element.simpleString}>, got ${other.simpleString}")
+    }
+
   def firstFailure(results: TypeCheckResult*): TypeCheckResult =
     results.find(!_.isSuccess).getOrElse(TypeCheckResult.TypeCheckSuccess)
 }

@@ -30,9 +30,10 @@ case class MinHashFromGrams(child: Expression, numHashes: Int) extends UnaryExpr
   require(numHashes >= 1, "numHashes must be >= 1")
 
   // SQL-reachable via GraftExtensions: a non-long array would read
-  // misaligned bytes via getLong — reject at analysis.
+  // misaligned bytes via getLong, and a null element would read as a
+  // 0 gram silently — reject both at analysis.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    KernelTypeChecks.expectArrayOf(prettyName, "grams", child, LongType)
+    KernelTypeChecks.expectNonNullArrayOf(prettyName, "grams", child, LongType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

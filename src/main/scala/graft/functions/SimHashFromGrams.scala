@@ -25,9 +25,11 @@ case class SimHashFromGrams(child: Expression, bits: Int) extends UnaryExpressio
 
   require(bits >= 1 && bits <= 60, "bits must be in 1..60 (hash60 source)")
 
-  // SQL-reachable via GraftExtensions: reject non-long arrays at analysis.
+  // SQL-reachable via GraftExtensions: reject non-long arrays AND
+  // nullable-element arrays (a null element would vote as gram 0
+  // silently) at analysis.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    KernelTypeChecks.expectArrayOf(prettyName, "grams", child,
+    KernelTypeChecks.expectNonNullArrayOf(prettyName, "grams", child,
       org.apache.spark.sql.types.LongType)
 
   override def dataType: DataType = LongType

@@ -26,12 +26,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
 
   // SQL-reachable via GraftExtensions: getLong over an array<int> would
-  // read misaligned bytes and return garbage counts silently — reject
-  // anything but array<bigint> at analysis.
+  // read misaligned bytes and return garbage counts silently, and a null
+  // element would compare as 0 — reject anything but non-nullable
+  // array<bigint> at analysis. (Sortedness is the one invariant analysis
+  // cannot see; the merge loop asserts it per row instead — see compute.)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     KernelTypeChecks.firstFailure(
-      KernelTypeChecks.expectArrayOf(prettyName, "a", left, LongType),
-      KernelTypeChecks.expectArrayOf(prettyName, "b", right, LongType))
+      KernelTypeChecks.expectNonNullArrayOf(prettyName, "a", left, LongType),
+      KernelTypeChecks.expectNonNullArrayOf(prettyName, "b", right, LongType))
 
   override def prettyName: String = "sorted_intersect_count"
 
@@ -53,16 +55,33 @@ object SortedIntersectCount {
       SortedIntersectCount(GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
 
   /** Two-pointer merge count; entry point for both interpreted eval and
-    * the generated code. Equal runs on either side count once. */
+    * the generated code. Equal runs on either side count once.
+    *
+    * Sortedness is asserted as the merge walks (every element it READS
+    * must be >= the previous one read from the same array — two compares
+    * on values already in registers, noise on a memory-bound loop), so
+    * an unsorted `spark.sql` input fails the job with a clear error
+    * instead of returning a plausible wrong count. Elements past the
+    * point where one array exhausts are never read; they also can't
+    * change a sorted input's count, so the unchecked tail is exactly
+    * the irrelevant part. */
   def compute(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
     var count = 0L
+    var prevA = Long.MinValue
+    var prevB = Long.MinValue
     while (i < na && j < nb) {
       val va = a.getLong(i)
       val vb = b.getLong(j)
+      if (va < prevA || vb < prevB) throw new IllegalArgumentException(
+        "sorted_intersect_count: input arrays must be sorted ascending " +
+          s"(element ${if (va < prevA) i else j} of ${if (va < prevA) "a" else "b"} " +
+          "decreases); sort with sort_array() first")
+      prevA = va
+      prevB = vb
       if (va < vb) i += 1
       else if (va > vb) j += 1
       else {

@@ -104,10 +104,15 @@ object Curation {
       .agg(coalesce(sum(col(valueCol)).cast("long"), lit(0L)).as("__total"))
     // Single-partition window — intentionally: it runs over `buckets`
     // rows, not data rows, so one partition is O(buckets) regardless of
-    // input volume. The constant partition key keeps WindowExec from
-    // logging its all-data-to-one-partition warning, which here would
-    // be a false alarm.
-    val offW = Window.partitionBy(lit(0))
+    // input volume. The partition key is a constant DERIVED from a
+    // column (`__bucket * 0`): a literal key gets constant-folded out
+    // of the partition spec entirely, which both re-triggers WindowExec's
+    // all-data-to-one-partition warning (a false alarm here) and loses
+    // the documentation value of an explicit single-group key. The
+    // derived form is not foldable (Catalyst cannot assume `__bucket`
+    // is non-null), so it survives optimization; `__bucket` is in fact
+    // never null, so every row lands in the one intended group.
+    val offW = Window.partitionBy(col("__bucket") * lit(0))
       .orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offDf = partials
@@ -176,11 +181,9 @@ object Curation {
     * Scale shape: ONE window partitioned by stratum. Strata are
     * usually few (languages, domains), so each partition is
     * corpus/|strata|-sized — fine up to the point where one stratum
-    * outgrows an executor's sort budget; past that, gate on
-    * PRE-COMPUTED score thresholds instead (one `approxQuantile` pass
-    * per stratum → literal filter, the same trick
-    * [[runningTotalByPriority]] uses for its buckets) and accept the
-    * approximate cut point.
+    * outgrows an executor's sort budget; past that, use
+    * [[keepTopQuantileApprox]], which gates on pre-computed per-stratum
+    * score thresholds and never sorts a stratum.
     */
   def keepTopQuantile(df: DataFrame, stratumCol: String, scoreCol: String,
       tieCol: String, q: Double): DataFrame = {
@@ -194,5 +197,38 @@ object Curation {
     df.withColumn(pr, percent_rank().over(w))
       .filter(col(pr) <= q)
       .drop(pr)
+  }
+
+  /** Threshold-based per-stratum gate — [[keepTopQuantile]]'s scale
+    * path, for when ONE stratum outgrows an executor's sort budget
+    * (with ~10 languages at 100 TB, every stratum is in that regime).
+    *
+    * One aggregate pass computes each stratum's `(1−q)` score quantile
+    * (`percentile_approx`, GK sketch: constant state per stratum, map-
+    * side partials, NO per-stratum sort); the gate is then a broadcast
+    * join of the O(|strata|) threshold frame plus a plain
+    * `score >= threshold` filter — embarrassingly parallel, window-free,
+    * and indifferent to stratum size.
+    *
+    * Approximate where [[keepTopQuantile]] is exact, in two documented
+    * ways: (a) the cut point carries `percentile_approx`'s rank error
+    * (≤ `1/accuracy` of the stratum; exact when a stratum has fewer
+    * than `accuracy` rows), and (b) the gate keeps the ENTIRE tie run
+    * at the threshold value — a score-value cut cannot see a tie-break
+    * column. Callers needing a deterministic kept SET under ties should
+    * gate on a tie-free (total-order-embedding) score. Null scores are
+    * dropped (they fail `>=`), consistent with the exact gate's
+    * DESC-NULLS-LAST order for q < 1. */
+  def keepTopQuantileApprox(df: DataFrame, stratumCol: String, scoreCol: String,
+      q: Double, accuracy: Int = 10000): DataFrame = {
+    require(q > 0.0 && q <= 1.0, "q must be in (0, 1]")
+    require(accuracy >= 1, "accuracy must be positive")
+    val thr = Iterator.from(0).map(i => s"__thr$i")
+      .find(n => !df.columns.contains(n)).get
+    val cuts = df.groupBy(stratumCol)
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - q), lit(accuracy)).as(thr))
+    df.join(broadcast(cuts), Seq(stratumCol))
+      .filter(col(scoreCol) >= col(thr))
+      .drop(thr)
   }
 }

@@ -238,10 +238,23 @@ object Dedup {
     * approximation here.
     *
     * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard ≥ threshold).
-    */
+    *
+    * `materialize` — lifecycle of the per-doc verify state (the
+    * checkpointed (set, sigs) frame read three times below). Default
+    * (`None`/`Some(true)`): `localCheckpoint()` it once; the blocks
+    * live until the RETURNED DataFrame becomes unreachable and the
+    * ContextCleaner reclaims them — fine for one-shot/batch use, but a
+    * long-lived session calling this in a loop while HOLDING the
+    * results accumulates block storage. Such callers pass
+    * `Some(false)`: the per-doc state is then recomputed by each of
+    * its three consumers (it is a pure projection of `docs`, so the
+    * result is identical — the cost is ~3× the signature kernels, no
+    * storage), or persist `docs` themselves and unpersist on their own
+    * schedule. */
   def minHashLshVerified(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
       threshold: Double, maxBucket: Int = DefaultMaxBucket,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      materialize: Option[Boolean] = None): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are dropped)")
     // The per-doc verify state — sorted distinct shingle-set array AND
     // the full signature vector — is a pure function of each document's
@@ -255,13 +268,14 @@ object Dedup {
     // checkpointed once and read three times (banding, both verify
     // joins).
     val grams = graft.functions.ShingleHashes(col(textCol), n, distinct = true)
-    val perDoc = docs
+    val perDocRaw = docs
       .select(col(idCol), grams.as("__set"),
         graft.functions.MinHashFromGrams(grams, numHashes).as("__sigs"))
       .filter(col("__sigs").isNotNull)
       .select(col(idCol) +: col("__set") +: (0 until numHashes).map(i =>
         col("__sigs").getItem(i).as(s"sig_$i")): _*)
-      .localCheckpoint()
+    val perDoc =
+      if (materialize.getOrElse(true)) perDocRaw.localCheckpoint() else perDocRaw
     val cand = lshCandidatesFromWide(perDoc, numHashes, bands, idCol, maxBucket)
     val sets = perDoc.select(col(idCol), col("__set"),
       size(col("__set")).cast("long").as("__sz"))

@@ -68,6 +68,24 @@ class OperatorsSpec extends SparkSpec {
     assert(verified.contains((1L, 2L)) && verified((1L, 2L)) == 1.0)
   }
 
+  test("minHashLshVerified materialize=false: identical result, zero block growth") {
+    val base = Dedup.minHashLshVerified(docs, n = 2, numHashes = 8, bands = 4,
+      threshold = 0.3)
+      .orderBy("id_a", "id_b").collect().toSeq
+    // the default path checkpoints — its blocks are the GC-lifetime
+    // contract; the loop-safe path must leave persistent-RDD storage
+    // untouched across repeated calls while producing the same rows
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (1 to 3).foreach { _ =>
+      val again = Dedup.minHashLshVerified(docs, n = 2, numHashes = 8, bands = 4,
+        threshold = 0.3, materialize = Some(false))
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(again == base)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "materialize=Some(false) must not register checkpoint blocks")
+  }
+
   test("assignCells: vectors land on their nearest trained centroid") {
     // two well-separated clusters; labels deliberately MISLEAD (both "x")
     // to prove assignment ignores pre-existing labels
@@ -458,5 +476,39 @@ class OperatorsSpec extends SparkSpec {
       .keepTopQuantile(ties, "lang", "score", "doc_id", q = 0.5)
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(keptTies == Seq(1L, 2L))
+  }
+
+  test("keepTopQuantileApprox matches the exact gate on a skewed stratum") {
+    // Deliberate skew: stratum 'big' has 20k rows (the regime where the
+    // exact gate's per-stratum sort is the scale hazard), 'tiny' has 3.
+    // Scores are tie-free (distinct doubles), so the threshold cut and
+    // the rank cut act on the same total order and must agree within the
+    // sketch's rank error plus the exact gate's floor-boundary row:
+    // accuracy=1000 → ≤ 20000/1000 + 1 = 21 rows slack on 'big' (the
+    // percent_rank cut rounds its boundary independently of the sketch,
+    // hence the +1); 'tiny' is far below the sketch's exact threshold,
+    // so it must agree EXACTLY.
+    val big = (1 to 20000).map(i => ("big", i.toLong, i * 1.0))
+    val tiny = Seq(("tiny", 100001L, 5.0), ("tiny", 100002L, 4.0), ("tiny", 100003L, 3.0))
+    val df = (big ++ tiny).toDF("lang", "doc_id", "score").repartition(8)
+    val approx = graft.operators.Curation
+      .keepTopQuantileApprox(df, "lang", "score", q = 0.25, accuracy = 1000)
+    val exact = graft.operators.Curation
+      .keepTopQuantile(df, "lang", "score", "doc_id", q = 0.25)
+    val aCounts = approx.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val eCounts = exact.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(aCounts("big") - eCounts("big")) <= 21,
+      s"big stratum: approx ${aCounts("big")} vs exact ${eCounts("big")}")
+    assert(aCounts("tiny") == eCounts("tiny"))
+    // every kept row clears the stratum threshold by construction: the
+    // kept set is a score-suffix of each stratum (no cherry-picking)
+    val minKept = approx.filter(col("lang") === "big")
+      .agg(org.apache.spark.sql.functions.min("score")).as[Double].head()
+    val droppedAbove = df.filter(col("lang") === "big" && col("score") >= minKept)
+      .count()
+    assert(droppedAbove == aCounts("big"), "kept set must be a contiguous top slice")
+    // q = 1.0 keeps every non-null-scored row
+    assert(graft.operators.Curation
+      .keepTopQuantileApprox(df, "lang", "score", q = 1.0).count() == df.count())
   }
 }
