@@ -73,7 +73,7 @@ object Bench {
     // interference, so one retry is not enough to recover the steady
     // state. Fast queries (the majority) still run once, which bounds
     // total bench time.
-    val rerunFloorSec = 0.35
+    val rerunFloorSec = 0.10
     // Per-query job counter: a query's wall time is bounded below by
     // (its Spark job count) × (the per-job overhead floor measured
     // further down) — the decomposition that lets a sub-second ratio be
@@ -108,7 +108,14 @@ object Bench {
       name -> (first match {
         case Right(t) if t > rerunFloorSec =>
           val retries = Seq(once(), once()).collect { case Right(v) => v }
-          Right((t +: retries).min)
+          val best3 = (t +: retries).min
+          // still slow after three samples → two more; one-sided
+          // scheduler noise shifts the min most where absolute times
+          // are largest (single-shot swings measured 3× on this box)
+          val more =
+            if (best3 > 0.5) Seq(once(), once()).collect { case Right(v) => v }
+            else Nil
+          Right((best3 +: more).min)
         case other => other
       })
     }

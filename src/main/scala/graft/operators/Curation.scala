@@ -94,13 +94,26 @@ object Curation {
       }
     val bucketed = input.withColumn("__bucket", bucket)
 
+    // Within-bucket running sum FIRST: both remaining pieces (the
+    // per-bucket totals and the final offset add) then hang off the
+    // SAME bucket-partitioned exchange, so ReuseExchange evaluates the
+    // input and its shuffle exactly once even when `materialize` is
+    // false — the offsets side is a reused-exchange read, not a second
+    // evaluation of the (possibly expensive) input.
+    val run = Iterator.from(0).map(i => s"__run$i")
+      .find(n => !df.columns.contains(n)).get
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(p.desc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = bucketed.withColumn(run, sum(col(valueCol)).over(w))
+
     // One row per bucket; the bucket-offset cumulation is a window over
     // THIS O(buckets) frame (thousands of rows at most), not over the
-    // data — so the whole prefix sum is ONE job, with no driver-side
-    // collect and no extra action for the offsets.
+    // data — so the whole prefix sum needs no driver-side collect and
+    // no extra action for the offsets.
     // coalesce: an all-null bucket sums to null and must contribute 0,
     // exactly as the naive window's sum would skip the nulls.
-    val partials = bucketed.groupBy("__bucket")
+    val partials = windowed.groupBy("__bucket")
       .agg(coalesce(sum(col(valueCol)).cast("long"), lit(0L)).as("__total"))
     // Single-partition window — intentionally: it runs over `buckets`
     // rows, not data rows, so one partition is O(buckets) regardless of
@@ -119,13 +132,10 @@ object Curation {
       .withColumn("__offset", coalesce(sum(col("__total")).over(offW), lit(0L)))
       .select(col("__bucket"), col("__offset"))
 
-    val w = Window.partitionBy(col("__bucket"))
-      .orderBy(p.desc, col(tieCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed
+    windowed
       .join(broadcast(offDf), "__bucket")
-      .withColumn(out, col("__offset") + sum(col(valueCol)).over(w))
-      .drop("__bucket", "__offset")
+      .withColumn(out, col("__offset") + col(run))
+      .drop("__bucket", "__offset", run)
   }
 
   /** Sequence packing for training: concatenate documents in `orderCol`
