@@ -1998,6 +1998,31 @@ object SparkEntry {
         |WHERE doc_id >= 250 AND md5(text) NOT IN (SELECT digest FROM seen)
         |ORDER BY doc_id""".stripMargin)),
 
+    ("x_dedup_incremental_bloom",
+      // Same semantics as x_dedup_incremental through the Bloom-prefilter
+      // path: the filter only ROUTES rows (definitely-new skips the
+      // anti-join; maybe-seen is verified by it), so the result is
+      // EXACTLY the plain anti-join's and the oracle is IDENTICAL — a
+      // probabilistic structure with a deterministic, hash-matched
+      // contract. fpp=0.5 on purpose: a sloppy filter routes plenty of
+      // rows down BOTH branches at every scale factor, so the equality
+      // is exercised, not vacuous.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incrementalNewBloom(
+          docs.filter(col("doc_id") >= 250),
+          Dedup.exact(docs.filter(col("doc_id") < 250)).select("digest"),
+          expectedDigests = 10000, fpp = 0.5)
+          .select("doc_id", "digest")
+          .orderBy("doc_id")
+      },
+      Some("""WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250)
+        |SELECT doc_id, md5(text) AS digest
+        |FROM documents
+        |WHERE doc_id >= 250 AND md5(text) NOT IN (SELECT digest FROM seen)
+        |ORDER BY doc_id""".stripMargin)),
+
     ("x_text_normalize",
       (s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))
         .select("doc_id", "norm_text")

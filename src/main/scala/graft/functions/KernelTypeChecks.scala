@@ -45,7 +45,8 @@ private[functions] object KernelTypeChecks {
     * count with no error. Since analysis can't prove element
     * non-nullness at runtime, require the TYPE to promise it; callers
     * with nullable arrays make the promise explicit via
-    * `filter(x -> x IS NOT NULL)` (which narrows containsNull). */
+    * `array_compact(...)` (which drops nulls AND narrows containsNull —
+    * a lambda `filter` keeps the nullable element type). */
   def expectNonNullArrayOf(fn: String, arg: String, child: Expression,
       element: DataType): TypeCheckResult =
     child.dataType match {
@@ -53,7 +54,7 @@ private[functions] object KernelTypeChecks {
       case ArrayType(e, true) if e == element => TypeCheckResult.TypeCheckFailure(
         s"$fn: argument '$arg' must be array<${element.simpleString}> WITHOUT null " +
           "elements (containsNull = false); null elements would read as 0 silently — " +
-          "apply filter(x -> x IS NOT NULL) first")
+          "apply array_compact() first")
       case other => TypeCheckResult.TypeCheckFailure(
         s"$fn: argument '$arg' must be array<${element.simpleString}>, got ${other.simpleString}")
     }

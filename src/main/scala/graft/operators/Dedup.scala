@@ -324,6 +324,46 @@ object Dedup {
       .withColumn("digest", md5(col(textCol).cast("binary")))
       .join(seen.select(col(seenDigestCol).as("digest")), Seq("digest"), "left_anti")
 
+  /** [[incrementalNew]] with a Bloom prefilter — the shape for ingest
+    * against a HISTORY-SIZED digest index (billions of digests at
+    * 100 TB, far too big to broadcast, expensive to shuffle against
+    * every batch).
+    *
+    * One pass over `seen` builds a Bloom filter of the digest index
+    * (`DataFrameStatFunctions.bloomFilter`: aggregated tree-style on
+    * the executors, only the filter's bits come to the driver); the
+    * filter then splits the incoming batch BEFORE the anti-join:
+    *
+    *  - bloom says NO  → the digest is DEFINITELY unseen (no false
+    *    negatives): the row is new, no join needed;
+    *  - bloom says maybe → the anti-join verifies, so Bloom false
+    *    positives drop out exactly as before.
+    *
+    * The union is therefore EXACTLY [[incrementalNew]]'s result — the
+    * probabilistic structure only routes rows, it never decides them —
+    * while the anti-join's shuffle shrinks from |batch| to
+    * ~`fpp` × |batch| (plus true re-ingests). Size `expectedDigests`
+    * to the INDEX cardinality: n=10⁹ at fpp=0.01 is ~1.2 GB of filter
+    * bits (fine as a broadcast; recycle it across batches in a real
+    * ingest loop — this convenience entry rebuilds per call).
+    *
+    * The prefilter predicate is a deterministic function of the digest
+    * bytes and the built filter, so retried tasks route identically. */
+  def incrementalNewBloom(incoming: DataFrame, seen: DataFrame,
+      expectedDigests: Long, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text",
+      seenDigestCol: String = "digest"): DataFrame = {
+    require(expectedDigests > 0, "expectedDigests must be positive")
+    val bloom = seen.stat.bloomFilter(col(seenDigestCol), expectedDigests, fpp)
+    val bloomBc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val maybeSeen = udf((digest: String) => bloomBc.value.mightContainString(digest))
+    val digested = incoming.withColumn("digest", md5(col(textCol).cast("binary")))
+    val definitelyNew = digested.filter(!maybeSeen(col("digest")))
+    val verified = digested.filter(maybeSeen(col("digest")))
+      .join(seen.select(col(seenDigestCol).as("digest")), Seq("digest"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
   /** SimHash near-dup pairs (X2): Hamming-proximity search banded by the
     * pigeonhole principle. Two `bits`-bit fingerprints within
     * `maxHamming` differing bits must agree EXACTLY on at least one of

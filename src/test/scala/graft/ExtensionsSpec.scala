@@ -69,6 +69,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(e3.getMessage.contains("array<float>"), e3.getMessage)
   }
 
+  test("nullable-element arrays are rejected at ANALYSIS by the long-array kernels") {
+    registered
+    // array(1L, NULL) types as array<bigint> with containsNull=true; the
+    // kernels' getLong stride would read the null element as gram/value
+    // 0 SILENTLY — a plausible wrong signature with no error. Rejecting
+    // the TYPE at analysis is the only sound gate (runtime can't tell a
+    // real 0 from a null-read 0).
+    for (expr <- Seq(
+        "minhash_from_grams(array(1L, CAST(NULL AS BIGINT)), 4)",
+        "simhash_from_grams(array(1L, CAST(NULL AS BIGINT)), 16)",
+        "sorted_intersect_count(array(1L, CAST(NULL AS BIGINT)), array(1L))")) {
+      val e = intercept[Exception] { spark.sql(s"SELECT $expr").collect() }
+      assert(e.getMessage.contains("WITHOUT null"), s"$expr: ${e.getMessage}")
+    }
+    // the documented remedy compiles and runs: array_compact drops the
+    // nulls AND narrows containsNull (a lambda filter would not)
+    val ok = spark.sql(
+      """SELECT sorted_intersect_count(
+        |  array_compact(array(1L, CAST(NULL AS BIGINT), 3L)),
+        |  array(1L, 3L)) AS c""".stripMargin).head().getLong(0)
+    assert(ok == 2L)
+  }
+
+  test("sorted_intersect_count fails loudly on unsorted input") {
+    registered
+    // a = [5, 1, 9]: the merge must STEP onto the out-of-order element
+    // (it skips validation of elements it never reads — those can't
+    // affect the count)
+    val e = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array(5L, 1L, 9L), array(1L, 9L))").collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("sorted ascending") ||
+      String.valueOf(e.getCause).contains("sorted ascending"), e.getMessage)
+    // ... and the error names the remedy
+    assert(String.valueOf(e.getMessage).contains("sort_array") ||
+      String.valueOf(e.getCause).contains("sort_array"))
+  }
+
   test("non-literal cardinality argument is rejected with a clear error") {
     registered
     docs.createOrReplaceTempView("ext_docs")

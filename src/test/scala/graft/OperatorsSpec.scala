@@ -86,6 +86,28 @@ class OperatorsSpec extends SparkSpec {
       "materialize=Some(false) must not register checkpoint blocks")
   }
 
+  test("incrementalNewBloom routes rows but never decides them") {
+    val seenDocs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val seen = Dedup.exact(seenDocs).select("digest")
+    val incoming = Seq(
+      (10L, "alpha beta"),    // true re-ingest → dropped by the verify join
+      (11L, "fresh content"), // unseen → bloom-no rows skip the join entirely
+      (12L, "gamma delta"),   // re-ingest → dropped
+      (13L, "more new text")).toDF("doc_id", "text")
+    val plain = Dedup.incrementalNew(incoming, seen)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(plain == Seq(11L, 13L))
+    // both fpp extremes must agree exactly with the anti-join: a sloppy
+    // filter routes more rows through the verify join, a tight one
+    // routes more around it — the RESULT may depend on neither
+    for (fpp <- Seq(0.9, 0.001)) {
+      val bloomed = Dedup.incrementalNewBloom(incoming, seen,
+        expectedDigests = 100, fpp = fpp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(bloomed == plain, s"fpp=$fpp")
+    }
+  }
+
   test("assignCells: vectors land on their nearest trained centroid") {
     // two well-separated clusters; labels deliberately MISLEAD (both "x")
     // to prove assignment ignores pre-existing labels
