@@ -1998,6 +1998,29 @@ object SparkEntry {
         |WHERE doc_id >= 250 AND md5(text) NOT IN (SELECT digest FROM seen)
         |ORDER BY doc_id""".stripMargin)),
 
+    ("x_dedup_spans",
+      // Span-level duplicated-boilerplate census: every occurrence of an
+      // 8-token span whose exact sequence appears in >1 document. The
+      // cross-document step whole-document dedup cannot see (distinct
+      // docs sharing a repeated header/license block).
+      (s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir), spanTokens = 8)
+        .orderBy("doc_id", "span_no", "span_digest"),
+      Some("""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, g.i AS span_no,
+        |         md5(array_to_string(t[CAST(g.i * 8 + 1 AS BIGINT)
+        |                               : CAST(g.i * 8 + 8 AS BIGINT)], ' ')) AS span_digest
+        |  FROM (SELECT *, unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS i
+        |        FROM ft WHERE len(t) > 0) g),
+        |dups AS (
+        |  SELECT span_digest, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM spans GROUP BY span_digest HAVING COUNT(DISTINCT doc_id) > 1)
+        |SELECT s.doc_id, s.span_no, s.span_digest, d.n_docs
+        |FROM spans s JOIN dups d USING (span_digest)
+        |ORDER BY doc_id, span_no, span_digest""".stripMargin)),
+
     ("x_dedup_incremental_bloom",
       // Same semantics as x_dedup_incremental through the Bloom-prefilter
       // path: the filter only ROUTES rows (definitely-new skips the

@@ -364,6 +364,47 @@ object Dedup {
     definitelyNew.unionByName(verified)
   }
 
+  /** Cross-document duplicated-span census — the detection pass of
+    * span-level dedup (the pipeline step that strips boilerplate
+    * repeated ACROSS documents — headers, licenses, navigation — where
+    * whole-document dedup sees distinct docs): split each document
+    * into consecutive `spanTokens`-token spans, digest each span, and
+    * report every occurrence of a span whose exact token sequence
+    * appears in MORE THAN ONE document, with its document count.
+    * Callers drop or mask the reported (doc, span) positions.
+    *
+    * Scale shape: span digesting is a pure per-row projection
+    * (tokenize → slice → md5, no shuffle); the census is one digest-
+    * keyed aggregate and one equi-join back on the digest — both
+    * shuffles carry (id, span_no, digest) rows, never text. The last
+    * span of a document may be shorter than `spanTokens` (standard
+    * chunking; a short tail span is still comparable across docs).
+    *
+    * Output: (idCol, span_no, span_digest, n_docs ≥ 2), one row per
+    * duplicated-span OCCURRENCE.
+    */
+  def duplicatedSpans(docs: DataFrame, spanTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val nSpans = ((size(toks) + lit(spanTokens - 1)) / lit(spanTokens)).cast("long")
+    val spanIdx = when(size(toks) > 0, sequence(lit(0L), nSpans - 1))
+      .otherwise(array().cast("array<long>"))
+    val spans = docs.select(
+        col(idCol),
+        explode(transform(spanIdx, i => struct(
+          i.as("span_no"),
+          md5(concat_ws(" ",
+            slice(toks, (i * spanTokens + 1).cast("int"), lit(spanTokens)))
+            .cast("binary")).as("span_digest")))).as("s"))
+      .select(col(idCol), col("s.span_no"), col("s.span_digest"))
+    val dups = spans.groupBy("span_digest")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    spans.join(dups, "span_digest")
+      .select(col(idCol), col("span_no"), col("span_digest"), col("n_docs"))
+  }
+
   /** SimHash near-dup pairs (X2): Hamming-proximity search banded by the
     * pigeonhole principle. Two `bits`-bit fingerprints within
     * `maxHamming` differing bits must agree EXACTLY on at least one of

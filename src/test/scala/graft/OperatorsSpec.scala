@@ -86,6 +86,31 @@ class OperatorsSpec extends SparkSpec {
       "materialize=Some(false) must not register checkpoint blocks")
   }
 
+  test("duplicatedSpans finds cross-document spans, ignores within-doc repeats") {
+    val block = "a b c d"                       // one 4-token span
+    val corpus = Seq(
+      (1L, s"$block x1 y1 z1 w1"),              // span 0 = block
+      (2L, s"$block x2 y2 z2 w2"),              // span 0 = block → cross-doc dup
+      (3L, "p q r s t u v w"),                  // unique spans only
+      (4L, s"m n o p $block"),                  // span 1 = block → 3rd doc
+      (5L, "r r r r r r r r"),                  // within-doc repeat spans... one doc
+      (6L, "")).toDF("doc_id", "text")          // empty doc: no spans, no crash
+    val got = graft.operators.Dedup.duplicatedSpans(corpus, spanTokens = 4)
+      .select("doc_id", "span_no", "n_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    // the shared block appears in docs 1, 2, 4 → n_docs = 3, at span 0,
+    // 0, and 1 respectively; doc 5's self-repeat is NOT cross-document
+    // (its two spans are identical to each other but no other doc has
+    // them) and doc 3 shares nothing
+    assert(got == Set((1L, 0L, 3L), (2L, 0L, 3L), (4L, 1L, 3L)))
+    // tail spans compare too: two docs ending in the same short tail
+    val tails = Seq((1L, "a b c d e f"), (2L, "x y z w e f"))
+      .toDF("doc_id", "text")
+    val tailGot = graft.operators.Dedup.duplicatedSpans(tails, spanTokens = 4)
+      .select("doc_id", "span_no").as[(Long, Long)].collect().toSet
+    assert(tailGot == Set((1L, 1L), (2L, 1L))) // the 2-token tail "e f"
+  }
+
   test("incrementalNewBloom routes rows but never decides them") {
     val seenDocs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val seen = Dedup.exact(seenDocs).select("digest")
