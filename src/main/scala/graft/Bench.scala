@@ -45,7 +45,10 @@ object Bench {
       "x_sessionize", "x_dedup_clusters", "x_dedup_winners", "x_range_join",
       "x_text_tfidf", "x_simhash_neardup", "x_ann_ivf_probe", "x_feature_lags",
       "x_approx_distinct", "x_dedup_lsh_verified", "x_ann_ivf_assigned",
-      "x_ann_recall", "x_dedup_contamination", "x_text_repetition"))
+      "x_ann_recall", "x_dedup_contamination", "x_text_repetition",
+      // round-6 additions (extended only: headline stays comparable)
+      "x_sql_neardup", "x_dedup_spans", "x_dedup_incremental_bloom",
+      "x_quality_gate_approx"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

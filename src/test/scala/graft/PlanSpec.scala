@@ -128,4 +128,31 @@ class PlanSpec extends SparkSpec {
     val shingles = planOf(graft.operators.Dedup.shingles(docs, n = 2))
     assert(!shingles.contains("Exchange") && !shingles.contains("Aggregate"), shingles)
   }
+
+  test("threshold stratum gate plans no window and no per-stratum sort") {
+    // the whole point of keepTopQuantileApprox: a stratum bigger than an
+    // executor's sort budget must never be sorted — one aggregate pass
+    // for the thresholds, a broadcast join, a filter. A Window or a
+    // data-side Sort in this plan is the scale regression it exists to
+    // avoid.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.Curation.keepTopQuantileApprox(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "n_chars", q = 0.3))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("duplicated-span census: span digesting is a projection; shuffles carry digests, not text") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.Dedup.duplicatedSpans(docs, spanTokens = 8))
+    // exactly the census aggregate's exchanges — and none of them may
+    // carry the text column (the projection drops it before any shuffle)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges >= 1, plan)
+    val shufflePart = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!shufflePart.exists(_.contains("text")), plan)
+    assert(plan.contains("span_digest"), plan)
+  }
 }
