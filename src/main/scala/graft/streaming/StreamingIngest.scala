@@ -82,6 +82,80 @@ object StreamingIngest {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming corpus ingestion with FULL-HISTORY dedup — the shape for
+    * "never re-accept content ever seen", where
+    * [[dedupStream]]'s watermark-bounded state cannot apply (no event
+    * time; a duplicate may arrive months later). State lives in the
+    * STORE, not the streaming state store: a parquet digest index at
+    * `indexPath`, so state size is bounded by the corpus (not executor
+    * memory) and survives restarts by construction.
+    *
+    * Per micro-batch:
+    *  1. within-batch winners — deterministic min-`idCol` row per
+    *     digest (a replayed batch picks the SAME rows);
+    *  2. cross-batch gate — anti-join against the index, or the
+    *     [[graft.operators.Dedup.incrementalNewBloom]] routing when
+    *     `bloomExpectedDigests` is set (definitely-new rows skip the
+    *     join; exact either way);
+    *  3. accepted rows land at `outPath` and their digests at
+    *     `indexPath`, both partitioned by `batch_id` with DYNAMIC
+    *     partition overwrite — a replayed batch overwrites exactly its
+    *     own partition, and the gate reads the index EXCLUDING the
+    *     current batch id, so replay reproduces the original decision
+    *     instead of rejecting everything it already accepted
+    *     (exactly-once output from an at-least-once trigger).
+    *
+    * Scale note: the anti-join shuffles (batch ∪ index-digests) per
+    * batch — O(index) work each trigger. At a history where that scan
+    * dominates, pass `bloomExpectedDigests` sized to the INDEX: the
+    * per-batch cost becomes one index scan (filter build, no shuffle)
+    * plus a join on the ~fpp sliver; a production loop would go
+    * further and maintain the filter incrementally across batches. */
+  def dedupIngest(stream: DataFrame, outPath: String, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      bloomExpectedDigests: Option[Long] = None): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import org.apache.spark.sql.expressions.Window
+          val digested = batch.withColumn("digest", md5(col(textCol).cast("binary")))
+          val w = Window.partitionBy(col("digest")).orderBy(col(idCol))
+          val winners = digested
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          val indexDir = new org.apache.hadoop.fs.Path(indexPath)
+          val fs = indexDir.getFileSystem(spark.sessionState.newHadoopConf())
+          val seen: Option[DataFrame] =
+            if (fs.exists(indexDir))
+              Some(spark.read.parquet(indexPath)
+                .filter(col("batch_id") =!= batchId) // replay reads PRIOR state only
+                .select("digest"))
+            else None
+          val fresh = seen match {
+            case None => winners
+            case Some(idx) => bloomExpectedDigests match {
+              case None => winners.join(idx, Seq("digest"), "left_anti")
+              case Some(n) =>
+                val bf = idx.stat.bloomFilter(col("digest"), n, 0.01)
+                val bc = spark.sparkContext.broadcast(bf)
+                val maybeSeen = udf((d: String) => bc.value.mightContainString(d))
+                winners.filter(!maybeSeen(col("digest")))
+                  .unionByName(winners.filter(maybeSeen(col("digest")))
+                    .join(idx, Seq("digest"), "left_anti"))
+            }
+          }
+          val accepted = fresh.withColumn("batch_id", lit(batchId))
+          accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outPath)
+          accepted.select("digest", "batch_id").write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(indexPath)
+        }
+      }
+
   /** Windowed streaming aggregation over the value stream: per-series
     * tumbling-window mean/count with a watermark for late data — the
     * standard Structured Streaming shape over the same schema. */

@@ -94,6 +94,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(1L, 2L)) // in-batch AND cross-batch repeats dropped
   }
 
+  test("dedupIngest: full-history dedup with state in the store, not the state store") {
+    for (bloom <- Seq(None, Some(1000L))) {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ingest").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingIngest.dedupIngest(
+        mem.toDF().toDF("doc_id", "text"),
+        outPath = s"$dir/out", indexPath = s"$dir/index",
+        bloomExpectedDigests = bloom).start()
+      // batch 0: within-batch dup (docs 1 and 3 share content) → min id wins
+      mem.addData((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      q.processAllAvailable()
+      // batch 1: cross-batch dup (no watermark — the repeat could arrive
+      // months later) + genuinely new content
+      mem.addData((4L, "gamma delta"), (5L, "epsilon zeta"))
+      q.processAllAvailable()
+      // batch 2: everything already seen → nothing accepted
+      mem.addData((6L, "alpha beta"), (7L, "epsilon zeta"))
+      q.processAllAvailable()
+      q.stop()
+      val accepted = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(accepted == Seq(1L, 2L, 5L), s"bloom=$bloom: $accepted")
+      // the index holds exactly the accepted digests
+      assert(spark.read.parquet(s"$dir/index").select("digest")
+        .distinct().count() == 3)
+    }
+  }
+
   test("streaming sessionize: gap split, cross-batch disorder, watermark-final emission") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
