@@ -77,6 +77,7 @@ object Bench {
     // state. Fast queries (the majority) still run once, which bounds
     // total bench time.
     val rerunFloorSec = 0.10
+    val slowFloorSec = 0.5
     // Per-query job counter: a query's wall time is bounded below by
     // (its Spark job count) × (the per-job overhead floor measured
     // further down) — the decomposition that lets a sub-second ratio be
@@ -93,6 +94,15 @@ object Bench {
     def drainBus(): Unit =
       org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
     val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // Samples for one query run CONSECUTIVELY on purpose: a round-robin
+    // variant (spreading retries across passes over the list) measured
+    // ~40% WORSE — Spark's whole-stage-codegen class cache holds ~100
+    // compiled units, and cycling through 20+ multi-stage queries
+    // between samples evicts and recompiles them every pass, so the min
+    // stops measuring the steady state. Back-to-back retries share the
+    // compiled plan and the page cache; min-of-3 over `rerunFloorSec`,
+    // min-of-5 while still over `slowFloorSec` (one-sided scheduler
+    // noise shifts the min most where absolute time is largest).
     def run(names: Seq[String]): Seq[(String, Either[String, Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Either[String, Double] = {
@@ -112,11 +122,8 @@ object Bench {
         case Right(t) if t > rerunFloorSec =>
           val retries = Seq(once(), once()).collect { case Right(v) => v }
           val best3 = (t +: retries).min
-          // still slow after three samples → two more; one-sided
-          // scheduler noise shifts the min most where absolute times
-          // are largest (single-shot swings measured 3× on this box)
           val more =
-            if (best3 > 0.5) Seq(once(), once()).collect { case Right(v) => v }
+            if (best3 > slowFloorSec) Seq(once(), once()).collect { case Right(v) => v }
             else Nil
           Right((best3 +: more).min)
         case other => other
