@@ -1478,6 +1478,31 @@ object SparkEntry {
         |ORDER BY freq DESC, token
         |LIMIT 100""".stripMargin)),
 
+    ("x_text_encode",
+      // Vocabulary encoding: top-50 token vocab (freq DESC, token ASC
+      // ties), every doc as its id sequence, OOV → 0 — the corpus→ids
+      // handoff a pretraining pipeline feeds the tokenizer shard step.
+      (s, dir) => TextAnalysis.encodeWithVocab(Tables.documents(s, dir), vocabSize = 50)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |counts AS (
+        |  SELECT tok, COUNT(*) AS freq
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        |vocab AS (
+        |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS INTEGER) AS id
+        |  FROM counts ORDER BY freq DESC, tok LIMIT 50),
+        |pos AS (
+        |  SELECT doc_id, g.i AS pos, t[g.i] AS tok
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM toks) g),
+        |enc AS (
+        |  SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS id
+        |  FROM pos p LEFT JOIN vocab v ON v.tok = p.tok)
+        |SELECT doc_id, list(id ORDER BY pos) AS token_ids
+        |FROM enc GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
     ("x_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))
         .orderBy("doc_id"),

@@ -112,6 +112,46 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
 
+  /** Vocabulary-encode the corpus — the tokenize-to-ids handoff a
+    * training-data pipeline ends with: build a `vocabSize`-entry
+    * vocabulary of the most frequent tokens (rank by freq DESC, token
+    * ASC — deterministic through ties), then encode every document as
+    * its token-id sequence in original token order. Out-of-vocabulary
+    * tokens map to id 0; vocabulary ids start at 1 in rank order.
+    * Documents with zero tokens emit no row (the [[fingerprint]]
+    * convention).
+    *
+    * Scale shape: the vocabulary is one token-count aggregate plus a
+    * distributed top-K (`orderBy.limit` plans TakeOrdered — partial
+    * top-K per partition, never a global sort of the token-type
+    * stream); id assignment is a window over the LIMITed frame —
+    * O(vocabSize) rows by construction, the same bounded-small
+    * exception as Curation's offsets window. Encoding is
+    * posexplode → BROADCAST vocab join → one corpus-sized groupBy
+    * that reassembles ids ordered by position. No driver-side
+    * collect anywhere. */
+  def encodeWithVocab(docs: DataFrame, vocabSize: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val exploded = docs.select(col(idCol),
+      posexplode(toks(col(textCol))).as(Seq("__pos", "__tok")))
+    val top = exploded.groupBy("__tok").agg(count(lit(1)).as("__freq"))
+      .orderBy(col("__freq").desc, col("__tok")).limit(vocabSize)
+    // derived-constant partition key: see Curation's offsets window —
+    // a literal would be folded out of the partition spec
+    val idW = org.apache.spark.sql.expressions.Window
+      .partitionBy(length(col("__tok")) * lit(0))
+      .orderBy(col("__freq").desc, col("__tok"))
+    val vocab = top.withColumn("id", row_number().over(idW))
+      .select(col("__tok"), col("id"))
+    exploded.join(broadcast(vocab), Seq("__tok"), "left")
+      .select(col(idCol), col("__pos"), coalesce(col("id"), lit(0)).as("__id"))
+      .groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__id")))),
+        e => e.getField("__id")).as("token_ids"))
+  }
+
   /** Canonical text normalization — the preprocessing step every dedup /
     * fingerprint pass should share so near-identical docs actually
     * collide: lowercase, strip non-alphanumerics to spaces, collapse

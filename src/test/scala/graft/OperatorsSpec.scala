@@ -86,6 +86,23 @@ class OperatorsSpec extends SparkSpec {
       "materialize=Some(false) must not register checkpoint blocks")
   }
 
+  test("encodeWithVocab: rank-deterministic vocab, OOV=0, order preserved") {
+    val corpus = Seq(
+      (1L, "b b a c"),   // freqs: b=3, a=2, c=1-each → vocab(2): b=1, a=2
+      (2L, "a b rare"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.encodeWithVocab(corpus, vocabSize = 2)
+      .orderBy("doc_id").as[(Long, Seq[Int])].collect().toSeq
+    // tie between a (2) and c (1): freq decides; within the vocab cut
+    // "rare" and "c" fall out → 0. Zero-token doc 3 emits no row.
+    assert(got == Seq((1L, Seq(1, 1, 2, 0)), (2L, Seq(2, 1, 0))))
+    // tie-break determinism: equal freqs rank alphabetically
+    val ties = Seq((1L, "z y"), (2L, "y z")).toDF("doc_id", "text")
+    val tied = graft.operators.TextAnalysis.encodeWithVocab(ties, vocabSize = 2)
+      .orderBy("doc_id").as[(Long, Seq[Int])].collect().toSeq
+    assert(tied == Seq((1L, Seq(2, 1)), (2L, Seq(1, 2)))) // y=1, z=2
+  }
+
   test("duplicatedSpans finds cross-document spans, ignores within-doc repeats") {
     val block = "a b c d"                       // one 4-token span
     val corpus = Seq(
