@@ -1478,6 +1478,34 @@ object SparkEntry {
         |ORDER BY freq DESC, token
         |LIMIT 100""".stripMargin)),
 
+    ("x_embed_quantize",
+      // Per-vector int8 quantization of the embedding store: scale +
+      // int8 array + reconstruction bound, hash-matched element-wise
+      // against DuckDB computing the identical floor-based round. The
+      // 4x storage cut is the point; the oracle proves both engines
+      // agree on every quantized byte.
+      (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         round(list_max(list_transform(v, x -> abs(x))) / 127.0, 6) AS scale
+        |  FROM e)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale = 0
+        |       THEN list_transform(v, x -> CAST(0 AS TINYINT))
+        |       ELSE list_transform(v, x -> CAST(
+        |              greatest(-127, least(127, floor(x / scale + 0.5))) AS TINYINT)) END
+        |    AS qvec,
+        |  CASE WHEN scale = 0 THEN 0.0
+        |       ELSE round(list_max(list_transform(v, x -> abs(
+        |              x - greatest(-127, least(127, floor(x / scale + 0.5))) * scale))), 6) END
+        |    AS max_err
+        |FROM s
+        |ORDER BY vec_id""".stripMargin)),
+
     ("x_text_encode",
       // Vocabulary encoding: top-50 token vocab (freq DESC, token ASC
       // ties), every doc as its id sequence, OOV → 0 — the corpus→ids

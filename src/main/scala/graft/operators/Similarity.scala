@@ -204,4 +204,39 @@ object Similarity {
     }.reduce(_ + _)
     emb.select(col(idCol), bucketBits.as("bucket"))
   }
+
+  /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
+    * cut an embedding store takes at 100 TB (float32 → int8 + one
+    * float scale per vector; recall loss for cosine top-k is typically
+    * negligible at 8 bits).
+    *
+    * `scale = round(max|vᵢ|/127, 6)` — rounded so the factor both
+    * engines (and any reader of the stored column) use is EXACTLY the
+    * stored value, not a higher-precision intermediate;
+    * `qᵢ = clamp(⌊vᵢ/scale + 0.5⌋, ±127)` — an explicit floor-based
+    * round-half-up, unambiguous across engines where `round()`
+    * tie-break conventions differ (the clamp absorbs the ≤1-ulp
+    * overshoot the scale rounding can introduce). An all-zero vector
+    * quantizes to zeros with scale 0. `max_err` reports the per-vector
+    * reconstruction bound max|vᵢ − qᵢ·scale| (≤ scale/2 + rounding).
+    *
+    * Pure per-row projection — ZERO shuffle, embarrassingly parallel.
+    * Output: (idCol, scale, qvec array<tinyint>, max_err). */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = round(array_max(transform(v, x => abs(x))) / lit(127.0), 6)
+    def quant(x: Column, s: Column): Column =
+      greatest(lit(-127L), least(lit(127L), floor(x / s + lit(0.5))))
+    emb.select(col(idCol), col(vecCol))
+      .withColumn("scale", scale)
+      .withColumn("qvec",
+        when(col("scale") === 0, transform(v, _ => lit(0).cast("byte")))
+          .otherwise(transform(v, x => quant(x, col("scale")).cast("byte"))))
+      .withColumn("max_err",
+        when(col("scale") === 0, lit(0.0))
+          .otherwise(round(array_max(transform(v,
+            x => abs(x - quant(x, col("scale")).cast("double") * col("scale")))), 6)))
+      .drop(vecCol)
+  }
 }

@@ -86,6 +86,29 @@ class OperatorsSpec extends SparkSpec {
       "materialize=Some(false) must not register checkpoint blocks")
   }
 
+  test("quantizeInt8: known bytes, zero vector, reconstruction bound") {
+    val emb = Seq(
+      (1L, Array(1.27f, -1.27f, 0.635f, 0.0f)), // scale → 0.01
+      (2L, Array(0.0f, 0.0f, 0.0f)),            // all-zero → scale 0
+      (3L, Array(-0.002f, 0.001f))).toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity.quantizeInt8(emb)
+      .orderBy("vec_id")
+      .as[(Long, Double, Seq[Byte], Double)].collect().toSeq
+    val (id1, s1, q1, e1) = rows(0)
+    assert(id1 == 1L && s1 == 0.01)
+    assert(q1 == Seq[Byte](127, -127, 63, 0)) // 63.4999… + 0.5 floors to 63
+    assert(e1 <= s1 / 2 + 1e-9)
+    assert(rows(1) == ((2L, 0.0, Seq[Byte](0, 0, 0), 0.0)))
+    // per-vector error bound holds generally: |v − q·scale| ≤ scale/2
+    // plus the ≤1-ulp slack the 6-digit scale rounding introduces
+    val rnd = new scala.util.Random(7)
+    val many = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f))).toDF("vec_id", "embedding")
+    val viol = graft.operators.Similarity.quantizeInt8(many)
+      .filter(col("max_err") > col("scale") * 0.5 + 1e-6).count()
+    assert(viol == 0)
+  }
+
   test("encodeWithVocab: rank-deterministic vocab, OOV=0, order preserved") {
     val corpus = Seq(
       (1L, "b b a c"),   // freqs: b=3, a=2, c=1-each → vocab(2): b=1, a=2
