@@ -1506,6 +1506,50 @@ object SparkEntry {
         |FROM s
         |ORDER BY vec_id""".stripMargin)),
 
+    ("x_ann_quantized",
+      // Search over the quantized store: cosine top-5 where scoring is
+      // pure integer dot products (scales cancel under symmetric
+      // quantization). DuckDB recomputes the identical int pipeline, so
+      // every score and rank hash-matches — quantized search is exact
+      // BY CONSTRUCTION given the same quantized bytes.
+      (s, dir) => {
+        val quant = Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        Similarity.quantizedTopK(quant, quant.filter(col("vec_id") < 8), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         round(list_max(list_transform(v, x -> abs(x))) / 127.0, 6) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(
+        |                greatest(-127, least(127, floor(x / scale + 0.5))) AS BIGINT)) END
+        |           AS qv
+        |  FROM s),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |         list_sum(list_transform(qv, x -> x * x)) AS nn
+        |  FROM q),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |         round(CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+        |                 i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+        |               / NULLIF(sqrt(CAST(a.nn * b.nn AS DOUBLE)), 0), 4) AS score
+        |  FROM n a, n b
+        |  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY score DESC, cand_id) AS rank
+        |  FROM pairs WHERE score IS NOT NULL)
+        |SELECT query_id, cand_id, score, rank FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     ("x_text_encode",
       // Vocabulary encoding: top-50 token vocab (freq DESC, token ASC
       // ties), every doc as its id sequence, OOV → 0 — the corpus→ids

@@ -205,6 +205,44 @@ object Similarity {
     emb.select(col(idCol), bucketBits.as("bucket"))
   }
 
+  /** Brute-force cosine top-k over int8-QUANTIZED vectors — the search
+    * face of [[quantizeInt8]]: with symmetric quantization the scales
+    * cancel out of the cosine
+    * (`cos ≈ Σqᵃᵢqᵇᵢ / √(Σqᵃᵢ² · Σqᵇᵢ²)`), so candidate scoring is
+    * PURE INTEGER arithmetic over 4× less data than the float path —
+    * the reason an embedding store quantizes at 100 TB. Bounds: 64-dim
+    * int8 self-dots ≤ ~10⁶, products ≤ ~10¹², comfortably inside a
+    * LONG. Same output contract and determinism discipline as
+    * [[bruteForceTopK]] (scores rounded before ranking, id tie-break);
+    * zero vectors score null and are dropped.
+    *
+    * Both inputs are [[quantizeInt8]] outputs (`idCol`, `qvec`). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    def selfDot(v: Column): Column = aggregate(
+      zip_with(v, v, (x, y) => x.cast("int") * y.cast("int")),
+      lit(0L), (acc, e) => acc + e.cast("long"))
+    val q = queries.select(col(idCol).as("query_id"), col("qvec").as("qa"),
+      selfDot(col("qvec")).as("na"))
+    val c = corpus.select(col(idCol).as("cand_id"), col("qvec").as("qb"),
+      selfDot(col("qvec")).as("nb"))
+    val dot = aggregate(
+      zip_with(col("qa"), col("qb"), (x, y) => x.cast("int") * y.cast("int")),
+      lit(0L), (acc, e) => acc + e.cast("long"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score",
+        round(when(col("na") === 0 || col("nb") === 0, lit(null))
+          .otherwise(dot.cast("double") / sqrt((col("na") * col("nb")).cast("double"))), 4))
+      .filter(col("score").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rank"))
+  }
+
   /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
     * cut an embedding store takes at 100 TB (float32 → int8 + one
     * float scale per vector; recall loss for cosine top-k is typically

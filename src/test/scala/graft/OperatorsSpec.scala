@@ -109,6 +109,18 @@ class OperatorsSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("quantizedTopK: high recall vs the float top-k on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    val quant = Similarity.quantizeInt8(emb)
+    val approx = Similarity.quantizedTopK(quant, quant.filter(col("vec_id") < 8), k = 5)
+    val recall = Similarity.recallAtK(approx, exact)
+      .agg(avg("recall")).head().getDouble(0)
+    // int8 quantization perturbs cosines by ~1e-2 at most; on the fixed
+    // testdata the top-5 sets should essentially survive
+    assert(recall >= 0.9, s"mean recall@5 = $recall")
+  }
+
   test("encodeWithVocab: rank-deterministic vocab, OOV=0, order preserved") {
     val corpus = Seq(
       (1L, "b b a c"),   // freqs: b=3, a=2, c=1-each → vocab(2): b=1, a=2
