@@ -2118,6 +2118,39 @@ object SparkEntry {
         |FROM spans s JOIN dups d USING (span_digest)
         |ORDER BY doc_id, span_no, span_digest""".stripMargin)),
 
+    ("x_dedup_spans_removed",
+      // The removal half of span-level dedup: keep each 8-token span's
+      // globally first occurrence, reassemble every document from its
+      // kept spans (empty clean_text when everything was boilerplate) —
+      // the full C4-style cleanup, not just the census.
+      (s, dir) => Dedup.removeDuplicatedSpans(Tables.documents(s, dir), spanTokens = 8)
+        .orderBy("doc_id"),
+      Some("""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, g.i AS span_no,
+        |         array_to_string(t[CAST(g.i * 8 + 1 AS BIGINT)
+        |                          : CAST(g.i * 8 + 8 AS BIGINT)], ' ') AS sp
+        |  FROM (SELECT *, unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS i
+        |        FROM ft WHERE len(t) > 0) g),
+        |marked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY sp
+        |                               ORDER BY doc_id, span_no) AS occ
+        |  FROM spans),
+        |agg AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN occ = 1 THEN sp END, ' ' ORDER BY span_no)
+        |           AS clean_text,
+        |         CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |  FROM marked GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+        |       COALESCE(a.n_kept, 0) AS n_kept,
+        |       COALESCE(a.n_dropped, 0) AS n_dropped
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
     ("x_dedup_incremental_bloom",
       // Same semantics as x_dedup_incremental through the Bloom-prefilter
       // path: the filter only ROUTES rows (definitely-new skips the

@@ -385,24 +385,73 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, spanTokens: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(spanTokens >= 1, "spanTokens must be >= 1")
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val nSpans = ((size(toks) + lit(spanTokens - 1)) / lit(spanTokens)).cast("long")
-    val spanIdx = when(size(toks) > 0, sequence(lit(0L), nSpans - 1))
-      .otherwise(array().cast("array<long>"))
-    val spans = docs.select(
-        col(idCol),
-        explode(transform(spanIdx, i => struct(
-          i.as("span_no"),
-          md5(concat_ws(" ",
-            slice(toks, (i * spanTokens + 1).cast("int"), lit(spanTokens)))
-            .cast("binary")).as("span_digest")))).as("s"))
-      .select(col(idCol), col("s.span_no"), col("s.span_digest"))
+    val spans = spanFrame(docs, spanTokens, idCol, textCol)
+      .select(col(idCol), col("span_no"), col("span_digest"))
     val dups = spans.groupBy("span_digest")
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") > 1)
     spans.join(dups, "span_digest")
       .select(col(idCol), col("span_no"), col("span_digest"), col("n_docs"))
+  }
+
+  /** One row per consecutive `spanTokens`-token span:
+    * (idCol, span_no, span_text, span_digest) — shared by the census
+    * ([[duplicatedSpans]]) and the remover ([[removeDuplicatedSpans]]).
+    * Pure projection + explode; the digest is what downstream shuffles
+    * key on, the text rides only where reassembly needs it. */
+  private def spanFrame(docs: DataFrame, spanTokens: Int,
+      idCol: String, textCol: String): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val nSpans = ((size(toks) + lit(spanTokens - 1)) / lit(spanTokens)).cast("long")
+    val spanIdx = when(size(toks) > 0, sequence(lit(0L), nSpans - 1))
+      .otherwise(array().cast("array<long>"))
+    docs.select(
+        col(idCol),
+        explode(transform(spanIdx, i => struct(
+          i.as("span_no"),
+          concat_ws(" ",
+            slice(toks, (i * spanTokens + 1).cast("int"), lit(spanTokens)))
+            .as("span_text")))).as("s"))
+      .select(col(idCol), col("s.span_no"), col("s.span_text"),
+        md5(col("s.span_text").cast("binary")).as("span_digest"))
+  }
+
+  /** The removal half of span-level dedup ([[duplicatedSpans]] is the
+    * census): keep each span's GLOBALLY FIRST occurrence (min
+    * (idCol, span_no) — deterministic, so retries and engines agree),
+    * drop every later occurrence (including within-doc repeats), and
+    * reassemble each document from its kept spans in order — the
+    * C4-style "remove repeated boilerplate, keep one copy" pass.
+    *
+    * Scale shape: the first-occurrence choice is ONE window over
+    * digest partitions (each partition = one span's occurrence list —
+    * bounded by the span's document frequency, not corpus size);
+    * reassembly is one groupBy per doc collecting (span_no, text)
+    * pairs. Emits EVERY input document — a doc whose spans were all
+    * dropped (or that had no tokens) comes back with empty
+    * `clean_text`, so the output is a complete cleaned corpus, not a
+    * filtered one.
+    *
+    * Output: (idCol, clean_text, n_kept, n_dropped). */
+  def removeDuplicatedSpans(docs: DataFrame, spanTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = spanFrame(docs, spanTokens, idCol, textCol)
+    val occ = Window.partitionBy(col("span_digest"))
+      .orderBy(col(idCol), col("span_no"))
+    val marked = spans.withColumn("__occ", row_number().over(occ))
+    val agg = marked.groupBy(col(idCol)).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("__occ") === 1,
+          struct(col("span_no"), col("span_text"))))),
+        e => e.getField("span_text"))).as("clean_text"),
+      count(when(col("__occ") === 1, lit(1))).as("n_kept"),
+      count(when(col("__occ") > 1, lit(1))).as("n_dropped"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
   /** SimHash near-dup pairs (X2): Hamming-proximity search banded by the

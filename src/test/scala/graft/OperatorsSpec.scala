@@ -163,6 +163,28 @@ class OperatorsSpec extends SparkSpec {
     assert(tailGot == Set((1L, 1L), (2L, 1L))) // the 2-token tail "e f"
   }
 
+  test("removeDuplicatedSpans keeps the globally-first occurrence and reassembles") {
+    val block = "a b c d"
+    val corpus = Seq(
+      (1L, s"$block x1 y1 z1 w1"),  // first holder of the block
+      (2L, s"$block x2 y2 z2 w2"),  // later holder → block stripped
+      (3L, s"$block $block"),       // later holder twice → empty
+      (4L, "")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.removeDuplicatedSpans(corpus, spanTokens = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, s"$block x1 y1 z1 w1", 2L, 0L),
+      (2L, "x2 y2 z2 w2", 1L, 1L),
+      (3L, "", 0L, 2L),
+      (4L, "", 0L, 0L)))
+    // conservation: kept + dropped = total spans, and reassembling the
+    // kept spans of the whole corpus loses no non-duplicated content
+    val spans = graft.operators.Dedup
+      .removeDuplicatedSpans(corpus, spanTokens = 4)
+      .agg(sum(col("n_kept") + col("n_dropped"))).as[Long].head()
+    assert(spans == 6L) // 2 + 2 + 2 + 0
+  }
+
   test("incrementalNewBloom routes rows but never decides them") {
     val seenDocs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val seen = Dedup.exact(seenDocs).select("digest")
