@@ -48,7 +48,8 @@ object Bench {
       "x_ann_recall", "x_dedup_contamination", "x_text_repetition",
       // round-6 additions (extended only: headline stays comparable)
       "x_sql_neardup", "x_dedup_spans", "x_dedup_incremental_bloom",
-      "x_quality_gate_approx"))
+      "x_quality_gate_approx", "x_dedup_spans_removed", "x_text_encode",
+      "x_embed_quantize", "x_ann_quantized"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,
