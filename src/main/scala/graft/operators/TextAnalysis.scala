@@ -31,14 +31,16 @@ object TextAnalysis {
     * toward the lexicographically smallest language. Emits the predicted
     * language and its score. */
   def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val t = toks(col(textCol))
     // max over (score, inverse-lang-rank) ⇒ highest score, smallest lang
     // code on tie. Langs sorted ascending get descending inverse ranks.
+    // Per-language marker counts (with multiplicity) are exactly the
+    // TextStats kernel's stopword counter — one compiled pass per
+    // language instead of a token-array filter chain.
     val langsSorted = langMarkers.map(_._1).sorted
     val invRank = langsSorted.zipWithIndex.map { case (l, i) => l -> (langsSorted.size - 1 - i) }.toMap
     val best = greatest(langMarkers.map { case (lang, markers) =>
       struct(
-        size(filter(t, x => markers.map(m => x === m).reduce(_ || _))).as("score"),
+        graft.functions.TextStats(col(textCol), markers).getField("n_stop").as("score"),
         lit(invRank(lang)).as("inv"),
         lit(lang).as("lang"))
     }: _*)
@@ -47,13 +49,22 @@ object TextAnalysis {
       best.getField("score").as("score"))
   }
 
-  /** The quality-field columns shared by [[quality]] and [[profile]]. */
-  private def qualityCols(textCol: String): Seq[Column] = {
-    val t = toks(col(textCol))
-    val stop = Seq("the", "a", "and", "of", "to", "in")
-    val nTok = size(t)
-    val nStop = size(filter(t, x => stop.map(m => x === m).reduce(_ || _)))
-    val nChars = length(col(textCol))
+  /** Stopword list for the quality score's stopword ratio. */
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** The quality-field columns, derived from an already-projected
+    * [[graft.functions.TextStats]] struct column (see [[statsThen]]:
+    * the struct is materialized by an INNER projection so the kernel
+    * runs once per row; deriving straight off the expression would let
+    * CollapseProject duplicate the pass into every consumer column).
+    * The split/filter/regexp_replace formulation this replaces
+    * allocated three token arrays plus a rewritten string per row and
+    * dominated the curation pipeline's wall time. Derived ratios are
+    * unchanged, so every oracle keeps hash-matching. */
+  private def qualityCols(st: Column): Seq[Column] = {
+    val nTok = st.getField("n_tokens")
+    val nStop = st.getField("n_stop")
+    val nChars = st.getField("n_chars")
     // Empty/whitespace-only text: ratios are null and quality 0 — a
     // plain x/0 would abort the whole job under Spark 4's default ANSI
     // mode.
@@ -61,7 +72,7 @@ object TextAnalysis {
       .otherwise((nChars - (nTok - 1)).cast("double") / nTok)
     val stopRatio = when(nTok === 0, lit(null)).otherwise(nStop.cast("double") / nTok)
     val digitRatio = when(nChars === 0, lit(null))
-      .otherwise((nChars - length(regexp_replace(col(textCol), "[0-9]", ""))).cast("double") / nChars)
+      .otherwise(st.getField("n_digits").cast("double") / nChars)
     Seq(
       nChars.as("n_chars"),
       nTok.as("n_tokens"),
@@ -74,36 +85,52 @@ object TextAnalysis {
         4)).as("quality"))
   }
 
-  /** The token-count columns shared by [[tokenCounts]] and [[profile]]. */
-  private def tokenCols(textCol: String): Seq[Column] = Seq(
-    size(toks(col(textCol))).as("ws_tokens"),
-    size(filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => t =!= "")).as("word_tokens"),
-    (length(col(textCol)).cast("double") / 4.0).cast("long").as("approx_bpe_tokens"))
+  /** The token-count columns shared by [[tokenCounts]] and [[profile]] —
+    * same shared [[graft.functions.TextStats]] struct as [[qualityCols]]. */
+  private def tokenCols(st: Column): Seq[Column] = Seq(
+    st.getField("n_tokens").as("ws_tokens"),
+    st.getField("word_tokens").as("word_tokens"),
+    (st.getField("n_chars").cast("double") / 4.0).cast("long").as("approx_bpe_tokens"))
+
+  /** Project the TextStats struct in an inner select, then derive
+    * `out(struct)` on top. The two-step shape stops CollapseProject
+    * from inlining the (non-cheap, multiply-referenced) kernel into
+    * each derived column — the struct stays a single per-row pass and
+    * whole-stage codegen fuses both projections anyway. */
+  private def statsThen(docs: DataFrame, textCol: String,
+      keep: Seq[Column], out: Column => Seq[Column]): DataFrame = {
+    val stName = Iterator.from(0).map(i => s"__stats$i")
+      .find(n => !docs.columns.contains(n)).get
+    docs.select(keep :+
+        graft.functions.TextStats(col(textCol), stopwords).as(stName): _*)
+      .select(keep ++ out(col(stName)): _*)
+  }
 
   /** Quality scoring (X4): length, token stats, stopword ratio, digit
     * ratio — combined into a [0,1]-ish score. Pure projection. */
   def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol) +: qualityCols(textCol): _*)
+    statsThen(docs, textCol, Seq(col(idCol)), qualityCols)
 
   /** Token counting (X4): whitespace tokens plus a BPE-ish subword count
     * (runs of letters / digits / other via regex), the standard cheap
     * proxy for LLM token cost. */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol) +: tokenCols(textCol): _*)
+    statsThen(docs, textCol, Seq(col(idCol)), tokenCols)
 
   /** Quality fields AND token counts in ONE projection pass. Callers that
     * need both (the curation pipeline) use this instead of joining
     * [[quality]] with [[tokenCounts]] — a self-join on id that scans the
     * corpus twice and shuffles for no reason. */
   def profile(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol) +: (qualityCols(textCol) ++ tokenCols(textCol)): _*)
+    statsThen(docs, textCol, Seq(col(idCol)), st => qualityCols(st) ++ tokenCols(st))
 
   /** [[profile]] columns APPENDED to the input's own columns — for
     * pipelines that need the profile fields alongside other derived
     * columns (and that then drop `textCol` themselves, e.g. before a
     * shuffle that should not carry document bodies). */
   def withProfile(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("*") +: (qualityCols(textCol) ++ tokenCols(textCol)): _*)
+    statsThen(docs, textCol, docs.columns.toSeq.map(col),
+      st => qualityCols(st) ++ tokenCols(st))
 
   /** Global term frequencies (X4): explode → count per token. Map-side
     * combine keeps the shuffle at one row per distinct term per mapper. */

@@ -184,6 +184,40 @@ class FunctionsKernelSpec extends SparkSpec {
     assert(!row.isNullAt(3) && !row.isNullAt(4))
   }
 
+  test("TextStats matches the split/filter/regexp_replace formulation") {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val docs = (corpus ++ Seq(
+      (20L, "the the THE a of99 to in2 in"),
+      (21L, "100 200,300 abc-def _x_ 42"),
+      (22L, "ünïcödé 1ö2 mixed42tokens"),
+      (23L, " leading and trailing "))).toDF("doc_id", "text")
+    val t = filter(split(col("text"), " "), x => x =!= "")
+    val reference = docs.select(col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(t).as("n_tokens"),
+      size(filter(t, x => stop.map(m => x === m).reduce(_ || _))).as("n_stop"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digits"),
+      size(filter(split(col("text"), "[^a-zA-Z0-9]+"), x => x =!= ""))
+        .as("word_tokens"))
+    val kernel = docs.select(col("doc_id"),
+      graft.functions.TextStats(col("text"), stop).as("st"))
+      .select(col("doc_id"), col("st.n_chars"), col("st.n_tokens"),
+        col("st.n_stop"), col("st.n_digits"), col("st.word_tokens"))
+    assert(kernel.orderBy("doc_id").collect().toSeq ==
+      reference.orderBy("doc_id").collect().toSeq)
+    // null text propagates to a null struct, like every replaced primitive
+    val nullRow = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(graft.functions.TextStats(col("text"), stop).as("st")).head()
+    assert(nullRow.isNullAt(0))
+    // interpreted eval agrees with the codegen path
+    val stats = graft.functions.TextStats.compute(
+      UTF8String.fromString("the a 12 naïve x9y"),
+      graft.functions.TextStats.toStopBytes(stop))
+    assert((stats.getInt(0), stats.getInt(1), stats.getInt(2),
+      stats.getInt(3), stats.getInt(4)) == (18, 5, 2, 3, 6))
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on sorted arrays") {
     val rnd = new scala.util.Random(42)
     val cases = (0 until 200).map { i =>
