@@ -1575,6 +1575,42 @@ object SparkEntry {
         |FROM enc GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    ("x_text_lm_score",
+      // Bigram-LM quality scoring: the corpus's own add-k bigram model
+      // scores every doc by mean log-probability — low = line noise /
+      // OOV-dense, high = in-domain. All keys are kernel token hashes;
+      // the oracle replicates the hash pipeline and the DECIMAL-summed
+      // rounded log-probs bit-exactly.
+      (s, dir) => TextAnalysis.lmScores(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) AS w1,
+        |    (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |     + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS bg
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
+        |  WHERE g.i <= len(t) - 1),
+        |grouped AS (
+        |  SELECT doc_id, w1, bg, COUNT(*) AS m FROM pairs GROUP BY 1, 2, 3),
+        |uni AS (SELECT w1, SUM(m) AS cu FROM grouped GROUP BY 1),
+        |bi AS (SELECT bg, SUM(m) AS cb FROM grouped GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS vocab FROM uni),
+        |scored AS (
+        |  SELECT g.doc_id, g.m,
+        |    round(ln((cb + 0.5) / (cu + 0.5 * vocab)), 8) AS lp
+        |  FROM grouped g JOIN bi USING (bg) JOIN uni USING (w1) CROSS JOIN v),
+        |per AS (
+        |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |    round(CAST(SUM(CAST(m * lp AS DECIMAL(28,10))) AS DOUBLE)
+        |          / SUM(m), 6) AS lm_score
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams, per.lm_score
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
     ("x_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))
         .orderBy("doc_id"),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Portable
+import graft.functions.{Portable, ShingleHashes}
 
 /** Text-analysis operators for training-data curation
   * (SURVEY.md §2.12 X4): language ID, quality scoring, token statistics,
@@ -203,6 +203,60 @@ object TextAnalysis {
       .withColumn("tfidf",
         round(col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Bigram language-model quality scoring — the CCNet-style "how
+    * LM-likely is this document under the corpus's own statistics"
+    * signal: train add-k-smoothed bigram counts ON the corpus, then
+    * score every document by its mean log-probability
+    * `avg over bigrams of ln((c(w1,w2)+k) / (c(w1)+k·V))`, where
+    * `c(w1)` counts w1 as a bigram history and `V` is the number of
+    * distinct history tokens. Boilerplate and in-domain text score
+    * high; line noise and OOV-dense docs score low. Emits
+    * `(id, n_bigrams, lm_score)` for EVERY document — fewer than two
+    * tokens ⇒ `n_bigrams = 0`, null score.
+    *
+    * Scale shape: tokens are hashed ONCE per row by the
+    * [[graft.functions.ShingleHashes]] kernel; bigram keys derive from
+    * the unigram hash array with a `zip_with` (no second md5 pass), so
+    * every shuffle carries `(id, w1_hash, bigram_hash)` longs — never
+    * token strings. The pair stream pre-aggregates per
+    * `(doc, w1, bigram)` before joining the (vocab-sized) count
+    * tables, the corpus vocabulary joins in as a broadcast 1-row
+    * frame, and the per-doc reduce is one hash aggregate. Count
+    * determinism: the per-pair log-prob is rounded, then summed as
+    * DECIMAL (order-independent), so the score hash-matches across
+    * engines. */
+  def lmScores(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Double = 0.5): DataFrame = {
+    require(k > 0.0, "smoothing k must be positive")
+    val u = col("__u")
+    val nb = greatest(size(u) - 1, lit(0))
+    val pairStructs = zip_with(
+      slice(u, lit(1), nb), slice(u, lit(2), nb),
+      (a, b) => struct(a.as("w1"),
+        pmod(a * lit(1000003L) + b, lit(Portable.MinHashPrime)).as("bg")))
+    val grouped = docs
+      .select(col(idCol), ShingleHashes(col(textCol), 1).as("__u"))
+      .select(col(idCol), explode(pairStructs).as("__pr"))
+      .select(col(idCol), col("__pr.w1").as("__w1"), col("__pr.bg").as("__bg"))
+      .groupBy(col(idCol), col("__w1"), col("__bg"))
+      .agg(count(lit(1)).as("__m"))
+    val uni = grouped.groupBy("__w1").agg(sum(col("__m")).as("__cu"))
+    val bi = grouped.groupBy("__bg").agg(sum(col("__m")).as("__cb"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val perDoc = grouped
+      .join(bi, "__bg").join(uni, "__w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", round(
+        log((col("__cb") + lit(k)) / (col("__cu") + lit(k) * col("__v"))), 8))
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).as("__nb"),
+        round(sum((col("__m") * col("__lp")).cast("decimal(28,10)")).cast("double")
+          / sum(col("__m")), 6).as("lm_score"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__nb"), lit(0L)).as("n_bigrams"), col("lm_score"))
   }
 
   /** PII patterns for [[redactPii]]. Kept to the regex subset with

@@ -138,6 +138,32 @@ class OperatorsSpec extends SparkSpec {
     assert(tied == Seq((1L, Seq(2, 1)), (2L, Seq(1, 2)))) // y=1, z=2
   }
 
+  test("lmScores: boilerplate scores above noise, short docs null out") {
+    val common = "the quick brown fox"
+    val corpus = Seq(
+      (1L, common), (2L, common), (3L, common), (4L, common),  // boilerplate
+      (5L, "zq xw vv kj pq mn"),                               // unique junk
+      (6L, "solo"),                                            // 1 token
+      (7L, "")).toDF("doc_id", "text")                         // 0 tokens
+    val got = graft.operators.TextAnalysis.lmScores(corpus)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._1) == (1L to 7L))
+    // every doc present; <2-token docs have zero bigrams and null score
+    assert(got.filter(r => r._1 >= 6).forall(r => r._2 == 0L && r._3.isEmpty))
+    assert(got.take(4).forall(_._2 == 3L)) // 4 tokens → 3 bigrams
+    assert(got(4)._2 == 5L)                // 6 tokens → 5 bigrams
+    // the repeated document's bigrams are 4× likelier than the unique
+    // junk's under the corpus model → strictly higher mean log-prob
+    val boiler = got.head._3.get
+    val junk = got(4)._3.get
+    assert(boiler > junk, s"boilerplate $boiler should beat junk $junk")
+    // all four copies of the boilerplate share one score
+    assert(got.take(4).map(_._3.get).distinct.size == 1)
+    // scores are log-probabilities: strictly negative
+    assert(boiler < 0.0 && junk < 0.0)
+  }
+
   test("duplicatedSpans finds cross-document spans, ignores within-doc repeats") {
     val block = "a b c d"                       // one 4-token span
     val corpus = Seq(
