@@ -49,7 +49,8 @@ object Bench {
       // round-6 additions (extended only: headline stays comparable)
       "x_sql_neardup", "x_dedup_spans", "x_dedup_incremental_bloom",
       "x_quality_gate_approx", "x_dedup_spans_removed", "x_text_encode",
-      "x_embed_quantize", "x_ann_quantized", "x_text_lm_score"))
+      "x_embed_quantize", "x_ann_quantized", "x_text_lm_score",
+      "x_split_decontam"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

@@ -1336,6 +1336,41 @@ object SparkEntry {
         |      < (CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'zh' THEN 50 ELSE 25 END)
         |ORDER BY doc_id""".stripMargin)),
 
+    ("x_split_decontam",
+      // Leak-free train/eval split: deterministic 20% eval by id hash,
+      // then every train doc sharing a distinct word trigram with any
+      // eval doc is flagged and dropped from the kept set.
+      (s, dir) => Sampling.splitDecontaminated(Tables.documents(s, dir),
+        evalPct = 20, n = 3, maxOverlap = 0L)
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
+        |         THEN 'eval' ELSE 'train' END AS split
+        |  FROM documents),
+        |ft AS (
+        |  SELECT doc_id, split, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM base),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, split,
+        |    ((CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |      + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647
+        |     * 1000003
+        |     + CAST(concat('0x', substr(md5(t[g.i + 2]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
+        |  WHERE g.i <= len(t) - 2),
+        |evalset AS (SELECT DISTINCT sh FROM grams WHERE split = 'eval'),
+        |hits AS (
+        |  SELECT g.doc_id, COUNT(*) AS leaked
+        |  FROM grams g JOIN evalset e USING (sh)
+        |  WHERE g.split = 'train' GROUP BY 1)
+        |SELECT b.doc_id, b.split,
+        |  CAST(CASE WHEN b.split = 'train' THEN COALESCE(h.leaked, 0) ELSE 0 END AS BIGINT)
+        |    AS leaked_shingles,
+        |  (b.split = 'eval' OR COALESCE(h.leaked, 0) <= 0) AS kept
+        |FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id
+        |ORDER BY b.doc_id""".stripMargin)),
+
     ("x_pipeline_curate",
       // Composed curation pipeline: exact-dedup winners → quality gate →
       // greedy token-budget cut by quality. The running total over the

@@ -37,6 +37,47 @@ object Sampling {
     (df.filter(b >= testPct), df.filter(b < testPct))
   }
 
+  /** Leak-free train/eval split — the decontamination step a benchmark
+    * or held-out split REQUIRES before the train side ships: split
+    * deterministically by id bucket (below `evalPct` → eval), then
+    * flag every train document sharing more than `maxOverlap` distinct
+    * word `n`-grams with ANY eval document. Emits one row per input
+    * doc: `(id, split, leaked_shingles, kept)` — eval rows are always
+    * kept; a train row is kept iff its eval-overlap is within bound.
+    * The id-hash split means a document's side never changes as the
+    * corpus grows, so the leak check stays valid incrementally.
+    *
+    * Scale shape: per-doc DISTINCT gram hashes come from one
+    * [[graft.functions.ShingleHashes]] kernel pass (distinct mode), so
+    * the gram stream shuffles `(id, hash)` longs, never text. The eval
+    * gram set is `evalPct` of the corpus — the semi-join on `sh` is a
+    * standard shuffle equi-join (AQE broadcasts it when the eval side
+    * is small). Same candidate shape as benchmark decontamination
+    * ([[Dedup.contaminationScores]]), pointed at the split's own eval
+    * half instead of an external benchmark. */
+  def splitDecontaminated(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", evalPct: Int = 20, n: Int = 3,
+      maxOverlap: Long = 0L): DataFrame = {
+    require(evalPct > 0 && evalPct < 100, "evalPct must be in (0, 100)")
+    require(n >= 1, "shingle size must be >= 1")
+    val base = docs.select(col(idCol), col(textCol),
+      when(bucket(col(idCol)) < evalPct, lit("eval")).otherwise(lit("train")).as("split"))
+    val grams = base.select(col(idCol), col("split"),
+      explode(graft.functions.ShingleHashes(col(textCol), n, distinct = true)).as("sh"))
+    val evalSet = grams.filter(col("split") === "eval").select("sh").distinct()
+    val hits = grams.filter(col("split") === "train")
+      .join(evalSet, Seq("sh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__leaked"))
+    base.select(col(idCol), col("split"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("split"),
+        when(col("split") === "train", coalesce(col("__leaked"), lit(0L)))
+          .otherwise(lit(0L)).as("leaked_shingles"),
+        (col("split") === "eval" ||
+          coalesce(col("__leaked"), lit(0L)) <= maxOverlap).as("kept"))
+  }
+
   /** Fractional hash bucket in [0, 1) with 1/10000 resolution — the
     * fine-grained variant of [[bucket]] for data-derived (non-integer)
     * sampling rates. Same determinism contract. */

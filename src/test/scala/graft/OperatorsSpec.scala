@@ -138,6 +138,35 @@ class OperatorsSpec extends SparkSpec {
     assert(tied == Seq((1L, Seq(2, 1)), (2L, Seq(1, 2)))) // y=1, z=2
   }
 
+  test("splitDecontaminated flags train docs sharing a trigram with eval") {
+    import graft.operators.Sampling
+    // find one eval-side and two train-side ids under the real hash
+    val buckets = Seq.range(1L, 60L).toDF("id")
+      .select(col("id"), Sampling.bucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalId = buckets.collectFirst { case (id, b) if b < 20 => id }.get
+    val Seq(leakyId, cleanId) =
+      buckets.toSeq.sortBy(_._1).collect { case (id, b) if b >= 20 => id }.take(2)
+    val shared = "alpha beta gamma delta"
+    val corpus = Seq(
+      (evalId, s"$shared eval tail"),
+      (leakyId, s"prefix $shared more words here"), // shares trigrams with eval
+      (cleanId, "totally unrelated content words")).toDF("doc_id", "text")
+    val got = Sampling.splitDecontaminated(corpus, evalPct = 20, n = 3)
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(evalId)._2 == "eval" && got(evalId)._4, "eval doc always kept")
+    assert(got(leakyId)._2 == "train" && got(leakyId)._3 > 0 && !got(leakyId)._4,
+      "train doc sharing a trigram with eval must be dropped")
+    assert(got(cleanId)._2 == "train" && got(cleanId)._3 == 0 && got(cleanId)._4,
+      "clean train doc kept")
+    // raising maxOverlap past the leak count keeps the leaky doc
+    val lenient = Sampling.splitDecontaminated(corpus, evalPct = 20, n = 3,
+      maxOverlap = Long.MaxValue)
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r._4).toMap
+    assert(lenient(leakyId), "within-bound overlap is kept")
+  }
+
   test("lmScores: boilerplate scores above noise, short docs null out") {
     val common = "the quick brown fox"
     val corpus = Seq(
