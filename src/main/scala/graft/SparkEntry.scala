@@ -1610,6 +1610,22 @@ object SparkEntry {
         |FROM enc GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    ("x_text_heavy_hitters",
+      // Misra-Gries heavy hitters audited against exact counts: the
+      // declared output is the (deterministic) exact top-25 plus a
+      // sketch_consistent verdict that the MG guarantees make
+      // theorem-true for every merge order — the same
+      // exact-plus-bound trick as x_approx_distinct.
+      (s, dir) => TextAnalysis.heavyHitters(Tables.documents(s, dir),
+        sketchK = 200, topN = 25)
+        .orderBy(col("cnt").desc, col("token")),
+      Some("""SELECT tok AS token, COUNT(*) AS cnt, TRUE AS sketch_consistent
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |      FROM documents)
+        |GROUP BY tok
+        |ORDER BY cnt DESC, token
+        |LIMIT 25""".stripMargin)),
+
     ("x_text_lm_score",
       // Bigram-LM quality scoring: the corpus's own add-k bigram model
       // scores every doc by mean log-probability — low = line noise /

@@ -139,6 +139,38 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
 
+  /** Heavy-hitter tokens via the [[graft.functions.MisraGriesTopK]]
+    * sketch, VERIFIED against the exact counts: emits the exact top
+    * `topN` tokens (count DESC, token ASC — deterministic) with a
+    * `sketch_consistent` verdict checking the sketch's theoretical
+    * guarantees for each one (present ⇒ `est ≤ true ≤ est + slack`;
+    * absent ⇒ `true ≤ slack`, `slack = (n − M)/(k+1)`).
+    *
+    * The exact side is the full term table — affordable at bench
+    * scale and the ground truth the sketch is judged against. At
+    * 100 TB the sketch ALONE is the product: constant state per task,
+    * ≤ `sketchK` entries shuffled per partition, no vocabulary-sized
+    * term table anywhere; this operator is the audited form that
+    * proves the sketch's bounds hold on real data. */
+  def heavyHitters(docs: DataFrame, sketchK: Int, topN: Int,
+      textCol: String = "text"): DataFrame = {
+    require(sketchK >= 1 && topN >= 1, "sketchK and topN must be >= 1")
+    val tokens = docs.select(explode(toks(col(textCol))).as("token"))
+    val sketch = tokens.agg(
+      graft.functions.MisraGriesTopK(col("token"), sketchK).as("__s"))
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+    // map_from_entries over the 2-field (token, est) structs yields
+    // map<token, est>, so the lookup IS the estimate
+    val est = element_at(map_from_entries(col("__s.entries")), col("token"))
+    val m = aggregate(col("__s.entries"), lit(0L), (acc, e) => acc + e.getField("est"))
+    val slack = floor((col("__s.n") - m).cast("double") / (sketchK + 1)).cast("long")
+    exact.crossJoin(broadcast(sketch))
+      .select(col("token"), col("cnt"),
+        when(est.isNotNull, est <= col("cnt") && col("cnt") - est <= slack)
+          .otherwise(col("cnt") <= slack).as("sketch_consistent"))
+  }
+
   /** Vocabulary-encode the corpus — the tokenize-to-ids handoff a
     * training-data pipeline ends with: build a `vocabSize`-entry
     * vocabulary of the most frequent tokens (rank by freq DESC, token

@@ -218,6 +218,41 @@ class FunctionsKernelSpec extends SparkSpec {
       stats.getInt(3), stats.getInt(4)) == (18, 5, 2, 3, 6))
   }
 
+  test("MisraGriesTopK summary: guarantees hold against exact counts") {
+    import graft.functions.MisraGriesTopK
+    // deterministic skewed stream: token frequency ∝ 1/rank
+    val rnd = new scala.util.Random(7)
+    val stream = (0 until 20000).map { _ =>
+      val r = rnd.nextInt(210)
+      if (r < 60) s"hot${r % 3}" else s"cold${rnd.nextInt(2000)}"
+    }
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val df = stream.map(Tuple1(_)).toDF("token").repartition(16)
+    val row = df.agg(MisraGriesTopK(col("token"), 20).as("s")).head()
+    val s = row.getStruct(0)
+    val n = s.getLong(0)
+    val entries = s.getSeq[org.apache.spark.sql.Row](1)
+      .map(e => e.getString(0) -> e.getLong(1))
+    assert(n == 20000)
+    assert(entries.size <= 20)
+    val m = entries.map(_._2).sum
+    val slack = (n - m) / 21
+    val inSketch = entries.toMap
+    exact.foreach { case (t, c) =>
+      inSketch.get(t) match {
+        case Some(est) => assert(est <= c && c - est <= slack, s"$t est=$est exact=$c slack=$slack")
+        case None => assert(c <= slack, s"absent $t exact=$c slack=$slack")
+      }
+    }
+    // the three hot tokens (freq ≈ 1900 ≫ n/21) must be present
+    (0 until 3).foreach(i => assert(inSketch.contains(s"hot$i")))
+    // serde roundtrip preserves the summary
+    val buf = new MisraGriesTopK.Summary(20)
+    stream.foreach(t => buf.add(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    val back = MisraGriesTopK.Summary.fromBytes(buf.toBytes, 20)
+    assert(back.n == buf.n && back.counts == buf.counts)
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on sorted arrays") {
     val rnd = new scala.util.Random(42)
     val cases = (0 until 200).map { i =>

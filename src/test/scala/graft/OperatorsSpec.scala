@@ -138,6 +138,26 @@ class OperatorsSpec extends SparkSpec {
     assert(tied == Seq((1L, Seq(2, 1)), (2L, Seq(1, 2)))) // y=1, z=2
   }
 
+  test("heavyHitters: exact top-N with sketch verdicts true under tiny k") {
+    // 3 heavy tokens drowned in noise; k=5 forces constant decrements
+    // and cross-partition merges, the regime where MG bounds actually
+    // bite. Every verdict must still be true (the bounds are theorems).
+    val heavy = (1 to 400).map(_ => "aa bb cc").mkString(" ")
+    val noise = (1 to 3000).map(i => s"n$i").mkString(" ")
+    val corpus = Seq((1L, heavy), (2L, noise), (3L, s"$heavy $noise"))
+      .toDF("doc_id", "text").repartition(8)
+    val got = graft.operators.TextAnalysis.heavyHitters(corpus, sketchK = 5, topN = 3)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1).sorted == Seq("aa", "bb", "cc"))
+    assert(got.forall(_._2 == 800L))
+    assert(got.forall(_._3), s"all sketch verdicts must hold: $got")
+    // larger k: heavy tokens are guaranteed PRESENT in the summary
+    // (freq 800 > n/(k+1) = 7600/41) with verdicts still true
+    val roomy = graft.operators.TextAnalysis.heavyHitters(corpus, sketchK = 40, topN = 3)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(roomy.forall(_._3))
+  }
+
   test("splitDecontaminated flags train docs sharing a trigram with eval") {
     import graft.operators.Sampling
     // find one eval-side and two train-side ids under the real hash
