@@ -2329,6 +2329,41 @@ object SparkEntry {
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin)),
 
+    ("x_sketch_kmv",
+      // KMV distinct sketch next to the exact count. Unlike HLL++, KMV
+      // is deterministic given the hash column (the k smallest of a
+      // set are merge-order invariant), so the ESTIMATE hash-matches
+      // the oracle value-for-value — no within_bound indirection.
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          Portable.hash60(col("user_id").cast("string")).as("__h"))
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          round(graft.functions.KMinValues(col("__h"), 64), 4).as("kmv_estimate"))
+        .orderBy("event_type"),
+      Some("""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nh
+        |  FROM h),
+        |est AS (
+        |  SELECT event_type,
+        |    round(CASE WHEN MAX(nh) < 64 THEN CAST(MAX(nh) AS DOUBLE)
+        |          ELSE 63.0 * 1152921504606846976.0
+        |               / CAST(MAX(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END,
+        |      4) AS kmv_estimate
+        |  FROM r GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT ex.event_type, ex.exact_users, est.kmv_estimate
+        |FROM ex JOIN est USING (event_type)
+        |ORDER BY event_type""".stripMargin)),
+
     // ----- rounds-3/4 operators, now oracle-declared (r4 verdict #2) -----
 
     ("x_pii_redact",

@@ -218,6 +218,33 @@ class FunctionsKernelSpec extends SparkSpec {
       stats.getInt(3), stats.getInt(4)) == (18, 5, 2, 3, 6))
   }
 
+  test("KMinValues: deterministic across partitionings, exact below k") {
+    import graft.functions.{KMinValues, Portable}
+    val ids = (1 to 5000).map(i => s"user$i")
+    def estimate(parts: Int): Double = {
+      val df = ids.map(Tuple1(_)).toDF("id").repartition(parts)
+      df.agg(KMinValues(Portable.hash60(col("id")), 64).as("e"))
+        .head().getDouble(0)
+    }
+    // the k smallest of a set are invariant under partitioning/merge
+    // order — the property HLL++ cannot give us
+    val e1 = estimate(1)
+    assert(e1 == estimate(7) && e1 == estimate(32))
+    // ~1/sqrt(62) relative error: 5000 true, accept 25%
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.25, s"estimate $e1 too far from 5000")
+    // fewer than k distinct values: exact, even with duplicates
+    val small = (1 to 300).map(i => s"u${i % 40}").map(Tuple1(_))
+      .toDF("id").repartition(5)
+    val es = small.agg(KMinValues(Portable.hash60(col("id")), 64).as("e"))
+      .head().getDouble(0)
+    assert(es == 40.0)
+    // serde roundtrip
+    val buf = new KMinValues.Sketch(8)
+    (1L to 100L).foreach(v => buf.add(v * 7919L % 1000L))
+    val back = KMinValues.Sketch.fromBytes(buf.toBytes, 8)
+    assert(back.mins == buf.mins && back.estimate == buf.estimate)
+  }
+
   test("MisraGriesTopK summary: guarantees hold against exact counts") {
     import graft.functions.MisraGriesTopK
     // deterministic skewed stream: token frequency ∝ 1/rank
