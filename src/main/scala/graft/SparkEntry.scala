@@ -1323,6 +1323,62 @@ object SparkEntry {
         |GROUP BY label, d.d
         |ORDER BY cell, dim""".stripMargin)),
 
+    ("x_embed_kmeans",
+      // Unsupervised centroid TRAINING: 2 Lloyd iterations from the
+      // deterministic lowest-id seeds. Per-iteration 6dp centroid
+      // rounding + 4dp assignment scores make the whole chain
+      // bit-identical across engines, so the oracle replays both
+      // iterations in SQL.
+      (s, dir) => Similarity.kmeansTrain(Tables.embeddings(s, dir), k = 4, iters = 2)
+        .orderBy("cell", "dim"),
+      Some("""WITH seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding
+        |  FROM embeddings ORDER BY vec_id LIMIT 4),
+        |c0 AS (
+        |  SELECT cell, d.i - 1 AS dim, round(CAST(embedding[d.i] AS DOUBLE), 6) AS mean_v
+        |  FROM seeds, generate_series(1, 64) d(i)),
+        |c0v AS (
+        |  SELECT cell, CAST(CAST(list(mean_v ORDER BY dim) AS FLOAT[]) AS DOUBLE[]) AS centroid
+        |  FROM c0 GROUP BY cell),
+        |s1 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_inner_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+        |      / NULLIF(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_inner_product(c.centroid, c.centroid)), 0), 4) + 0.0 AS cscore
+        |  FROM embeddings e, c0v c),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT a1.cell, d.i - 1 AS dim,
+        |    round(CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / COUNT(*), 6) AS mean_v
+        |  FROM embeddings e JOIN a1 USING (vec_id), generate_series(1, 64) d(i)
+        |  GROUP BY a1.cell, d.i),
+        |c1v AS (
+        |  SELECT cell, CAST(CAST(list(mean_v ORDER BY dim) AS FLOAT[]) AS DOUBLE[]) AS centroid
+        |  FROM c1 GROUP BY cell),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_inner_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+        |      / NULLIF(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_inner_product(c.centroid, c.centroid)), 0), 4) + 0.0 AS cscore
+        |  FROM embeddings e, c1v c),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS rn FROM s2)
+        |  WHERE rn = 1)
+        |SELECT a2.cell, d.i - 1 AS dim,
+        |  round(CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_v,
+        |  COUNT(*) AS n_vectors
+        |FROM embeddings e JOIN a2 USING (vec_id), generate_series(1, 64) d(i)
+        |GROUP BY a2.cell, d.i
+        |ORDER BY cell, dim""".stripMargin)),
+
     ("x_sample_stratified",
       // Deterministic per-language sampling: membership is a pure hash
       // function of doc_id — reproducible across runs/engines/retries.

@@ -169,6 +169,40 @@ object Similarity {
           / count(lit(1)), 6).as("mean_v"),
         count(lit(1)).as("n_vectors"))
 
+  /** Lloyd-iteration KMeans trainer — the unsupervised counterpart of
+    * [[cellCentroids]] for the 100 TB reality that raw embeddings have
+    * no labels: seed with the `k` lowest-id vectors (deterministic — no
+    * rand() init, so runs, retries, and engines agree), then repeat
+    * `iters` rounds of assign ([[assignCells]]: collected centroid
+    * set shipped inside the NearestCentroid kernel, scan → project, no
+    * shuffle) and re-center ([[cellCentroids]]: DECIMAL-summed means
+    * rounded to 6dp). The rounding makes every iteration's centroid
+    * frame bit-identical across engines, so the FULL iteration chain is
+    * oracle-checkable — same discipline as the IVF scoring path.
+    *
+    * Per iteration: one catalog-sized centroid collect plus one
+    * dimension-wise aggregate over the corpus — the standard
+    * distributed-KMeans shape. Cells that lose every member vanish
+    * (k shrinks) rather than being re-seeded, deterministically. */
+  def kmeansTrain(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    // derived-constant partition key over the k-row seed frame (the
+    // same bounded-small window exception as Curation's offsets)
+    val idW = Window.partitionBy(col(idCol) * lit(0)).orderBy(col(idCol))
+    val seeds = emb.orderBy(col(idCol)).limit(k)
+      .withColumn("cell", row_number().over(idW) - 1)
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("cell"), col("dim"),
+        round(col("v").cast("double"), 6).as("mean_v"))
+    (1 to iters).foldLeft(seeds) { (centroids, _) =>
+      val assigned = assignCells(emb, centroids, idCol, vecCol)
+        .select(col(idCol), col("cell"))
+      cellCentroids(emb.join(assigned, idCol), vecCol, cellCol = "cell")
+    }
+  }
+
   /** Recall of an ANN result against the exact ground truth — the
     * evaluation loop every approximate index needs to tune
     * nprobe/centroid count. Per query: the fraction of the true top-k

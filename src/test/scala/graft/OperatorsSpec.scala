@@ -138,6 +138,38 @@ class OperatorsSpec extends SparkSpec {
     assert(tied == Seq((1L, Seq(2, 1)), (2L, Seq(1, 2)))) // y=1, z=2
   }
 
+  test("kmeansTrain recovers separated clusters from lowest-id seeds") {
+    import graft.operators.Similarity
+    // three tight, well-separated clusters in 4-d; ids interleave the
+    // clusters so the 3 lowest-id seeds land one per cluster
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val vecs = (0 until 30).map { i =>
+      val c = centers(i % 3)
+      val jitter = (i / 3) * 0.01f
+      (i.toLong, c.map(_ + jitter))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansTrain(emb, k = 3, iters = 2)
+    // all three cells survive with 10 members each
+    val sizes = trained.select("cell", "n_vectors").distinct()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.keySet == Set(0, 1, 2) && sizes.values.forall(_ == 10L))
+    // purity: every vector assigns to the cell seeded from its cluster
+    val assigned = Similarity.assignCells(emb, trained)
+      .as[(Long, Int, Option[Double])].collect()
+    assert(assigned.forall { case (id, cell, _) => cell == (id % 3) })
+    // the trained centroid's dominant dimension is its cluster's axis
+    val dom = trained.select("cell", "dim", "mean_v")
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (cell, rows) => cell -> rows.maxBy(_._3)._2 }
+    assert(dom == Map(0 -> 0, 1 -> 1, 2 -> 2))
+    // determinism: retraining yields the identical centroid frame
+    val again = Similarity.kmeansTrain(emb, k = 3, iters = 2)
+      .orderBy("cell", "dim").collect().toSeq
+    assert(again == trained.orderBy("cell", "dim").collect().toSeq)
+  }
+
   test("heavyHitters: exact top-N with sketch verdicts true under tiny k") {
     // 3 heavy tokens drowned in noise; k=5 forces constant decrements
     // and cross-partition merges, the regime where MG bounds actually
