@@ -98,16 +98,25 @@ object Similarity {
     * n·cells·dim multiply-adds). Re-run after [[cellCentroids]]
     * retraining to rebuild the index (drift). Building the plan
     * materializes the centroid frame (one catalog-sized job). */
-  def assignCells(vectors: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The [[graft.functions.NearestCentroid]] struct column for a
+    * collected centroid frame — shared by [[assignCells]] (which keeps
+    * id + cell + score) and [[kmeansTrain]] (which keeps the embedding
+    * itself next to the cell, avoiding a corpus self-join per
+    * iteration). Building it materializes the centroid frame (one
+    * catalog-sized job). */
+  private def nearestCentroidCol(centroids: DataFrame, vecCol: Column): Column = {
     val cv = centroidVectors(centroids)
     val cellType = cv.schema("cell").dataType
     val rows = cv.collect().toSeq
       .map(r => (r.get(0), r.getSeq[Float](1)))
-    vectors.select(col(idCol),
-      graft.functions.NearestCentroid(col(vecCol), cellType, rows).as("m"))
-      .select(col(idCol), col("m.cell").as("cell"), col("m.cscore").as("cscore"))
+    graft.functions.NearestCentroid(vecCol, cellType, rows)
   }
+
+  def assignCells(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol),
+      nearestCentroidCol(centroids, col(vecCol)).as("m"))
+      .select(col(idCol), col("m.cell").as("cell"), col("m.cscore").as("cscore"))
 
   /** Multi-probe IVF search — the full index path: each query is
     * assigned to its `nprobe` nearest TRAINED centroids (the
@@ -197,9 +206,12 @@ object Similarity {
       .select(col("cell"), col("dim"),
         round(col("v").cast("double"), 6).as("mean_v"))
     (1 to iters).foldLeft(seeds) { (centroids, _) =>
-      val assigned = assignCells(emb, centroids, idCol, vecCol)
-        .select(col(idCol), col("cell"))
-      cellCentroids(emb.join(assigned, idCol), vecCol, cellCol = "cell")
+      // ONE projection carries the embedding and its nearest cell —
+      // no corpus self-join against a separate assignment frame; the
+      // iteration is scan → project → dimension-wise aggregate.
+      val assigned = emb.select(col(vecCol),
+        nearestCentroidCol(centroids, col(vecCol)).getField("cell").as("cell"))
+      cellCentroids(assigned, vecCol, cellCol = "cell")
     }
   }
 
