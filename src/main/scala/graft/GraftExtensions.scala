@@ -97,6 +97,14 @@ object GraftExtensions {
         case Seq(a, b) => FloatVectorDot(a, b)
         case other => throw new IllegalArgumentException(
           s"float_vector_dot expects (a, b), got ${other.size} args")
+      }),
+    (FunctionIdentifier("byte_vector_dot"),
+      info("byte_vector_dot",
+        "byte_vector_dot(a, b) - integer dot product of two tinyint arrays (int8-quantized vectors), long accumulation"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ByteVectorDot(a, b)
+        case other => throw new IllegalArgumentException(
+          s"byte_vector_dot expects (a, b), got ${other.size} args")
       }))
 
   /** Register all kernel functions on an EXISTING session (the

@@ -265,16 +265,15 @@ object Similarity {
     * Both inputs are [[quantizeInt8]] outputs (`idCol`, `qvec`). */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id"): DataFrame = {
-    def selfDot(v: Column): Column = aggregate(
-      zip_with(v, v, (x, y) => x.cast("int") * y.cast("int")),
-      lit(0L), (acc, e) => acc + e.cast("long"))
+    // integer dots through the ByteVectorDot kernel: one compiled loop
+    // per pair instead of the interpreted zip_with/aggregate fold —
+    // integer addition is associative, so values are bit-identical
+    def selfDot(v: Column): Column = graft.functions.ByteVectorDot(v, v)
     val q = queries.select(col(idCol).as("query_id"), col("qvec").as("qa"),
       selfDot(col("qvec")).as("na"))
     val c = corpus.select(col(idCol).as("cand_id"), col("qvec").as("qb"),
       selfDot(col("qvec")).as("nb"))
-    val dot = aggregate(
-      zip_with(col("qa"), col("qb"), (x, y) => x.cast("int") * y.cast("int")),
-      lit(0L), (acc, e) => acc + e.cast("long"))
+    val dot = graft.functions.ByteVectorDot(col("qa"), col("qb"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score",

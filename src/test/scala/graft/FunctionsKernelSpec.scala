@@ -218,6 +218,33 @@ class FunctionsKernelSpec extends SparkSpec {
       stats.getInt(3), stats.getInt(4)) == (18, 5, 2, 3, 6))
   }
 
+  test("ByteVectorDot equals the zip_with/aggregate fold on int8 vectors") {
+    val rnd = new scala.util.Random(11)
+    // Seq[Byte] encodes as array<tinyint> (Array[Byte] would be BINARY)
+    val cases = (0 until 100).map { i =>
+      def arr(n: Int) = Seq.fill(n)((rnd.nextInt(255) - 127).toByte)
+      (i.toLong, arr(64), arr(64))
+    } :+ ((200L, Seq[Byte](127, -127, 0), Seq[Byte](127, -127, 0))) :+
+      ((201L, Seq.empty[Byte], Seq[Byte](1, 2)))
+    val df = cases.toDF("id", "a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("int") * y.cast("int")),
+      lit(0L), (acc, e) => acc + e.cast("long"))
+    val mismatches = df.select(col("id"),
+      graft.functions.ByteVectorDot(col("a"), col("b")).as("kernel"),
+      hof.as("fold"))
+      .filter(col("kernel") =!= col("fold"))
+    assert(mismatches.count() == 0)
+    // SQL registration carries the kernel too
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("bvd_t")
+    val viaSql = spark.sql(
+      "SELECT sum(byte_vector_dot(a, b)) FROM bvd_t").head().getLong(0)
+    val viaCol = df.select(sum(graft.functions.ByteVectorDot(col("a"), col("b"))))
+      .head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("KMinValues: deterministic across partitionings, exact below k") {
     import graft.functions.{KMinValues, Portable}
     val ids = (1 to 5000).map(i => s"user$i")
