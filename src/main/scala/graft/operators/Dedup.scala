@@ -385,8 +385,7 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, spanTokens: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = spanFrame(docs, spanTokens, idCol, textCol)
-      .select(col(idCol), col("span_no"), col("span_digest"))
+    val spans = spanFrame(docs, spanTokens, idCol, textCol, withText = false)
     val dups = spans.groupBy("span_digest")
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") > 1)
@@ -395,26 +394,22 @@ object Dedup {
   }
 
   /** One row per consecutive `spanTokens`-token span:
-    * (idCol, span_no, span_text, span_digest) — shared by the census
-    * ([[duplicatedSpans]]) and the remover ([[removeDuplicatedSpans]]).
-    * Pure projection + explode; the digest is what downstream shuffles
-    * key on, the text rides only where reassembly needs it. */
+    * (idCol, span_no, [span_text,] span_digest) — shared by the census
+    * ([[duplicatedSpans]], `withText = false`: the exploded stream
+    * carries digests only, never document bodies) and the remover
+    * ([[removeDuplicatedSpans]], which needs the text for reassembly).
+    * The per-row decomposition is ONE [[graft.functions.SpanDigests]]
+    * kernel pass — the `transform`/`slice`/`concat_ws` formulation it
+    * replaced evaluated interpreted lambdas per span and dominated the
+    * census wall time. */
   private def spanFrame(docs: DataFrame, spanTokens: Int,
-      idCol: String, textCol: String): DataFrame = {
-    require(spanTokens >= 1, "spanTokens must be >= 1")
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val nSpans = ((size(toks) + lit(spanTokens - 1)) / lit(spanTokens)).cast("long")
-    val spanIdx = when(size(toks) > 0, sequence(lit(0L), nSpans - 1))
-      .otherwise(array().cast("array<long>"))
-    docs.select(
-        col(idCol),
-        explode(transform(spanIdx, i => struct(
-          i.as("span_no"),
-          concat_ws(" ",
-            slice(toks, (i * spanTokens + 1).cast("int"), lit(spanTokens)))
-            .as("span_text")))).as("s"))
-      .select(col(idCol), col("s.span_no"), col("s.span_text"),
-        md5(col("s.span_text").cast("binary")).as("span_digest"))
+      idCol: String, textCol: String, withText: Boolean): DataFrame = {
+    val base = docs.select(col(idCol),
+      explode(graft.functions.SpanDigests(col(textCol), spanTokens, withText)).as("s"))
+    if (withText)
+      base.select(col(idCol), col("s.span_no"), col("s.span_text"), col("s.span_digest"))
+    else
+      base.select(col(idCol), col("s.span_no"), col("s.span_digest"))
   }
 
   /** The removal half of span-level dedup ([[duplicatedSpans]] is the
@@ -436,7 +431,7 @@ object Dedup {
     * Output: (idCol, clean_text, n_kept, n_dropped). */
   def removeDuplicatedSpans(docs: DataFrame, spanTokens: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = spanFrame(docs, spanTokens, idCol, textCol)
+    val spans = spanFrame(docs, spanTokens, idCol, textCol, withText = true)
     val occ = Window.partitionBy(col("span_digest"))
       .orderBy(col(idCol), col("span_no"))
     val marked = spans.withColumn("__occ", row_number().over(occ))

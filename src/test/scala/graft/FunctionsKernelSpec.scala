@@ -218,6 +218,46 @@ class FunctionsKernelSpec extends SparkSpec {
       stats.getInt(3), stats.getInt(4)) == (18, 5, 2, 3, 6))
   }
 
+  test("SpanDigests matches the transform/slice/concat_ws formulation") {
+    val docs = (corpus ++ Seq(
+      (30L, (1 to 20).map(i => s"t$i").mkString(" ")),   // 2.5 spans of 8
+      (31L, "exactly eight tokens a b c d e"),
+      (32L, "  doubled  spaces collapse   here  "))).toDF("doc_id", "text")
+    for (n <- Seq(1, 3, 8)) {
+      val toksC = filter(split(col("text"), " "), t => t =!= "")
+      val nSpans = ((size(toksC) + lit(n - 1)) / lit(n)).cast("long")
+      val spanIdx = when(size(toksC) > 0, sequence(lit(0L), nSpans - 1))
+        .otherwise(array().cast("array<long>"))
+      val reference = docs.select(col("doc_id"),
+        explode(transform(spanIdx, i => struct(
+          i.as("span_no"),
+          concat_ws(" ", slice(toksC, (i * n + 1).cast("int"), lit(n)))
+            .as("span_text")))).as("s"))
+        .select(col("doc_id"), col("s.span_no"), col("s.span_text"),
+          md5(col("s.span_text").cast("binary")).as("span_digest"))
+        .orderBy("doc_id", "span_no").collect().toSeq
+      val kernel = docs.select(col("doc_id"),
+        explode(graft.functions.SpanDigests(col("text"), n, withText = true)).as("s"))
+        .select(col("doc_id"), col("s.span_no"), col("s.span_text"), col("s.span_digest"))
+        .orderBy("doc_id", "span_no").collect().toSeq
+      assert(kernel == reference, s"spanTokens=$n")
+    }
+    // digest-only variant agrees with the full one, minus the text
+    val a = docs.select(explode(
+      graft.functions.SpanDigests(col("text"), 4, withText = true)).as("s"))
+      .select(col("s.span_no"), col("s.span_digest")).collect().toSeq
+    val b = docs.select(explode(
+      graft.functions.SpanDigests(col("text"), 4, withText = false)).as("s"))
+      .select(col("s.span_no"), col("s.span_digest")).collect().toSeq
+    assert(a == b)
+    // null text → null; empty text → no spans
+    val edge = Seq((1L, null: String), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    assert(edge.select(graft.functions.SpanDigests(col("text"), 4, withText = true))
+      .collect().count(_.isNullAt(0)) == 1)
+    assert(edge.select(explode(
+      graft.functions.SpanDigests(col("text"), 4, withText = true))).count() == 0)
+  }
+
   test("ByteVectorDot equals the zip_with/aggregate fold on int8 vectors") {
     val rnd = new scala.util.Random(11)
     // Seq[Byte] encodes as array<tinyint> (Array[Byte] would be BINARY)
