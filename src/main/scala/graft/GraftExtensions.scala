@@ -105,6 +105,36 @@ object GraftExtensions {
         case Seq(a, b) => ByteVectorDot(a, b)
         case other => throw new IllegalArgumentException(
           s"byte_vector_dot expects (a, b), got ${other.size} args")
+      }),
+    (FunctionIdentifier("text_stats"),
+      info("text_stats",
+        "text_stats(text[, stopwords...]) - single-pass struct(n_chars, n_tokens, n_stop, " +
+          "n_digits, word_tokens); stopwords are STRING literals counted with multiplicity"),
+      (args: Seq[Expression]) => args match {
+        case text +: stops if stops.forall {
+            case Literal(s, t) => s != null && t == org.apache.spark.sql.types.StringType
+            case _ => false
+          } =>
+          TextStats(text, stops.map {
+            case Literal(s, _) => s.toString
+            case _ => throw new IllegalStateException("unreachable")
+          })
+        case other => throw new IllegalArgumentException(
+          s"text_stats expects (text[, stopword STRING literals...]), got $other")
+      }),
+    (FunctionIdentifier("span_digests"),
+      info("span_digests",
+        "span_digests(text, spanTokens[, withText]) - array of struct(span_no, [span_text,] " +
+          "span_digest) for consecutive spanTokens-token spans; md5-hex digests"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) =>
+          SpanDigests(text, intLit(n, "span_digests", "spanTokens"), withText = false)
+        case Seq(text, n, Literal(w: Boolean, _)) =>
+          SpanDigests(text, intLit(n, "span_digests", "spanTokens"), w)
+        case Seq(_, _, w) => throw new IllegalArgumentException(
+          s"span_digests: withText must be a BOOLEAN literal, got $w")
+        case other => throw new IllegalArgumentException(
+          s"span_digests expects (text, spanTokens[, withText literal]), got ${other.size} args")
       }))
 
   /** Register all kernel functions on an EXISTING session (the

@@ -38,6 +38,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq)
   }
 
+  test("SQL text_stats and span_digests match the Column API") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |  text_stats(text, 'the', 'a', 'and', 'of', 'to', 'in') AS st,
+        |  span_digests(text, 3, true) AS sp,
+        |  span_digests(text, 3) AS spd
+        |FROM ext_docs ORDER BY doc_id""".stripMargin).collect()
+    val api = docs.select(col("doc_id"),
+      graft.functions.TextStats(col("text"),
+        Seq("the", "a", "and", "of", "to", "in")).as("st"),
+      graft.functions.SpanDigests(col("text"), 3, withText = true).as("sp"),
+      graft.functions.SpanDigests(col("text"), 3, withText = false).as("spd"))
+      .orderBy("doc_id").collect()
+    assert(sql.toSeq == api.toSeq)
+    // non-literal stopword rejected with a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT text_stats(text, text) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("text_stats"))
+  }
+
   test("SQL sorted_intersect_count and float_vector_dot match the Column API") {
     registered
     val arrs = Seq((Array(1L, 3L, 5L), Array(1L, 2L, 5L), Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
@@ -126,6 +149,7 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("shingle_hashes", "minhash_from_grams", "simhash_from_grams",
-        "sorted_intersect_count", "text_fingerprint", "float_vector_dot"))
+        "sorted_intersect_count", "text_fingerprint", "float_vector_dot",
+        "byte_vector_dot", "text_stats", "span_digests"))
   }
 }

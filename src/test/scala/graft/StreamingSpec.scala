@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -75,6 +76,41 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     q.stop()
     assert(rows.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 9.0)))
+  }
+
+  test("sketch aggregates run under streaming: KMV estimate, MG verdicts") {
+    // the bounded-state sketches compose with Structured Streaming's
+    // incremental aggregation: partial buffers serialize through the
+    // state store between micro-batches, and KMV's merge-order
+    // invariance means the streaming estimate EQUALS the batch one
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val agg = mem.toDF().toDF("grp", "token")
+      .groupBy("grp")
+      .agg(
+        graft.functions.KMinValues(
+          graft.functions.Portable.hash60(col("token")), 16).as("kmv"),
+        graft.functions.MisraGriesTopK(col("token"), 4).as("mg"))
+    val q = agg.writeStream.format("memory").queryName("sk")
+      .outputMode(OutputMode.Complete).start()
+    val batch1 = (1 to 50).map(i => ("a", s"t$i")) :+ (("b", "x"))
+    val batch2 = (30 to 80).map(i => ("a", s"t$i")) :+ (("b", "x")) :+ (("b", "y"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT grp, kmv, mg.n FROM sk ORDER BY grp")
+      .as[(String, Double, Long)].collect().toSeq
+    q.stop()
+    // batch reference over the same union of rows
+    val batchEst = (batch1 ++ batch2).toDF("grp", "token")
+      .groupBy("grp")
+      .agg(graft.functions.KMinValues(
+        graft.functions.Portable.hash60(col("token")), 16).as("kmv"))
+      .orderBy("grp").as[(String, Double)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) == batchEst,
+      "streaming KMV must equal the batch estimate on the same data")
+    assert(rows.map(_._3) == Seq(101L, 3L), "MG n counts every processed row")
   }
 
   test("streaming dedup drops repeats across micro-batches within the watermark") {
