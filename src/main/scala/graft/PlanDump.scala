@@ -17,7 +17,8 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- Seq("td_latest", "td_latest_changes", "rel_join_agg", "x_ann_brute",
         "x_range_join", "x_sessionize", "ts_moving_zscore", "x_pipeline_curate",
-        "x_ann_ivf_assigned", "x_dedup_lsh_verified")) {
+        "x_ann_ivf_assigned", "x_dedup_lsh_verified",
+        "x_text_lm_score", "x_dedup_spans", "x_embed_kmeans", "x_ann_quantized")) {
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

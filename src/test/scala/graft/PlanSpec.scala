@@ -153,6 +153,38 @@ class PlanSpec extends SparkSpec {
     assert(exchanges >= 1, plan)
     val shufflePart = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
     assert(!shufflePart.exists(_.contains("text")), plan)
-    assert(plan.contains("span_digest"), plan)
+    assert(plan.contains("span_digests"), plan)
+  }
+
+  test("text profile is one kernel projection — no shuffle, one text_stats per row") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.TextAnalysis.profile(docs))
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"), plan)
+    // the statsThen two-step must survive optimization as a SINGLE
+    // kernel evaluation: CollapseProject inlining it into all 9 derived
+    // columns would re-run the pass per column
+    val hits = "text_stats".r.findAllIn(plan).size
+    assert(hits == 1, s"expected exactly one text_stats evaluation, got $hits:\n$plan")
+  }
+
+  test("bigram-LM scoring shuffles hashes, never token strings") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.TextAnalysis.lmScores(docs))
+    val shufflePart = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shufflePart.nonEmpty, plan)
+    assert(!shufflePart.exists(_.contains("text")), plan)
+    // vocabulary joins in as a broadcast 1-row frame, not a shuffle
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("quantized top-k scores through the byte_vector_dot kernel") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val quant = graft.operators.Similarity.quantizeInt8(emb)
+    val plan = planOf(graft.operators.Similarity.quantizedTopK(
+      quant, quant.filter(col("vec_id") < 8), k = 5))
+    assert(plan.contains("byte_vector_dot"), plan)
+    // the corpus side streams against a broadcast query side — no
+    // corpus-sized shuffle before the per-query top-k window
+    assert(plan.contains("BroadcastExchange"), plan)
   }
 }
