@@ -2134,6 +2134,41 @@ object SparkEntry {
         |GROUP BY e.query_id
         |ORDER BY e.query_id""".stripMargin)),
 
+    ("x_ann_label_purity",
+      // Embedding-quality eval: per label class, the fraction of each
+      // query's 10 exact nearest neighbors sharing the query's label —
+      // the cheap space-separation check before trusting embeddings for
+      // semantic dedup/curation. Labels ride the scored pair; integer
+      // match counts divide once at the end (engine-exact).
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.labelPurity(emb, emb.filter(col("vec_id") < 32), k = 10)
+          .orderBy("label")
+      },
+      Some("""WITH pairs AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlabel, c.label AS clabel,
+        |         c.vec_id AS cand_id,
+        |         round(list_inner_product(q.e, c.e)
+        |           / NULLIF(sqrt(list_inner_product(q.e, q.e))
+        |              * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings WHERE vec_id < 32) q,
+        |       (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings) c
+        |  WHERE q.vec_id <> c.vec_id),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, cand_id) AS rank
+        |    FROM pairs)
+        |  WHERE rank <= 10)
+        |SELECT qlabel AS label, COUNT(DISTINCT query_id) AS n_queries,
+        |       CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |       round(CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / (COUNT(DISTINCT query_id) * 10), 6) AS purity
+        |FROM top GROUP BY qlabel
+        |ORDER BY label""".stripMargin)),
+
     ("x_simhash_neardup",
       // Hamming-banded simhash near-dup: pigeonhole candidates via an
       // equi-join on 12-bit bands, exact bit_count(xor) on collisions only.

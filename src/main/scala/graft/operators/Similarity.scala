@@ -322,4 +322,43 @@ object Similarity {
             x => abs(x - quant(x, col("scale")).cast("double") * col("scale")))), 6)))
       .drop(vecCol)
   }
+
+  /** Embedding-quality eval: for each query vector, what fraction of its
+    * `k` exact cosine nearest neighbors carry the query's own label?
+    * Reported per label class — low purity flags label noise or an
+    * embedding space that doesn't separate the classes, the standard
+    * cheap eval before trusting embeddings for semantic dedup or
+    * curation.
+    *
+    * The labels ride the scored pair (selected alongside the vectors
+    * before the broadcast cross-score), so there is NO corpus-sized
+    * label-lookup join afterwards; the only shuffle is the per-query
+    * top-k, same as [[bruteForceTopK]]. At 100 TB the query side is a
+    * sample (thousands of rows, broadcastable) while the corpus streams —
+    * exactly this plan. Purity aggregates integer match counts and
+    * divides once at the end (`matched / (k · queries)`), so the result
+    * is bit-identical across engines with no float-sum ordering hazard.
+    *
+    * Output: (label, n_queries, n_matched, purity). */
+  def labelPurity(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      col(labelCol).as("clabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(Portable.cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("qlabel").as("label"))
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L)).as("n_matched"))
+      .withColumn("purity",
+        round(col("n_matched").cast("double") / (col("n_queries") * lit(k.toLong)).cast("double"), 6))
+  }
 }

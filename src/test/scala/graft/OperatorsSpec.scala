@@ -407,6 +407,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((3L, 1), (1L, 2)))
   }
 
+  test("labelPurity counts same-label neighbors per class, exact ratio") {
+    // two clean clusters on the axes + one mislabeled vector (5 carries
+    // label 1 but sits on the y-axis)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.95f, 0.05f), 1),
+      (3L, Array(0.0f, 1.0f), 2), (4L, Array(0.1f, 0.9f), 2),
+      (5L, Array(0.05f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelPurity(emb, emb, k = 2)
+      .orderBy("label")
+      .select("label", "n_queries", "n_matched", "purity")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // label 1: queries 0,1,2 match both x-axis neighbors (6); query 5's
+    // neighbors are 3,4 (label 2) → 0. purity = 6 / (4 * 2)
+    // label 2: queries 3,4 each rank 5 (label 1) in their top-2 → 1 match
+    // each. purity = 2 / (2 * 2)
+    assert(got == Seq((1, 4L, 6L, 0.75), (2, 2L, 2L, 0.5)))
+  }
+
   test("ivfProbeTopK probes only the nearest cells and ranks within them") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 1),   // query: x-axis, lives in cell 1
