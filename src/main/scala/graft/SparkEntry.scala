@@ -1392,6 +1392,24 @@ object SparkEntry {
         |      < (CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'zh' THEN 50 ELSE 25 END)
         |ORDER BY doc_id""".stripMargin)),
 
+    ("x_sample_pergroup",
+      // Exact-k deterministic per-group sample: every source yields
+      // exactly min(k, group size) docs, ranked by the portable id hash
+      // — the eval-set construction primitive (rate-based sampling only
+      // hits the target in expectation).
+      (s, dir) => Sampling.samplePerGroup(Tables.documents(s, dir),
+        idCol = "doc_id", groupCol = "source", k = 15)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank"),
+      Some("""SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |                    doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 15
+        |ORDER BY source, sample_rank""".stripMargin)),
+
     ("x_split_decontam",
       // Leak-free train/eval split: deterministic 20% eval by id hash,
       // then every train doc sharing a distinct word trigram with any

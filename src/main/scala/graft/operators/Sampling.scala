@@ -78,6 +78,33 @@ object Sampling {
           coalesce(col("__leaked"), lit(0L)) <= maxOverlap).as("kept"))
   }
 
+  /** Exact-k deterministic sample per group — the eval-set construction
+    * primitive ("exactly 200 docs per source"). Rows rank within their
+    * group by the portable id hash (a uniform but stable key, tie-broken
+    * by the id itself), and the first `k` win, so group yield is exactly
+    * `min(k, group size)` — unlike [[stratified]], whose rate-based
+    * membership only hits the target in expectation. Re-running, adding
+    * unrelated groups, or switching engines never changes a winner set
+    * until the group itself gains a lower-hashed row.
+    *
+    * Scale shape: the rank-≤-k filter is a row_number window, which
+    * Spark's WindowGroupLimit pushes to a PRE-shuffle group limit — the
+    * exchange carries at most k rows per group per input partition, not
+    * the corpus. */
+  def samplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** The stable per-row ordering key behind [[samplePerGroup]]. */
+  def hashKey(idCol: Column): Column =
+    Portable.hash60(coalesce(idCol.cast("string"), lit("\u0000null-id")))
+
   /** Fractional hash bucket in [0, 1) with 1/10000 resolution — the
     * fine-grained variant of [[bucket]] for data-derived (non-integer)
     * sampling rates. Same determinism contract. */

@@ -23,6 +23,27 @@ class SamplingSpec extends SparkSpec {
     assert(onlyEn.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
   }
 
+  test("samplePerGroup yields exactly min(k, group size), stable under growth") {
+    val got = Sampling.samplePerGroup(docs, "doc_id", "lang", k = 30)
+    val sizes = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("en" -> 30L, "de" -> 30L))
+    // a group smaller than k yields the whole group
+    val tiny = docs.filter(col("doc_id") < 5)
+    val all = Sampling.samplePerGroup(tiny, "doc_id", "lang", k = 30)
+    assert(all.count() == 5)
+    // ranks are 1..k with no gaps and the winner set is a pure function
+    // of the ids: adding an unrelated group never changes existing picks
+    val en = got.filter(col("lang") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    val grown = docs.union(Seq((900L, "zh"), (901L, "zh")).toDF("doc_id", "lang"))
+    val regrown = Sampling.samplePerGroup(grown, "doc_id", "lang", k = 30)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(regrown == en)
+    val ranks = got.filter(col("lang") === "de")
+      .select("sample_rank").as[Int].collect().sorted.toSeq
+    assert(ranks == (1 to 30))
+  }
+
   test("trainTestSplit is disjoint and covers the input, including null ids") {
     val (train, test) = Sampling.trainTestSplit(docs, "doc_id", testPct = 20)
     assert(train.count() + test.count() == 200)
