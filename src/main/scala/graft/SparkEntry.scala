@@ -132,6 +132,63 @@ object SparkEntry {
       Dedup.duplicateClusters(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 2, threshold = 0.2, maxDf = 50)))
 
+  /** DuckDB replay of `TextAnalysis.bpeTrain` for `iters` merges: one
+    * CTE block per iteration — weighted adjacent-pair counts, the
+    * (cnt DESC, l, r) winner, and the greedy non-overlapping re-encode.
+    * Greedy left-to-right selection is expressed relationally: matches
+    * at consecutive positions form a run (they share a symbol), and
+    * greedy keeps exactly the odd offsets within each run, so the
+    * gaps-and-islands window reproduces the Scala fold's choices. The
+    * oracle assumes the corpus doesn't exhaust before `iters` merges
+    * (the Scala side stops early; any non-trivial corpus has pairs). */
+  private def bpeOracleSql(iters: Int): String = {
+    val its = (1 to iters).map { k =>
+      s""",
+         |pairs$k AS MATERIALIZED (
+         |  SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i FROM enc${k - 1})
+         |  GROUP BY 1, 2),
+         |best$k AS MATERIALIZED (SELECT l, r, cnt FROM pairs$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |pos$k AS MATERIALIZED (
+         |  SELECT word, freq, i, s[i] AS sym,
+         |         (i < len(s) AND s[i] = (SELECT l FROM best$k)
+         |                     AND s[i + 1] = (SELECT r FROM best$k)) AS m
+         |  FROM (SELECT word, freq, s, unnest(generate_series(1, len(s))) AS i FROM enc${k - 1})),
+         |sel$k AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS off
+         |    FROM (SELECT word, i, row_number() OVER (PARTITION BY word ORDER BY i) AS rn
+         |          FROM pos$k WHERE m))
+         |  WHERE off % 2 = 1),
+         |enc$k AS MATERIALIZED (
+         |  SELECT p.word, p.freq,
+         |         list(CASE WHEN t.i IS NOT NULL THEN (SELECT l || r FROM best$k)
+         |              ELSE p.sym END ORDER BY p.i) AS s
+         |  FROM pos$k p
+         |  LEFT JOIN sel$k t ON t.word = p.word AND t.i = p.i
+         |  LEFT JOIN sel$k c ON c.word = p.word AND c.i = p.i - 1
+         |  WHERE c.i IS NULL
+         |  GROUP BY p.word, p.freq)""".stripMargin
+    }.mkString
+    val rows = (1 to iters).map { k =>
+      if (k == 1) s"SELECT 1 AS iteration, l AS merge_left, r AS merge_right, cnt AS pair_count FROM best1"
+      else s"SELECT $k, l, r, cnt FROM best$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+       |        FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$')
+       |  GROUP BY 1),
+       |enc0 AS MATERIALIZED (
+       |  SELECT word, freq, list(substr(word, i, 1) ORDER BY i) AS s
+       |  FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM words)
+       |  GROUP BY word, freq)$its
+       |SELECT iteration, merge_left, merge_right, pair_count FROM (
+       |  $rows)
+       |ORDER BY iteration""".stripMargin
+  }
+
   /** Drop the build-artifact memos — MUST accompany `Tables.invalidate()`
     * whenever a data directory is rewritten in-process (the bench's
     * scale-up dir): the memos pin checkpointed frames computed from the
@@ -1683,6 +1740,16 @@ object SparkEntry {
         |SELECT doc_id, list(id ORDER BY pos) AS token_ids
         |FROM enc GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin)),
+
+    ("x_text_bpe",
+      // Distributed BPE tokenizer training: 6 merges learned from the
+      // corpus's word-frequency table (one corpus pass; iterations are
+      // vocab-sized). Output is the trained artifact — the ordered
+      // merge table. The oracle replays every iteration relationally
+      // (weighted pair counts → winner → greedy re-encode).
+      (s, dir) => TextAnalysis.bpeTrain(Tables.documents(s, dir), iters = 6)
+        .orderBy("iteration"),
+      Some(bpeOracleSql(6))),
 
     ("x_text_heavy_hitters",
       // Misra-Gries heavy hitters audited against exact counts: the

@@ -329,6 +329,90 @@ object TextAnalysis {
     * any scale. (Earlier rounds posexploded tokens and aggregated by
     * doc — a full shuffle to compute a per-row value.) Docs with zero
     * tokens yield no row, matching the aggregate formulation. */
+  /** Distributed BPE tokenizer merge training (Sennrich-style): learn
+    * `iters` byte-pair merges from the corpus, most-frequent adjacent
+    * symbol pair first (ties break lexicographically on the pair).
+    * Returns the trained artifact — the ordered merge table
+    * `(iteration, merge_left, merge_right, pair_count)`.
+    *
+    * Scale shape — the classic vocab-table reduction: ONE corpus pass
+    * builds the alphabetic word-frequency table (the only corpus-sized
+    * shuffle), and every iteration after that runs on the vocab frame,
+    * orders of magnitude smaller than the corpus. Per iteration: pair
+    * counts are a hash aggregate over an in-array zip (no per-token
+    * explode of the corpus), the winning pair is a 1-row driver collect
+    * (the same bounded barrier as [[Similarity.kmeansTrain]]'s
+    * centroids), and the re-encode is a per-row array fold — greedy
+    * left-to-right non-overlapping, exactly Sennrich's replacement
+    * semantics. The vocab frame is `localCheckpoint`ed per iteration so
+    * iteration k never recomputes merges 1..k−1; blocks are freed by the
+    * ContextCleaner when the frames are GC'd after training returns.
+    *
+    * Words are lowercased and restricted to `^[a-z]+$` (whitespace
+    * tokens), keeping symbol comparisons byte-identical across engines
+    * and collations. Training stops early if the vocabulary runs out of
+    * adjacent pairs. */
+  def bpeTrain(docs: DataFrame, iters: Int, textCol: String = "text"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(explode(toks(lower(col(textCol)))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", filter(split(col("word"), ""), s => s =!= ""))
+      .select("freq", "syms")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var enc = base
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
+      val top = enc.select(col("freq"), explode(
+          zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it, l, r, cnt))
+        enc = enc.withColumn("syms", bpeMergeOnce(col("syms"), l, r)).localCheckpoint()
+        it += 1
+      }
+    }
+    merges.toSeq.toDF("iteration", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** One greedy left-to-right non-overlapping merge pass: every
+    * occurrence of adjacent symbols (l, r) becomes the single symbol
+    * l+r, earlier occurrences winning overlaps (so `a a a` under (a, a)
+    * → `aa a`, never `a aa`). A fold with an (out, carry) accumulator:
+    * the carry is the last unconsumed symbol; a merge emits l+r and
+    * clears it, so a freshly merged symbol never re-matches in the same
+    * pass — Sennrich's replacement semantics. */
+  private def bpeMergeOnce(syms: Column, l: String, r: String): Column = {
+    val init = struct(
+      lit(Array.empty[String]).as("out"),
+      lit(null).cast("string").as("carry"))
+    aggregate(syms, init,
+      (acc, s) => {
+        val out = acc.getField("out")
+        val carry = acc.getField("carry")
+        when(carry.isNull, struct(out.as("out"), s.as("carry")))
+          .when(carry === lit(l) && s === lit(r),
+            struct(concat(out, array(lit(l + r))).as("out"),
+              lit(null).cast("string").as("carry")))
+          .otherwise(struct(concat(out, array(carry)).as("out"), s.as("carry")))
+      },
+      acc => when(acc.getField("carry").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("carry")))))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol),

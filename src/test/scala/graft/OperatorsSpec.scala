@@ -190,6 +190,33 @@ class OperatorsSpec extends SparkSpec {
     assert(roomy.forall(_._3))
   }
 
+  test("bpeTrain learns the classic low/lower/lowest merges in order") {
+    val docs = Seq((1L, "low low low lower lower lowest"))
+      .toDF("doc_id", "text").repartition(4)
+    val got = graft.operators.TextAnalysis.bpeTrain(docs, iters = 4)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    // it1: (l,o) and (o,w) both weigh 6; tie breaks to the smaller pair
+    assert(got == Seq(
+      (1, "l", "o", 6L), (2, "lo", "w", 6L),
+      (3, "low", "e", 3L), (4, "lowe", "r", 2L)))
+  }
+
+  test("bpeTrain: greedy overlap resolution and early exhaustion") {
+    // 'aaaa': pair (a,a) occurs at 3 positions; greedy left-to-right
+    // merges to [aa, aa] (never [a, aa, a]), then (aa,aa) once, then
+    // the single-symbol word has no pairs — training stops early
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeTrain(docs, iters = 5)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+    // non-alphabetic tokens never reach training: '123' and 't0kens'
+    // are filtered, 'Mixed' lowercases in
+    val mixed = Seq((1L, "Mixed 123 t0kens")).toDF("doc_id", "text")
+    val ml = graft.operators.TextAnalysis.bpeTrain(mixed, iters = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(ml == Seq((1, "e", "d", 1L), (2, "i", "x", 1L)))
+  }
+
   test("splitDecontaminated flags train docs sharing a trigram with eval") {
     import graft.operators.Sampling
     // find one eval-side and two train-side ids under the real hash
