@@ -141,7 +141,7 @@ object SparkEntry {
     * gaps-and-islands window reproduces the Scala fold's choices. The
     * oracle assumes the corpus doesn't exhaust before `iters` merges
     * (the Scala side stops early; any non-trivial corpus has pairs). */
-  private def bpeOracleSql(iters: Int): String = {
+  private def bpeCtes(iters: Int): String = {
     val its = (1 to iters).map { k =>
       s""",
          |pairs$k AS MATERIALIZED (
@@ -170,10 +170,6 @@ object SparkEntry {
          |  WHERE c.i IS NULL
          |  GROUP BY p.word, p.freq)""".stripMargin
     }.mkString
-    val rows = (1 to iters).map { k =>
-      if (k == 1) s"SELECT 1 AS iteration, l AS merge_left, r AS merge_right, cnt AS pair_count FROM best1"
-      else s"SELECT $k, l, r, cnt FROM best$k"
-    }.mkString("\n  UNION ALL ")
     s"""WITH words AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
@@ -183,11 +179,39 @@ object SparkEntry {
        |enc0 AS MATERIALIZED (
        |  SELECT word, freq, list(substr(word, i, 1) ORDER BY i) AS s
        |  FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM words)
-       |  GROUP BY word, freq)$its
+       |  GROUP BY word, freq)$its""".stripMargin
+  }
+
+  private def bpeOracleSql(iters: Int): String = {
+    val rows = (1 to iters).map { k =>
+      if (k == 1) s"SELECT 1 AS iteration, l AS merge_left, r AS merge_right, cnt AS pair_count FROM best1"
+      else s"SELECT $k, l, r, cnt FROM best$k"
+    }.mkString("\n  UNION ALL ")
+    s"""${bpeCtes(iters)}
        |SELECT iteration, merge_left, merge_right, pair_count FROM (
        |  $rows)
        |ORDER BY iteration""".stripMargin
   }
+
+  /** DuckDB replay of `TextAnalysis.bpeEncode` over the merges
+    * `bpeCtes` learns: every document token either takes its trained
+    * word encoding (enc$iters) or passes through as a single opaque
+    * symbol, flattened back in position order. */
+  private def bpeEncodeOracleSql(iters: Int): String =
+    s"""${bpeCtes(iters)},
+       |dtoks AS (
+       |  SELECT doc_id, g.i AS pos, t[g.i] AS tok
+       |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i
+       |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |              FROM documents)) g),
+       |encd AS (
+       |  SELECT d.doc_id, d.pos,
+       |         CASE WHEN regexp_matches(lower(d.tok), '^[a-z]+$$') AND e.s IS NOT NULL
+       |              THEN e.s ELSE [d.tok] END AS enc
+       |  FROM dtoks d LEFT JOIN enc$iters e ON e.word = lower(d.tok))
+       |SELECT doc_id, flatten(list(enc ORDER BY pos)) AS bpe_tokens
+       |FROM encd GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Drop the build-artifact memos — MUST accompany `Tables.invalidate()`
     * whenever a data directory is rewritten in-process (the bench's
@@ -1750,6 +1774,20 @@ object SparkEntry {
       (s, dir) => TextAnalysis.bpeTrain(Tables.documents(s, dir), iters = 6)
         .orderBy("iteration"),
       Some(bpeOracleSql(6))),
+
+    ("x_text_bpe_encode",
+      // End-to-end tokenizer: train 6 merges, then encode the corpus —
+      // merges fold over the DISTINCT vocab and docs take their word
+      // encodings through a broadcast dictionary join (the corpus is
+      // never re-folded). Non-alphabetic tokens pass through opaque.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = TextAnalysis.bpeTrain(docs, iters = 6)
+          .orderBy("iteration").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+      },
+      Some(bpeEncodeOracleSql(6))),
 
     ("x_text_heavy_hitters",
       // Misra-Gries heavy hitters audited against exact counts: the

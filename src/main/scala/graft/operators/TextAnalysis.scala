@@ -388,6 +388,39 @@ object TextAnalysis {
     merges.toSeq.toDF("iteration", "merge_left", "merge_right", "pair_count")
   }
 
+  /** Encode a corpus with a trained BPE merge table ([[bpeTrain]]'s
+    * output, applied in iteration order). Lowercased alphabetic tokens
+    * fold through the merges; any other token passes through as a
+    * single opaque symbol (the byte-fallback analog), so encoding is
+    * total over arbitrary text.
+    *
+    * Scale shape: the merges fold over the DISTINCT normalized vocab —
+    * a projection chain of per-row array folds, vocab-sized, never
+    * corpus-sized — and documents pick up their word encodings through a
+    * broadcast dictionary join (shuffle-join it instead if the vocab
+    * outgrows broadcast), reassembled with the same position-ordered
+    * collect as [[encodeWithVocab]]. Output: (idCol, bpe_tokens). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      posexplode(toks(col(textCol))).as(Seq("__pos", "__tok")))
+      .withColumn("__norm", lower(col("__tok")))
+    val alpha = col("__norm").rlike("^[a-z]+$")
+    val vocab0 = exploded.filter(alpha).select(col("__norm").as("__w")).distinct()
+      .withColumn("__syms", filter(split(col("__w"), ""), s => s =!= ""))
+    val encoded = merges.foldLeft(vocab0) { case (df, (l, r)) =>
+      df.withColumn("__syms", bpeMergeOnce(col("__syms"), l, r))
+    }
+    exploded.join(broadcast(encoded), col("__norm") === col("__w"), "left")
+      .select(col(idCol), col("__pos"),
+        when(alpha && col("__syms").isNotNull, col("__syms"))
+          .otherwise(array(col("__tok"))).as("__enc"))
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__enc")))),
+        e => e.getField("__enc"))).as("bpe_tokens"))
+  }
+
   /** One greedy left-to-right non-overlapping merge pass: every
     * occurrence of adjacent symbols (l, r) becomes the single symbol
     * l+r, earlier occurrences winning overlaps (so `a a a` under (a, a)

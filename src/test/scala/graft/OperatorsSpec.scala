@@ -217,6 +217,21 @@ class OperatorsSpec extends SparkSpec {
     assert(ml == Seq((1, "e", "d", 1L), (2, "i", "x", 1L)))
   }
 
+  test("bpeEncode applies merges in order; opaque passthrough; position order") {
+    val docs = Seq((1L, "low lower 42 Lo!w low")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val got = graft.operators.TextAnalysis.bpeEncode(docs, merges)
+      .as[(Long, Seq[String])].collect().head
+    // 'low' → [low]; 'lower' → [low, e, r]; '42' and 'Lo!w' are not
+    // alphabetic after lowering → single opaque symbols, original case
+    assert(got == (1L ->
+      Seq("low", "low", "e", "r", "42", "Lo!w", "low")))
+    // merge order matters: applying (lo, w) before (l, o) merges nothing
+    val reversed = graft.operators.TextAnalysis.bpeEncode(docs, merges.reverse)
+      .as[(Long, Seq[String])].collect().head
+    assert(reversed._2.take(3) == Seq("lo", "w", "lo"))
+  }
+
   test("splitDecontaminated flags train docs sharing a trigram with eval") {
     import graft.operators.Sampling
     // find one eval-side and two train-side ids under the real hash
