@@ -177,6 +177,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("samplePerGroup rides WindowGroupLimit's pre-shuffle group limit") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.Sampling.samplePerGroup(
+      docs, "doc_id", "source", k = 15))
+    // both the partial (pre-shuffle) and final group limits must appear:
+    // the exchange then carries at most k rows per group per partition
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("labelPurity broadcasts the query side and never joins labels back") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.Similarity.labelPurity(
+      emb, emb.filter(col("vec_id") < 8), k = 5))
+    // labels ride the scored pair: ONE join in the whole plan (the
+    // broadcast cross-score), no corpus-sized label-lookup equi-join
+    assert("Join".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("bpeEncode folds merges on the vocab side only, docs join broadcast") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.TextAnalysis.bpeEncode(
+      docs, Seq(("l", "o"), ("lo", "w"))))
+    // the dictionary join broadcasts the folded vocab; the corpus side
+    // must NOT carry the merge folds (aggregate lambdas) — they belong
+    // to the broadcast build side exclusively
+    assert(plan.contains("BroadcastExchange"), plan)
+    val corpusSide = plan.substring(0, plan.indexOf("BroadcastExchange"))
+    assert(!corpusSide.contains("aggregate(lambda"), corpusSide)
+  }
+
   test("quantized top-k scores through the byte_vector_dot kernel") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val quant = graft.operators.Similarity.quantizeInt8(emb)
