@@ -344,8 +344,11 @@ object TextAnalysis {
     * (the same bounded barrier as [[Similarity.kmeansTrain]]'s
     * centroids), and the re-encode is a per-row array fold — greedy
     * left-to-right non-overlapping, exactly Sennrich's replacement
-    * semantics. The vocab frame is `localCheckpoint`ed per iteration so
-    * iteration k never recomputes merges 1..k−1; blocks are freed by the
+    * semantics. The vocab frame is `localCheckpoint`ed every fourth
+    * iteration — a checkpoint is a whole extra job, while re-running ≤3
+    * codegen'd fold projections over the vocab between checkpoints is
+    * nearly free, so thinning the checkpoints cuts the job count ~40%
+    * without letting lineage grow unboundedly. Blocks are freed by the
     * ContextCleaner when the frames are GC'd after training returns.
     *
     * Words are lowercased and restricted to `^[a-z]+$` (whitespace
@@ -381,7 +384,8 @@ object TextAnalysis {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((it, l, r, cnt))
-        enc = enc.withColumn("syms", bpeMergeOnce(col("syms"), l, r)).localCheckpoint()
+        enc = enc.withColumn("syms", bpeMergeOnce(col("syms"), l, r))
+        if (it % 4 == 0) enc = enc.localCheckpoint()
         it += 1
       }
     }
