@@ -188,6 +188,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("BPE merge fold ≡ reference greedy merge, exhaustive over {a,b}^≤5") {
+    // driver-side reference: greedy left-to-right non-overlapping
+    def refMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    // every word over {a,b} of length 1..5 — covers runs (overlap
+    // resolution), alternations, and boundary merges exhaustively
+    val words = (1 to 5).flatMap(n =>
+      Seq.fill(n)(Seq("a", "b")).foldLeft(Seq(Seq.empty[String])) {
+        (acc, cs) => acc.flatMap(p => cs.map(p :+ _))
+      }).map(_.mkString)
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    for {
+      l <- Seq("a", "b"); r <- Seq("a", "b")
+    } {
+      val got = graft.operators.TextAnalysis.bpeEncode(docs, Seq((l, r)))
+        .collect().map(row => row.getLong(0) -> row.getSeq[String](1)).toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        val expected = refMerge(w.map(_.toString), l, r)
+        assert(got(i.toLong) == expected, s"word=$w merge=($l,$r)")
+      }
+    }
+  }
+
   test("duplicateClusters labels equal BFS components on random pair graphs") {
     for (seed <- 1L to 4L) {
       val pairs = Gen.listOfN(15,
