@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~100 codegen'd queries per bench/verify run generate enough classes
+  // to exhaust the default 240m code cache; when that happens the JIT
+  // disables itself ("CodeCache is full") and every query measured after
+  // that point runs partly interpreted — a 5-10x inflation that looks
+  // like a plan regression but isn't.
+  "-XX:ReservedCodeCacheSize=512m",
 )

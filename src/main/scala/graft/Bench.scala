@@ -308,6 +308,14 @@ object Bench {
         // r5 committed ratios. (timeAux's discarded warmup then charges
         // first-touch planning to warmup, not to the ratio.)
         spark.catalog.clearCache()
+        // Two GC cycles with a settle between them: the first hands the
+        // run's accumulated broadcasts/shuffles to the ASYNC
+        // ContextCleaner, whose removal tasks would otherwise compete
+        // with the timed jobs (the r6 full-run 7x sessionize outlier
+        // re-measured at 1.3x isolated); the pause lets that queue drain
+        // and the second cycle collects what the cleanup itself freed.
+        System.gc()
+        Thread.sleep(2000)
         System.gc()
         val entries = upSet.flatMap(timeAux(_, upDir)).map { case (name, t) =>
           val ratio = largeTimes.get(name).map(l => t / l)
