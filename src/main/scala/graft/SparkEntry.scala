@@ -962,6 +962,55 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    ("x_dedup_incremental_lsh",
+      // Incremental NEAR-dup: which incoming docs (doc_id % 5 = 0, the
+      // batch) LSH-collide with the already-ingested corpus (the other
+      // 80%) — the fuzzy counterpart of x_dedup_incremental; the join
+      // is band-keyed against the seen side's capped posting lists,
+      // O(batch + collisions), never history x batch.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incrementalNearDup(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          n = 2, numHashes = 16, bands = 8)
+          .orderBy("new_id", "seen_id")
+      },
+      Some {
+        val perms = (0 until 16).map { i =>
+          val (a, b) = Portable.minHashCoeffs(i)
+          s"($i, $a, $b)"
+        }.mkString(", ")
+        s"""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
+        |  WHERE g.i <= len(t) - 1),
+        |perms(i, a, b) AS (VALUES $perms),
+        |sigs AS (
+        |  SELECT doc_id, i, min((a * sh + b) % 2147483647) AS sig
+        |  FROM grams, perms GROUP BY doc_id, i),
+        |banded AS (
+        |  SELECT doc_id, i // 2 AS band, string_agg(sig::VARCHAR, ',' ORDER BY i) AS band_key
+        |  FROM sigs GROUP BY doc_id, i // 2),
+        |seen AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
+        |-- the maxBucket cap applies to the SEEN side's posting lists,
+        |-- mirroring the Spark operator by construction
+        |seencap AS (
+        |  SELECT band, band_key FROM seen GROUP BY band, band_key
+        |  HAVING COUNT(*) <= 1000)
+        |SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS seen_id
+        |FROM banded l
+        |JOIN seen r ON l.band = r.band AND l.band_key = r.band_key
+        |JOIN seencap c ON c.band = r.band AND c.band_key = r.band_key
+        |WHERE l.doc_id % 5 = 0 AND l.doc_id <> r.doc_id
+        |ORDER BY new_id, seen_id""".stripMargin
+      }),
+
     ("x_dedup_lsh_verified",
       // Generate-then-verify: LSH banding proposes candidates, exact
       // Jaccard on ONLY those pairs drops the banding false-positives.

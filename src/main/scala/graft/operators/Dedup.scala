@@ -171,14 +171,15 @@ object Dedup {
   /** Per-bucket posting lists of the MinHash-LSH banding: (band,
     * band_key, ids). Shared by candidate generation and drop
     * accounting. */
-  private def lshBucketsFromWide(wide: DataFrame, numHashes: Int, bands: Int,
+  /** Per-row (id, band, band_key) projection off the wide signature
+    * frame — band keys come straight off the row (sig columns are
+    * already in band order): no unpivot and no (id, band)
+    * re-aggregation shuffle between the signature projection and
+    * whatever consumes the keys. */
+  private def bandKeyRows(wide: DataFrame, numHashes: Int, bands: Int,
       idCol: String): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
-    // Band keys come straight off the wide signature row as a projection
-    // (sig columns are already in band order) — no unpivot and no
-    // (id, band) re-aggregation shuffle between the signature aggregate
-    // and the bucket aggregate.
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (b * rows until (b + 1) * rows)
@@ -187,9 +188,13 @@ object Dedup {
     wide
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  private def lshBucketsFromWide(wide: DataFrame, numHashes: Int, bands: Int,
+      idCol: String): DataFrame =
+    bandKeyRows(wide, numHashes, bands, idCol)
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-  }
 
   private def lshCandidatesFromWide(wide: DataFrame, numHashes: Int, bands: Int,
       idCol: String, maxBucket: Int): DataFrame = {
@@ -362,6 +367,40 @@ object Dedup {
     val verified = digested.filter(maybeSeen(col("digest")))
       .join(seen.select(col(seenDigestCol).as("digest")), Seq("digest"), "left_anti")
     definitelyNew.unionByName(verified)
+  }
+
+  /** Incremental NEAR-dup: which incoming docs LSH-collide with the
+    * already-ingested corpus — the fuzzy counterpart of
+    * [[incrementalNew]], closing the continuous-ingest story for
+    * near-duplicates (exact digests only catch byte-identical
+    * re-ingests; a re-crawled page with a new timestamp sails past
+    * them). Emits candidate (new_id, seen_id) pairs sharing ≥1 MinHash
+    * band key; feed them to the same exact-Jaccard verify as
+    * [[minHashLshVerified]] when banding precision isn't enough.
+    *
+    * Scale shape: both sides' band keys are pure kernel projections
+    * (ShingleHashes → MinHashFromGrams, zero shuffle); the join is
+    * band-keyed — O(batch + collisions), never history × batch. The
+    * seen side aggregates to capped posting lists FIRST
+    * ([[DefaultMaxBucket]]: a band key matching a meaningful fraction
+    * of history is boilerplate, not similarity), so a degenerate key
+    * can't explode the join; in a real ingest loop the seen side's
+    * (band, band_key, ids) index is computed once per epoch and reused
+    * across batches — exactly the frame this method builds internally. */
+  def incrementalNearDup(incoming: DataFrame, seen: DataFrame,
+      n: Int, numHashes: Int, bands: Int,
+      maxBucket: Int = DefaultMaxBucket,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be > 1")
+    val newKeys = bandKeyRows(
+      minHashWide(incoming, n, numHashes, idCol, textCol), numHashes, bands, idCol)
+    val seenIndex = lshBucketsFromWide(
+      minHashWide(seen, n, numHashes, idCol, textCol), numHashes, bands, idCol)
+      .filter(size(col("ids")) <= maxBucket)
+    newKeys.join(seenIndex, Seq("band", "band_key"))
+      .select(col(idCol).as("new_id"), explode(col("ids")).as("seen_id"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .distinct()
   }
 
   /** Cross-document duplicated-span census — the detection pass of

@@ -610,6 +610,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set(3L, 4L)) // doc 2's text == doc 1's → already seen
   }
 
+  test("incrementalNearDup collides with the seen side only, never batch-internal") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val seen = Seq((1L, text), (2L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    // 10 and 11 are identical near-dups of seen doc 1; 12 is novel —
+    // and 10/11 must NOT pair with each other (batch-internal dup is
+    // the standard x_dedup_lsh's job, not ingest screening's)
+    val incoming = Seq((10L, text), (11L, text),
+      (12L, "unrelated fresh content nothing shared at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(incoming, seen,
+      n = 2, numHashes = 16, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (11L, 1L)))
+  }
+
   test("normalize lowercases, strips punctuation, collapses whitespace") {
     val d = Seq((1L, "  Hello,   WORLD!! 42 ")).toDF("doc_id", "text")
     val got = TextAnalysis.normalize(d).select("norm_text").as[String].head()
