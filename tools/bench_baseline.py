@@ -47,15 +47,37 @@ def main(sfdir, oracle_json, out_path):
             times[name] = f"ERROR {str(e)[:120]}"
         print(f"{name}: {times[name]}")
 
+    # Merge with an existing anchor: per-query MIN across independent
+    # process runs. One in-process min-of-3 still inherits that process's
+    # host-load epoch (observed headline-sum swings of 50% between
+    # otherwise-identical regens); the cross-run min converges both
+    # engines' anchors to the same steady-state discipline the Spark
+    # bench applies per query.
+    runs = 1
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prev = json.load(fh)
+            runs = prev.get("runs", 1) + 1
+            for name, t in prev.get("times", {}).items():
+                if isinstance(t, float) and isinstance(times.get(name), float):
+                    times[name] = min(times[name], t)
+                elif name not in times:
+                    times[name] = t
+        except Exception as e:  # noqa: BLE001 - a corrupt anchor just restarts
+            print(f"no merge ({e}); writing fresh")
+
     out = {
         "sf": os.path.basename(os.path.normpath(sfdir)),
         "engine": "duckdb " + duckdb.__version__,
-        "method": "min of 3 runs per oracle query, identical parquet, same host",
+        "method": "min of 3 runs per oracle query, identical parquet, same "
+                  "host; per-query min merged across independent regen runs",
+        "runs": runs,
         "times": times,
     }
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
-    print(f"wrote {out_path}")
+    print(f"wrote {out_path} (runs={runs})")
 
 
 if __name__ == "__main__":
