@@ -18,10 +18,15 @@ object PlanDump {
     for (name <- Seq("td_latest", "td_latest_changes", "rel_join_agg", "x_ann_brute",
         "x_range_join", "x_sessionize", "ts_moving_zscore", "x_pipeline_curate",
         "x_ann_ivf_assigned", "x_dedup_lsh_verified",
-        "x_text_lm_score", "x_dedup_spans", "x_embed_kmeans", "x_ann_quantized")) {
+        "x_text_lm_score", "x_dedup_spans", "x_embed_kmeans", "x_ann_quantized",
+        "x_sample_pergroup", "x_ann_label_purity", "x_dedup_incremental_lsh")) {
       println(s"\n===== $name =====")
+      // Literal control characters in plan strings (e.g. the sampler's
+      // NUL null-id sentinel) would make PLANS.md a binary file —
+      // escape them so the dump stays diffable text.
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+        org.apache.spark.sql.execution.FormattedMode)
+        .flatMap(c => if (c < ' ' && c != '\n' && c != '\t') f"\\u${c.toInt}%04x" else c.toString))
     }
     spark.stop()
   }
