@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale stress for the LLM-data-pipeline family: N synthetic documents
+  * (default 200k × ~100 tokens ≈ 20M tokens, 20–40× the sf0.1 bench
+  * corpus; pass an arg for more) through the dedup / text-kernel / BPE
+  * paths, wall times printed per stage. Generation is distributed
+  * (`spark.range` + expression-synthesized text — no driver-side data)
+  * and deterministic: every tenth doc reuses an earlier doc's seed, so
+  * the corpus has a known 10% exact-duplicate rate for the dedup stages
+  * to find, and token text is drawn from a 50k-word synthetic
+  * vocabulary so the LSH/BPE vocab tables have realistic cardinality.
+  *
+  * The corpus also carries a designed NEAR-dup structure: the token
+  * body is modular in the seed, so seeds 50 000 apart share all 100
+  * body tokens and differ only in the leading seed token (99/101
+  * common tokens) — at 200k docs that's ~324k planted near-dup pairs,
+  * which the LSH stage must find without the exact-dup stage seeing
+  * them (verified: candidate count splits 18k exact + ~324k near).
+  *
+  * `sbt "runMain graft.StressDocs [docs]"`.
+  */
+object StressDocs {
+  def main(args: Array[String]): Unit = {
+    val docs = if (args.nonEmpty) args(0).toLong else 200000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress-docs] ${(System.nanoTime() - t0) / 1e9}%8.2f s  $name")
+      r
+    }
+
+    // seed: every 10th doc replays doc seed/10 → exact-dup clusters.
+    // tokens: 100 per doc from a 50k-word space, position-mixed so
+    // adjacent docs share vocabulary but not shingles.
+    val corpus = spark.range(docs)
+      .withColumn("seed", when(col("id") % 10 === 0, col("id") / 10).otherwise(col("id")))
+      .select(col("id").as("doc_id"),
+        // leading seed token makes text a bijection of the seed (the
+        // 50k-modular body alone would collide seeds ≡ mod 50000);
+        // the body keeps vocabulary cardinality realistic at 50k words
+        concat_ws(" ",
+          concat(lit("d"), col("seed")),
+          concat_ws(" ", transform(sequence(lit(0), lit(99)),
+            i => concat(lit("w"), pmod(col("seed") * 31 + i * 7919 + i * i, lit(50000)))))).as("text"))
+      .localCheckpoint() // materialize once; stages time their own work, not generation
+    println(s"[stress-docs] corpus: ${corpus.count()} docs × 100 tokens")
+
+    timed("exact dedup (digest agg)") {
+      val kept = graft.operators.Dedup.exact(corpus).count()
+      println(s"[stress-docs]   kept $kept of $docs (expect ~${docs - docs / 10 + docs / 100})")
+    }
+    timed("TextStats profile (kernel projection + agg)") {
+      graft.operators.TextAnalysis.profile(corpus)
+        .agg(avg("quality"), sum("approx_bpe_tokens")).head()
+    }
+    timed("MinHash-LSH candidates (16 hashes, 8 bands, capped buckets)") {
+      val pairs = graft.operators.Dedup.minHashLshCandidates(
+        corpus, n = 2, numHashes = 16, bands = 8).count()
+      println(s"[stress-docs]   candidate pairs: $pairs " +
+        "(exact-dup clusters + planted 99/101-token near-dups)")
+    }
+    timed("span census (span_digests kernel + digest agg)") {
+      graft.operators.Dedup.duplicatedSpans(corpus).count()
+    }
+    timed("incremental near-dup (1% batch vs 99% history)") {
+      graft.operators.Dedup.incrementalNearDup(
+        corpus.filter(col("doc_id") % 100 === 0),
+        corpus.filter(col("doc_id") % 100 =!= 0),
+        n = 2, numHashes = 16, bands = 8).count()
+    }
+    timed("BPE train (4 merges on the word-frequency table)") {
+      // synthetic words are 'w<digits>' — not [a-z]+, so train on a
+      // letter-mapped projection to exercise the real path
+      val alpha = corpus.select(col("doc_id"),
+        translate(col("text"), "0123456789", "abcdefghij").as("text"))
+      graft.operators.TextAnalysis.bpeTrain(alpha, iters = 4).count()
+    }
+    timed("per-group exact-k sample (k=1000 over 20 synthetic groups)") {
+      graft.operators.Sampling.samplePerGroup(
+        corpus.withColumn("grp", pmod(col("doc_id"), lit(20))),
+        "doc_id", "grp", k = 1000).count()
+    }
+    spark.stop()
+  }
+}
