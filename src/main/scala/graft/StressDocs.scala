@@ -74,10 +74,20 @@ object StressDocs {
     timed("span census (span_digests kernel + digest agg)") {
       graft.operators.Dedup.duplicatedSpans(corpus).count()
     }
-    timed("incremental near-dup (1% batch vs 99% history)") {
+    timed("incremental near-dup, one-shot (1% batch + full index rebuild)") {
       graft.operators.Dedup.incrementalNearDup(
         corpus.filter(col("doc_id") % 100 === 0),
         corpus.filter(col("doc_id") % 100 =!= 0),
+        n = 2, numHashes = 16, bands = 8).count()
+    }
+    val index = timed("near-dup index build (once per ingest epoch)") {
+      graft.operators.Dedup.nearDupIndex(
+        corpus.filter(col("doc_id") % 100 =!= 0),
+        n = 2, numHashes = 16, bands = 8).localCheckpoint()
+    }
+    timed("incremental near-dup vs PREBUILT index (per-batch marginal cost)") {
+      graft.operators.Dedup.incrementalNearDupAgainst(
+        corpus.filter(col("doc_id") % 100 === 0), index,
         n = 2, numHashes = 16, bands = 8).count()
     }
     timed("BPE train (4 merges on the word-frequency table)") {

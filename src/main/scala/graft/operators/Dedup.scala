@@ -390,14 +390,40 @@ object Dedup {
   def incrementalNearDup(incoming: DataFrame, seen: DataFrame,
       n: Int, numHashes: Int, bands: Int,
       maxBucket: Int = DefaultMaxBucket,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    incrementalNearDupAgainst(incoming,
+      nearDupIndex(seen, n, numHashes, bands, maxBucket, idCol, textCol),
+      n, numHashes, bands, idCol, textCol)
+
+  /** The seen side's (band, band_key, ids) posting-list index as a
+    * first-class build product: compute it once per ingest epoch,
+    * persist/write it, and screen every batch with
+    * [[incrementalNearDupAgainst]] — the one-shot
+    * [[incrementalNearDup]] rebuilds this frame per call, paying the
+    * whole history's signature+bucket cost on every batch; against a
+    * prebuilt index the batch pays only its own keys plus the join
+    * (StressDocs times both shapes at 1M docs / 10k batch).
+    * Buckets over `maxBucket` are dropped here, at build time, with the
+    * usual boilerplate-key rationale ([[DefaultMaxBucket]]). */
+  def nearDupIndex(seen: DataFrame, n: Int, numHashes: Int, bands: Int,
+      maxBucket: Int = DefaultMaxBucket,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxBucket > 1, "maxBucket must be > 1")
-    val newKeys = bandKeyRows(
-      minHashWide(incoming, n, numHashes, idCol, textCol), numHashes, bands, idCol)
-    val seenIndex = lshBucketsFromWide(
+    lshBucketsFromWide(
       minHashWide(seen, n, numHashes, idCol, textCol), numHashes, bands, idCol)
       .filter(size(col("ids")) <= maxBucket)
-    newKeys.join(seenIndex, Seq("band", "band_key"))
+  }
+
+  /** Screen a batch against a prebuilt [[nearDupIndex]]. `n`,
+    * `numHashes`, and `bands` must match the index's build parameters
+    * (band keys are concatenations of the signature components, so a
+    * mismatch joins on incompatible keys and silently finds nothing). */
+  def incrementalNearDupAgainst(incoming: DataFrame, index: DataFrame,
+      n: Int, numHashes: Int, bands: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newKeys = bandKeyRows(
+      minHashWide(incoming, n, numHashes, idCol, textCol), numHashes, bands, idCol)
+    newKeys.join(index, Seq("band", "band_key"))
       .select(col(idCol).as("new_id"), explode(col("ids")).as("seen_id"))
       .filter(col("new_id") =!= col("seen_id"))
       .distinct()

@@ -624,6 +624,19 @@ class OperatorsSpec extends SparkSpec {
       n = 2, numHashes = 16, bands = 8)
       .as[(Long, Long)].collect().toSet
     assert(got == Set((10L, 1L), (11L, 1L)))
+    // the prebuilt-index path is the same operator split at the epoch
+    // boundary: identical result, and the index survives reuse across
+    // two different batches
+    val idx = Dedup.nearDupIndex(seen, n = 2, numHashes = 16, bands = 8)
+    val viaIdx = Dedup.incrementalNearDupAgainst(incoming, idx,
+      n = 2, numHashes = 16, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(viaIdx == got)
+    val second = Dedup.incrementalNearDupAgainst(
+      Seq((20L, text)).toDF("doc_id", "text"), idx,
+      n = 2, numHashes = 16, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(second == Set((20L, 1L)))
   }
 
   test("normalize lowercases, strips punctuation, collapses whitespace") {
