@@ -159,6 +159,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup screening against a prebuilt epoch index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val history = Seq((1L, text),
+      (2L, "completely different words entirely here now")).toDF("doc_id", "text")
+    // the epoch index builds ONCE outside the stream (store-resident in
+    // a real loop); each micro-batch pays only its own band keys
+    val index = Dedup.nearDupIndex(history, n = 2, numHashes = 16, bands = 8)
+      .localCheckpoint()
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged.synchronized {
+          flagged ++= Dedup.incrementalNearDupAgainst(batch, index,
+            n = 2, numHashes = 16, bands = 8)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    mem.addData((10L, text), (11L, "unrelated fresh content nothing shared at all"))
+    q.processAllAvailable()
+    mem.addData((12L, text))
+    q.processAllAvailable()
+    q.stop()
+    assert(flagged.toSet == Set((10L, 1L), (12L, 1L)))
+  }
+
   test("streaming sessionize: gap split, cross-batch disorder, watermark-final emission") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
