@@ -209,7 +209,8 @@ object SparkEntry {
        |         CASE WHEN regexp_matches(lower(d.tok), '^[a-z]+$$') AND e.s IS NOT NULL
        |              THEN e.s ELSE [d.tok] END AS enc
        |  FROM dtoks d LEFT JOIN enc$iters e ON e.word = lower(d.tok))
-       |SELECT doc_id, flatten(list(enc ORDER BY pos)) AS bpe_tokens
+       |SELECT doc_id,
+       |  array_to_string(flatten(list(enc ORDER BY pos)), ' ') AS bpe_tokens
        |FROM encd GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
@@ -1722,8 +1723,12 @@ object SparkEntry {
       // int8 array + reconstruction bound, hash-matched element-wise
       // against DuckDB computing the identical floor-based round. The
       // 4x storage cut is the point; the oracle proves both engines
-      // agree on every quantized byte.
+      // agree on every quantized byte. The operator keeps its array
+      // output; the declared COMPARISON projection stringifies it
+      // (the rel_collect convention) so the driver comparator can
+      // sort/hash the column.
       (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .withColumn("qvec", array_join(col("qvec").cast("array<string>"), ","))
         .orderBy("vec_id"),
       Some("""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1733,11 +1738,12 @@ object SparkEntry {
         |         round(list_max(list_transform(v, x -> abs(x))) / 127.0, 6) AS scale
         |  FROM e)
         |SELECT vec_id, scale,
-        |  CASE WHEN scale = 0
-        |       THEN list_transform(v, x -> CAST(0 AS TINYINT))
-        |       ELSE list_transform(v, x -> CAST(
-        |              greatest(-127, least(127, floor(x / scale + 0.5))) AS TINYINT)) END
-        |    AS qvec,
+        |  array_to_string(
+        |    CASE WHEN scale = 0
+        |         THEN list_transform(v, x -> CAST(CAST(0 AS TINYINT) AS VARCHAR))
+        |         ELSE list_transform(v, x -> CAST(CAST(
+        |                greatest(-127, least(127, floor(x / scale + 0.5))) AS TINYINT) AS VARCHAR)) END,
+        |    ',') AS qvec,
         |  CASE WHEN scale = 0 THEN 0.0
         |       ELSE round(list_max(list_transform(v, x -> abs(
         |              x - greatest(-127, least(127, floor(x / scale + 0.5))) * scale))), 6) END
@@ -1793,7 +1799,11 @@ object SparkEntry {
       // Vocabulary encoding: top-50 token vocab (freq DESC, token ASC
       // ties), every doc as its id sequence, OOV → 0 — the corpus→ids
       // handoff a pretraining pipeline feeds the tokenizer shard step.
+      // Comparison projection joins the id sequence to a string (the
+      // rel_collect convention) — the operator itself returns arrays.
       (s, dir) => TextAnalysis.encodeWithVocab(Tables.documents(s, dir), vocabSize = 50)
+        .withColumn("token_ids",
+          array_join(col("token_ids").cast("array<string>"), ","))
         .orderBy("doc_id"),
       Some("""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -1810,7 +1820,8 @@ object SparkEntry {
         |enc AS (
         |  SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS id
         |  FROM pos p LEFT JOIN vocab v ON v.tok = p.tok)
-        |SELECT doc_id, list(id ORDER BY pos) AS token_ids
+        |SELECT doc_id,
+        |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',') AS token_ids
         |FROM enc GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin)),
 
@@ -1834,7 +1845,11 @@ object SparkEntry {
         val merges = TextAnalysis.bpeTrain(docs, iters = 6)
           .orderBy("iteration").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+        TextAnalysis.bpeEncode(docs, merges)
+          // Comparison projection (rel_collect convention): space-join
+          // the token stream so the driver can sort/hash the column.
+          .withColumn("bpe_tokens", array_join(col("bpe_tokens"), " "))
+          .orderBy("doc_id")
       },
       Some(bpeEncodeOracleSql(6))),
 
