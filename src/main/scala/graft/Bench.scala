@@ -210,6 +210,35 @@ object Bench {
           None
       }
     }
+    // Executor-state reset, run before EACH aux evidence section (r6
+    // lesson: the reset preceded only `scale_up`, so `scaling` timings
+    // ran straight out of the 55-query bench and committed artifacts
+    // like x_dedup_clusters small-side 5.52 s vs ~1 s isolated, and
+    // scale_up's FIRST query still absorbed residual interference —
+    // committed td_latest_changes 10× ratio 10.14 vs 1.76 isolated,
+    // two rounds running). Two GC cycles with a settle between them:
+    // the first hands accumulated broadcasts/shuffles to the ASYNC
+    // ContextCleaner, whose removal tasks would otherwise compete with
+    // the timed jobs; the pause lets that queue drain and the second
+    // cycle collects what the cleanup itself freed.
+    def resetExecutorState(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(2000)
+      System.gc()
+    }
+    // Sacrificial timing: even after the reset, the FIRST timed query
+    // of a section soaks up whatever asynchronous work survives the
+    // drain (listener-bus tail, lazily-triggered cleanup). Run the
+    // section's first query through the full timing protocol once and
+    // DISCARD the result, so every kept number runs in the same
+    // quiesced state. Failures surface in the real pass, not here.
+    def sacrifice(names: Seq[String], dir: String): Unit =
+      names.headOption.foreach { n =>
+        val before = auxErrors.length
+        timeAux(n, dir)
+        auxErrors.remove(before, auxErrors.length - before)
+      }
 
     // Scaling evidence: the heaviest queries re-timed on the 10×-smaller
     // sibling dir. ratio = wall(measured sf) / wall(sf/10); a ratio far
@@ -235,6 +264,8 @@ object Bench {
     }
     val largeTimes = (results ++ extResults).collect { case (k, Right(v)) => k -> v }.toMap
     val scalingJson = smallDir.map { dir =>
+      resetExecutorState()
+      sacrifice(scalingSet, dir)
       scalingSet.flatMap(timeAux(_, dir)).collect {
         case (k, s) if largeTimes.contains(k) && s > 0 =>
           val l = largeTimes(k)
@@ -307,16 +338,8 @@ object Bench {
         // garbage behind — exactly the interference that inflated the
         // r5 committed ratios. (timeAux's discarded warmup then charges
         // first-touch planning to warmup, not to the ratio.)
-        spark.catalog.clearCache()
-        // Two GC cycles with a settle between them: the first hands the
-        // run's accumulated broadcasts/shuffles to the ASYNC
-        // ContextCleaner, whose removal tasks would otherwise compete
-        // with the timed jobs (the r6 full-run 7x sessionize outlier
-        // re-measured at 1.3x isolated); the pause lets that queue drain
-        // and the second cycle collects what the cleanup itself freed.
-        System.gc()
-        Thread.sleep(2000)
-        System.gc()
+        resetExecutorState()
+        sacrifice(upSet, upDir)
         val entries = upSet.flatMap(timeAux(_, upDir)).map { case (name, t) =>
           val ratio = largeTimes.get(name).map(l => t / l)
           JsonUtil.quote(name) +
