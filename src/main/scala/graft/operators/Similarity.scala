@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.Portable
 
@@ -197,22 +198,43 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
-    // derived-constant partition key over the k-row seed frame (the
-    // same bounded-small window exception as Curation's offsets)
-    val idW = Window.partitionBy(col(idCol) * lit(0)).orderBy(col(idCol))
-    val seeds = emb.orderBy(col(idCol)).limit(k)
-      .withColumn("cell", row_number().over(idW) - 1)
-      .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-      .select(col("cell"), col("dim"),
-        round(col("v").cast("double"), 6).as("mean_v"))
-    (1 to iters).foldLeft(seeds) { (centroids, _) =>
+    // Seeds: the k lowest-id vectors, cell = rank. Quantization (6dp
+    // double round, then float — identical to what centroidVectors
+    // does to every later iteration's means) runs IN-ENGINE so the
+    // seed bytes match the oracle's replay; the driver only indexes k
+    // collected rows. One TakeOrdered job replaces the old window +
+    // posexplode + reshape-aggregate chain.
+    val seedRows = emb.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol),
+        v => round(v.cast("double"), 6).cast("float")).as("c"))
+      .collect()
+    var centroidPairs: Seq[(Any, Seq[Float])] = seedRows.toSeq.zipWithIndex
+      .map { case (r, i) => (Int.box(i): Any, r.getSeq[Float](0)) }
+    def assigned(pairs: Seq[(Any, Seq[Float])]): DataFrame =
       // ONE projection carries the embedding and its nearest cell —
       // no corpus self-join against a separate assignment frame; the
       // iteration is scan → project → dimension-wise aggregate.
-      val assigned = emb.select(col(vecCol),
-        nearestCentroidCol(centroids, col(vecCol)).getField("cell").as("cell"))
-      cellCentroids(assigned, vecCol, cellCol = "cell")
+      emb.select(col(vecCol),
+        graft.functions.NearestCentroid(col(vecCol), IntegerType, centroidPairs)
+          .getField("cell").as("cell"))
+    // Iterations 1..iters-1 collect the FLAT re-centered frame
+    // (cell, dim, mean_v — k·dim rows, catalog-sized) in a single
+    // action and reshape it to the next kernel's matrix ON THE DRIVER:
+    // the old per-iteration centroidVectors reshape was a second
+    // aggregate job re-collecting means the iteration had just
+    // computed. The float narrowing matches centroidVectors'
+    // `cast(array<float>)` exactly (Java double→float narrowing).
+    // The FINAL iteration's aggregate is returned lazily — its
+    // evaluation is the caller's own action, not a trainer barrier.
+    (1 until iters).foreach { _ =>
+      val flat = cellCentroids(assigned(centroidPairs), vecCol, cellCol = "cell")
+        .select(col("cell"), col("dim"), col("mean_v").cast("float").as("mv"))
+        .collect()
+      centroidPairs = flat.toSeq.groupBy(_.get(0)).toSeq.map { case (cell, rs) =>
+        (cell, rs.sortBy(_.getInt(1)).map(_.getFloat(2)))
+      }
     }
+    cellCentroids(assigned(centroidPairs), vecCol, cellCol = "cell")
   }
 
   /** Recall of an ANN result against the exact ground truth — the

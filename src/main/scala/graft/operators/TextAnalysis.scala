@@ -338,11 +338,11 @@ object TextAnalysis {
     * Scale shape — the classic vocab-table reduction: ONE corpus pass
     * builds the alphabetic word-frequency table (the only corpus-sized
     * shuffle), and every iteration after that runs on the vocab frame,
-    * orders of magnitude smaller than the corpus. Per iteration: pair
-    * counts are a hash aggregate over an in-array zip (no per-token
-    * explode of the corpus), the winning pair is a 1-row driver collect
-    * (the same bounded barrier as [[Similarity.kmeansTrain]]'s
-    * centroids), and the re-encode is a per-row array fold — greedy
+    * orders of magnitude smaller than the corpus. Per iteration: the
+    * winning pair comes from ONE shuffle-free job — per-partition
+    * pair-count maps merged on the driver (the gradient-barrier shape;
+    * details at the call site), and the re-encode is a per-row array
+    * fold — greedy
     * left-to-right non-overlapping, exactly Sennrich's replacement
     * semantics. The vocab frame is `localCheckpoint`ed every fourth
     * iteration — a checkpoint is a whole extra job, while re-running ≤3
@@ -371,22 +371,55 @@ object TextAnalysis {
     var it = 1
     var exhausted = false
     while (it <= iters && !exhausted) {
-      val top = enc.select(col("freq"), explode(
-          zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((it, l, r, cnt))
-        enc = enc.withColumn("syms", bpeMergeOnce(col("syms"), l, r))
-        if (it % 4 == 0) enc = enc.localCheckpoint()
-        it += 1
+      // Winning pair in ONE Spark job, no shuffle: each partition
+      // builds its local pair→weighted-count map imperatively (the
+      // map-side combine a hash aggregate would do anyway), and
+      // RDD.reduce merges the per-partition maps on the driver as
+      // partition results arrive — the same single-action barrier
+      // shape MLlib uses for gradient aggregation. The old
+      // groupBy→orderBy→limit(1) formulation paid a shuffle exchange
+      // per iteration, which under AQE is two scheduled jobs instead
+      // of one. Merged map size = distinct adjacent pairs in the
+      // vocab (alphabet²-ish early, vocab-bounded always); if a
+      // 100 TB vocab ever outgrows one driver merge, swap `reduce`
+      // for `treeReduce(depth = 2)` — same semantics, one extra
+      // level. Long sums are exact and the tie-break (count desc,
+      // left asc, right asc — byte order, symbols are ^[a-z]+$) is
+      // order-independent, so the winner is deterministic for any
+      // partitioning.
+      val merged = enc.select(col("freq"), col("syms")).rdd
+        .mapPartitions { rows =>
+          val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          rows.foreach { row =>
+            val f = row.getLong(0)
+            val s = row.getSeq[String](1)
+            var i = 0
+            while (i < s.length - 1) {
+              val key = (s(i), s(i + 1))
+              m.update(key, m.getOrElse(key, 0L) + f)
+              i += 1
+            }
+          }
+          Iterator.single(m)
+        }
+        .reduce { (a, b) =>
+          b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+          a
+        }
+      val top = merged.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, e @ ((l, r), cnt)) => acc match {
+          case Some(((bl, br), bc))
+            if cnt < bc || (cnt == bc && (l > bl || (l == bl && r >= br))) => acc
+          case _ => Some(e)
+        }
+      }
+      top match {
+        case None => exhausted = true
+        case Some(((l, r), cnt)) =>
+          merges += ((it, l, r, cnt))
+          enc = enc.withColumn("syms", bpeMergeOnce(col("syms"), l, r))
+          if (it % 4 == 0) enc = enc.localCheckpoint()
+          it += 1
       }
     }
     merges.toSeq.toDF("iteration", "merge_left", "merge_right", "pair_count")
