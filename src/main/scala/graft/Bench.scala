@@ -11,7 +11,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's cores (capped at the target profile's
+    // 32): the old default of 4 ran round benches at local[4] / 4
+    // shuffle partitions on a 32-core box — an 8× parallelism handicap
+    // DuckDB (which autodetects cores) never took, and the reason the
+    // decimal fact scans looked fixed-cost (r6: "the residual is the
+    // fact scan at 4 shuffle partitions"). SPARK_GRAFT_CPUS still
+    // overrides for A/B work.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -239,6 +247,22 @@ object Bench {
         timeAux(n, dir)
         auxErrors.remove(before, auxErrors.length - before)
       }
+    // Two full passes over an aux set, keeping per-query minima: the
+    // consecutive min-of-2/3 inside timeAux cannot recover from a
+    // noise burst that spans one query's whole timing window (the
+    // residual mode behind r5/r6's inflated committed ratios); a
+    // second pass minutes later almost always can. A query that fails
+    // both passes reports once (auxErrors dedups).
+    def timeAuxSet(names: Seq[String], dir: String): Seq[(String, Double)] = {
+      val p1 = names.flatMap(timeAux(_, dir)).toMap
+      val p2 = names.flatMap(timeAux(_, dir)).toMap
+      names.flatMap { n =>
+        (p1.get(n), p2.get(n)) match {
+          case (Some(a), Some(b)) => Some(n -> math.min(a, b))
+          case (a, b)             => a.orElse(b).map(n -> _)
+        }
+      }
+    }
 
     // Scaling evidence: the heaviest queries re-timed on the 10×-smaller
     // sibling dir. ratio = wall(measured sf) / wall(sf/10); a ratio far
@@ -266,7 +290,7 @@ object Bench {
     val scalingJson = smallDir.map { dir =>
       resetExecutorState()
       sacrifice(scalingSet, dir)
-      scalingSet.flatMap(timeAux(_, dir)).collect {
+      timeAuxSet(scalingSet, dir).collect {
         case (k, s) if largeTimes.contains(k) && s > 0 =>
           val l = largeTimes(k)
           JsonUtil.quote(k) + s""":{"small":$s,"large":$l,"ratio":${l / s}}"""
@@ -340,7 +364,7 @@ object Bench {
         // first-touch planning to warmup, not to the ratio.)
         resetExecutorState()
         sacrifice(upSet, upDir)
-        val entries = upSet.flatMap(timeAux(_, upDir)).map { case (name, t) =>
+        val entries = timeAuxSet(upSet, upDir).map { case (name, t) =>
           val ratio = largeTimes.get(name).map(l => t / l)
           JsonUtil.quote(name) +
             s""":{"t10x":$t${ratio.map(r => s""","ratio_vs_1x":$r""").getOrElse("")}}"""
@@ -387,7 +411,7 @@ object Bench {
         s""""spark_over_duckdb":${fmt(ratio, 2)},"detail":"BENCH_DETAIL.json"}"""
     }.getOrElse("")
 
-    val auxErrJson = auxErrors.map(JsonUtil.quote).mkString("[", ",", "]")
+    val auxErrJson = auxErrors.distinct.map(JsonUtil.quote).mkString("[", ",", "]")
     // Per-query decomposition: jobs × job_floor is the part of each
     // wall time that is pure scheduling cost at this parallelism — a
     // query whose wall time sits near it is floor-bound BY MEASUREMENT
