@@ -215,23 +215,77 @@ object Similarity {
       // no corpus self-join against a separate assignment frame; the
       // iteration is scan → project → dimension-wise aggregate.
       emb.select(col(vecCol),
-        graft.functions.NearestCentroid(col(vecCol), IntegerType, centroidPairs)
+        graft.functions.NearestCentroid(col(vecCol), IntegerType, pairs)
           .getField("cell").as("cell"))
-    // Iterations 1..iters-1 collect the FLAT re-centered frame
-    // (cell, dim, mean_v — k·dim rows, catalog-sized) in a single
-    // action and reshape it to the next kernel's matrix ON THE DRIVER:
-    // the old per-iteration centroidVectors reshape was a second
-    // aggregate job re-collecting means the iteration had just
-    // computed. The float narrowing matches centroidVectors'
-    // `cast(array<float>)` exactly (Java double→float narrowing).
-    // The FINAL iteration's aggregate is returned lazily — its
-    // evaluation is the caller's own action, not a trainer barrier.
+    // Spark's exact arithmetic, replicated value-for-value on the
+    // driver so the accumulator path below is bit-identical to
+    // [[cellCentroids]]' aggregate: cast(double as decimal(28,12)) is
+    // a Double.toString-canonical BigDecimal HALF_UP-rounded to scale
+    // 12; round(x, 6) the same at scale 6. Exact decimal addition is
+    // order-independent, so the merged sums match the engine's for any
+    // partitioning.
+    def dec12(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v).setScale(12, java.math.RoundingMode.HALF_UP)
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // Iterations 1..iters-1 re-center in ONE shuffle-free job each —
+    // the same gradient-barrier shape as MLlib's trainers and this
+    // repo's BPE winner pick: every partition folds its rows into a
+    // cell → (per-dim DECIMAL sums, per-dim counts) accumulator
+    // (k·dim state, catalog-sized), and the driver merges the
+    // per-partition maps as results arrive. The old formulation paid a
+    // posexplode (corpus×dim rows) + hash-aggregate exchange + AQE
+    // re-plan per iteration for the same k·dim numbers. Means take the
+    // identical decimal→double division and 6dp round as
+    // [[cellCentroids]], then the same float narrowing as
+    // [[centroidVectors]], so the trained chain stays engine-portable
+    // bit-for-bit. Cells that lose every member are absent from the
+    // merged map — they vanish, exactly as the aggregate drops empty
+    // groups. The FINAL iteration's aggregate is returned lazily as
+    // the real [[cellCentroids]] frame — its evaluation is the
+    // caller's own action, not a trainer barrier.
     (1 until iters).foreach { _ =>
-      val flat = cellCentroids(assigned(centroidPairs), vecCol, cellCol = "cell")
-        .select(col("cell"), col("dim"), col("mean_v").cast("float").as("mv"))
-        .collect()
-      centroidPairs = flat.toSeq.groupBy(_.get(0)).toSeq.map { case (cell, rs) =>
-        (cell, rs.sortBy(_.getInt(1)).map(_.getFloat(2)))
+      val merged = assigned(centroidPairs)
+        .select(col("cell"), col(vecCol))
+        .rdd.mapPartitions { rows =>
+          val m = scala.collection.mutable.HashMap
+            .empty[Int, (scala.collection.mutable.ArrayBuffer[java.math.BigDecimal],
+                         scala.collection.mutable.ArrayBuffer[Long])]
+          rows.foreach { r =>
+            val v = r.getSeq[Float](1)
+            val (sums, counts) = m.getOrElseUpdate(r.getInt(0),
+              (scala.collection.mutable.ArrayBuffer.empty[java.math.BigDecimal],
+               scala.collection.mutable.ArrayBuffer.empty[Long]))
+            var d = 0
+            while (d < v.length) {
+              if (d >= sums.length) { sums += java.math.BigDecimal.ZERO; counts += 0L }
+              sums(d) = sums(d).add(dec12(v(d).toDouble))
+              counts(d) += 1L
+              d += 1
+            }
+          }
+          Iterator.single(m)
+        }
+        .fold(scala.collection.mutable.HashMap.empty) { (a, b) =>
+          b.foreach { case (cell, (bs, bc)) =>
+            a.get(cell) match {
+              case None => a.update(cell, (bs, bc))
+              case Some((as, ac)) =>
+                var d = 0
+                while (d < bs.length) {
+                  if (d >= as.length) { as += java.math.BigDecimal.ZERO; ac += 0L }
+                  as(d) = as(d).add(bs(d))
+                  ac(d) += bc(d)
+                  d += 1
+                }
+            }
+          }
+          a
+        }
+      centroidPairs = merged.toSeq.map { case (cell, (sums, counts)) =>
+        (Int.box(cell): Any,
+          sums.indices.map(d => round6(sums(d).doubleValue() / counts(d)).toFloat).toSeq)
       }
     }
     cellCentroids(assigned(centroidPairs), vecCol, cellCol = "cell")
