@@ -60,7 +60,9 @@ object Bench {
       "x_embed_quantize", "x_ann_quantized", "x_text_lm_score",
       "x_split_decontam", "x_text_heavy_hitters", "x_sketch_kmv",
       "x_embed_kmeans", "x_ann_label_purity", "x_text_bpe", "x_sample_pergroup",
-      "x_text_bpe_encode", "x_dedup_incremental_lsh"))
+      "x_text_bpe_encode", "x_dedup_incremental_lsh",
+      // round-7 additions
+      "x_dedup_index_stored", "x_embed_pq", "x_ann_pq", "x_ann_pq_recall"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

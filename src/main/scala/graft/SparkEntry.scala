@@ -120,6 +120,118 @@ object SparkEntry {
       (cent, corpus)
     })
 
+  /** Memoized PQ codebook frame per (session, data dir): the trained
+    * (subspace, cell, dim, mean_v) table, localCheckpoint-pinned so the
+    * ADC search and recall queries consume a built artifact instead of
+    * re-running Lloyd iterations per query — the same build-once
+    * contract as [[builtIvfIndex]]. `x_embed_pq` deliberately does NOT
+    * read this memo: it measures a fresh training end-to-end. */
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def pqTrained(s: SparkSession, dir: String): DataFrame =
+    pqMemo.getOrElseUpdate((s, dir),
+      Similarity.pqTrain(Tables.embeddings(s, dir), m = 2, k = 4, iters = 2,
+        dim = 64).localCheckpoint())
+
+  /** DuckDB replay of PQ codebook training: per subspace, the same
+    * Lloyd chain `x_embed_kmeans` replays (6dp-rounded lowest-id
+    * seeds → 4dp cosine argmax assignment → DECIMAL-summed 6dp means),
+    * over `list_slice`s of the embedding. Emits CTEs ending in
+    * `pq (subspace, cell, dim, mean_v, n_vectors)` — shared by
+    * `x_embed_pq` (checks training itself), `x_ann_pq` (ADC search
+    * from the trained books), and `x_ann_pq_recall`. */
+  private def pqTrainOracleCtes(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val subDim = dim / m
+    val per = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      val sb = new StringBuilder
+      sb ++= s"""sub_$s AS (
+        |  SELECT vec_id, list_slice(CAST(embedding AS DOUBLE[]), $lo, $hi) AS sub
+        |  FROM embeddings),
+        |c0v_$s AS (
+        |  SELECT cell, CAST(CAST(list(round(sub[d.i], 6) ORDER BY d.i) AS FLOAT[]) AS DOUBLE[]) AS centroid
+        |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, sub
+        |        FROM sub_$s ORDER BY vec_id LIMIT $k) seeds,
+        |       generate_series(1, $subDim) d(i)
+        |  GROUP BY cell),
+        |""".stripMargin
+      for (t <- 1 to iters) {
+        sb ++= s"""s${t}_$s AS (
+          |  SELECT e.vec_id, c.cell,
+          |    round(list_inner_product(e.sub, c.centroid)
+          |      / NULLIF(sqrt(list_inner_product(e.sub, e.sub))
+          |         * sqrt(list_inner_product(c.centroid, c.centroid)), 0), 4) + 0.0 AS cscore
+          |  FROM sub_$s e, c${t - 1}v_$s c),
+          |a${t}_$s AS (
+          |  SELECT vec_id, cell FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY cscore DESC NULLS LAST, cell) AS rn FROM s${t}_$s)
+          |  WHERE rn = 1),
+          |""".stripMargin
+        if (t < iters)
+          sb ++= s"""c${t}v_$s AS (
+            |  SELECT cell, CAST(CAST(list(mean_v ORDER BY dim) AS FLOAT[]) AS DOUBLE[]) AS centroid FROM (
+            |    SELECT a.cell, d.i - 1 AS dim,
+            |      round(CAST(SUM(CAST(e.sub[d.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_v
+            |    FROM sub_$s e JOIN a${t}_$s a USING (vec_id), generate_series(1, $subDim) d(i)
+            |    GROUP BY a.cell, d.i)
+            |  GROUP BY cell),
+            |""".stripMargin
+      }
+      sb ++= s"""f_$s AS (
+        |  SELECT $s AS subspace, a.cell, d.i - 1 AS dim,
+        |    round(CAST(SUM(CAST(e.sub[d.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_v,
+        |    COUNT(*) AS n_vectors
+        |  FROM sub_$s e JOIN a${iters}_$s a USING (vec_id), generate_series(1, $subDim) d(i)
+        |  GROUP BY a.cell, d.i)""".stripMargin
+      sb.toString
+    }
+    per.mkString(",\n") + ",\npq AS (" +
+      (0 until m).map(s => s"SELECT * FROM f_$s").mkString(" UNION ALL ") + ")"
+  }
+
+  /** ADC-search CTEs on top of [[pqTrainOracleCtes]]' `pq` table:
+    * codebook vectors, per-subspace corpus encoding (cosine argmax,
+    * identical to the kernel), the query LUT (6dp partial dots), and
+    * the DECIMAL-summed 4dp scores — ending in `scored (query_id,
+    * cand_id, score)`. */
+  private def pqAdcOracleCtes(m: Int, dim: Int): String = {
+    val subDim = dim / m
+    val encs = (0 until m).map { s =>
+      s"""encs_$s AS (
+      |  SELECT e.vec_id, c.cell,
+      |    round(list_inner_product(e.sub, c.centroid)
+      |      / NULLIF(sqrt(list_inner_product(e.sub, e.sub))
+      |         * sqrt(list_inner_product(c.centroid, c.centroid)), 0), 4) + 0.0 AS cscore
+      |  FROM sub_$s e, (SELECT cell, centroid FROM pqv WHERE subspace = $s) c),
+      |enc_$s AS (
+      |  SELECT vec_id, $s AS subspace, cell AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cscore DESC NULLS LAST, cell) AS rn FROM encs_$s)
+      |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""pqv AS (
+    |  SELECT subspace, cell,
+    |    CAST(CAST(list(mean_v ORDER BY dim) AS FLOAT[]) AS DOUBLE[]) AS centroid
+    |  FROM pq GROUP BY subspace, cell),
+    |$encs,
+    |codes AS (${(0 until m).map(s => s"SELECT * FROM enc_$s").mkString(" UNION ALL ")}),
+    |lut AS (
+    |  SELECT q.vec_id AS query_id, p.subspace, p.cell,
+    |    round(list_inner_product(
+    |      list_slice(CAST(q.embedding AS DOUBLE[]), p.subspace * $subDim + 1, (p.subspace + 1) * $subDim),
+    |      p.centroid), 6) AS pdot
+    |  FROM embeddings q, pqv p WHERE q.vec_id < 8),
+    |scored AS (
+    |  SELECT l.query_id, c.vec_id AS cand_id,
+    |    round(CAST(SUM(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE), 4) AS score
+    |  FROM codes c JOIN lut l
+    |    ON l.subspace = c.subspace AND l.cell = c.code AND l.query_id <> c.vec_id
+    |  GROUP BY l.query_id, c.vec_id)""".stripMargin
+  }
+
   /** DuckDB replay of the incremental LSH screening (batch = doc_id %
     * 5 == 0 against the other 80%'s capped posting lists) — shared by
     * `x_dedup_incremental_lsh` (in-process index) and
@@ -285,6 +397,7 @@ object SparkEntry {
     ivfIndexMemo.clear()
     clusterMemo.clear()
     storedNearDupIndexMemo.clear()
+    pqMemo.clear()
   }
 
   // ---------------------------------------------------------------------
@@ -1558,6 +1671,87 @@ object SparkEntry {
         |FROM embeddings e JOIN a2 USING (vec_id), generate_series(1, 64) d(i)
         |GROUP BY a2.cell, d.i
         |ORDER BY cell, dim""".stripMargin)),
+
+    ("x_embed_pq",
+      // Product-quantization codebook TRAINING: 2 subspaces × 4 codes,
+      // 2 Lloyd iterations from deterministic lowest-id seed slices.
+      // The same bit-identical-chain discipline as x_embed_kmeans
+      // (6dp centroids, 4dp assignment scores), so the oracle replays
+      // the full per-subspace training in SQL. Fresh training end to
+      // end — the memoized book is for the search/recall consumers.
+      (s, dir) => Similarity.pqTrain(Tables.embeddings(s, dir),
+        m = 2, k = 4, iters = 2, dim = 64)
+        .orderBy("subspace", "cell", "dim"),
+      Some(s"""WITH ${pqTrainOracleCtes(m = 2, k = 4, iters = 2, dim = 64)}
+        |SELECT subspace, cell, dim, mean_v, n_vectors FROM pq
+        |ORDER BY subspace, cell, dim""".stripMargin)),
+
+    ("x_ann_pq",
+      // ADC top-k over PQ codes: corpus rows are scored as m LUT
+      // lookups + an exact DECIMAL sum — no per-pair float math; the
+      // LUT (queries × codebook entries, 6dp partial inner products)
+      // broadcasts and the corpus streams as (id, m codes). Consumes
+      // the memoized trained book (build-once contract, like the IVF
+      // probe queries); the oracle replays training + encoding + the
+      // LUT join end-to-end.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 8),
+          pqTrained(s, dir), k = 5, m = 2, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${pqTrainOracleCtes(m = 2, k = 4, iters = 2, dim = 64)},
+        |${pqAdcOracleCtes(m = 2, dim = 64)}
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, cand_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    ("x_ann_pq_recall",
+      // Index evaluation: recall@5 of the ADC search against the
+      // brute-force float ground truth — what decides m/k before a
+      // corpus commits to codes. m=2×4 codes compresses 64 floats to
+      // 2 bytes, so recall is expected well under 1.0; the point is
+      // the measurement loop, bit-identical across engines.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+        val approx = Similarity.pqAdcTopK(emb, queries,
+          pqTrained(s, dir), k = 5, m = 2, dim = 64)
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+        Similarity.recallAtK(approx, exact).orderBy("query_id")
+      },
+      Some(s"""WITH ${pqTrainOracleCtes(m = 2, k = 4, iters = 2, dim = 64)},
+        |${pqAdcOracleCtes(m = 2, dim = 64)},
+        |approx AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, cand_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |bpairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_inner_product(q.e, c.e)
+        |           / NULLIF(sqrt(list_inner_product(q.e, q.e))
+        |              * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings WHERE vec_id < 8) q,
+        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
+        |  WHERE q.vec_id <> c.vec_id),
+        |exact AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, cand_id) AS rank
+        |    FROM bpairs)
+        |  WHERE rank <= 5)
+        |SELECT e.query_id AS query_id, COUNT(*) AS truth_k, COUNT(a.cand_id) AS hits,
+        |       round(CAST(COUNT(a.cand_id) AS DOUBLE) / COUNT(*), 4) AS recall
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+        |GROUP BY e.query_id
+        |ORDER BY e.query_id""".stripMargin)),
 
     ("x_sample_stratified",
       // Deterministic per-language sampling: membership is a pure hash

@@ -194,6 +194,19 @@ object Similarity {
     * dimension-wise aggregate over the corpus — the standard
     * distributed-KMeans shape. Cells that lose every member vanish
     * (k shrinks) rather than being re-seeded, deterministically. */
+  /** Spark's exact arithmetic, replicated value-for-value on the
+    * driver so the trainer accumulator paths are bit-identical to
+    * [[cellCentroids]]' aggregate: cast(double as decimal(28,12)) is a
+    * Double.toString-canonical BigDecimal HALF_UP-rounded to scale 12;
+    * round(x, 6) the same at scale 6. Exact decimal addition is
+    * order-independent, so merged sums match the engine's for any
+    * partitioning. */
+  private def dec12(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v).setScale(12, java.math.RoundingMode.HALF_UP)
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   def kmeansTrain(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -217,18 +230,6 @@ object Similarity {
       emb.select(col(vecCol),
         graft.functions.NearestCentroid(col(vecCol), IntegerType, pairs)
           .getField("cell").as("cell"))
-    // Spark's exact arithmetic, replicated value-for-value on the
-    // driver so the accumulator path below is bit-identical to
-    // [[cellCentroids]]' aggregate: cast(double as decimal(28,12)) is
-    // a Double.toString-canonical BigDecimal HALF_UP-rounded to scale
-    // 12; round(x, 6) the same at scale 6. Exact decimal addition is
-    // order-independent, so the merged sums match the engine's for any
-    // partitioning.
-    def dec12(v: Double): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(v).setScale(12, java.math.RoundingMode.HALF_UP)
-    def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     // Iterations 1..iters-1 re-center in ONE shuffle-free job each —
     // the same gradient-barrier shape as MLlib's trainers and this
     // repo's BPE winner pick: every partition folds its rows into a
@@ -397,6 +398,199 @@ object Similarity {
           .otherwise(round(array_max(transform(v,
             x => abs(x - quant(x, col("scale")).cast("double") * col("scale")))), 6)))
       .drop(vecCol)
+  }
+
+  // -------------------------------------------------------------------
+  // Product quantization (PQ): the memory-bound ANN path past int8.
+  // Each vector splits into `m` contiguous subvectors; each subspace
+  // gets its own small codebook (spherical Lloyd iterations, cosine
+  // assignment — the same trainer discipline as [[kmeansTrain]]), and a
+  // vector stores only its m code ids: dim×4 bytes → m bytes + shared
+  // codebooks. Search is ADC (asymmetric distance computation): the
+  // query stays full-precision, each (query, codebook entry) partial
+  // dot is precomputed once into a lookup table, and scoring a corpus
+  // row is m table lookups + an exact DECIMAL sum — no per-pair float
+  // math at all. At 100 TB this is what makes exhaustive re-ranking
+  // affordable: the corpus side streams as (id, m codes), the LUT is
+  // queries × m × k rows (catalog-sized, broadcast).
+  // -------------------------------------------------------------------
+
+  /** PQ codebook training — [[kmeansTrain]] run jointly over all `m`
+    * subspaces: ONE projection computes every subspace's nearest-cell
+    * assignment (m NearestCentroid kernels over array slices), and ONE
+    * shuffle-free job per Lloyd iteration folds rows into per-
+    * (subspace, cell, dim) DECIMAL-sum accumulators merged on the
+    * driver — iteration cost does not grow with m. Seeds are the `k`
+    * lowest-id vectors' 6dp-rounded slices (deterministic; same
+    * quantization as every later iteration's means, so the whole chain
+    * is bit-identical across engines and the oracle replays it).
+    * Cells that lose every member vanish per subspace, exactly like
+    * the aggregate dropping empty groups.
+    *
+    * Output: (subspace, cell, dim, mean_v, n_vectors) with `dim` the
+    * WITHIN-subspace index — the [[cellCentroids]] contract per
+    * subspace. */
+  def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    require(dim % m == 0, s"dim ($dim) must divide evenly into m ($m) subspaces")
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val subDim = dim / m
+    val seedRows = emb.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol),
+        v => round(v.cast("double"), 6).cast("float")).as("c"))
+      .collect()
+    // per-element round commutes with slicing, so slicing the rounded
+    // full vector equals rounding the slice (what the oracle replays)
+    var books: Array[Seq[(Any, Seq[Float])]] = Array.tabulate(m) { s =>
+      seedRows.toSeq.zipWithIndex.map { case (r, i) =>
+        (Int.box(i): Any, r.getSeq[Float](0).slice(s * subDim, (s + 1) * subDim))
+      }
+    }
+    def assignedAll(bs: Array[Seq[(Any, Seq[Float])]]): DataFrame =
+      emb.select(col(vecCol) +: (0 until m).map { s =>
+        graft.functions.NearestCentroid(
+          slice(col(vecCol), s * subDim + 1, subDim), IntegerType, bs(s))
+          .getField("cell").as(s"cell_$s")
+      }: _*)
+    (1 until iters).foreach { _ =>
+      val merged = assignedAll(books)
+        .rdd.mapPartitions { rows =>
+          val acc = scala.collection.mutable.HashMap
+            .empty[(Int, Int), (Array[java.math.BigDecimal], Array[Long])]
+          rows.foreach { r =>
+            val v = r.getSeq[Float](0)
+            var s = 0
+            while (s < m) {
+              val (sums, counts) = acc.getOrElseUpdate((s, r.getInt(1 + s)), {
+                val z = Array.fill(subDim)(java.math.BigDecimal.ZERO)
+                (z, new Array[Long](subDim))
+              })
+              val base = s * subDim
+              // a short final slice (ragged vector) contributes only
+              // the dims it has — same as cellCentroids on the slice
+              val lim = math.max(0, math.min(subDim, v.length - base))
+              var d = 0
+              while (d < lim) {
+                sums(d) = sums(d).add(dec12(v(base + d).toDouble))
+                counts(d) += 1L
+                d += 1
+              }
+              s += 1
+            }
+          }
+          Iterator.single(acc)
+        }
+        .fold(scala.collection.mutable.HashMap.empty) { (a, b) =>
+          b.foreach { case (key, (bs, bc)) =>
+            a.get(key) match {
+              case None => a.update(key, (bs, bc))
+              case Some((as, ac)) =>
+                var d = 0
+                while (d < bs.length) {
+                  as(d) = as(d).add(bs(d)); ac(d) += bc(d); d += 1
+                }
+            }
+          }
+          a
+        }
+      books = Array.tabulate(m) { s =>
+        merged.collect { case ((`s`, cell), (sums, counts)) =>
+          (Int.box(cell): Any,
+            sums.indices.collect { case d if counts(d) > 0 =>
+              round6(sums(d).doubleValue() / counts(d)).toFloat }.toSeq)
+        }.toSeq
+      }
+    }
+    // the returned frame is the engine-evaluated aggregate (per
+    // subspace), so the declared training output is oracle-checkable
+    (0 until m).map { s =>
+      val a = emb.select(
+        slice(col(vecCol), s * subDim + 1, subDim).as("__sub"),
+        graft.functions.NearestCentroid(
+          slice(col(vecCol), s * subDim + 1, subDim), IntegerType, books(s))
+          .getField("cell").as("cell"))
+      cellCentroids(a, vecCol = "__sub", cellCol = "cell")
+        .select(lit(s).as("subspace"), col("cell"), col("dim"),
+          col("mean_v"), col("n_vectors"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[pqTrain]]'s flat output as one row per (subspace, cell) with the
+    * ordered FLOAT codebook vector — the PQ face of
+    * [[centroidVectors]]. */
+  def pqCentroidVectors(pq: DataFrame): DataFrame =
+    pq.groupBy(col("subspace"), col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mean_v))), s -> s.mean_v)")
+        .as("c"))
+      .select(col("subspace"), col("cell"), col("c").cast("array<float>").as("centroid"))
+
+  /** PQ encoding: each vector's m nearest-codebook-cell ids, smallest
+    * vectors the corpus actually stores. A pure projection (m
+    * NearestCentroid kernels over slices) — ZERO shuffle,
+    * embarrassingly parallel, the same scale shape as [[quantizeInt8]].
+    * Output: (idCol, codes array<int>), codes(s) = subspace s's cell. */
+  def pqEncode(emb: DataFrame, books: Seq[Seq[(Any, Seq[Float])]], dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.size
+    require(m >= 1 && dim % m == 0, "books must evenly partition dim")
+    val subDim = dim / m
+    emb.select(col(idCol),
+      array((0 until m).map { s =>
+        graft.functions.NearestCentroid(
+          slice(col(vecCol), s * subDim + 1, subDim), IntegerType, books(s))
+          .getField("cell")
+      }: _*).as("codes"))
+  }
+
+  /** ADC top-k over PQ codes — the search face of [[pqTrain]]: the
+    * full-precision QUERY side precomputes its partial dot against
+    * every codebook entry ONCE (the LUT: queries × m × k rows,
+    * catalog-sized, built in-engine and broadcast), and each corpus
+    * row's approximate inner product is its m codes' LUT entries
+    * summed EXACTLY (6dp-rounded partial dots cast to DECIMAL, so the
+    * m-way sum is order-independent and engine-portable; final score
+    * rounds to 4dp like every score in this family). The corpus
+    * streams as (id, m codes) — the only shuffle is the per-(query,
+    * candidate) sum + the top-k window, and nothing corpus-sized ever
+    * carries a float vector. Ranking: score desc, cand_id asc;
+    * self-pairs excluded.
+    *
+    * `pq` is the [[pqTrain]] output frame; its codebook is collected
+    * here (catalog-sized). */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, pq: DataFrame,
+      k: Int, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
+    val subDim = dim / m
+    val pv = pqCentroidVectors(pq)
+    val books: Seq[Seq[(Any, Seq[Float])]] = {
+      val rows = pv.collect()
+      (0 until m).map { s =>
+        rows.toSeq.filter(_.getInt(0) == s)
+          .map(r => (r.get(1), r.getSeq[Float](2)))
+      }
+    }
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(pv))
+      .withColumn("pdot", round(graft.functions.FloatVectorDot(
+        slice(col("qv"), col("subspace") * lit(subDim) + lit(1), lit(subDim)),
+        col("centroid")), 6))
+      .select(col("query_id"), col("subspace"), col("cell"), col("pdot"))
+    val codes = pqEncode(corpus, books, dim, idCol, vecCol)
+      .select(col(idCol).as("cand_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    codes.join(broadcast(lut),
+        codes("subspace") === lut("subspace") && col("code") === col("cell") &&
+          col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(round(sum(col("pdot").cast("decimal(28,12)")).cast("double"), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rank"))
   }
 
   /** Embedding-quality eval: for each query vector, what fraction of its

@@ -170,6 +170,75 @@ class OperatorsSpec extends SparkSpec {
     assert(again == trained.orderBy("cell", "dim").collect().toSeq)
   }
 
+  test("pqTrain/pqEncode/pqAdcTopK: subspace codebooks, exact ADC lookups") {
+    // 4-d, m=2: subspace 0 separates the x/y axes, subspace 1 the
+    // (7,7)/(−7,7) directions — cosine-separable in BOTH halves, with
+    // ids interleaving the patterns so the 2 lowest-id seeds split them
+    val vecs = (0 until 24).map { i =>
+      val j = (i / 2) * 0.01f
+      val h1 = if (i % 2 == 0) Array(10f + j, 0f) else Array(0f, 10f + j)
+      val h2 = if (i % 2 == 0) Array(7f, 7f + j) else Array(-7f, 7f + j)
+      (i.toLong, h1 ++ h2)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val pq = Similarity.pqTrain(emb, m = 2, k = 2, iters = 2, dim = 4)
+    // both subspaces trained; every cell keeps its 12 members
+    val sizes = pq.select("subspace", "cell", "n_vectors").distinct()
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(sizes.map(t => (t._1, t._2)).toSet ==
+      Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    assert(sizes.forall(_._3 == 12L))
+    // partition-invariance: the driver-merged DECIMAL accumulators must
+    // produce the identical trained bytes for any input partitioning
+    val again = Similarity.pqTrain(emb.repartition(7), m = 2, k = 2, iters = 2, dim = 4)
+      .orderBy("subspace", "cell", "dim").collect().toSeq
+    assert(again == pq.orderBy("subspace", "cell", "dim").collect().toSeq)
+
+    // encode: even ids carry the even-seed pattern in both halves →
+    // codes (0,0); odd ids → (1,1)
+    val bookRows = Similarity.pqCentroidVectors(pq).collect()
+    val books: Seq[Seq[(Any, Seq[Float])]] = (0 until 2).map { s =>
+      bookRows.toSeq.filter(_.getInt(0) == s).map(r => (r.get(1), r.getSeq[Float](2)))
+    }
+    val codes = Similarity.pqEncode(emb, books, dim = 4)
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(codes.forall { case (id, cs) =>
+      cs == Seq((id % 2).toInt, (id % 2).toInt) })
+
+    // ADC scores are EXACTLY the summed 6dp codebook partial dots of
+    // the candidate's codes — recomputed here independently
+    def r(x: Double, scale: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val bookMap = bookRows.map(row =>
+      (row.getInt(0), row.getInt(1)) -> row.getSeq[Float](2)).toMap
+    val codeMap = codes.toMap
+    val vecMap = vecs.toMap
+    val got = Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 2), pq,
+      k = 3, m = 2, dim = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.nonEmpty && got.forall { case (q, c, _, _) => q != c })
+    got.foreach { case (q, cand, score, _) =>
+      val expected = r((0 until 2).map { s =>
+        val sub = vecMap(q).slice(s * 2, (s + 1) * 2).toSeq
+        java.math.BigDecimal.valueOf(
+          r(dot(sub, bookMap((s, codeMap(cand)(s)))), 6))
+      }.reduce(_ add _).doubleValue(), 4)
+      assert(score == expected, s"ADC score for ($q,$cand)")
+    }
+    // ranking contract: per query, scores descend with id tie-break
+    got.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4) == (1 to byRank.length))
+      assert(byRank.sliding(2).forall {
+        case Seq(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _         => true
+      })
+    }
+  }
+
   test("heavyHitters: exact top-N with sketch verdicts true under tiny k") {
     // 3 heavy tokens drowned in noise; k=5 forces constant decrements
     // and cross-partition merges, the regime where MG bounds actually
