@@ -106,6 +106,15 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"byte_vector_dot expects (a, b), got ${other.size} args")
       }),
+    (FunctionIdentifier("code_lut_sum"),
+      info("code_lut_sum",
+        "code_lut_sum(codes, lut) - PQ ADC score: sum of lut[s][codes[s]] over subspaces, " +
+          "exact micro-unit accumulation of 6dp-rounded entries; NULL on out-of-range/null"),
+      (args: Seq[Expression]) => args match {
+        case Seq(codes, lut) => CodeLutSum(codes, lut)
+        case other => throw new IllegalArgumentException(
+          s"code_lut_sum expects (codes, lut), got ${other.size} args")
+      }),
     (FunctionIdentifier("text_stats"),
       info("text_stats",
         "text_stats(text[, stopwords...]) - single-pass struct(n_chars, n_tokens, n_stop, " +

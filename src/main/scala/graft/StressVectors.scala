@@ -15,15 +15,15 @@ import org.apache.spark.sql.functions._
   *
   * Measured (this box, local[8]): 300k → 1M scales near-linearly on
   * every stage (quantize 1.6→2.9 s, KMeans 2.9→7.3 s, PQ train
-  * 6.7→20 s, encode 0.11→0.23 s, ADC 6.6→23.5 s). Honest caveat the
-  * numbers show: at 16 queries, ADC wall time does NOT beat the
-  * codegen'd brute-force dots (23.5 vs 9.0 s at 1M) — the LUT join
-  * materializes m rows per candidate where brute fuses one dot per
-  * candidate. PQ's 100 TB win at this query count is the 128×
-  * storage/bandwidth cut (64×4 B floats → 4 B codes), which local
-  * wall-clock over an in-memory corpus cannot exhibit; the search-time
-  * win appears when the float corpus no longer fits where the codes
-  * do, or when query batches amortize the explode.
+  * 6.7→20 s, encode 0.11→0.23 s). The ADC stage originally ran as an
+  * exploded LUT join + per-pair aggregate (23.5 s at 1M — m rows
+  * materialized per candidate); the fused `code_lut_sum` kernel form
+  * (m compiled lookups per pair, no explosion, no aggregate) runs the
+  * same 16-query search in 9.4 s with a bit-identical result, on par
+  * with the codegen'd brute-force dots (6.7–9 s — both are dominated
+  * by the 16M-row top-k window at this query count). PQ's 100 TB win
+  * remains the 128× storage/bandwidth cut (64×4 B floats → 4 B
+  * codes): an in-memory local corpus can't exhibit it.
   *
   * `sbt "runMain graft.StressVectors [vectors]"`.
   */
@@ -80,7 +80,7 @@ object StressVectors {
       graft.operators.Similarity.pqEncode(corpus, books, dim = 64).count()
     }
     val queries = corpus.filter(col("vec_id") < 16)
-    val adc = timed("ADC top-10, 16 queries x full corpus (broadcast LUT join)") {
+    val adc = timed("ADC top-10, 16 queries x full corpus (fused code_lut_sum kernel)") {
       val r = graft.operators.Similarity.pqAdcTopK(
         corpus, queries, pq, k = 10, m = 4, dim = 64).localCheckpoint()
       println(s"[stress-vec]   ${r.count()} result rows")

@@ -546,16 +546,19 @@ object Similarity {
 
   /** ADC top-k over PQ codes — the search face of [[pqTrain]]: the
     * full-precision QUERY side precomputes its partial dot against
-    * every codebook entry ONCE (the LUT: queries × m × k rows,
-    * catalog-sized, built in-engine and broadcast), and each corpus
-    * row's approximate inner product is its m codes' LUT entries
-    * summed EXACTLY (6dp-rounded partial dots cast to DECIMAL, so the
-    * m-way sum is order-independent and engine-portable; final score
-    * rounds to 4dp like every score in this family). The corpus
-    * streams as (id, m codes) — the only shuffle is the per-(query,
-    * candidate) sum + the top-k window, and nothing corpus-sized ever
-    * carries a float vector. Ranking: score desc, cand_id asc;
-    * self-pairs excluded.
+    * every codebook entry ONCE (the LUT: an m × cells table per query,
+    * 6dp-rounded, built in-engine from codebook LITERALS so it
+    * codegens with the query projection), and each corpus row's
+    * approximate inner product is its m codes' LUT entries summed
+    * EXACTLY by the fused [[graft.functions.CodeLutSum]] kernel —
+    * micro-unit LONG accumulation, bit-identical to the oracle's
+    * DECIMAL sum; final score rounds to 4dp like every score in this
+    * family. The corpus streams as (id, m codes) through ONE broadcast
+    * cross against the LUT-carrying queries — m compiled lookups per
+    * pair, NO row explosion and NO aggregate (the formulation a LUT
+    * join + per-pair sum would pay m× the rows for); the only shuffle
+    * is the top-k window. Ranking: score desc, cand_id asc; self-pairs
+    * excluded.
     *
     * `pq` is the [[pqTrain]] output frame; its codebook is collected
     * here (catalog-sized). */
@@ -564,30 +567,39 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
     val subDim = dim / m
-    val pv = pqCentroidVectors(pq)
     val books: Seq[Seq[(Any, Seq[Float])]] = {
-      val rows = pv.collect()
+      val rows = pqCentroidVectors(pq).collect()
       (0 until m).map { s =>
         rows.toSeq.filter(_.getInt(0) == s)
           .map(r => (r.get(1), r.getSeq[Float](2)))
       }
     }
-    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(pv))
-      .withColumn("pdot", round(graft.functions.FloatVectorDot(
-        slice(col("qv"), col("subspace") * lit(subDim) + lit(1), lit(subDim)),
-        col("centroid")), 6))
-      .select(col("query_id"), col("subspace"), col("cell"), col("pdot"))
-    val codes = pqEncode(corpus, books, dim, idCol, vecCol)
-      .select(col(idCol).as("cand_id"),
-        posexplode(col("codes")).as(Seq("subspace", "code")))
+    // dense per-subspace LUT rows indexed BY CELL ID (0.0 fills for
+    // vanished cells — codes never reference them, the fill is never
+    // read); entries are the 6dp partial dots of the query's slice
+    // against each codebook centroid, computed in the same projection
+    val lutCol = array((0 until m).map { s =>
+      val bm = books(s).map { case (cell, vec) => cell.asInstanceOf[Int] -> vec }.toMap
+      if (bm.isEmpty) typedlit(Seq.empty[Double])
+      else array((0 to bm.keys.max).map { c =>
+        bm.get(c) match {
+          case Some(vec) => round(graft.functions.FloatVectorDot(
+            slice(col("__qv"), s * subDim + 1, subDim), typedlit(vec)), 6)
+          case None => lit(0.0)
+        }
+      }: _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__lut", lutCol)
+      .select(col("query_id"), col("__lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
-    codes.join(broadcast(lut),
-        codes("subspace") === lut("subspace") && col("code") === col("cell") &&
-          col("query_id") =!= col("cand_id"))
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(round(sum(col("pdot").cast("decimal(28,12)")).cast("double"), 4).as("score"))
+    pqEncode(corpus, books, dim, idCol, vecCol)
+      .withColumnRenamed(idCol, "cand_id")
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score",
+        round(graft.functions.CodeLutSum(col("codes"), col("__lut")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("score"), col("rank"))

@@ -150,6 +150,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("shingle_hashes", "minhash_from_grams", "simhash_from_grams",
         "sorted_intersect_count", "text_fingerprint", "float_vector_dot",
-        "byte_vector_dot", "text_stats", "span_digests"))
+        "byte_vector_dot", "text_stats", "span_digests", "code_lut_sum"))
+  }
+
+  test("code_lut_sum sums LUT entries exactly and nulls on misuse") {
+    registered
+    // exact micro-unit sum of 6dp entries (0.1 + 0.2 is NOT 0.3 in
+    // naive double addition — the kernel must still return exactly 0.3)
+    val ok = spark.sql(
+      """SELECT code_lut_sum(array(0, 1),
+        |  array(array(0.1D, 9.9D), array(5.5D, 0.2D))) AS s""".stripMargin)
+      .head().getDouble(0)
+    assert(ok == 0.3)
+    // out-of-range code (wrong codebook for this LUT) -> NULL, not 0
+    val oor = spark.sql(
+      "SELECT code_lut_sum(array(3), array(array(0.1D))) AS s").head()
+    assert(oor.isNullAt(0))
+    // null code element -> NULL
+    val nc = spark.sql(
+      "SELECT code_lut_sum(array(CAST(NULL AS INT)), array(array(0.1D))) AS s").head()
+    assert(nc.isNullAt(0))
   }
 }
