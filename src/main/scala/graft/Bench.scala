@@ -62,7 +62,8 @@ object Bench {
       "x_embed_kmeans", "x_ann_label_purity", "x_text_bpe", "x_sample_pergroup",
       "x_text_bpe_encode", "x_dedup_incremental_lsh",
       // round-7 additions
-      "x_dedup_index_stored", "x_embed_pq", "x_ann_pq", "x_ann_pq_recall"))
+      "x_dedup_index_stored", "x_embed_pq", "x_ann_pq", "x_ann_pq_recall",
+      "x_ann_ivfpq"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

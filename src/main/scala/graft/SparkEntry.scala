@@ -192,12 +192,13 @@ object SparkEntry {
       (0 until m).map(s => s"SELECT * FROM f_$s").mkString(" UNION ALL ") + ")"
   }
 
-  /** ADC-search CTEs on top of [[pqTrainOracleCtes]]' `pq` table:
+  /** ADC LUT-side CTEs on top of [[pqTrainOracleCtes]]' `pq` table:
     * codebook vectors, per-subspace corpus encoding (cosine argmax,
-    * identical to the kernel), the query LUT (6dp partial dots), and
-    * the DECIMAL-summed 4dp scores — ending in `scored (query_id,
-    * cand_id, score)`. */
-  private def pqAdcOracleCtes(m: Int, dim: Int): String = {
+    * identical to the kernel), and the query LUT (6dp partial dots) —
+    * ending in `codes (vec_id, subspace, code)` and `lut (query_id,
+    * subspace, cell, pdot)`. The scored step sits on top (it differs
+    * between whole-corpus ADC and the IVF-pruned composition). */
+  private def pqAdcLutCtes(m: Int, dim: Int): String = {
     val subDim = dim / m
     val encs = (0 until m).map { s =>
       s"""encs_$s AS (
@@ -223,14 +224,19 @@ object SparkEntry {
     |    round(list_inner_product(
     |      list_slice(CAST(q.embedding AS DOUBLE[]), p.subspace * $subDim + 1, (p.subspace + 1) * $subDim),
     |      p.centroid), 6) AS pdot
-    |  FROM embeddings q, pqv p WHERE q.vec_id < 8),
+    |  FROM embeddings q, pqv p WHERE q.vec_id < 8)""".stripMargin
+  }
+
+  /** [[pqAdcLutCtes]] + whole-corpus DECIMAL-summed 4dp scores —
+    * ending in `scored (query_id, cand_id, score)`. */
+  private def pqAdcOracleCtes(m: Int, dim: Int): String =
+    s"""${pqAdcLutCtes(m, dim)},
     |scored AS (
     |  SELECT l.query_id, c.vec_id AS cand_id,
     |    round(CAST(SUM(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE), 4) AS score
     |  FROM codes c JOIN lut l
     |    ON l.subspace = c.subspace AND l.cell = c.code AND l.query_id <> c.vec_id
     |  GROUP BY l.query_id, c.vec_id)""".stripMargin
-  }
 
   /** DuckDB replay of the incremental LSH screening (batch = doc_id %
     * 5 == 0 against the other 80%'s capped posting lists) — shared by
@@ -1752,6 +1758,53 @@ object SparkEntry {
         |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
         |GROUP BY e.query_id
         |ORDER BY e.query_id""".stripMargin)),
+
+    ("x_ann_ivfpq",
+      // IVF+PQ — the production ANN composition: the coarse quantizer
+      // prunes each query to its 2 nearest cells' vectors (the
+      // x_ann_ivf_probe step) and the survivors score through the
+      // fused ADC kernel over m codes — candidates shrink by the cell
+      // count AND carry bytes instead of floats. Consumes both built
+      // artifacts (IVF index + trained PQ book); the oracle replays
+      // coarse assignment, probing, PQ training, encoding, and the
+      // cell-restricted LUT scoring end-to-end.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (cent, corpus) = builtIvfIndex(s, dir)
+        Similarity.ivfPqTopK(corpus, emb.filter(col("vec_id") < 8), cent,
+          pqTrained(s, dir), k = 5, nprobe = 2, m = 2, dim = 64, cellCol = "cell")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $IvfScoreCtes,
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS rn
+        |    FROM scores)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS crank
+        |    FROM scores WHERE vec_id < 8)
+        |  WHERE crank <= 2),
+        |${pqTrainOracleCtes(m = 2, k = 4, iters = 2, dim = 64)},
+        |${pqAdcLutCtes(m = 2, dim = 64)},
+        |ivfpq AS (
+        |  SELECT p.query_id, c.vec_id AS cand_id, a.cell,
+        |    round(CAST(SUM(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE), 4) AS score
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell
+        |  JOIN codes c ON c.vec_id = a.vec_id AND c.vec_id <> p.query_id
+        |  JOIN lut l ON l.query_id = p.query_id
+        |    AND l.subspace = c.subspace AND l.cell = c.code
+        |  GROUP BY p.query_id, c.vec_id, a.cell)
+        |SELECT query_id, cand_id, cell, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, cand_id) AS rank
+        |  FROM ivfpq)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
 
     ("x_sample_stratified",
       // Deterministic per-language sampling: membership is a pure hash

@@ -531,17 +531,21 @@ object Similarity {
     * NearestCentroid kernels over slices) — ZERO shuffle,
     * embarrassingly parallel, the same scale shape as [[quantizeInt8]].
     * Output: (idCol, codes array<int>), codes(s) = subspace s's cell. */
+  /** The m-code array column for a vector column — m NearestCentroid
+    * kernels over slices, shared by [[pqEncode]] and [[ivfPqTopK]]. */
+  private def pqCodesCol(books: Seq[Seq[(Any, Seq[Float])]], subDim: Int,
+      vec: Column): Column =
+    array(books.indices.map { s =>
+      graft.functions.NearestCentroid(
+        slice(vec, s * subDim + 1, subDim), IntegerType, books(s))
+        .getField("cell")
+    }: _*)
+
   def pqEncode(emb: DataFrame, books: Seq[Seq[(Any, Seq[Float])]], dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = books.size
     require(m >= 1 && dim % m == 0, "books must evenly partition dim")
-    val subDim = dim / m
-    emb.select(col(idCol),
-      array((0 until m).map { s =>
-        graft.functions.NearestCentroid(
-          slice(col(vecCol), s * subDim + 1, subDim), IntegerType, books(s))
-          .getField("cell")
-      }: _*).as("codes"))
+    emb.select(col(idCol), pqCodesCol(books, dim / m, col(vecCol)).as("codes"))
   }
 
   /** ADC top-k over PQ codes — the search face of [[pqTrain]]: the
@@ -562,35 +566,43 @@ object Similarity {
     *
     * `pq` is the [[pqTrain]] output frame; its codebook is collected
     * here (catalog-sized). */
-  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, pq: DataFrame,
-      k: Int, m: Int, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
-    val subDim = dim / m
-    val books: Seq[Seq[(Any, Seq[Float])]] = {
-      val rows = pqCentroidVectors(pq).collect()
-      (0 until m).map { s =>
-        rows.toSeq.filter(_.getInt(0) == s)
-          .map(r => (r.get(1), r.getSeq[Float](2)))
-      }
+  /** The collected per-subspace codebook of a [[pqTrain]] frame
+    * (catalog-sized driver barrier, shared by the PQ consumers). */
+  private def collectBooks(pq: DataFrame, m: Int): Seq[Seq[(Any, Seq[Float])]] = {
+    val rows = pqCentroidVectors(pq).collect()
+    (0 until m).map { s =>
+      rows.toSeq.filter(_.getInt(0) == s)
+        .map(r => (r.get(1), r.getSeq[Float](2)))
     }
-    // dense per-subspace LUT rows indexed BY CELL ID (0.0 fills for
-    // vanished cells — codes never reference them, the fill is never
-    // read); entries are the 6dp partial dots of the query's slice
-    // against each codebook centroid, computed in the same projection
-    val lutCol = array((0 until m).map { s =>
+  }
+
+  /** Dense per-subspace LUT rows indexed BY CELL ID (0.0 fills for
+    * vanished cells — codes never reference them, the fill is never
+    * read); entries are the 6dp partial dots of the query vector's
+    * slice against each codebook centroid, computed inside the query
+    * projection from codebook LITERALS so the whole table codegens. */
+  private def pqLutCol(books: Seq[Seq[(Any, Seq[Float])]], subDim: Int,
+      qv: Column): Column =
+    array(books.indices.map { s =>
       val bm = books(s).map { case (cell, vec) => cell.asInstanceOf[Int] -> vec }.toMap
       if (bm.isEmpty) typedlit(Seq.empty[Double])
       else array((0 to bm.keys.max).map { c =>
         bm.get(c) match {
           case Some(vec) => round(graft.functions.FloatVectorDot(
-            slice(col("__qv"), s * subDim + 1, subDim), typedlit(vec)), 6)
+            slice(qv, s * subDim + 1, subDim), typedlit(vec)), 6)
           case None => lit(0.0)
         }
       }: _*)
     }: _*)
+
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, pq: DataFrame,
+      k: Int, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
+    val subDim = dim / m
+    val books = collectBooks(pq, m)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__lut", lutCol)
+      .withColumn("__lut", pqLutCol(books, subDim, col("__qv")))
       .select(col("query_id"), col("__lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
@@ -603,6 +615,54 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("score"), col("rank"))
+  }
+
+  /** IVF+PQ — the production ANN composition at corpus scale: the
+    * coarse quantizer prunes (each query scores only its `nprobe`
+    * nearest trained cells' vectors, exactly [[ivfProbeTopK]]'s probe
+    * step) and PQ codes pay for what remains (the pruned candidates
+    * score through the fused [[graft.functions.CodeLutSum]] LUT kernel,
+    * never a float vector). Per pair: m compiled lookups; per query:
+    * `nprobe · |cell|` candidates instead of `|corpus|`; the corpus
+    * side carries only (cell, id, m codes). Probe lists and
+    * LUT-carrying queries broadcast; the only shuffle is the top-k
+    * window. Same output contract as [[ivfProbeTopK]] (probed cell
+    * kept) with ADC scores instead of exact cosine.
+    *
+    * `centroids` is the coarse [[cellCentroids]] frame the corpus'
+    * `cellCol` was assigned against; `pq` is the [[pqTrain]] frame. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      pq: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "cell"): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
+    val subDim = dim / m
+    val books = collectBooks(pq, m)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc_nulls_last, col("cell").asc)
+    val probes = centroidScores(queries, centroids, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__lut", pqLutCol(books, subDim, col("__qv")))
+      .select(col("query_id"), col("__lut"))
+    // corpus side: (coarse cell, id, m codes) in ONE projection — the
+    // float vector never leaves the scan
+    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("cand_id"),
+      pqCodesCol(books, subDim, col(vecCol)).as("codes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    c.join(broadcast(probes), "cell")
+      .join(broadcast(q), "query_id")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score",
+        round(graft.functions.CodeLutSum(col("codes"), col("__lut")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cell"), col("score"), col("rank"))
   }
 
   /** Embedding-quality eval: for each query vector, what fraction of its

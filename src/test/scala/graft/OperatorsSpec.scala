@@ -237,6 +237,25 @@ class OperatorsSpec extends SparkSpec {
         case _         => true
       })
     }
+
+    // IVF+PQ with every cell probed ≡ whole-corpus ADC (the pruning is
+    // the ONLY difference between the two paths), and with nprobe=1
+    // every candidate comes from the query's own best coarse cell
+    val labeled = emb.withColumn("label", pmod(col("vec_id"), lit(2)).cast("int"))
+    val cent = Similarity.cellCentroids(labeled)
+    val corpus = labeled.withColumnRenamed("label", "cell")
+    val queries = emb.filter(col("vec_id") < 2)
+    val full = Similarity.ivfPqTopK(corpus, queries, cent, pq,
+        k = 3, nprobe = 2, m = 2, dim = 4)
+      .select("query_id", "cand_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(full == got.sorted)
+    val pruned = Similarity.ivfPqTopK(corpus, queries, cent, pq,
+        k = 3, nprobe = 1, m = 2, dim = 4)
+      .as[(Long, Long, Int, Double, Int)].collect().toSeq
+    assert(pruned.nonEmpty)
+    val cellOf = corpus.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(pruned.forall { case (_, cand, cell, _, _) => cellOf(cand) == cell })
   }
 
   test("heavyHitters: exact top-N with sketch verdicts true under tiny k") {
