@@ -228,12 +228,21 @@ object SparkEntry {
   }
 
   /** [[pqAdcLutCtes]] + whole-corpus DECIMAL-summed 4dp scores —
-    * ending in `scored (query_id, cand_id, score)`. */
+    * ending in `scored (query_id, cand_id, score)`.
+    *
+    * The 4dp round happens ON THE DECIMAL, not after the double cast:
+    * the ADC sum is an exact 6dp decimal, so a trailing "…50" (a 4dp
+    * half-way case — ~1% of scores) is COMMON, and DuckDB's
+    * `round(DOUBLE, 4)` resolves it on the binary double (0.02465 →
+    * 246.4999… → 0.0246) while Spark's `round` on the kernel's exact
+    * micro-unit sum resolves it in decimal (HALF_UP → 0.0247).
+    * Decimal-rounding first makes both engines take the decimal
+    * half-up branch (caught live: `x_ann_ivfpq` row 23 at sf0.01). */
   private def pqAdcOracleCtes(m: Int, dim: Int): String =
     s"""${pqAdcLutCtes(m, dim)},
     |scored AS (
     |  SELECT l.query_id, c.vec_id AS cand_id,
-    |    round(CAST(SUM(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE), 4) AS score
+    |    CAST(round(SUM(CAST(l.pdot AS DECIMAL(28,12))), 4) AS DOUBLE) AS score
     |  FROM codes c JOIN lut l
     |    ON l.subspace = c.subspace AND l.cell = c.code AND l.query_id <> c.vec_id
     |  GROUP BY l.query_id, c.vec_id)""".stripMargin
@@ -292,9 +301,12 @@ object SparkEntry {
   private def storedNearDupIndex(s: SparkSession, dir: String): DataFrame =
     storedNearDupIndexMemo.getOrElseUpdate((s, dir), {
       val seen = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      // Path key: the sanitized dir string itself (hashCode alone could
+      // collide two dirs onto one stored index; the full string cannot).
       val path = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir"), "graft_neardup_index"),
-        java.lang.Integer.toHexString(dir.hashCode)).getPath
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-" + java.lang.Integer.toHexString(dir.hashCode)).getPath
       Dedup.nearDupIndex(seen, n = 2, numHashes = 16, bands = 8)
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
@@ -1792,7 +1804,8 @@ object SparkEntry {
         |${pqAdcLutCtes(m = 2, dim = 64)},
         |ivfpq AS (
         |  SELECT p.query_id, c.vec_id AS cand_id, a.cell,
-        |    round(CAST(SUM(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE), 4) AS score
+        |    -- decimal-round BEFORE the double cast: see pqAdcOracleCtes
+        |    CAST(round(SUM(CAST(l.pdot AS DECIMAL(28,12))), 4) AS DOUBLE) AS score
         |  FROM probes p
         |  JOIN assigned a ON a.cell = p.cell
         |  JOIN codes c ON c.vec_id = a.vec_id AND c.vec_id <> p.query_id

@@ -26,18 +26,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, dir, name), spark.read.parquet(path(dir, name)))
 
-  /** `events` with `ts` converted to a µs timestamp.
+  /** `events` with `ts` normalized to a µs session-TZ timestamp.
     *
-    * The testdata writes `ts` as ns-precision parquet, which Spark 4
-    * refuses to read as a timestamp; `nanosAsLong` reads it as raw nanos
-    * and we truncate to µs — exactly what DuckDB's
-    * `CAST(ts AS TIMESTAMP)` (TIMESTAMP_NS → TIMESTAMP) does, so oracle
-    * comparisons line up (SURVEY.md §7.2 "Timestamp precision").
+    * The driver's testdata generator has shipped `ts` two ways across
+    * rounds: ns-precision parquet (which Spark 4 refuses to read as a
+    * timestamp — `nanosAsLong` reads raw nanos and we truncate to µs,
+    * exactly DuckDB's TIMESTAMP_NS → TIMESTAMP cast) and plain
+    * timestamp[us] (read as TIMESTAMP_NTZ — recast to TimestampType
+    * under the UTC session so downstream epoch arithmetic and the
+    * written comparison parquet keep the same instant semantics either
+    * way; SURVEY.md §7.2 "Timestamp precision").
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: exact ns→µs truncation
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // ns-as-long encoding
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: exact ns→µs truncation
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a session-TZ timestamp
+    }
   }
 
   /** The bitemporal surrogate frame (FIXTURES.md §3): maps `events` onto

@@ -221,6 +221,8 @@ object Similarity {
       .select(transform(col(vecCol),
         v => round(v.cast("double"), 6).cast("float")).as("c"))
       .collect()
+    require(seedRows.nonEmpty,
+      "kmeansTrain: corpus is empty — training needs at least one vector")
     var centroidPairs: Seq[(Any, Seq[Float])] = seedRows.toSeq.zipWithIndex
       .map { case (r, i) => (Int.box(i): Any, r.getSeq[Float](0)) }
     def assigned(pairs: Seq[(Any, Seq[Float])]): DataFrame =
@@ -441,6 +443,8 @@ object Similarity {
       .select(transform(col(vecCol),
         v => round(v.cast("double"), 6).cast("float")).as("c"))
       .collect()
+    require(seedRows.nonEmpty,
+      "pqTrain: corpus is empty — training needs at least one vector")
     // per-element round commutes with slicing, so slicing the rounded
     // full vector equals rounding the slice (what the oracle replays)
     var books: Array[Seq[(Any, Seq[Float])]] = Array.tabulate(m) { s =>
