@@ -1850,6 +1850,30 @@ object SparkEntry {
         |WHERE sample_rank <= 15
         |ORDER BY source, sample_rank""".stripMargin)),
 
+    ("x_sample_weighted",
+      // Weighted sampling without replacement (Efraimidis–Spirakis):
+      // exactly 10 docs per source, win probability proportional to
+      // n_chars — the length/quality-weighted eval-set primitive. The
+      // priority u^(1/w) is a pure function of the portable id hash,
+      // so the winner set is reproducible across runs and engines.
+      (s, dir) => Sampling.sampleWeightedPerGroup(Tables.documents(s, dir),
+        idCol = "doc_id", weightCol = "n_chars", groupCol = "source", k = 10)
+        .select("doc_id", "source", "priority", "sample_rank")
+        .orderBy("source", "sample_rank"),
+      Some("""SELECT doc_id, source, priority, sample_rank FROM (
+        |  SELECT doc_id, source, priority,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY priority DESC, doc_id) AS sample_rank
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      round(pow(
+        |        (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 1000000 + 0.5) / 1000000.0,
+        |        1.0 / CAST(n_chars AS DOUBLE)), 8) AS priority
+        |    FROM documents WHERE CAST(n_chars AS DOUBLE) > 0))
+        |WHERE sample_rank <= 10
+        |ORDER BY source, sample_rank""".stripMargin)),
+
     ("x_split_decontam",
       // Leak-free train/eval split: deterministic 20% eval by id hash,
       // then every train doc sharing a distinct word trigram with any

@@ -76,6 +76,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sampleWeighted favors heavy rows, excludes non-positive weights") {
+    // weight 1000 vs 1: u^(1/1000) ≈ 1 while u^(1/1) = u — every heavy
+    // row out-ranks every light row whose u isn't extreme; with 20
+    // heavy rows and k = 10, all winners should be heavy.
+    val weighted = ((0L until 20L).map(i => (i, 1000.0)) ++
+      (20L until 200L).map(i => (i, 1.0))).toDF("doc_id", "w")
+    val got = Sampling.sampleWeighted(weighted, "doc_id", "w", k = 10)
+    assert(got.count() == 10)
+    assert(got.filter(col("w") === 1000.0).count() == 10)
+    // determinism: a pure function of (id, weight)
+    val again = Sampling.sampleWeighted(weighted, "doc_id", "w", k = 10)
+    assert(got.collect().toSeq == again.collect().toSeq)
+    // zero/negative/null weights never win — even against k > candidates
+    val degenerate = Seq((1L, 0.0), (2L, -5.0), (3L, 2.0)).toDF("doc_id", "w")
+    val winners = Sampling.sampleWeighted(degenerate, "doc_id", "w", k = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(winners == Seq(3L))
+  }
+
+  test("sampleWeightedPerGroup yields exact-k per group by weighted rank") {
+    val grouped = (0L until 100L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de", 1.0 + (i % 7)))
+      .toDF("doc_id", "lang", "w")
+    val got = Sampling.sampleWeightedPerGroup(grouped, "doc_id", "w", "lang", k = 5)
+    val sizes = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("en" -> 5L, "de" -> 5L))
+    // ranks are contiguous and priorities non-increasing within a group
+    val en = got.filter(col("lang") === "en").orderBy("sample_rank")
+      .select("sample_rank", "priority").as[(Int, Double)].collect().toSeq
+    assert(en.map(_._1) == (1 to 5))
+    assert(en.map(_._2) == en.map(_._2).sorted.reverse)
+  }
+
   test("cellCentroids averages dimension-wise per cell") {
     val emb = Seq(
       (1L, Array(1.0f, 3.0f), 0),
