@@ -2202,6 +2202,39 @@ object SparkEntry {
         |ORDER BY cnt DESC, token
         |LIMIT 25""".stripMargin)),
 
+    ("x_sketch_cms",
+      // Count-Min sketch (4×64) audited against exact counts for the
+      // exact top-25 tokens. The CMS matrix is an order-invariant sum,
+      // so the ESTIMATES are bit-identical across partitionings and
+      // the oracle replays them in SQL (bucket = md5-portable hash of
+      // "cms<d>:"+token mod width; estimate = min of the 4 bucket
+      // sums) — stronger evidence than the theorem-only verdict MG's
+      // order-dependent counters allow.
+      (s, dir) => TextAnalysis.cmsFrequencies(Tables.documents(s, dir),
+        depth = 4, width = 64, topN = 25)
+        .orderBy(col("exact_count").desc, col("token")),
+      Some("""WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+        |cells AS (
+        |  SELECT g.d,
+        |    CAST(concat('0x', substr(md5(concat('cms', g.d, ':', token)), 1, 8)) AS BIGINT) % 64 AS b,
+        |    SUM(c) AS cell
+        |  FROM counts, generate_series(0, 3) g(d)
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 25),
+        |pb AS (
+        |  SELECT token, c, g.d,
+        |    CAST(concat('0x', substr(md5(concat('cms', g.d, ':', token)), 1, 8)) AS BIGINT) % 64 AS b
+        |  FROM probes, generate_series(0, 3) g(d))
+        |SELECT pb.token AS token, CAST(pb.c AS BIGINT) AS exact_count,
+        |       CAST(MIN(cells.cell) AS BIGINT) AS cms_est,
+        |       (MIN(cells.cell) >= pb.c) AS never_undercounts
+        |FROM pb JOIN cells USING (d, b)
+        |GROUP BY pb.token, pb.c
+        |ORDER BY exact_count DESC, token""".stripMargin)),
+
     ("x_text_lm_score",
       // Bigram-LM quality scoring: the corpus's own add-k bigram model
       // scores every doc by mean log-probability — low = line noise /

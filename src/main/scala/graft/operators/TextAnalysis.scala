@@ -171,6 +171,35 @@ object TextAnalysis {
           .otherwise(col("cnt") <= slack).as("sketch_consistent"))
   }
 
+  /** Count-Min frequency estimates via the
+    * [[graft.functions.CountMinSketch]] aggregate, audited against the
+    * exact counts: emits the exact top `topN` tokens (count DESC, token
+    * ASC) with the sketch's point estimate and the CMS theorem verdict
+    * (`cms_est ≥ exact` always — minimum of counters that each received
+    * every true increment). Because the matrix is an order-invariant
+    * SUM, the estimates themselves are bit-identical across partition
+    * and merge orders — so unlike [[heavyHitters]]' order-dependent MG
+    * counters, the oracle replays the ESTIMATES, not just the bound.
+    *
+    * The exact side is the full term table — affordable at bench scale
+    * and the ground truth the sketch is judged against. At 100 TB the
+    * sketch alone is the product: depth·width longs per task, one
+    * matrix per task on the shuffle, element-wise-add merges. */
+  def cmsFrequencies(docs: DataFrame, depth: Int, width: Int, topN: Int,
+      textCol: String = "text"): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val tokens = docs.select(explode(toks(col(textCol))).as("token"))
+    val sketch = tokens.agg(
+      graft.functions.CountMinSketch(col("token"), depth, width).as("__s"))
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token")).limit(topN)
+    val est = graft.functions.CountMinSketch.estimate(
+      col("__s"), col("token"), depth, width)
+    exact.crossJoin(broadcast(sketch))
+      .select(col("token"), col("exact_count"), est.as("cms_est"),
+        (est >= col("exact_count")).as("never_undercounts"))
+  }
+
   /** Vocabulary-encode the corpus — the tokenize-to-ids handoff a
     * training-data pipeline ends with: build a `vocabSize`-entry
     * vocabulary of the most frequent tokens (rank by freq DESC, token
