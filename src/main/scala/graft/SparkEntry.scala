@@ -1771,6 +1771,44 @@ object SparkEntry {
         |GROUP BY e.query_id
         |ORDER BY e.query_id""".stripMargin)),
 
+    ("x_ann_pq_rerank",
+      // Two-stage retrieval: ADC codes score the whole corpus, the top
+      // 20 per query re-rank through full-precision cosine, top 5 win
+      // — the production shape that buys back the recall the 2-byte
+      // codes gave up while touching only 20 float vectors per query.
+      // The oracle replays training, encoding, the ADC shortlist, and
+      // the exact re-rank end-to-end.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 8),
+          pqTrained(s, dir), k = 5, shortlistK = 20, m = 2, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${pqTrainOracleCtes(m = 2, k = 4, iters = 2, dim = 64)},
+        |${pqAdcOracleCtes(m = 2, dim = 64)},
+        |short AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, cand_id) AS srank
+        |    FROM scored)
+        |  WHERE srank <= 20),
+        |rer AS (
+        |  SELECT s.query_id, s.cand_id,
+        |    round(list_inner_product(q.e, c.e)
+        |      / NULLIF(sqrt(list_inner_product(q.e, q.e))
+        |         * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |  FROM short s
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) q
+        |    ON q.vec_id = s.query_id
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
+        |    ON c.vec_id = s.cand_id)
+        |SELECT query_id, cand_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, cand_id) AS rank
+        |  FROM rer)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     ("x_ann_ivfpq",
       // IVF+PQ — the production ANN composition: the coarse quantizer
       // prunes each query to its 2 nearest cells' vectors (the

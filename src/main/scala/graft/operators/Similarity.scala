@@ -669,6 +669,39 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cell"), col("score"), col("rank"))
   }
 
+  /** ADC shortlist + exact re-rank — the two-stage retrieval shape
+    * production ANN actually ships: PQ codes cheaply score the WHOLE
+    * corpus (m LUT lookups per pair, [[pqAdcTopK]]), the top
+    * `shortlistK` per query graduate to full-precision cosine, and the
+    * final top `k` come from the re-ranked shortlist. Buys back most
+    * of the recall the lossy codes gave up while touching only
+    * `shortlistK · |queries|` float vectors — at 100 TB the float
+    * corpus is read by the SHORTLIST join (a broadcast-able
+    * queries×shortlistK frame against the corpus scan), never scored
+    * wholesale.
+    *
+    * Ranking contract as everywhere in the family: score desc, cand_id
+    * asc; self-pairs excluded (already absent from the shortlist). */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, pq: DataFrame,
+      k: Int, shortlistK: Int, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlistK >= k, "need shortlistK >= k >= 1")
+    val short = pqAdcTopK(corpus, queries, pq, shortlistK, m, dim, idCol, vecCol)
+      .select(col("query_id"), col("cand_id"))
+    // candidate float vectors: ONE hash join of the corpus scan against
+    // the broadcast shortlist — the only place full vectors are read
+    val cand = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .join(broadcast(short), "cand_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    cand.join(broadcast(q), "query_id")
+      .withColumn("score", round(Portable.cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rank"))
+  }
+
   /** Embedding-quality eval: for each query vector, what fraction of its
     * `k` exact cosine nearest neighbors carry the query's own label?
     * Reported per label class — low purity flags label noise or an

@@ -256,6 +256,22 @@ class OperatorsSpec extends SparkSpec {
     assert(pruned.nonEmpty)
     val cellOf = corpus.select("vec_id", "cell").as[(Long, Int)].collect().toMap
     assert(pruned.forall { case (_, cand, cell, _, _) => cellOf(cand) == cell })
+
+    // rerank: with the shortlist covering the whole corpus, the
+    // re-ranked top-k IS the brute-force float top-k — the shortlist
+    // stage only ever PRUNES, never re-orders the exact scores
+    val rer = Similarity.pqRerankTopK(emb, queries, pq,
+        k = 3, shortlistK = 23, m = 2, dim = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(rer == brute)
+    // with a tight shortlist the result is still k-deep and exactly
+    // cosine-scored (scores must be a subset of brute-force pair scores)
+    val tight = Similarity.pqRerankTopK(emb, queries, pq,
+        k = 3, shortlistK = 5, m = 2, dim = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(tight.count(_._1 == 0L) == 3 && tight.count(_._1 == 1L) == 3)
   }
 
   test("heavyHitters: exact top-N with sketch verdicts true under tiny k") {

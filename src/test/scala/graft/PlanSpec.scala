@@ -186,6 +186,19 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("pqRerankTopK joins the float corpus only via broadcasts") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pq = graft.operators.Similarity.pqTrain(emb, m = 2, k = 4, iters = 1, dim = 64)
+    val plan = planOf(graft.operators.Similarity.pqRerankTopK(
+      emb, emb.filter(col("vec_id") < 8), pq, k = 5, shortlistK = 20, m = 2, dim = 64))
+    // the shortlist and query sides broadcast onto the corpus scan —
+    // a shuffled or sort-merge join here would re-shuffle the corpus
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // both window stages keep their pre-shuffle group limits
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("labelPurity broadcasts the query side and never joins labels back") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = planOf(graft.operators.Similarity.labelPurity(
