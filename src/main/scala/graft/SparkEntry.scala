@@ -804,6 +804,36 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY series_id ORDER BY ts)
         |ORDER BY series_id, ts""".stripMargin)),
 
+    ("ts_downsample",
+      // OHLC decimation: per (series, day) the open/high/low/close bars
+      // plus point count — the downsample that keeps the extremes a
+      // plain average erases. Open/close ties break on event_id, so
+      // bars are deterministic; both windows and the bar aggregate run
+      // on one (series, bucket) exchange.
+      (s, dir) => TimeSeriesOps.downsampleOhlc(
+        Tables.events(s, dir).select(
+          col("user_id").as("series_id"), col("ts"), col("value"), col("event_id")),
+        bucket = "day")
+        .orderBy("series_id", "bucket"),
+      Some("""WITH pts AS (
+        |  SELECT user_id AS series_id, CAST(ts AS TIMESTAMP) AS t, value, event_id FROM events),
+        |rn AS (
+        |  SELECT series_id, date_trunc('day', t) AS bucket, value,
+        |    row_number() OVER (PARTITION BY series_id, date_trunc('day', t)
+        |                       ORDER BY t, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY series_id, date_trunc('day', t)
+        |                       ORDER BY t DESC, event_id DESC) AS rl
+        |  FROM pts)
+        |SELECT series_id, bucket,
+        |  MIN(CASE WHEN rf = 1 THEN value END) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  MIN(CASE WHEN rl = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_points
+        |FROM rn
+        |GROUP BY series_id, bucket
+        |ORDER BY series_id, bucket""".stripMargin)),
+
     // ----- external-catalog meta resolve (SURVEY §2.1 S8 + §2.4 J4) -----
 
     ("td_meta_read",
@@ -1911,6 +1941,58 @@ object SparkEntry {
         |    FROM documents WHERE CAST(n_chars AS DOUBLE) > 0))
         |WHERE sample_rank <= 10
         |ORDER BY source, sample_rank""".stripMargin)),
+
+    ("x_shard_assign",
+      // Deterministic global shuffle: every doc lands in one of 8
+      // training shards by id hash, with a dense within-shard position
+      // from an independently-salted hash — the epoch-order step before
+      // distributed training, reproducible across engines and retries.
+      (s, dir) => Sampling.shardAssign(Tables.documents(s, dir),
+        idCol = "doc_id", numShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos"),
+      Some("""SELECT doc_id, shard, pos FROM (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+        |      ORDER BY CAST(concat('0x', substr(md5(concat('pos:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+        |               doc_id) AS pos
+        |  FROM documents)
+        |ORDER BY shard, pos""".stripMargin)),
+
+    ("x_corpus_report",
+      // Dataset card: doc counts, char/token mass, and mean length per
+      // (lang), (source), (lang, source), and overall in ONE cube pass
+      // — the corpus-composition summary every training-data release
+      // ships. grouping() flags disambiguate rolled-up nulls.
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+        .cube(col("lang"), col("source"))
+        .agg(
+          grouping(col("lang")).cast("int").as("g_lang"),
+          grouping(col("source")).cast("int").as("g_source"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("g_lang"), col("g_source"),
+          col("lang").asc_nulls_first, col("source").asc_nulls_first),
+      Some("""WITH t AS (
+        |  SELECT lang, source, n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, source,
+        |  CAST(GROUPING(lang) AS INT) AS g_lang,
+        |  CAST(GROUPING(source) AS INT) AS g_source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(AVG(n_chars), 4) AS avg_chars
+        |FROM t
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin)),
 
     ("x_split_decontam",
       // Leak-free train/eval split: deterministic 20% eval by id hash,

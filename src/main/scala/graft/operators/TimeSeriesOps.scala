@@ -324,4 +324,42 @@ object TimeSeriesOps {
           .otherwise(col("delta") / (elapsedUs / lit(1000000.0))))
       .select(col(keyCol), col(tsCol), col(valueCol), col("delta"), col("rate_per_sec"))
   }
+
+  /** OHLC downsampling: per (key, time bucket) the open (first value),
+    * high, low, close (last value) and point count — the standard
+    * decimation that turns a raw tick/metric stream into
+    * chart-or-feature-ready bars at a coarser grain, keeping the
+    * extremes a plain per-bucket average would erase.
+    *
+    * Open/close ties on the timestamp break by `idCol` — a total order,
+    * so bars are deterministic and engine-portable. Scale shape: both
+    * row_number windows AND the bar aggregate share the (key, bucket)
+    * clustering, so the whole operator runs on ONE exchange (the
+    * stacked-windows discipline of the change-collapse reads); bars
+    * per series per bucket are O(1) outputs of a corpus-sized input.
+    *
+    * `bucket` is any `date_trunc` unit (hour, day, week...). */
+  def downsampleOhlc(
+      values: DataFrame,
+      keyCol: String = "series_id", tsCol: String = "ts",
+      valueCol: String = "value", idCol: String = "event_id",
+      bucket: String = "hour"): DataFrame = {
+    val b = date_trunc(bucket, col(tsCol))
+    def w(descending: Boolean) = {
+      val base = Window.partitionBy(col(keyCol), col("__bucket"))
+      if (descending) base.orderBy(col(tsCol).desc, col(idCol).desc)
+      else base.orderBy(col(tsCol).asc, col(idCol).asc)
+    }
+    values
+      .withColumn("__bucket", b)
+      .withColumn("__rn_first", row_number().over(w(descending = false)))
+      .withColumn("__rn_last", row_number().over(w(descending = true)))
+      .groupBy(col(keyCol), col("__bucket").as("bucket"))
+      .agg(
+        min(when(col("__rn_first") === 1, col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        min(when(col("__rn_last") === 1, col(valueCol))).as("close"),
+        count(lit(1)).as("n_points"))
+  }
 }

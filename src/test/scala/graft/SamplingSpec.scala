@@ -109,6 +109,28 @@ class SamplingSpec extends SparkSpec {
     assert(en.map(_._2) == en.map(_._2).sorted.reverse)
   }
 
+  test("shardAssign covers every row with dense per-shard positions") {
+    val got = Sampling.shardAssign(docs, "doc_id", numShards = 4)
+    assert(got.count() == 200)
+    // shards partition the corpus; positions are dense 1..|shard|
+    val byShard = got.groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(byShard.keySet.subsetOf(Set(0, 1, 2, 3)) && byShard.values.sum == 200L)
+    byShard.foreach { case (sh, n) =>
+      val ranks = got.filter(col("shard") === sh)
+        .select("pos").as[Int].collect().sorted.toSeq
+      assert(ranks == (1 to n.toInt), s"shard $sh positions must be dense")
+    }
+    // position order is NOT the shard-hash order (independent salt):
+    // within a shard, doc ids by pos should not be monotonically the
+    // same as by the shard key hash — check it differs from plain id order
+    val firstShard = got.filter(col("shard") === byShard.keys.head)
+      .orderBy("pos").select("doc_id").as[Long].collect().toSeq
+    assert(firstShard != firstShard.sorted, "epoch order must not be id order")
+    // deterministic: pure function of ids
+    val again = Sampling.shardAssign(docs, "doc_id", numShards = 4)
+    assert(got.collect().toSeq == again.collect().toSeq)
+  }
+
   test("cellCentroids averages dimension-wise per cell") {
     val emb = Seq(
       (1L, Array(1.0f, 3.0f), 0),

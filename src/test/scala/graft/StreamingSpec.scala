@@ -113,6 +113,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_._3) == Seq(101L, 3L), "MG n counts every processed row")
   }
 
+  test("streaming CMS matrix equals the batch matrix (order-invariant sum)") {
+    // CMS goes further than KMV's estimate equality: the ENTIRE state
+    // is an order-invariant sum, so the streaming matrix must be
+    // bit-identical to a batch aggregation over the same rows no
+    // matter how the micro-batches sliced them
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val agg = mem.toDF().toDF("grp", "token")
+      .groupBy("grp")
+      .agg(graft.functions.CountMinSketch(col("token"), 3, 32).as("cms"))
+    val q = agg.writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Complete).start()
+    val batch1 = (1 to 40).map(i => ("a", s"t${i % 7}")) :+ (("b", "x"))
+    val batch2 = (1 to 25).map(i => ("a", s"t${i % 5}")) :+ (("b", "y"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val streaming = spark.sql("SELECT grp, cms FROM cms ORDER BY grp").collect()
+      .map(r => (r.getString(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getSeq[scala.collection.Seq[Long]](1).map(_.toSeq).toSeq)).toSeq
+    q.stop()
+    val batch = (batch1 ++ batch2).toDF("grp", "token")
+      .groupBy("grp")
+      .agg(graft.functions.CountMinSketch(col("token"), 3, 32).as("cms"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getSeq[scala.collection.Seq[Long]](1).map(_.toSeq).toSeq)).toSeq
+    assert(streaming == batch,
+      "streaming CMS matrix must be bit-identical to the batch matrix")
+  }
+
   test("streaming dedup drops repeats across micro-batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]

@@ -267,4 +267,35 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .select(max("session_no")).as[Long].head()
     assert(got == 1L)
   }
+
+  test("downsampleOhlc: bars keep open/close by time order, extremes, count") {
+    val pts = Seq(
+      (1L, ts("2024-01-01T01:00:00Z"), 5.0, 10L),
+      (1L, ts("2024-01-01T02:00:00Z"), 9.0, 11L),
+      (1L, ts("2024-01-01T03:00:00Z"), 1.0, 12L),
+      (1L, ts("2024-01-01T04:00:00Z"), 7.0, 13L),
+      (1L, ts("2024-01-02T00:30:00Z"), 2.0, 14L),
+      (2L, ts("2024-01-01T12:00:00Z"), 3.0, 15L))
+      .toDF("series_id", "ts", "value", "event_id")
+    val d = TimeSeriesOps.downsampleOhlc(pts, bucket = "day")
+    val got = d.orderBy("series_id", "bucket")
+      .select("series_id", "open", "high", "low", "close", "n_points")
+      .as[(Long, Double, Double, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5.0, 9.0, 1.0, 7.0, 4L), // day 1: opens 5, closes 7, hi 9, lo 1
+      (1L, 2.0, 2.0, 2.0, 2.0, 1L), // day 2: singleton bar
+      (2L, 3.0, 3.0, 3.0, 3.0, 1L)))
+    // same-timestamp ties: event_id decides open and close
+    val tied = Seq(
+      (1L, ts("2024-01-01T01:00:00Z"), 8.0, 2L),
+      (1L, ts("2024-01-01T01:00:00Z"), 4.0, 1L))
+      .toDF("series_id", "ts", "value", "event_id")
+    val bar = TimeSeriesOps.downsampleOhlc(tied, bucket = "day")
+      .select("open", "close").as[(Double, Double)].head()
+    assert(bar == ((4.0, 8.0)))
+    // one exchange carries both windows and the bar aggregate
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(d.queryExecution.executedPlan.toString).length
+    assert(exchanges == 1, "stacked windows + bar agg must share one exchange")
+  }
 }
