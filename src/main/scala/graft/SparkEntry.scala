@@ -3262,6 +3262,21 @@ object SparkEntry {
         |FROM events
         |ORDER BY event_id""".stripMargin)),
 
+    ("x_json_variant",
+      // The Spark-4-native VARIANT path for the same promotion:
+      // parse_json → binary variant encoding (the storage form) →
+      // variant_get typed extraction. Same answer as x_json_fields by
+      // construction — the query pins that the variant path changes
+      // the encoding, never the values.
+      (s, dir) => SemiStructured.extractVariantFields(
+        Tables.events(s, dir).select("event_id", "props"), "props",
+        Seq(("k", "$.k", "int")))
+        .select("event_id", "k")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin)),
+
     ("x_json_keys",
       // Schema-discovery pass: top-level key frequency across the JSON
       // sidecar — decides which fields to promote to typed columns.

@@ -32,4 +32,23 @@ object SemiStructured {
     df.select(explode(json_object_keys(col(jsonCol))).as("key"))
       .groupBy("key")
       .agg(count(lit(1)).as("freq"))
+
+  /** VARIANT-typed promotion — the Spark 4 native path for
+    * semi-structured columns: `parse_json` once into the binary
+    * variant encoding (what a 100 TB ingest would LAND in storage,
+    * open-format shredded and far cheaper to re-extract than raw JSON
+    * text), then `variant_get` typed field extraction. Same output
+    * contract as [[extractJsonFields]]; prefer this form when the
+    * sidecar is stored and re-read by many consumers, the string form
+    * when it is parsed exactly once. Malformed JSON rows fail the
+    * ingest loudly (`parse_json`, not `try_parse_json`) — a silent
+    * null would leak bad rows into storage. */
+  def extractVariantFields(df: DataFrame, jsonCol: String,
+      fields: Seq[(String, String, String)]): DataFrame = {
+    val v = parse_json(col(jsonCol))
+    val cols = fields.map { case (out, path, typ) =>
+      variant_get(v, path, typ).as(out)
+    }
+    df.select(df.columns.map(col) ++ cols: _*)
+  }
 }

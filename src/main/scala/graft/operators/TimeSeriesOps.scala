@@ -325,6 +325,22 @@ object TimeSeriesOps {
       .select(col(keyCol), col(tsCol), col(valueCol), col("delta"), col("rate_per_sec"))
   }
 
+  /** The aggregation-only OHLC formulation: open/close via
+    * `min_by`/`max_by` on the (ts, id) struct — no windows, so it
+    * composes with Structured Streaming's incremental aggregation
+    * (state per open bucket = the four running extremes plus a count).
+    * Same values as [[downsampleOhlc]]'s window formulation because
+    * (ts, id) totally orders each bucket. Use this under
+    * `groupBy(window(...))` with a watermark; the window form for
+    * batch (where the stacked-windows single exchange wins). */
+  def ohlcAggCols(tsCol: String = "ts", valueCol: String = "value",
+      idCol: String = "event_id"): Seq[Column] = Seq(
+    min_by(col(valueCol), struct(col(tsCol), col(idCol))).as("open"),
+    max(col(valueCol)).as("high"),
+    min(col(valueCol)).as("low"),
+    max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
+    count(lit(1)).as("n_points"))
+
   /** OHLC downsampling: per (key, time bucket) the open (first value),
     * high, low, close (last value) and point count — the standard
     * decimation that turns a raw tick/metric stream into

@@ -145,6 +145,40 @@ class StreamingSpec extends SparkSpec {
       "streaming CMS matrix must be bit-identical to the batch matrix")
   }
 
+  test("streaming OHLC bars equal the batch bars under event-time windows") {
+    // the min_by/max_by formulation keeps O(1) state per open bucket
+    // and survives any micro-batch slicing — bars must equal a batch
+    // aggregation over the same rows
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Long)]
+    val agg = mem.toDF().toDF("series_id", "ts", "value", "event_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("series_id"),
+        org.apache.spark.sql.functions.window(col("ts"), "1 day").as("win"))
+      .agg(graft.operators.TimeSeriesOps.ohlcAggCols().head,
+        graft.operators.TimeSeriesOps.ohlcAggCols().tail: _*)
+    val q = agg.writeStream.format("memory").queryName("ohlc")
+      .outputMode(OutputMode.Complete).start()
+    val rows = Seq(
+      (1L, ts("2024-01-01T01:00:00Z"), 5.0, 10L),
+      (1L, ts("2024-01-01T03:00:00Z"), 1.0, 12L))
+    val rows2 = Seq(
+      (1L, ts("2024-01-01T02:00:00Z"), 9.0, 11L), // arrives late, same bar
+      (1L, ts("2024-01-01T04:00:00Z"), 7.0, 13L),
+      (2L, ts("2024-01-01T12:00:00Z"), 3.0, 15L))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData(rows2: _*)
+    q.processAllAvailable()
+    val streaming = spark.sql(
+      "SELECT series_id, open, high, low, close, n_points FROM ohlc ORDER BY series_id")
+      .as[(Long, Double, Double, Double, Double, Long)].collect().toSeq
+    q.stop()
+    assert(streaming == Seq(
+      (1L, 5.0, 9.0, 1.0, 7.0, 4L), // open=first by ts, close=last by ts
+      (2L, 3.0, 3.0, 3.0, 3.0, 1L)))
+  }
+
   test("streaming dedup drops repeats across micro-batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]

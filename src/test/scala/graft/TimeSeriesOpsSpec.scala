@@ -297,5 +297,13 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r
       .findAllIn(d.queryExecution.executedPlan.toString).length
     assert(exchanges == 1, "stacked windows + bar agg must share one exchange")
+    // the aggregation-only formulation (the streaming face) produces
+    // the identical bars: (ts, id) totally orders each bucket
+    val viaAgg = pts.groupBy(col("series_id"), date_trunc("day", col("ts")).as("bucket"))
+      .agg(TimeSeriesOps.ohlcAggCols().head, TimeSeriesOps.ohlcAggCols().tail: _*)
+      .orderBy("series_id", "bucket")
+      .select("series_id", "open", "high", "low", "close", "n_points")
+      .as[(Long, Double, Double, Double, Double, Long)].collect().toSeq
+    assert(viaAgg == got)
   }
 }
