@@ -3002,6 +3002,44 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin)),
 
+    ("x_dedup_cdc",
+      // Content-defined chunk census: rolling-hash boundaries (window
+      // 4, avg chunk 64 chars) make chunk identity robust to edits —
+      // the FastCDC-style primitive fixed spans can't give. The oracle
+      // replays positions, rolls, boundaries, and digests in SQL (lag
+      // windows over per-char code points; no recursion needed because
+      // the classic unbounded form keeps boundaries content-local).
+      (s, dir) => Dedup.cdcChunkCensus(Tables.documents(s, dir),
+        window = 4, avgSize = 64, minDocs = 2)
+        .orderBy("digest"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+        |p AS (
+        |  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS pos FROM d),
+        |ch AS (
+        |  SELECT doc_id, n, pos, unicode(substr(text, pos, 1)) AS c FROM p),
+        |r AS (
+        |  SELECT doc_id, n, pos,
+        |    (c + COALESCE(lag(c, 1) OVER w, 0) * 257
+        |       + COALESCE(lag(c, 2) OVER w, 0) * 66049
+        |       + COALESCE(lag(c, 3) OVER w, 0) * 974545) % 1000003 AS roll
+        |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |b AS (
+        |  SELECT doc_id, pos,
+        |    COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS prev
+        |  FROM r WHERE (pos >= 4 AND roll % 64 = 0) OR pos = n),
+        |chunks AS (
+        |  SELECT b.doc_id, b.pos - b.prev AS len,
+        |    CAST(concat('0x',
+        |      substr(md5(substr(d.text, b.prev + 1, b.pos - b.prev)), 1, 15)) AS BIGINT) AS digest
+        |  FROM b JOIN d USING (doc_id))
+        |SELECT digest, MAX(len) AS chunk_len,
+        |       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        |FROM chunks
+        |GROUP BY digest
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY digest""".stripMargin)),
+
     ("x_dedup_incremental_bloom",
       // Same semantics as x_dedup_incremental through the Bloom-prefilter
       // path: the filter only ROUTES rows (definitely-new skips the

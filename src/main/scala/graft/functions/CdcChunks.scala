@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd content-defined chunking (the rolling-hash primitive
+  * behind FastCDC-style blob/document dedup): one pass over the row's
+  * code points emits `struct(start, len, digest)` per chunk, where
+  * chunk boundaries fall at positions whose rolling hash of the last
+  * `window` code points is 0 mod `avgSize` — so boundaries are a pure
+  * function of LOCAL content. An insertion or deletion re-chunks only
+  * its neighborhood; every chunk after the edit keeps its digest,
+  * which is exactly why CDC beats fixed-size spans for dedup of
+  * near-identical blobs (fixed grids shift globally on a 1-char edit).
+  *
+  * Engine-portable by construction, so a SQL oracle can replay it:
+  * positions and substrings are CODE-POINT based (DuckDB `substr`/
+  * `len`/`unicode` semantics; supplementary planes handled), the roll
+  * is `Σ c_{i−j}·B^j mod P` with B=257, P=1000003 (coefficient
+  * literals both sides), and the chunk digest is the repo's portable
+  * 60-bit md5 prefix ([[Portable.hash60]]) of the chunk substring.
+  *
+  * Production CDC adds min/max chunk bounds (forced boundaries), which
+  * make the boundary set sequential — replayable only by a recursive
+  * oracle — so this kernel deliberately ships the unbounded classic
+  * form; degenerate inputs (a constant character run) produce either
+  * no boundaries (one whole-text chunk) or boundaries every position
+  * (window-sized chunks), both still content-defined.
+  *
+  * Empty text yields an empty array; null text yields null.
+  */
+case class CdcChunks(child: Expression, window: Int, avgSize: Int)
+    extends UnaryExpression {
+
+  require(window >= 1 && window <= 64, "window must be in [1, 64]")
+  require(avgSize >= 2, "avgSize must be >= 2")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.expectString(prettyName, "text", child)
+
+  override def dataType: DataType = CdcChunks.schema
+
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunks.compute(input.asInstanceOf[UTF8String], window, avgSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcChunks.compute($c, $window, $avgSize);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("digest", LongType, nullable = false))), containsNull = false)
+
+  def apply(text: Column, window: Int, avgSize: Int): Column =
+    GraftColumnBridge.toColumn(
+      CdcChunks(GraftColumnBridge.toExpression(text), window, avgSize))
+
+  val B: Long = 257L
+  val P: Long = 1000003L
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex digits of md5(utf8 bytes) as a non-negative long —
+    * the JVM twin of [[Portable.hash60]] / the oracle's
+    * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)`. */
+  private def digest60(s: String): Long = {
+    val md = md5.get()
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 15 hex digits = first 7 bytes + the high nibble of byte 8
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xFFL); i += 1 }
+    (v << 4) | ((dig(7) >> 4) & 0xFL)
+  }
+
+  def compute(text: UTF8String, window: Int, avgSize: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // code points + the char offset where each begins (so chunk
+    // substrings slice by code-point position, the oracle's substr)
+    var cpCount = 0
+    val cps = new Array[Int](n)
+    val charOff = new Array[Int](n + 1)
+    var ci = 0
+    while (ci < n) {
+      val cp = s.codePointAt(ci)
+      cps(cpCount) = cp
+      charOff(cpCount) = ci
+      cpCount += 1
+      ci += Character.charCount(cp)
+    }
+    charOff(cpCount) = n
+    val coeff = new Array[Long](window) // B^j mod P
+    var j = 0
+    var acc = 1L
+    while (j < window) { coeff(j) = acc; acc = acc * B % P; j += 1 }
+    val chunks = new scala.collection.mutable.ArrayBuffer[Any]()
+    var prevBoundary = 0 // code-point index of the last boundary (exclusive start)
+    var i = 0
+    while (i < cpCount) {
+      val isLast = i == cpCount - 1
+      var boundary = isLast
+      if (!boundary && i + 1 >= window) {
+        var roll = 0L
+        var k = 0
+        while (k < window) { roll += cps(i - k) % P * coeff(k) % P; k += 1 }
+        boundary = roll % P % avgSize == 0
+      }
+      if (boundary) {
+        val startCp = prevBoundary // 0-based; emitted 1-based
+        val lenCp = i + 1 - prevBoundary
+        val sub = s.substring(charOff(startCp), charOff(i + 1))
+        chunks += InternalRow(startCp + 1, lenCp, digest60(sub))
+        prevBoundary = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(chunks.toArray)
+  }
+}

@@ -458,6 +458,33 @@ object Dedup {
       .select(col(idCol), col("span_no"), col("span_digest"), col("n_docs"))
   }
 
+  /** Content-defined chunk census — the CDC counterpart of
+    * [[duplicatedSpans]]: chunk the corpus with the
+    * [[graft.functions.CdcChunks]] rolling-hash kernel (boundaries are
+    * a pure function of local content, so a 1-char edit re-chunks only
+    * its neighborhood — the property that makes CDC the standard
+    * primitive for near-identical blob dedup) and report every chunk
+    * digest that recurs across at least `minDocs` distinct documents.
+    *
+    * Scale shape: the per-row decomposition is one kernel pass; the
+    * census shuffle carries (id, digest, len) — never text; the
+    * aggregate is a digest-keyed count pair. Same pipeline shape as
+    * the span census, different boundary discipline. */
+  def cdcChunkCensus(docs: DataFrame, window: Int = 4, avgSize: Int = 64,
+      minDocs: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocs >= 1, "minDocs must be >= 1")
+    docs
+      .select(col(idCol),
+        explode(graft.functions.CdcChunks(col(textCol), window, avgSize)).as("__c"))
+      .select(col(idCol), col("__c.digest").as("digest"), col("__c.len").as("len"))
+      .groupBy("digest")
+      .agg(max(col("len")).as("chunk_len"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** One row per consecutive `spanTokens`-token span:
     * (idCol, span_no, [span_text,] span_digest) — shared by the census
     * ([[duplicatedSpans]], `withText = false`: the exploded stream

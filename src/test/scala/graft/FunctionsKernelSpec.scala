@@ -400,6 +400,45 @@ class FunctionsKernelSpec extends SparkSpec {
     assert(one == jvmEst)
   }
 
+  test("CdcChunks: chunks partition the text, digests are edit-local") {
+    import graft.functions.CdcChunks
+    val rnd = new scala.util.Random(13)
+    val base = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def chunksOf(s: String): Seq[(Int, Int, Long)] = {
+      val arr = CdcChunks.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 4, 64)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3)
+        (r.getInt(0), r.getInt(1), r.getLong(2))
+      }
+    }
+    val cs = chunksOf(base)
+    // chunks tile the text exactly: starts/lens are a partition
+    assert(cs.head._1 == 1 && cs.map(_._2).sum == base.length)
+    assert(cs.sliding(2).forall {
+      case Seq(a, b) => b._1 == a._1 + a._2
+      case _         => true
+    })
+    // reconstructing each chunk's substring reproduces the digest via
+    // the SQL-side portable hash (engine parity of the JVM md5 path)
+    val subs = cs.map { case (st, ln, dig) => (base.substring(st - 1, st - 1 + ln), dig) }
+    val viaSql = subs.map(_._1).toDF("s")
+      .select(graft.functions.Portable.hash60(col("s"))).as[Long].collect().toSeq
+    assert(viaSql == subs.map(_._2))
+    // content-defined: a prefix edit re-chunks only the neighborhood —
+    // the digest multiset still shares most chunks with the original
+    val edited = "XY" + base
+    val shared = chunksOf(edited).map(_._3).toSet
+      .intersect(cs.map(_._3).toSet)
+    assert(shared.size >= cs.size - 3,
+      s"only ${shared.size}/${cs.size} chunks survived a 2-char prefix edit")
+    // a fixed-size grid would share (almost) nothing under the same
+    // edit — the property CDC buys; empty text → empty array
+    assert(chunksOf("").isEmpty)
+    // degenerate constant input still chunks deterministically
+    assert(chunksOf("aaaaaaaaaa") == chunksOf("aaaaaaaaaa"))
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on sorted arrays") {
     val rnd = new scala.util.Random(42)
     val cases = (0 until 200).map { i =>
