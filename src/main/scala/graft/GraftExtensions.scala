@@ -82,6 +82,18 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"sorted_intersect_count expects (a, b), got ${other.size} args")
       }),
+    (FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "cdc_chunks(text, window, avgSize) - content-defined chunks: array of " +
+          "struct(start, len, digest); rolling-hash boundaries over the last `window` " +
+          "code points, ~avgSize chars per chunk, portable 60-bit md5 digests"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, w, m) =>
+          CdcChunks(text, intLit(w, "cdc_chunks", "window"),
+            intLit(m, "cdc_chunks", "avgSize"))
+        case other => throw new IllegalArgumentException(
+          s"cdc_chunks expects (text, window, avgSize), got ${other.size} args")
+      }),
     (FunctionIdentifier("text_fingerprint"),
       info("text_fingerprint",
         "text_fingerprint(text) - order-sensitive positional rolling-hash fingerprint"),

@@ -247,6 +247,28 @@ object SparkEntry {
     |    ON l.subspace = c.subspace AND l.cell = c.code AND l.query_id <> c.vec_id
     |  GROUP BY l.query_id, c.vec_id)""".stripMargin
 
+  /** DuckDB replay of the marker-heuristic language ID (scored per-lang
+    * marker counts → deterministic argmax), ending in
+    * `ranked (doc_id, lang, score, rn)` — shared by `x_text_lang`
+    * (predictions) and `x_text_lang_eval` (confusion vs labels). */
+  private def langIdOracleCtes: String = {
+    val cases = graft.operators.TextAnalysis.langMarkers.sortBy(_._1).map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+      s"len(list_filter(string_split(text, ' '), x -> x IN $inList)) AS score_$lang"
+    }.mkString(",\n        |       ")
+    val langs = graft.operators.TextAnalysis.langMarkers.map(_._1).sorted
+    s"""scored AS (
+        |  SELECT doc_id,
+        |       $cases
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, lang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+        |  FROM (
+        |    ${langs.map(l => s"SELECT doc_id, '$l' AS lang, score_$l AS score FROM scored").mkString("\n        |    UNION ALL ")})
+        |  )"""
+  }
+
   /** DuckDB replay of the incremental LSH screening (batch = doc_id %
     * 5 == 0 against the other 80%'s capped posting lists) — shared by
     * `x_dedup_incremental_lsh` (in-process index) and
@@ -2106,26 +2128,31 @@ object SparkEntry {
     ("x_text_lang",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir))
         .orderBy("doc_id"),
-      Some {
-        val cases = TextAnalysis.langMarkers.sortBy(_._1).map { case (lang, ms) =>
-          val inList = ms.map(m => s"'$m'").mkString("(", ", ", ")")
-          s"len(list_filter(string_split(text, ' '), x -> x IN $inList)) AS score_$lang"
-        }.mkString(",\n        |       ")
-        val langs = TextAnalysis.langMarkers.map(_._1).sorted
-        val best = langs.map(l => s"ROW(score_$l, '$l')").mkString("\n        |  GREATEST(", ", ", ")")
-        s"""WITH scored AS (
-        |  SELECT doc_id,
-        |       $cases
-        |  FROM documents),
-        |ranked AS (
-        |  SELECT doc_id, lang, score,
-        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
-        |  FROM (
-        |    ${langs.map(l => s"SELECT doc_id, '$l' AS lang, score_$l AS score FROM scored").mkString("\n        |    UNION ALL ")})
-        |  )
+      Some(s"""WITH $langIdOracleCtes
         |SELECT doc_id, lang AS pred_lang, score FROM ranked WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin
-      }),
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_text_lang_eval",
+      // Classifier eval against the labeled corpus: the confusion
+      // matrix of the marker-heuristic language ID vs the documents
+      // table's own lang labels — the accuracy audit that decides
+      // whether a cheap heuristic is good enough before a corpus
+      // commits to per-language routing.
+      (s, dir) => {
+        val pred = TextAnalysis.langId(Tables.documents(s, dir))
+          .select(col("doc_id"), col("pred_lang"))
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+          .join(pred, "doc_id")
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some(s"""WITH $langIdOracleCtes
+        |SELECT d.lang AS lang, r.lang AS pred_lang, COUNT(*) AS n
+        |FROM ranked r JOIN documents d USING (doc_id)
+        |WHERE r.rn = 1
+        |GROUP BY d.lang, r.lang
+        |ORDER BY lang, pred_lang""".stripMargin)),
 
     ("x_text_quality",
       (s, dir) => TextAnalysis.quality(Tables.documents(s, dir))

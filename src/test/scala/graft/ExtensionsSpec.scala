@@ -61,6 +61,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("text_stats"))
   }
 
+  test("SQL cdc_chunks matches the Column API; cardinality args must be literals") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      "SELECT doc_id, cdc_chunks(text, 4, 16) AS c FROM ext_docs ORDER BY doc_id")
+      .collect()
+    val api = docs.select(col("doc_id"),
+      graft.functions.CdcChunks(col("text"), 4, 16).as("c"))
+      .orderBy("doc_id").collect()
+    assert(sql.toSeq == api.toSeq)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cdc_chunks(text, doc_id, 16) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("cdc_chunks"))
+  }
+
   test("SQL sorted_intersect_count and float_vector_dot match the Column API") {
     registered
     val arrs = Seq((Array(1L, 3L, 5L), Array(1L, 2L, 5L), Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
@@ -150,7 +166,8 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("shingle_hashes", "minhash_from_grams", "simhash_from_grams",
         "sorted_intersect_count", "text_fingerprint", "float_vector_dot",
-        "byte_vector_dot", "text_stats", "span_digests", "code_lut_sum"))
+        "byte_vector_dot", "text_stats", "span_digests", "code_lut_sum",
+        "cdc_chunks"))
   }
 
   test("code_lut_sum sums LUT entries exactly and nulls on misuse") {
