@@ -247,6 +247,34 @@ object SparkEntry {
     |    ON l.subspace = c.subspace AND l.cell = c.code AND l.query_id <> c.vec_id
     |  GROUP BY l.query_id, c.vec_id)""".stripMargin
 
+  /** DuckDB replay of [[graft.functions.CdcChunks]] (window 4, avg 64):
+    * per-char code points → lag-window rolling hash → boundary rows →
+    * chunk substrings + portable digests, ending in
+    * `chunks (doc_id, len, digest)` — shared by `x_dedup_cdc` (census)
+    * and `x_dedup_cdc_pairs` (containment). */
+  private def cdcChunksOracleCtes: String =
+    """d AS (
+    |  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+    |p AS (
+    |  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS pos FROM d),
+    |ch AS (
+    |  SELECT doc_id, n, pos, unicode(substr(text, pos, 1)) AS c FROM p),
+    |r AS (
+    |  SELECT doc_id, n, pos,
+    |    (c + COALESCE(lag(c, 1) OVER w, 0) * 257
+    |       + COALESCE(lag(c, 2) OVER w, 0) * 66049
+    |       + COALESCE(lag(c, 3) OVER w, 0) * 974545) % 1000003 AS roll
+    |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    |b AS (
+    |  SELECT doc_id, pos,
+    |    COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS prev
+    |  FROM r WHERE (pos >= 4 AND roll % 64 = 0) OR pos = n),
+    |chunks AS (
+    |  SELECT b.doc_id, b.pos - b.prev AS len,
+    |    CAST(concat('0x',
+    |      substr(md5(substr(d.text, b.prev + 1, b.pos - b.prev)), 1, 15)) AS BIGINT) AS digest
+    |  FROM b JOIN d USING (doc_id))"""
+
   /** DuckDB replay of the marker-heuristic language ID (scored per-lang
     * marker counts → deterministic argmax), ending in
     * `ranked (doc_id, lang, score, rn)` — shared by `x_text_lang`
@@ -3039,33 +3067,42 @@ object SparkEntry {
       (s, dir) => Dedup.cdcChunkCensus(Tables.documents(s, dir),
         window = 4, avgSize = 64, minDocs = 2)
         .orderBy("digest"),
-      Some("""WITH d AS (
-        |  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
-        |p AS (
-        |  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS pos FROM d),
-        |ch AS (
-        |  SELECT doc_id, n, pos, unicode(substr(text, pos, 1)) AS c FROM p),
-        |r AS (
-        |  SELECT doc_id, n, pos,
-        |    (c + COALESCE(lag(c, 1) OVER w, 0) * 257
-        |       + COALESCE(lag(c, 2) OVER w, 0) * 66049
-        |       + COALESCE(lag(c, 3) OVER w, 0) * 974545) % 1000003 AS roll
-        |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |b AS (
-        |  SELECT doc_id, pos,
-        |    COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS prev
-        |  FROM r WHERE (pos >= 4 AND roll % 64 = 0) OR pos = n),
-        |chunks AS (
-        |  SELECT b.doc_id, b.pos - b.prev AS len,
-        |    CAST(concat('0x',
-        |      substr(md5(substr(d.text, b.prev + 1, b.pos - b.prev)), 1, 15)) AS BIGINT) AS digest
-        |  FROM b JOIN d USING (doc_id))
+      Some(s"""WITH $cdcChunksOracleCtes
         |SELECT digest, MAX(len) AS chunk_len,
         |       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
         |FROM chunks
         |GROUP BY digest
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY digest""".stripMargin)),
+
+    ("x_dedup_cdc_pairs",
+      // The pair face of CDC dedup: documents sharing >= 3 distinct
+      // chunk digests, scored by containment (shared / smaller doc's
+      // chunk count) — the near-identical-blob detector that catches
+      // long shared runs token-shingle Jaccard dilutes away. Posting
+      // lists are capped like every candidate generator here.
+      (s, dir) => Dedup.cdcContainmentPairs(Tables.documents(s, dir),
+        window = 4, avgSize = 64, minShared = 3)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $cdcChunksOracleCtes,
+        |dch AS (SELECT DISTINCT doc_id, digest FROM chunks),
+        |nch AS (SELECT doc_id, COUNT(*) AS n_chunks FROM dch GROUP BY 1),
+        |small AS (
+        |  SELECT digest FROM dch GROUP BY digest
+        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_chunks
+        |  FROM dch a JOIN dch b ON a.digest = b.digest AND a.doc_id < b.doc_id
+        |  JOIN small s ON s.digest = a.digest
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3)
+        |SELECT p.id_a, p.id_b, p.shared_chunks,
+        |       round(CAST(p.shared_chunks AS DOUBLE)
+        |             / least(na.n_chunks, nb.n_chunks), 4) AS containment
+        |FROM pairs p
+        |JOIN nch na ON na.doc_id = p.id_a
+        |JOIN nch nb ON nb.doc_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     ("x_dedup_incremental_bloom",
       // Same semantics as x_dedup_incremental through the Bloom-prefilter

@@ -485,6 +485,48 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** CDC containment pairs — the pair face of [[cdcChunkCensus]]:
+    * documents sharing at least `minShared` DISTINCT chunk digests,
+    * scored by containment (shared chunks over the smaller document's
+    * chunk count). Catches near-identical long documents whose shared
+    * runs token-shingle Jaccard dilutes away (chunks are ~`avgSize`
+    * chars, so one shared paragraph is several shared digests while
+    * contributing thousands of diluting token shingles).
+    *
+    * Same posting-list plan as [[ngramJaccardPairs]]: sorted per-digest
+    * posting lists, in-array pair generation, `maxPosting` cap on
+    * degenerate digests (boilerplate chunks shared by half the corpus
+    * carry no pair signal — the [[DefaultMaxBucket]] argument). The
+    * containment denominator is each doc's UNCAPPED distinct-chunk
+    * count, so the cap only limits candidate generation, never the
+    * score's meaning. */
+  def cdcContainmentPairs(docs: DataFrame, window: Int = 4, avgSize: Int = 64,
+      minShared: Int = 3, maxPosting: Int = DefaultMaxBucket,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val dch = docs
+      .select(col(idCol),
+        explode(graft.functions.CdcChunks(col(textCol), window, avgSize)).as("__c"))
+      .select(col(idCol), col("__c.digest").as("digest"))
+      .distinct()
+    val sizes = dch.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    val postings = dch.groupBy(col("digest"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxPosting)
+    val pairs = postings.select(explode(expr(
+      "flatten(transform(sequence(0, size(ids) - 2), " +
+        "i -> transform(slice(ids, i + 2, size(ids)), j -> struct(ids[i] AS id_a, j AS id_b))))"
+    )).as("p")).select(col("p.id_a"), col("p.id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+    pairs
+      .join(sizes.select(col(idCol).as("id_a"), col("n_chunks").as("__na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_chunks").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_chunks"),
+        round(col("shared_chunks").cast("double") / least(col("__na"), col("__nb")), 4)
+          .as("containment"))
+  }
+
   /** One row per consecutive `spanTokens`-token span:
     * (idCol, span_no, [span_text,] span_digest) — shared by the census
     * ([[duplicatedSpans]], `withText = false`: the exploded stream

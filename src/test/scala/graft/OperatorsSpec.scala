@@ -274,6 +274,25 @@ class OperatorsSpec extends SparkSpec {
     assert(tight.count(_._1 == 0L) == 3 && tight.count(_._1 == 1L) == 3)
   }
 
+  test("cdcContainmentPairs: near-identical docs pair with high containment") {
+    val rnd = new scala.util.Random(29)
+    val body = (1 to 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val other = (1 to 300).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, body),
+      (2L, "PREFIX EDIT " + body), // shares almost all chunks with 1
+      (3L, other))                 // unrelated
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.cdcContainmentPairs(docs, minShared = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"only the near-identical pair should surface: $got")
+    assert(got.head._4 >= 0.6, s"containment should be high: ${got.head}")
+    // the pair face agrees with the census face on what recurs
+    val censusCount = graft.operators.Dedup.cdcChunkCensus(docs, minDocs = 2).count()
+    assert(censusCount > 0 && got.head._3 <= censusCount)
+  }
+
   test("heavyHitters: exact top-N with sketch verdicts true under tiny k") {
     // 3 heavy tokens drowned in noise; k=5 forces constant decrements
     // and cross-partition merges, the regime where MG bounds actually
