@@ -362,6 +362,29 @@ object SparkEntry {
       s.read.parquet(path)
     })
 
+  /** Memoized PARQUET-backed IVF index per (session, data dir): the
+    * [[builtIvfIndex]] artifacts (centroid table + cell-assigned
+    * corpus) written to a scratch store and read back — the vector-side
+    * twin of [[storedNearDupIndex]]'s build-once/serve-many contract:
+    * an ANN index at 100 TB is a TABLE other sessions probe, not a
+    * per-session in-memory artifact. Floats round-trip parquet
+    * losslessly, so the stored probe must answer identically to the
+    * in-memory path (same oracle as `x_ann_ivf_probe`). */
+  private val storedIvfIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def storedIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    storedIvfIndexMemo.getOrElseUpdate((s, dir), {
+      val (cent, corpus) = builtIvfIndex(s, dir)
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf_index"),
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-" + java.lang.Integer.toHexString(dir.hashCode)).getPath
+      cent.write.mode("overwrite").parquet(s"$base/centroids")
+      corpus.write.mode("overwrite").parquet(s"$base/corpus")
+      (s.read.parquet(s"$base/centroids"), s.read.parquet(s"$base/corpus"))
+    })
+
   /** Memoized duplicate-cluster frame per (session, data dir): the
     * bigram-Jaccard candidate pairs collapsed to connected components —
     * the assignment every keep/drop decision downstream consumes.
@@ -2760,6 +2783,51 @@ object SparkEntry {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val (cent, corpus) = builtIvfIndex(s, dir)
+        Similarity.ivfProbeTopK(corpus, emb.filter(col("vec_id") < 8), cent,
+          k = 5, nprobe = 2, cellCol = "cell")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $IvfScoreCtes,
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS rn
+        |    FROM scores)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS crank
+        |    FROM scores WHERE vec_id < 8)
+        |  WHERE crank <= 2),
+        |pairs AS (
+        |  SELECT p.query_id, c.vec_id AS cand_id, a.cell,
+        |         round(list_inner_product(q.e, c.e)
+        |           / NULLIF(sqrt(list_inner_product(q.e, q.e))
+        |              * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |  FROM probes p
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings WHERE vec_id < 8) q ON q.vec_id = p.query_id
+        |  JOIN assigned a ON a.cell = p.cell
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings) c ON c.vec_id = a.vec_id AND c.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, cell, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, cand_id) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    ("x_ann_index_stored",
+      // Multi-probe search over the PARQUET-STORED index: the same
+      // probe as x_ann_ivf_probe, but centroids and cell-assigned
+      // corpus are written to a scratch store and read back first —
+      // proving the build-once/serve-many contract for the vector side
+      // (the index is a table, not a session artifact). Floats
+      // round-trip parquet losslessly, so the oracle is identical.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (cent, corpus) = storedIvfIndex(s, dir)
         Similarity.ivfProbeTopK(corpus, emb.filter(col("vec_id") < 8), cent,
           k = 5, nprobe = 2, cellCol = "cell")
           .orderBy("query_id", "rank")
