@@ -877,6 +877,33 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY series_id ORDER BY ts)
         |ORDER BY series_id, ts""".stripMargin)),
 
+    ("x_funnel",
+      // Ordered conversion funnel over the event stream: earliest view,
+      // earliest click strictly after it, earliest purchase after that
+      // — greedy-earliest (the standard funnel semantics), one row per
+      // user with the step times and completion depth.
+      (s, dir) => TimeSeriesOps.funnel(Tables.events(s, dir),
+        steps = Seq("view", "click", "purchase"))
+        .orderBy("user_id"),
+      Some("""WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |s1 AS (SELECT user_id, MIN(t) AS t_1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.t) AS t_2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t > s1.t_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.t) AS t_3 FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > s2.t_2 GROUP BY 1)
+        |SELECT u.user_id, s1.t_1, s2.t_2, s3.t_3,
+        |  (CASE WHEN s1.t_1 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN s2.t_2 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN s3.t_3 IS NULL THEN 0 ELSE 1 END) AS steps_completed
+        |FROM u
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin)),
+
     ("ts_downsample",
       // OHLC decimation: per (series, day) the open/high/low/close bars
       // plus point count — the downsample that keeps the extremes a

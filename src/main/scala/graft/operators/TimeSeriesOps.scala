@@ -325,6 +325,44 @@ object TimeSeriesOps {
       .select(col(keyCol), col(tsCol), col(valueCol), col("delta"), col("rate_per_sec"))
   }
 
+  /** Ordered funnel analysis: for `steps` = (S1, ..., Sk), each key's
+    * earliest time of S1, the earliest S2 STRICTLY AFTER that, the
+    * earliest S3 after that, and so on — the product-analytics
+    * conversion primitive ("viewed, then clicked, then purchased"),
+    * greedy-earliest semantics (the standard funnel definition: taking
+    * the earliest feasible time at each step maximizes the number of
+    * completed steps). Emits one row per key appearing in the input:
+    * `t_1..t_k` (null once the chain breaks) and `steps_completed`.
+    *
+    * Scale shape: step i is one filtered aggregate joined back on the
+    * key — k−1 key-keyed hash joins over aggregates that shrink to
+    * one row per surviving key; the event stream is scanned per step
+    * but never self-joined row-to-row (an event×event formulation
+    * would be quadratic in events per key). */
+  def funnel(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(col(keyCol)).distinct()
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t_1"))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val prev = s"t_$i"
+      val cur = s"t_${i + 1}"
+      val next = events.filter(col(typeCol) === step)
+        .select(col(keyCol), col(tsCol).as("__ts"))
+        .join(acc.select(col(keyCol), col(prev)), keyCol)
+        .filter(col("__ts") > col(prev))
+        .groupBy(col(keyCol)).agg(min(col("__ts")).as(cur))
+      acc = acc.join(next, Seq(keyCol), "left")
+    }
+    val stepsCompleted = steps.indices
+      .map(i => when(col(s"t_${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    base.join(acc, Seq(keyCol), "left")
+      .withColumn("steps_completed", stepsCompleted.cast("int"))
+  }
+
   /** The aggregation-only OHLC formulation: open/close via
     * `min_by`/`max_by` on the (ts, id) struct — no windows, so it
     * composes with Structured Streaming's incremental aggregation

@@ -268,6 +268,37 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got == 1L)
   }
 
+  test("funnel: greedy-earliest step chain, order enforced strictly") {
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, ts("2024-01-01T00:00:00Z"), "view"),
+      (1L, ts("2024-01-01T01:00:00Z"), "click"),
+      (1L, ts("2024-01-01T02:00:00Z"), "purchase"),
+      // user 2: purchase BEFORE click — chain breaks at step 3
+      (2L, ts("2024-01-01T00:00:00Z"), "view"),
+      (2L, ts("2024-01-01T00:30:00Z"), "purchase"),
+      (2L, ts("2024-01-01T01:00:00Z"), "click"),
+      // user 3: never viewed — 0 steps even though they clicked
+      (3L, ts("2024-01-01T00:00:00Z"), "click"),
+      // user 4: second view is irrelevant; click after FIRST view counts
+      (4L, ts("2024-01-01T00:00:00Z"), "view"),
+      (4L, ts("2024-01-01T00:10:00Z"), "click"),
+      (4L, ts("2024-01-01T05:00:00Z"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = TimeSeriesOps.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .select("user_id", "steps_completed").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 3), (2L, 2), (3L, 0), (4L, 2)))
+    // simultaneous events do NOT satisfy the strict order
+    val tied = Seq(
+      (9L, ts("2024-01-01T00:00:00Z"), "view"),
+      (9L, ts("2024-01-01T00:00:00Z"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val tiedGot = TimeSeriesOps.funnel(tied, Seq("view", "click"))
+      .select("steps_completed").as[Int].head()
+    assert(tiedGot == 1)
+  }
+
   test("downsampleOhlc: bars keep open/close by time order, extremes, count") {
     val pts = Seq(
       (1L, ts("2024-01-01T01:00:00Z"), 5.0, 10L),
