@@ -904,6 +904,30 @@ object SparkEntry {
         |LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    ("x_cohort_retention",
+      // Weekly cohort retention matrix: users cohort by first-activity
+      // week; each cell is the cohort fraction still active k weeks
+      // later — funnels measure depth, cohorts measure persistence.
+      (s, dir) => TimeSeriesOps.cohortRetention(Tables.events(s, dir),
+        maxWeeks = 3)
+        .orderBy("cohort_week", "week_offset"),
+      Some("""WITH ev AS (
+        |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events),
+        |weeks AS (SELECT DISTINCT user_id, w FROM ev),
+        |cohort AS (SELECT user_id, MIN(w) AS cohort_week FROM weeks GROUP BY 1),
+        |sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_week,
+        |         CAST(date_diff('day', c.cohort_week, k.w) // 7 AS INT) AS week_offset,
+        |         COUNT(*) AS n_active
+        |  FROM weeks k JOIN cohort c USING (user_id)
+        |  WHERE date_diff('day', c.cohort_week, k.w) // 7 <= 3
+        |  GROUP BY 1, 2)
+        |SELECT cells.cohort_week, cells.week_offset, cells.n_active, s.cohort_size,
+        |       round(CAST(cells.n_active AS DOUBLE) / s.cohort_size, 4) AS retention
+        |FROM cells JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin)),
+
     ("ts_downsample",
       // OHLC decimation: per (series, day) the open/high/low/close bars
       // plus point count — the downsample that keeps the extremes a
@@ -2459,6 +2483,37 @@ object SparkEntry {
         |FROM pb JOIN cells USING (d, b)
         |GROUP BY pb.token, pb.c
         |ORDER BY exact_count DESC, token""".stripMargin)),
+
+    ("x_text_bm25",
+      // BM25 top-10 for the query "hash join scan" — lexical retrieval
+      // for query-driven corpus slicing. ln and each contribution
+      // round to 8dp, the per-doc sum runs in DECIMAL, the score
+      // rounds to 6dp — the lm-score determinism discipline.
+      (s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        queryTerms = Seq("hash", "join", "scan"), k = 10)
+        .orderBy(col("bm25").desc, col("doc_id")),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+        |  WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+        |dfv AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    round(round(ln((stats.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1.0), 8)
+        |          * tf.tf * 2.2
+        |          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 8) AS c
+        |  FROM tf JOIN dfv USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched_terms,
+        |       -- decimal-round BEFORE the double cast: see pqAdcOracleCtes
+        |       CAST(round(SUM(CAST(c AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25
+        |FROM contrib
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 10""".stripMargin)),
 
     ("x_text_lm_score",
       // Bigram-LM quality scoring: the corpus's own add-k bigram model

@@ -171,6 +171,56 @@ object TextAnalysis {
           .otherwise(col("cnt") <= slack).as("sketch_consistent"))
   }
 
+  /** BM25 lexical retrieval: score every document against a literal
+    * term list (Robertson/Lucene form — `idf · tf·(k1+1) / (tf + k1·
+    * (1−b+b·dl/avgdl))`, idf = ln((N−df+0.5)/(df+0.5)+1), always
+    * positive) and return the top `k` — the retrieval primitive for
+    * RAG-style data curation and query-driven corpus slicing.
+    *
+    * Determinism discipline as [[lmScores]]: the one libm op (ln) and
+    * each per-term contribution round to 8dp, the per-doc sum runs in
+    * DECIMAL (order-invariant), and the final score rounds to 6dp —
+    * bit-identical across engines and partitionings.
+    *
+    * Scale shape: tf is one filtered aggregate over the token stream
+    * (the `isin` filter prunes it to query terms BEFORE the shuffle);
+    * df and the (N, avgdl) stats are term- and 1-row-sized broadcast
+    * frames; the top-k is `orderBy.limit` → TakeOrdered. `N`/`avgdl`
+    * count documents with at least one token (token-free docs can
+    * never match). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    val tokensDf = docs.select(col(idCol), explode(toks(col(textCol))).as("__tok"))
+    val dl = tokensDf.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val tf = tokensDf.filter(col("__tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val idf = round(log(
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)), 8)
+    val contrib = round(
+      idf * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 8)
+    tf
+      .join(broadcast(dfreq), "__tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib", contrib)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_terms"),
+        // decimal-round BEFORE the double cast: the sum is an EXACT
+        // decimal of 8dp terms, so 6dp half-way cases are common and
+        // the double's binary round would diverge from the oracle's
+        // decimal HALF_UP (the pqAdcOracleCtes rounding class)
+        round(sum(col("__contrib").cast("decimal(28,10)")), 6)
+          .cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Count-Min frequency estimates via the
     * [[graft.functions.CountMinSketch]] aggregate, audited against the
     * exact counts: emits the exact top `topN` tokens (count DESC, token

@@ -363,6 +363,37 @@ object TimeSeriesOps {
       .withColumn("steps_completed", stepsCompleted.cast("int"))
   }
 
+  /** Weekly cohort retention: users cohort by the week of their first
+    * activity; each (cohort_week, week_offset) cell counts the cohort
+    * members active `week_offset` weeks later, with the rate against
+    * cohort size — the second product-analytics primitive next to
+    * [[funnel]] (funnels measure depth, cohorts measure persistence).
+    *
+    * Scale shape: everything collapses to the DISTINCT (key, week)
+    * activity frame first — one exchange on the key for the cohort
+    * argmin, one on (cohort, offset) for the cells; the raw event
+    * stream is aggregated away before any join. Offsets above
+    * `maxWeeks` are dropped (a release report reads a bounded matrix). */
+  def cohortRetention(events: DataFrame, maxWeeks: Int = 3,
+      keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(maxWeeks >= 0, "maxWeeks must be >= 0")
+    val weeks = events
+      .select(col(keyCol), date_trunc("week", col(tsCol)).as("__w"))
+      .distinct()
+    val cohort = weeks.groupBy(col(keyCol)).agg(min(col("__w")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.join(cohort, keyCol)
+      .withColumn("week_offset",
+        (datediff(col("__w"), col("cohort_week")) / 7).cast("int"))
+      .filter(col("week_offset") <= maxWeeks)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_size"), 4))
+  }
+
   /** The aggregation-only OHLC formulation: open/close via
     * `min_by`/`max_by` on the (ts, id) struct — no windows, so it
     * composes with Structured Streaming's incremental aggregation

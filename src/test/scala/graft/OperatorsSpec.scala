@@ -274,6 +274,28 @@ class OperatorsSpec extends SparkSpec {
     assert(tight.count(_._1 == 0L) == 3 && tight.count(_._1 == 1L) == 3)
   }
 
+  test("bm25TopK: rare terms outweigh common, length-normalized, stable") {
+    val docs = Seq(
+      (1L, "alpha beta beta beta"),          // common term, short
+      (2L, "alpha " + ("pad " * 60).trim),   // common term, long (normalized down)
+      (3L, "zebra beta"),                    // rare + common
+      (4L, "pad pad pad"))                   // no query terms
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bm25TopK(docs, Seq("beta", "zebra"), k = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 4 never appears; doc 3 wins (rare zebra + beta); all scores positive
+    assert(!got.map(_._1).contains(4L))
+    assert(got.head._1 == 3L && got.head._2 == 2L)
+    assert(got.forall(_._3 > 0))
+    // length normalization: doc 1's repeated beta in a short doc beats
+    // nothing here, but scoring is deterministic across partitionings
+    val again = graft.operators.TextAnalysis
+      .bm25TopK(docs.repartition(7), Seq("beta", "zebra"), k = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == again)
+  }
+
   test("cdcContainmentPairs: near-identical docs pair with high containment") {
     val rnd = new scala.util.Random(29)
     val body = (1 to 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString

@@ -299,6 +299,29 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(tiedGot == 1)
   }
 
+  test("cohortRetention: first-activity cohorts, offset cells, bounded matrix") {
+    val ev = Seq(
+      // cohort week of Jan 1 (Monday): users 1, 2
+      (1L, ts("2024-01-02T00:00:00Z")),
+      (2L, ts("2024-01-03T00:00:00Z")),
+      // user 1 returns in week +1 and +2; user 2 never returns
+      (1L, ts("2024-01-09T00:00:00Z")),
+      (1L, ts("2024-01-16T00:00:00Z")),
+      // cohort week of Jan 8: user 3 (first seen then, returns week +5 — dropped)
+      (3L, ts("2024-01-10T00:00:00Z")),
+      (3L, ts("2024-02-14T00:00:00Z")))
+      .toDF("user_id", "ts")
+    val got = TimeSeriesOps.cohortRetention(ev, maxWeeks = 3)
+      .orderBy("cohort_week", "week_offset")
+      .select("week_offset", "n_active", "cohort_size", "retention")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 2L, 2L, 1.0),  // Jan-1 cohort: both active in week 0
+      (1, 1L, 2L, 0.5),  // only user 1 returns
+      (2, 1L, 2L, 0.5),
+      (0, 1L, 1L, 1.0))) // Jan-8 cohort: week-5 return is outside the matrix
+  }
+
   test("downsampleOhlc: bars keep open/close by time order, extremes, count") {
     val pts = Seq(
       (1L, ts("2024-01-01T01:00:00Z"), 5.0, 10L),
