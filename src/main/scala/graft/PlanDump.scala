@@ -21,7 +21,8 @@ object PlanDump {
         "x_text_lm_score", "x_dedup_spans", "x_embed_kmeans", "x_ann_quantized",
         "x_sample_pergroup", "x_ann_label_purity", "x_dedup_incremental_lsh",
         "x_ann_pq", "x_dedup_index_stored", "x_ann_pq_rerank",
-        "x_sketch_cms", "x_sample_weighted")) {
+        "x_sketch_cms", "x_sample_weighted", "x_dedup_cdc",
+        "x_text_bm25", "x_funnel")) {
       println(s"\n===== $name =====")
       // Literal control characters in plan strings (e.g. the sampler's
       // NUL null-id sentinel) would make PLANS.md a binary file —
