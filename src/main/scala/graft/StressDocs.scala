@@ -45,7 +45,10 @@ object StressDocs {
     // tokens: 100 per doc from a 50k-word space, position-mixed so
     // adjacent docs share vocabulary but not shingles.
     val corpus = spark.range(docs)
-      .withColumn("seed", when(col("id") % 10 === 0, col("id") / 10).otherwise(col("id")))
+      // integer `div`, not `/`: SQL `/` on longs is DOUBLE division, and
+      // a double seed stringifies with a '.0' that leaks into every
+      // token ('w123.0'), silently emptying bpeTrain's ^[a-z]+$ vocab
+      .withColumn("seed", when(col("id") % 10 === 0, expr("id div 10")).otherwise(col("id")))
       .select(col("id").as("doc_id"),
         // leading seed token makes text a bijection of the seed (the
         // 50k-modular body alone would collide seeds ≡ mod 50000);
@@ -101,6 +104,26 @@ object StressDocs {
       graft.operators.Sampling.samplePerGroup(
         corpus.withColumn("grp", pmod(col("doc_id"), lit(20))),
         "doc_id", "grp", k = 1000).count()
+    }
+    timed("CDC chunk census (cdc_chunks kernel + digest agg)") {
+      // exact-dup clusters guarantee recurring chunks at any N
+      val dups = graft.operators.Dedup.cdcChunkCensus(corpus).count()
+      println(s"[stress-docs]   recurring chunk digests: $dups")
+    }
+    timed("BM25 top-100 (3-term query over the full corpus)") {
+      // query three body words guaranteed present by the modular vocab
+      graft.operators.TextAnalysis.bm25TopK(corpus,
+        Seq("w100", "w2500", "w47000"), k = 100).count()
+    }
+    timed("Count-Min sketch (4x1024 matrix over the token stream)") {
+      corpus.select(explode(split(col("text"), " ")).as("token"))
+        .agg(graft.functions.CountMinSketch(col("token"), 4, 1024)).head()
+    }
+    timed("weighted per-group sample (n-chars-weighted, k=1000)") {
+      graft.operators.Sampling.sampleWeightedPerGroup(
+        corpus.withColumn("grp", pmod(col("doc_id"), lit(20)))
+          .withColumn("w", length(col("text")).cast("double")),
+        "doc_id", "w", "grp", k = 1000).count()
     }
     spark.stop()
   }

@@ -481,7 +481,10 @@ object TextAnalysis {
           }
           Iterator.single(m)
         }
-        .reduce { (a, b) =>
+        // fold, NOT reduce: an empty vocabulary (zero rows → a
+        // zero-partition checkpointed RDD) must surface as "no pairs →
+        // exhausted", not RDD.reduce's empty-collection crash
+        .fold(scala.collection.mutable.HashMap.empty[(String, String), Long]) { (a, b) =>
           b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
           a
         }

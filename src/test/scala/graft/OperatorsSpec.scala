@@ -274,6 +274,14 @@ class OperatorsSpec extends SparkSpec {
     assert(tight.count(_._1 == 0L) == 3 && tight.count(_._1 == 1L) == 3)
   }
 
+  test("bpeTrain: a corpus with no trainable words yields zero merges, no crash") {
+    // every token fails the ^[a-z]+$ vocabulary filter → empty (even
+    // zero-partition) base frame; the per-iteration fold must surface
+    // this as exhaustion, not an RDD.reduce empty-collection crash
+    val untrainable = Seq((1L, "123 456.0 789"), (2L, "0.5 77")).toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.bpeTrain(untrainable, iters = 3).count() == 0)
+  }
+
   test("bm25TopK: rare terms outweigh common, length-normalized, stable") {
     val docs = Seq(
       (1L, "alpha beta beta beta"),          // common term, short
