@@ -206,9 +206,35 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     * and `valid_month` recovered from the partition paths (`basePath`
     * keeps Catalyst's partition pruning on both). `valid_month` stays
     * available for manual pruning; readers project it away. */
-  def scanValues(): DataFrame = {
+  def scanValues(): DataFrame =
+    scanFileList(currentFiles())
+
+  /** Committed manifest versions, oldest first — the time-travel axis.
+    * Every committed write is one version; [[vacuum]] bounds how far
+    * back the files themselves survive. */
+  def versions(): Seq[Long] = manifestVersions().map(_._1)
+
+  /** Snapshot read AS OF a committed manifest version — time travel
+    * over the store's own commit log: the scan plans against exactly
+    * the files that manifest listed, so the result is the table as a
+    * reader saw it right after that commit, regardless of every later
+    * append/compaction/TTL drop. Free by construction (manifests are
+    * already immutable versioned file lists); valid as long as
+    * [[vacuum]]'s retained-manifest grace window still covers the
+    * version. Unknown versions fail loudly with the available range —
+    * a silent empty read would look like data loss. */
+  def scanValuesAsOf(version: Long): DataFrame = {
+    val all = manifestVersions()
+    all.find(_._1 == version) match {
+      case Some((_, p)) => scanFileList(readManifest(p))
+      case None => throw new IllegalArgumentException(
+        s"no manifest version $version at $valuesPath — available: " +
+          (if (all.isEmpty) "none" else s"${all.head._1}..${all.last._1}"))
+    }
+  }
+
+  private def scanFileList(files: Seq[String]): DataFrame = {
     val schema = Schema.seriesValues.add("valid_month", StringType)
-    val files = currentFiles()
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else

@@ -294,6 +294,28 @@ class TimeDbSpec extends SparkSpec {
     db.delete()
   }
 
+  test("time travel: scanValuesAsOf reads the store as of a committed version") {
+    withDb { db =>
+      db.write(Seq((1L, ts("2024-03-01T00:00:00Z"), 1.0)).toDF("series_id", "valid_time", "value"))
+      val afterFirst = db.store.versions().last
+      db.write(Seq((2L, ts("2024-03-02T00:00:00Z"), 2.0)).toDF("series_id", "valid_time", "value"))
+      // current scan sees both writes; the as-of scan sees only the first
+      assert(db.store.scanValues().count() == 2)
+      val asOf = db.store.scanValuesAsOf(afterFirst)
+      assert(asOf.select("series_id").as[Long].collect().toSeq == Seq(1L))
+      // versions are monotonically increasing, one per commit (create + writes)
+      val vs = db.store.versions()
+      assert(vs == vs.sorted && vs.distinct == vs)
+      // read shapes compose with the as-of scan unchanged
+      assert(graft.operators.ReadShapes.latest(asOf).count() == 1)
+      // unknown versions fail loudly with the available range
+      val e = intercept[IllegalArgumentException] {
+        db.store.scanValuesAsOf(9999L)
+      }
+      assert(e.getMessage.contains("available"))
+    }
+  }
+
   test("expireRetention drops only expired non-forever partitions") {
     withDb { db =>
       db.write(Seq((1L, ts("2020-01-15T00:00:00Z"), 1.0)).toDF("series_id", "valid_time", "value"),
