@@ -66,7 +66,10 @@ object Bench {
       "x_ann_ivfpq", "x_ann_pq_rerank", "x_sketch_cms", "x_sample_weighted",
       "ts_downsample", "x_shard_assign", "x_corpus_report", "x_json_variant",
       "x_dedup_cdc", "x_text_lang_eval", "x_dedup_cdc_pairs",
-      "x_ann_index_stored", "x_funnel", "x_text_bm25", "x_cohort_retention"))
+      "x_ann_index_stored", "x_funnel", "x_text_bm25", "x_cohort_retention",
+      // round-7 second-session additions
+      "x_dedup_ppjoin", "x_graph_pagerank", "x_graph_triangles",
+      "ts_trend", "ts_cusum", "rel_histogram"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

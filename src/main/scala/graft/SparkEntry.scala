@@ -3529,6 +3529,211 @@ object SparkEntry {
         |FROM events
         |ORDER BY event_id""".stripMargin)),
 
+    ("x_dedup_ppjoin",
+      // PPJoin prefix-filtered EXACT set-similarity join: all trigram-set
+      // Jaccard >= 0.5 pairs, deterministically — the oracle computes the
+      // FULL all-pairs answer with no prefix logic, so a hash match
+      // proves the filter loses nothing (the exactness theorem, checked
+      // per-value). Complement to the probabilistic MinHash/LSH family.
+      (s, dir) => Dedup.ppJoinPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    (((CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) % 2147483647) * 1000003
+        |      + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+        |      + CAST(concat('0x', substr(md5(t[g.i + 2]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
+        |  WHERE g.i <= len(t) - 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    ("x_graph_pagerank",
+      // Fixed-point PageRank (3 iterations, d = 0.85) over the
+      // symmetrized customer<->supplier trade graph. Every iteration
+      // quantity is LONG micro-units with truncating division, so the
+      // whole chain is bit-portable — the oracle replays all three
+      // iterations in integer SQL and the rank_units column hash-matches
+      // exactly, no float tolerance anywhere.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("sup"))
+          .distinct()
+        val edges = cs.select(col("c").as("src"), col("sup").as("dst"))
+          .union(cs.select(col("sup").as("src"), col("c").as("dst")))
+        Graph.pageRank(edges, iters = 3).orderBy("id")
+      },
+      Some("""WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS sup
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, sup AS dst FROM cs
+        |      UNION SELECT sup AS src, c AS dst FROM cs),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1000000000000 // n AS ru FROM nodes CROSS JOIN nn),
+        |m1 AS (SELECT e.dst AS id, SUM(r0.ru // deg.outdeg) AS m
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |r1 AS (SELECT nodes.id,
+        |         (15 * 1000000000000) // (100 * n) + (85 * COALESCE(m, 0)) // 100 AS ru
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m1 ON m1.id = nodes.id),
+        |m2 AS (SELECT e.dst AS id, SUM(r1.ru // deg.outdeg) AS m
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |r2 AS (SELECT nodes.id,
+        |         (15 * 1000000000000) // (100 * n) + (85 * COALESCE(m, 0)) // 100 AS ru
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m2 ON m2.id = nodes.id),
+        |m3 AS (SELECT e.dst AS id, SUM(r2.ru // deg.outdeg) AS m
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |r3 AS (SELECT nodes.id,
+        |         (15 * 1000000000000) // (100 * n) + (85 * COALESCE(m, 0)) // 100 AS ru
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m3 ON m3.id = nodes.id)
+        |SELECT id, CAST(ru AS BIGINT) AS rank_units,
+        |  round(CAST(ru AS DOUBLE) / 1000000000000.0, 12) AS rank
+        |FROM r3 ORDER BY id""".stripMargin)),
+
+    ("x_graph_triangles",
+      // Per-vertex triangle counts over the repeat co-purchase graph
+      // (parts appearing together in >= 2 orders): degree-ordered
+      // orientation bounds the wedge join at O(m^1.5). The clique
+      // structure of a co-occurrence graph is the signal the pairwise
+      // edge list can't show.
+      (s, dir) => {
+        val e = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            "flatten(transform(sequence(0, size(ids) - 2), " +
+              "i -> transform(slice(ids, i + 2, size(ids)), j -> struct(ids[i] AS a, j AS b))))"
+          )).as("p")).select(col("p.a"), col("p.b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        Graph.triangleCounts(e).orderBy("id")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM (
+        |    SELECT a AS id FROM edges UNION ALL SELECT b AS id FROM edges)
+        |  GROUP BY 1),
+        |oriented AS (
+        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |              THEN e.a ELSE e.b END AS u,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |              THEN e.b ELSE e.a END AS v
+        |  FROM edges e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+        |wedges AS (
+        |  SELECT w1.u, w1.v AS x, w2.v AS y
+        |  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u AND w1.v < w2.v),
+        |tris AS (
+        |  SELECT w.u, w.x, w.y FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM oriented o
+        |    WHERE least(o.u, o.v) = w.x AND greatest(o.u, o.v) = w.y)),
+        |pv AS (
+        |  SELECT id, COUNT(*) AS triangles FROM (
+        |    SELECT u AS id FROM tris UNION ALL SELECT x FROM tris UNION ALL SELECT y FROM tris)
+        |  GROUP BY 1)
+        |SELECT deg.id, COALESCE(pv.triangles, 0) AS triangles
+        |FROM deg LEFT JOIN pv ON pv.id = deg.id
+        |ORDER BY deg.id""".stripMargin)),
+
+    ("ts_trend",
+      // Per-user OLS drift over the event stream: slope per day +
+      // intercept from exact decimal moments (n, Σx, Σy, Σxy, Σx²) — the
+      // one-aggregate-pass trend summary. Only the closed-form division
+      // runs in double; the moments are accumulation-order-exact, so the
+      // statistic hash-matches across engines.
+      (s, dir) => TimeSeriesOps.trend(
+        Tables.events(s, dir).select("user_id", "ts", "value"),
+        originTs = ts("2024-01-01T00:00:00Z"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |xe AS (
+        |  SELECT user_id, value,
+        |    date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) // 1000000 AS x
+        |  FROM e),
+        |m AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sy,
+        |    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,6))) AS sxy,
+        |    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx
+        |  FROM xe GROUP BY 1),
+        |d AS (
+        |  SELECT user_id, n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS det,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+        |  FROM m)
+        |SELECT user_id, n,
+        |  CASE WHEN n > 1 AND det <> 0 THEN round(num / det * 86400.0, 8) END AS slope_per_day,
+        |  CASE WHEN n > 1 AND det <> 0 THEN round((syd - num / det * sxd) / n, 8) END AS intercept
+        |FROM d ORDER BY user_id""".stripMargin)),
+
+    ("ts_cusum",
+      // CUSUM drift flagging per user: exact-decimal running sum of
+      // deviations from the user's own 6dp mean, |S| > 250 flags. The
+      // whole statistic is order-immune decimal arithmetic — only the
+      // final readout casts to double.
+      (s, dir) => TimeSeriesOps.cusum(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
+        threshold = 250.0)
+        .withColumn("drifted", col("drifted").cast("int"))
+        .orderBy("user_id", "ts", "event_id"),
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        |mn AS (
+        |  SELECT user_id,
+        |    CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |      AS DECIMAL(18,6)) AS m
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, e.ts, e.event_id, e.value,
+        |    CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,6)) - mn.m AS DECIMAL(28,6)))
+        |      OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+        |            ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS cs
+        |  FROM e JOIN mn USING (user_id))
+        |SELECT user_id, ts, event_id, value,
+        |  CAST(cs AS DOUBLE) AS cusum,
+        |  CAST(abs(cs) > 250.0 AS INT) AS drifted
+        |FROM c ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    ("rel_histogram",
+      // Equi-width histogram of extended price (5000-wide bins): the
+      // profile-report primitive. Bin arithmetic is one shared IEEE
+      // double division + floor on both engines; mass sums ride DECIMAL.
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(
+          least(floor(col("l_extendedprice") / 5000.0), lit(23)).cast("int").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(least(floor(l_extendedprice / 5000.0), 23) AS INT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     ("x_json_keys",
       // Schema-discovery pass: top-level key frequency across the JSON
       // sidecar — decides which fields to promote to typed columns.

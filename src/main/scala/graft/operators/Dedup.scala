@@ -108,6 +108,87 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** PPJoin-style EXACT set-similarity join (prefix filtering;
+    * Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08): every pair with n-gram-set Jaccard ≥
+    * `threshold`, with NO false negatives and no probabilistic recall
+    * knob — the deterministic complement to MinHash/LSH.
+    *
+    * The filter: order every doc's shingle set by GLOBAL rarity
+    * (document frequency asc, hash asc) and keep only its first
+    * `|s| - ceil(t·|s|) + 1` tokens as its prefix. Two sets with
+    * Jaccard ≥ t must share ≥ ceil(t/(1+t)·(|a|+|b|)) elements, so
+    * disjoint prefixes imply Jaccard < t — candidates are exactly the
+    * pairs sharing a PREFIX token. Rarity order makes prefixes
+    * low-frequency by construction: posting lists of prefix tokens stay
+    * short without any df cap, so exactness survives skew (the
+    * stop-shingle problem `maxDf` handles probabilistically in
+    * [[ngramJaccardPairs]] disappears — ubiquitous shingles sort LAST
+    * and never enter a prefix).
+    *
+    * Plan: one kernel pass builds distinct shingle arrays; the
+    * frequency table is vocab-sized (rank via one vocab-sized window —
+    * the [[TextAnalysis.encodeWithVocab]] id-window shape); docs
+    * re-express their sets as sorted rank arrays (hash join + one
+    * groupBy); candidate pairs come from prefix-token posting-list
+    * combinatorics (never a row self-join); verification is ONE
+    * compiled [[graft.functions.SortedIntersectCount]] merge per
+    * candidate over the rank arrays. Shuffles carry ids, ranks, and
+    * prefix tokens — never text.
+    *
+    * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard) — identical
+    * schema and values to [[ngramJaccardPairs]] at the same `n` and
+    * `threshold` with no df cap (spec-pinned equality).
+    */
+  def ppJoinPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val sets = docs.select(col(idCol),
+        graft.functions.ShingleHashes(col(textCol), n, distinct = true).as("__set"))
+      .filter(size(col("__set")) > 0)
+    val dfreq = sets.select(explode(col("__set")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    // Global rarity rank. The window is VOCAB-sized (distinct shingles),
+    // not corpus-sized — the same single-partition budget encodeWithVocab
+    // spends on its id window; derived-constant partition key so the
+    // planner can't fold the spec away.
+    val rankW = Window.partitionBy(col("sh") * lit(0))
+      .orderBy(col("df").asc, col("sh").asc)
+    val ranked = dfreq.withColumn("r", row_number().over(rankW).cast("long"))
+    // Re-express each doc's set in rank space, sorted ascending — rarest
+    // first, which is simultaneously the prefix order AND the sorted
+    // order the intersect kernel needs.
+    val docRanks = sets.select(col(idCol), explode(col("__set")).as("sh"))
+      .join(ranked.select(col("sh"), col("r")), "sh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("r"))).as("rset"))
+      .withColumn("sz", size(col("rset")))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .localCheckpoint()
+    // Prefix-token posting lists → in-array pair combinatorics (the
+    // ngramJaccardPairs postings plan, over prefixes only).
+    val prefixes = docRanks.select(col(idCol),
+      explode(slice(col("rset"), lit(1), col("plen"))).as("pt"))
+    val postings = prefixes.groupBy(col("pt"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = postings.select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids)), j -> struct(ids[i] AS id_a, j AS id_b))))"
+      )).as("p")).select(col("p.id_a"), col("p.id_b")).distinct()
+    cands
+      .join(docRanks.select(col(idCol).as("id_a"), col("rset").as("__ra"), col("sz").as("sz_a")), "id_a")
+      .join(docRanks.select(col(idCol).as("id_b"), col("rset").as("__rb"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("__ra"), col("__rb")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash signatures (X2): for each doc, `numHashes` permutation
     * minima over its shingle hashes. Output: (id, i, sig).
     *

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relation-derived edge lists — the iterative
+  * (PageRank) and join-shaped (triangle counting) complements to the
+  * min-label connected components in [[Dedup.duplicateClusters]].
+  *
+  * A 100 TB corpus's graph problems (domain authority over a link
+  * graph, co-occurrence cliques, dedup-cluster structure) all reduce to
+  * these shapes: a per-iteration join+aggregate keyed by vertex, or a
+  * degree-bounded wedge join. Everything here is DataFrame-first: edges
+  * are rows, iterations are jobs, and no adjacency structure ever
+  * materializes on the driver.
+  */
+object Graph {
+
+  /** Fixed-point micro-unit scale for PageRank mass: 1 rank = 10^12
+    * units. All iteration arithmetic is LONG integer — sums are
+    * order-invariant and division truncates identically on every
+    * engine, so the whole iteration chain is bit-portable (the same
+    * discipline as [[graft.functions.CodeLutSum]]'s micro-unit
+    * accumulation). Double-precision PageRank would hash-diverge across
+    * engines on accumulation order alone.
+    */
+  val RankOne: Long = 1000000000000L
+
+  /** PageRank over a directed edge list, `iters` synchronous iterations
+    * from a uniform start:
+    *
+    * {{{  r'(v) = (1-d)/N + d * Σ_{u→v} floor(r(u) / outdeg(u))  }}}
+    *
+    * with d = `dampNum`/`dampDen` (default 85/100) and every quantity
+    * in [[RankOne]] micro-units of LONG — see the scale note above.
+    * Nodes are the union of both edge endpoints; a node with no
+    * in-edges holds the teleport base, a node with no out-edges leaks
+    * its mass (the classic simplification — symmetrize the edge list or
+    * add self-loops upstream when dangling mass matters, as the
+    * bipartite query in SparkEntry does).
+    *
+    * Scale shape: the edge frame (src, dst, outdeg) is computed once
+    * and checkpoint-pinned; each iteration is ONE equi-join on src +
+    * ONE groupBy(dst) sum + a node-frame left join for teleport-only
+    * nodes — all keyed by vertex id, so 100 TB of edges spread across
+    * the shuffle with no driver state. On a real cluster, bucket the
+    * edge table by `src` and the per-iteration join side of the shuffle
+    * disappears; the rank frame (node-sized, two longs) is the only
+    * per-round exchange. Iterations localCheckpoint so lineage doesn't
+    * compound (the [[Dedup.duplicateClusters]] loop discipline).
+    *
+    * Output: (id, rank_units LONG, rank DOUBLE = units / 10^12). Total
+    * mass is conserved up to truncation (each node's division and the
+    * damping division each truncate < 1 unit = 10^-12).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = e.join(outdeg, "src").localCheckpoint()
+    val base = (dampDen - dampNum) * RankOne / (dampDen * n)
+    var ranks = nodes.withColumn("rank_units", lit(RankOne / n))
+    for (_ <- 1 to iters) {
+      // `div` = exact LONG integer division: `/` would detour through
+      // DOUBLE, where a near-integer quotient can round across the
+      // floor boundary — the whole point of fixed-point is to avoid it.
+      val contrib = adj.join(ranks, adj("src") === ranks("id"))
+        .select(col("dst"), expr("rank_units div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_mass"))
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
+            .cast("long").as("rank_units"))
+        .localCheckpoint()
+    }
+    ranks.withColumn("rank", round(col("rank_units") / lit(RankOne.toDouble), 12))
+  }
+
+  /** Exact triangle count per vertex over an undirected edge list.
+    *
+    * Degree-ordered orientation (the classic O(m^1.5) bound): each
+    * undirected edge points from its lower-(degree, id) endpoint to the
+    * higher one, so every vertex's out-degree is O(√m) regardless of
+    * how skewed the raw degree distribution is — the wedge join emits
+    * Σ outdeg² = O(m^1.5) rows instead of the Σ deg² a hub vertex would
+    * cost under arbitrary orientation. Each triangle then has exactly
+    * one vertex with two out-edges (its order-minimum), so triangles =
+    * wedges (u→v, u→w with v before w) semi-joined against the oriented
+    * closing edge (v→w); no triangle is counted twice and none is
+    * missed.
+    *
+    * Three shuffles total (degree agg, wedge join on the apex, closing
+    * semi-join on the wedge endpoints) — all keyed by vertex/edge, no
+    * driver state, no iteration. Input edges are normalized (a < b,
+    * distinct) first, so callers can pass raw symmetric or multi-edge
+    * lists.
+    *
+    * Output: (id, triangles LONG) for every vertex of the normalized
+    * graph, including zero rows — per-vertex triangle participation,
+    * the local-clustering numerator.
+    */
+  def triangleCounts(edges: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val und = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // Orient by (deg, id): lower endpoint → higher endpoint.
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+      .select(
+        when(col("deg_a") < col("deg_b") ||
+             (col("deg_a") === col("deg_b") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("deg_a") < col("deg_b") ||
+             (col("deg_a") === col("deg_b") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+      .localCheckpoint()
+    // Wedges at apex u: unordered out-neighbor pairs, canonicalized so
+    // the closing lookup probes each undirected edge in ONE direction.
+    val w1 = oriented.select(col("u"), col("v").as("x"))
+    val w2 = oriented.select(col("u"), col("v").as("y"))
+    val wedges = w1.join(w2, "u").filter(col("x") < col("y"))
+    val closing = oriented.select(
+      least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
+    val tris = wedges.join(closing, Seq("x", "y"), "left_semi")
+      .select(col("u"), col("x"), col("y"))
+    val perVertex = tris.select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.select(col("id")).join(perVertex, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+}

@@ -447,4 +447,96 @@ object TimeSeriesOps {
         min(when(col("__rn_last") === 1, col(valueCol))).as("close"),
         count(lit(1)).as("n_points"))
   }
+
+  /** Per-key ordinary-least-squares trend over (time, value): slope per
+    * day, intercept at `originTs`, and n — the "is this series drifting
+    * and how fast" summary every fleet of 100 TB metric streams wants
+    * as a single aggregate pass.
+    *
+    * One partial+final hash aggregate keyed by the series: the five OLS
+    * moments (n, Σx, Σy, Σxy, Σx²) are plain sums, so the map side
+    * combines and the shuffle carries one moment row per key per
+    * mapper — the cheapest possible shape, no window, no sort.
+    *
+    * Portability discipline: x = SECONDS since `originTs` (exact LONG),
+    * y cast to DECIMAL(18,6) — all five moments are then EXACT decimal
+    * sums, immune to accumulation order. Only the final closed-form
+    * division runs in DOUBLE (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), a
+    * true-double quantity whose half-way rounding cases are
+    * measure-zero — ADVICE.md class A). The built-in `regr_slope` would
+    * accumulate doubles in partition order and hash-diverge across
+    * engines; this formulation is bit-portable. Slope is reported per
+    * DAY (per-second slopes of daily-scale series vanish into the
+    * rounding).
+    *
+    * Keys with n < 2 or zero x-variance (all points at one instant)
+    * yield null slope/intercept.
+    */
+  def trend(events: DataFrame, originTs: java.sql.Timestamp,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val x = (unix_micros(col(tsCol)) - lit(originTs.getTime * 1000L)) / lit(1000000L)
+    val xd = col("__x").cast("decimal(19,0)")
+    val moments = events
+      .select(col(keyCol),
+        x.cast("long").as("__x"),
+        col(valueCol).cast("decimal(18,6)").as("__y"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("sx"),
+        sum(col("__y")).as("sy"),
+        sum((xd * col("__y")).cast("decimal(38,6)")).as("sxy"),
+        sum((xd * xd).cast("decimal(38,0)")).as("sxx"))
+    val det = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slopeSec = (col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) / det
+    moments
+      .withColumn("__slope_sec", when(col("n") > 1 && det =!= 0.0, slopeSec))
+      .select(col(keyCol), col("n"),
+        round(col("__slope_sec") * 86400.0, 8).as("slope_per_day"),
+        round((col("sy").cast("double") - col("__slope_sec") * col("sx").cast("double"))
+          / col("n").cast("double"), 8).as("intercept"))
+  }
+
+  /** CUSUM drift detection per key: cumulative sum of deviations from
+    * the key's own mean, walked in time order — the classic
+    * change-point statistic (a sustained level shift integrates into a
+    * monotone ramp; noise cancels). Emits per row the running CUSUM and
+    * a `drifted` flag once |S_i| exceeds `threshold`; the per-key
+    * summary (max |S|, first crossing ts) is one groupBy away.
+    *
+    * Determinism: the key mean is an exact decimal mean rounded to 6dp,
+    * deviations are exact DECIMAL(28,6) differences against it, and the
+    * running sum is an exact decimal window sum — the entire statistic
+    * is accumulation-order-immune, so it hash-matches across engines
+    * (the movingStats discipline, applied to an unbounded frame).
+    *
+    * Scale shape: ONE exchange on the key carries both the mean
+    * aggregate (via a self-join on the key — broadcast when the key
+    * table is small) and the ordered cumulative window. Ties on ts
+    * break by `idCol` for a total order.
+    */
+  def cusum(events: DataFrame, threshold: Double,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    // Mean via exact decimal sum → ONE double division → 6dp round (the
+    // movingStats oracle discipline; decimal-by-count division semantics
+    // differ across engines, double division does not).
+    val means = events.groupBy(col(keyCol)).agg(
+      round(sum(col(valueCol).cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+        .cast("decimal(18,6)").as("__mean"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .join(means, keyCol)
+      .withColumn("__dev",
+        (col(valueCol).cast("decimal(18,6)") - col("__mean")).cast("decimal(28,6)"))
+      .withColumn("cusum", sum(col("__dev")).over(w).cast("decimal(38,6)"))
+      .withColumn("drifted", abs(col("cusum")) > lit(threshold))
+      .select(col(keyCol), col(tsCol), col(idCol), col(valueCol),
+        col("cusum").cast("double").as("cusum"), col("drifted"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Graph operators: fixed-point PageRank and degree-oriented triangle
+  * counting (operators/Graph.scala). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric star concentrates rank on the hub, conserves mass") {
+    // Star: hub 0 <-> leaves 1..4, symmetrized.
+    val leaves = (1L to 4L)
+    val edges = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L))).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 5)
+    // Hub outranks every leaf; leaves are symmetric so identical.
+    val leafRanks = leaves.map(out)
+    assert(leafRanks.toSet.size === 1)
+    assert(out(0L) > leafRanks.head)
+    // Mass conservation up to truncation: each node loses < 1 unit per
+    // division, two divisions per node per iteration.
+    val total = out.values.sum
+    assert(total <= Graph.RankOne)
+    assert(total > Graph.RankOne - 5 * 2 * 10 - 100)
+  }
+
+  test("pageRank: two disconnected symmetric pairs split rank equally") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Full symmetry: every node identical, each ~1/4 of the mass.
+    assert(out.values.toSet.size === 1)
+    assert(math.abs(out(1L) - Graph.RankOne / 4) < 10)
+  }
+
+  test("pageRank: dst-only node holds exactly the teleport base") {
+    // 1 -> 2 with no out-edge from 2: node 2 receives, node 1 only
+    // teleports after iteration 1.
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = 15L * Graph.RankOne / (100L * 2)
+    assert(out(1L) === base)
+    // Node 2: base + 0.85 * floor(prev(1)) where prev(1) = base.
+    assert(out(2L) === base + 85L * base / 100L)
+  }
+
+  test("pageRank: partition-count invariance (fixed-point arithmetic is order-immune)") {
+    val r = new scala.util.Random(7)
+    val edges = Seq.fill(300)((r.nextInt(40).toLong, r.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val df1 = edges.toDF("src", "dst").repartition(1)
+    val df7 = edges.toDF("src", "dst").repartition(7)
+    val a = Graph.pageRank(df1, iters = 3).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Graph.pageRank(df7, iters = 3).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("triangleCounts: K4 gives every vertex 3 triangles; a path gives none") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("a", "b")
+    val out = Graph.triangleCounts(k4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val p = Graph.triangleCounts(path).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("triangleCounts: matches brute-force enumeration on a random graph, input form-invariant") {
+    val r = new scala.util.Random(13)
+    val raw = Seq.fill(120)((r.nextInt(20).toLong, r.nextInt(20).toLong)).filter(e => e._1 != e._2)
+    val und = raw.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = und.toSet
+    val verts = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = verts.map { v =>
+      v -> (for {
+        x <- verts; y <- verts
+        if x < y && x != v && y != v
+        if adj.contains((math.min(v, x), math.max(v, x)))
+        if adj.contains((math.min(v, y), math.max(v, y)))
+        if adj.contains((x, y))
+      } yield 1).size.toLong
+    }.toMap
+    // Feed the RAW directed multi-list — normalization is the operator's job.
+    val out = Graph.triangleCounts(raw.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === brute)
+  }
+}

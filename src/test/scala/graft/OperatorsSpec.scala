@@ -983,4 +983,39 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.operators.Curation
       .keepTopQuantileApprox(df, "lang", "score", q = 1.0).count() == df.count())
   }
+
+  test("ppJoinPairs: exact — equals the uncapped all-pairs Jaccard join") {
+    // Corpus with a clone pair, a partial overlap, and unrelated docs;
+    // shared boilerplate tokens everywhere so the rarity order matters.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely different text about training data pipelines at scale"),
+      (5L, "totally unrelated words concerning graph analytics and page rank"),
+      (6L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val pp = Dedup.ppJoinPairs(docs, n = 3, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+    val full = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("sz_a").cast("int"), col("sz_b").cast("int"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+    assert(pp.nonEmpty, "constructed near-dups must surface")
+    assert(pp == full, "prefix filtering must lose no pair (exactness theorem)")
+    // the clone pair is found at jaccard 1.0; unrelated docs never pair
+    assert(pp.exists(p => p._1 == 1L && p._2 == 6L && p._6 == 1.0))
+    assert(!pp.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ppJoinPairs: threshold 1.0 keeps only exact set-equal pairs") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ppJoinPairs(docs, n = 1, threshold = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)))
+  }
 }

@@ -360,4 +360,57 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .as[(Long, Double, Double, Double, Double, Long)].collect().toSeq
     assert(viaAgg == got)
   }
+
+  test("trend: recovers a constructed linear drift; degenerate keys go null") {
+    val origin = ts("2024-01-01T00:00:00Z")
+    // key 1: y = 10 + 2/day * t (points at 0h, 12h, 24h, 36h)
+    val rows = Seq(0, 12, 24, 36).map { h =>
+      (1L, ts(f"2024-01-0${1 + h / 24}T${h % 24}%02d:00:00Z"), 10.0 + 2.0 * h / 24.0)
+    } ++ Seq(
+      (2L, ts("2024-01-01T05:00:00Z"), 7.0), // n = 1
+      (3L, ts("2024-01-01T05:00:00Z"), 1.0), // zero x-variance
+      (3L, ts("2024-01-01T05:00:00Z"), 9.0))
+    val out = TimeSeriesOps.trend(rows.toDF("user_id", "ts", "value"), origin)
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out(0) == ((1L, 4L, Some(2.0), Some(10.0))))
+    assert(out(1) == ((2L, 1L, None, None)))
+    assert(out(2) == ((3L, 2L, None, None)))
+  }
+
+  test("trend: exact decimal moments are partition-order immune") {
+    val origin = ts("2024-01-01T00:00:00Z")
+    val r = new scala.util.Random(5)
+    val rows = (1 to 4000).map { i =>
+      (i % 7L, new java.sql.Timestamp(origin.getTime + i * 61000L),
+        math.round(r.nextDouble() * 1e6) / 1e4)
+    }
+    val a = TimeSeriesOps.trend(rows.toDF("user_id", "ts", "value").repartition(1), origin)
+      .orderBy("user_id").collect().toSeq
+    val b = TimeSeriesOps.trend(rows.toDF("user_id", "ts", "value").repartition(13), origin)
+      .orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("cusum: a level shift integrates past the threshold; pre-shift rows stay quiet") {
+    // 10 points at 0, then 10 points at 10: mean 5, deviations ±5, so
+    // |S| ramps to 25 mid-series and returns to ~0 at the end.
+    val rows = (0 until 20).map { i =>
+      (1L, new java.sql.Timestamp(ts("2024-01-01T00:00:00Z").getTime + i * 60000L),
+        i.toLong, if (i < 10) 0.0 else 10.0)
+    }
+    val out = TimeSeriesOps.cusum(
+      rows.toDF("user_id", "ts", "event_id", "value"), threshold = 20.0)
+      .orderBy("event_id")
+      .as[(Long, java.sql.Timestamp, Long, Double, Double, Boolean)].collect().toSeq
+    // running sum of -5s bottoms out at -50 after row 9, recovers +5/row
+    assert(out(9)._5 == -50.0)
+    assert(out.last._5 == 0.0)
+    assert(!out(3)._6 && out(9)._6, "flag only past the threshold")
+    // exactness: cusum of the final row is EXACTLY zero (decimal, not float)
+    assert(out.count(_._6) == (0 until 20).count(i => {
+      val s = (0 to i).map(j => if (j < 10) -5.0 else 5.0).sum
+      math.abs(s) > 20.0
+    }))
+  }
 }
