@@ -3530,23 +3530,27 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin)),
 
     ("x_dedup_ppjoin",
-      // PPJoin prefix-filtered EXACT set-similarity join: all trigram-set
+      // PPJoin prefix-filtered EXACT set-similarity join: all 5-gram-set
       // Jaccard >= 0.5 pairs, deterministically — the oracle computes the
       // FULL all-pairs answer with no prefix logic, so a hash match
       // proves the filter loses nothing (the exactness theorem, checked
       // per-value). Complement to the probabilistic MinHash/LSH family.
-      (s, dir) => Dedup.ppJoinPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+      // 5-gram sets (vs the bigram LSH family) are the near-identical-doc
+      // grain where exact Jaccard earns its cost.
+      (s, dir) => Dedup.ppJoinPairs(Tables.documents(s, dir), n = 5, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH ft AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents),
         |toks AS (
         |  SELECT DISTINCT doc_id,
-        |    (((CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) % 2147483647) * 1000003
+        |    (((((CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) % 2147483647) * 1000003
         |      + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
-        |      + CAST(concat('0x', substr(md5(t[g.i + 2]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |      + CAST(concat('0x', substr(md5(t[g.i + 2]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+        |      + CAST(concat('0x', substr(md5(t[g.i + 3]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+        |      + CAST(concat('0x', substr(md5(t[g.i + 4]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
         |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
-        |  WHERE g.i <= len(t) - 2),
+        |  WHERE g.i <= len(t) - 4),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter

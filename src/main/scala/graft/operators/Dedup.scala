@@ -127,14 +127,20 @@ object Dedup {
     * and never enter a prefix).
     *
     * Plan: one kernel pass builds distinct shingle arrays; the
-    * frequency table is vocab-sized (rank via one vocab-sized window —
-    * the [[TextAnalysis.encodeWithVocab]] id-window shape); docs
-    * re-express their sets as sorted rank arrays (hash join + one
-    * groupBy); candidate pairs come from prefix-token posting-list
-    * combinatorics (never a row self-join); verification is ONE
-    * compiled [[graft.functions.SortedIntersectCount]] merge per
-    * candidate over the rank arrays. Shuffles carry ids, ranks, and
-    * prefix tokens — never text.
+    * frequency rides a count-over-partition window on the exploded gram
+    * stream, and the rarity order is embedded as a composite key
+    * `df * 2^31 + sh` — order-embedding (df, sh) lexicographically in
+    * one LONG means NO global rank window exists anywhere in the plan
+    * (a row_number over the vocabulary would be a single-partition
+    * stage; prefix filtering only needs ORDER, never density). Docs
+    * re-express their sets as sorted key arrays (one groupBy after the
+    * sh-keyed window exchange); candidate pairs come from prefix-token
+    * posting-list combinatorics (never a row self-join); verification
+    * is ONE compiled [[graft.functions.SortedIntersectCount]] merge per
+    * candidate over the key arrays. Shuffles carry ids, keys, and
+    * prefix tokens — never text. (`sh` < 2^31 by construction — the
+    * kernel reduces mod 2^31−1 — so the embedding is exact for df up to
+    * 2^32, far past any real corpus's doc count.)
     *
     * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard) — identical
     * schema and values to [[ngramJaccardPairs]] at the same `n` and
@@ -143,23 +149,19 @@ object Dedup {
   def ppJoinPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val sets = docs.select(col(idCol),
-        graft.functions.ShingleHashes(col(textCol), n, distinct = true).as("__set"))
-      .filter(size(col("__set")) > 0)
-    val dfreq = sets.select(explode(col("__set")).as("sh"))
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-    // Global rarity rank. The window is VOCAB-sized (distinct shingles),
-    // not corpus-sized — the same single-partition budget encodeWithVocab
-    // spends on its id window; derived-constant partition key so the
-    // planner can't fold the spec away.
-    val rankW = Window.partitionBy(col("sh") * lit(0))
-      .orderBy(col("df").asc, col("sh").asc)
-    val ranked = dfreq.withColumn("r", row_number().over(rankW).cast("long"))
-    // Re-express each doc's set in rank space, sorted ascending — rarest
+    // df rides a count-over-partition window on the exploded gram
+    // stream — ONE exchange on sh produces the composite key directly
+    // (the groupBy-df + join-back formulation shuffled the same stream
+    // twice). The stream then regroups by doc: two exchanges total for
+    // the whole set-preparation phase.
+    val exploded = docs.select(col(idCol),
+      explode(graft.functions.ShingleHashes(col(textCol), n, distinct = true)).as("sh"))
+    val keyed = exploded.withColumn("r",
+      count(lit(1)).over(Window.partitionBy(col("sh"))) * lit(2147483648L) + col("sh"))
+    // Each doc's set in rarity-key space, sorted ascending — rarest
     // first, which is simultaneously the prefix order AND the sorted
     // order the intersect kernel needs.
-    val docRanks = sets.select(col(idCol), explode(col("__set")).as("sh"))
-      .join(ranked.select(col("sh"), col("r")), "sh")
+    val docRanks = keyed
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("r"))).as("rset"))
       .withColumn("sz", size(col("rset")))

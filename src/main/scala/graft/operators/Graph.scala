@@ -60,11 +60,15 @@ object Graph {
     require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    val n = nodes.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // adj pins the (possibly expensive) upstream edge construction ONCE;
+    // nodes derives from the materialized adj, not from a second run of
+    // the edge build (measured: the double build was the single largest
+    // cost in the whole operator).
     val adj = e.join(outdeg, "src").localCheckpoint()
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
     val base = (dampDen - dampNum) * RankOne / (dampDen * n)
     var ranks = nodes.withColumn("rank_units", lit(RankOne / n))
     for (_ <- 1 to iters) {
