@@ -3529,6 +3529,123 @@ object SparkEntry {
         |FROM events
         |ORDER BY event_id""".stripMargin)),
 
+    ("x_hybrid_rrf",
+      // Hybrid retrieval: dense cosine top-20 (embeddings) and lexical
+      // related-doc BM25 top-20 (documents — vec_id ≡ doc_id in this
+      // corpus) fused by reciprocal-rank fusion, top-10 out. The fusion
+      // needs no score calibration between legs; each RRF term is one
+      // IEEE division of small ints, so the whole merge hash-matches.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 20)
+        val lex = TextAnalysis.bm25RelatedTopK(
+          Tables.documents(s, dir), queryIds = (0L to 7L), k = 20)
+        Similarity.rrfFuse(dense, lex, k = 10).orderBy("query_id", "rank")
+      },
+      Some("""WITH dense AS (
+        |  SELECT query_id, cand_id, rank FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |        round(list_inner_product(q.e, c.e) / NULLIF(sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8) q,
+        |           (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
+        |      WHERE q.vec_id <> c.vec_id))
+        |  WHERE rank <= 20),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfv AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < 8),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id AS cand_id,
+        |    round(round(ln((stats.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1.0), 8)
+        |          * tf.tf * 2.2
+        |          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 8) AS c
+        |  FROM qt JOIN tf USING (tok) JOIN dfv USING (tok)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+        |  WHERE tf.doc_id <> qt.query_id),
+        |lexscore AS (
+        |  SELECT query_id, cand_id,
+        |    CAST(round(SUM(CAST(c AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25
+        |  FROM contrib GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, cand_id, rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, cand_id) AS rank
+        |    FROM lexscore)
+        |  WHERE rank <= 20),
+        |fused AS (
+        |  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+        |         COALESCE(d.cand_id, l.cand_id) AS cand_id,
+        |         d.rank AS rank_a, l.rank AS rank_b,
+        |         round(COALESCE(1.0 / (60 + d.rank), 0.0)
+        |             + COALESCE(1.0 / (60 + l.rank), 0.0), 8) AS rrf
+        |  FROM dense d FULL JOIN lex l
+        |    ON d.query_id = l.query_id AND d.cand_id = l.cand_id)
+        |SELECT query_id, cand_id, rank_a, rank_b, rrf, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS rank
+        |  FROM fused)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    ("x_ann_ndcg",
+      // NDCG@5 of the IVF cell-restricted ranking against the exact
+      // cosine top-5 — rank-AWARE retrieval quality (recall treats a
+      // hit at rank 1 and rank 5 alike; NDCG discounts by position).
+      // Discount terms round 8dp before an exact decimal sum (log2 ulps
+      // across engines), final ratio one double division at 6dp.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 8)
+        Similarity.ndcgAtK(
+          Similarity.ivfTopK(emb, q, k = 5),
+          Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
+          .orderBy("query_id")
+      },
+      Some("""WITH approx AS (
+        |  SELECT query_id, cand_id, rank FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |        round(list_inner_product(q.e, c.e) / NULLIF(sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8) q
+        |      JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
+        |        ON q.label = c.label AND q.vec_id <> c.vec_id))
+        |  WHERE rank <= 5),
+        |exact AS (
+        |  SELECT query_id, cand_id, rank FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |        round(list_inner_product(q.e, c.e) / NULLIF(sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8) q,
+        |           (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
+        |      WHERE q.vec_id <> c.vec_id))
+        |  WHERE rank <= 5),
+        |dcg AS (
+        |  SELECT a.query_id,
+        |    SUM(CASE WHEN e.cand_id IS NOT NULL
+        |      THEN CAST(round(1.0 / log2(a.rank + 1.0), 8) AS DECIMAL(18,10))
+        |      ELSE CAST(0 AS DECIMAL(18,10)) END) AS dcg
+        |  FROM approx a LEFT JOIN exact e
+        |    ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+        |  GROUP BY 1),
+        |idcg AS (
+        |  SELECT query_id,
+        |    SUM(CAST(round(1.0 / log2(rank + 1.0), 8) AS DECIMAL(18,10))) AS idcg,
+        |    COUNT(*) AS truth_k
+        |  FROM exact GROUP BY 1)
+        |SELECT i.query_id, i.truth_k,
+        |  round(CAST(COALESCE(d.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg
+        |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+        |ORDER BY i.query_id""".stripMargin)),
+
     ("x_dedup_ppjoin",
       // PPJoin prefix-filtered EXACT set-similarity join: all 5-gram-set
       // Jaccard >= 0.5 pairs, deterministically — the oracle computes the

@@ -311,6 +311,77 @@ object Similarity {
       .agg(count(lit(1)).as("truth_k"), count(col("__hit")).as("hits"))
       .withColumn("recall", round(col("hits").cast("double") / col("truth_k"), 4))
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two rankings —
+    * the standard score-free merge for HYBRID retrieval (dense ANN +
+    * lexical BM25): `rrf(q, c) = Σ_lists 1 / (kRrf + rank)`, which
+    * needs no score calibration between legs and rewards agreement.
+    *
+    * Inputs are (queryCol, candCol, rankCol) frames (extra columns
+    * ignored); a candidate absent from one leg simply contributes 0
+    * from it (FULL outer join). Output: (query, cand, rank_a, rank_b,
+    * rrf, rank) — per-query top `k` by fused score, candidate id
+    * breaking ties. Determinism: each leg's term is one IEEE double
+    * division of small ints — identical on every engine — and the 8dp
+    * round keeps the repr stable.
+    *
+    * Scale shape: both legs are already top-k-per-query frames (tiny
+    * relative to the corpora they came from), so the fusion join and
+    * the final WindowGroupLimit are queries×k-sized — fusion cost never
+    * scales with the corpus.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60,
+      queryCol: String = "query_id", candCol: String = "cand_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1 && kRrf >= 0, "k must be >= 1 and kRrf >= 0")
+    val fa = a.select(col(queryCol), col(candCol), col(rankCol).as("rank_a"))
+    val fb = b.select(col(queryCol), col(candCol), col(rankCol).as("rank_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col("rrf").desc, col(candCol).asc)
+    fa.join(fb, Seq(queryCol, candCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)), 8))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryCol), col(candCol), col("rank_a"), col("rank_b"),
+        col("rrf"), col("rank"))
+  }
+
+  /** NDCG@k of an approximate ranking against the exact one — the
+    * rank-AWARE quality eval [[recallAtK]] can't express (recall treats
+    * a hit at rank 1 and rank k alike; NDCG discounts by position).
+    * Binary relevance: a candidate is relevant iff it appears in the
+    * exact top-k. `ndcg = DCG / IDCG`, `DCG = Σ rel_i / log2(i + 1)`
+    * over the approx ranking's first k positions, `IDCG` the same sum
+    * over the exact ranking (by construction the ideal ordering).
+    *
+    * Determinism: each discount term rounds to 8dp before an exact
+    * DECIMAL sum (the lm-score libm discipline — log2 of small ints may
+    * differ by ulps across engines, the round absorbs it); the final
+    * ratio is one double division rounded to 6dp.
+    */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, k: Int,
+      queryCol: String = "query_id", candCol: String = "cand_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def discount(r: Column): Column =
+      round(lit(1.0) / log2(r + lit(1.0)), 8).cast("decimal(18,10)")
+    val rel = exact.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(candCol), lit(1).as("__rel"))
+    val dcg = approx.filter(col(rankCol) <= k)
+      .join(rel, Seq(queryCol, candCol), "left")
+      .groupBy(col(queryCol))
+      .agg(sum(when(col("__rel").isNotNull, discount(col(rankCol)))
+        .otherwise(lit(0).cast("decimal(18,10)"))).as("__dcg"))
+    val idcg = exact.filter(col(rankCol) <= k)
+      .groupBy(col(queryCol))
+      .agg(sum(discount(col(rankCol))).as("__idcg"), count(lit(1)).as("truth_k"))
+    idcg.join(dcg, Seq(queryCol), "left")
+      .select(col(queryCol), col("truth_k"),
+        round(coalesce(col("__dcg"), lit(0).cast("decimal(18,10)")).cast("double")
+          / col("__idcg").cast("double"), 6).as("ndcg"))
+  }
+
   /** Random-hyperplane LSH bucketing: sign-bit sketch of the embedding
     * against `numPlanes` pseudo-random hyperplanes derived from a
     * portable per-(plane, dim) hash, so the same buckets are computable

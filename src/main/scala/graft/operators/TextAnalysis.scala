@@ -221,6 +221,56 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Related-document BM25: for each query DOCUMENT (by id), the top-k
+    * most lexically similar corpus documents — the query's own distinct
+    * terms act as the query bag (set semantics: BM25's query-side
+    * saturation is flat for the short effective vocabulary of one
+    * document, and set semantics keep the oracle replay exact). This is
+    * the lexical leg of hybrid retrieval; [[Similarity.rrfFuse]] merges
+    * it with a dense ranking.
+    *
+    * Same scoring, rounding, and determinism discipline as [[bm25TopK]]
+    * (8dp idf and contributions, DECIMAL per-pair sum, 6dp score); the
+    * per-query ranking is a WindowGroupLimit top-k instead of a global
+    * limit. Scale shape: the (token)-keyed join between query term sets
+    * (queries × ~doclen rows, broadcastable) and the corpus tf table is
+    * the only corpus-sized exchange; df and corpus stats broadcast.
+    * Self-matches are excluded.
+    */
+  def bm25RelatedTopK(docs: DataFrame, queryIds: Seq[Long], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    val tokensDf = docs.select(col(idCol), explode(toks(col(textCol))).as("__tok"))
+    val dl = tokensDf.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val tf = tokensDf.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val qterms = tf.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("__tok"))
+    val idf = round(log(
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)), 8)
+    val contrib = round(
+      idf * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("bm25").desc, col("cand_id").asc)
+    broadcast(qterms)
+      .join(tf.withColumnRenamed(idCol, "cand_id"), "__tok")
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(broadcast(dfreq), "__tok")
+      .join(dl.withColumnRenamed(idCol, "cand_id"), "cand_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib", contrib)
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(count(lit(1)).as("matched_terms"),
+        round(sum(col("__contrib").cast("decimal(28,10)")), 6)
+          .cast("double").as("bm25"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Count-Min frequency estimates via the
     * [[graft.functions.CountMinSketch]] aggregate, audited against the
     * exact counts: emits the exact top `topN` tokens (count DESC, token

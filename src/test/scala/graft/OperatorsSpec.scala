@@ -1010,6 +1010,47 @@ class OperatorsSpec extends SparkSpec {
     assert(!pp.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("rrfFuse: agreement outranks single-list hits; absent legs contribute zero") {
+    val dense = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "cand_id", "rank")
+    val lex = Seq((1L, 11L, 1), (1L, 13L, 2)).toDF("query_id", "cand_id", "rank")
+    val out = graft.operators.Similarity.rrfFuse(dense, lex, k = 10)
+      .orderBy("rank")
+      .as[(Long, Long, Option[Int], Option[Int], Double, Int)].collect().toSeq
+    // 11 is in both lists (1/62 + 1/61) and must win over 10 (1/61 alone)
+    assert(out.head._2 == 11L && out.head._3 == Some(2) && out.head._4 == Some(1))
+    assert(out.map(_._2) == Seq(11L, 10L, 13L, 12L))
+    // absent-leg ranks are null, their contribution exactly the other leg's
+    val r13 = out.find(_._2 == 13L).get
+    assert(r13._3.isEmpty && r13._5 == math.rint(1.0 / 62 * 1e8) / 1e8)
+  }
+
+  test("ndcgAtK: perfect ranking scores 1; a missed top hit scores less than a missed tail hit") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "cand_id", "rank")
+    val perfect = graft.operators.Similarity.ndcgAtK(exact, exact, k = 3)
+      .as[(Long, Long, Double)].head()
+    assert(perfect == ((1L, 3L, 1.0)))
+    // miss the rank-1 item vs miss the rank-3 item (replace with junk)
+    val missTop = Seq((1L, 99L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "cand_id", "rank")
+    val missTail = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3)).toDF("query_id", "cand_id", "rank")
+    val nTop = graft.operators.Similarity.ndcgAtK(missTop, exact, k = 3).as[(Long, Long, Double)].head()._3
+    val nTail = graft.operators.Similarity.ndcgAtK(missTail, exact, k = 3).as[(Long, Long, Double)].head()._3
+    assert(nTop < nTail && nTail < 1.0)
+  }
+
+  test("bm25RelatedTopK: a clone ranks first for its twin; self never appears") {
+    val docs = Seq(
+      (0L, "spark shuffles partition the keyed stream across executors"),
+      (1L, "spark shuffles partition the keyed stream across executors"),
+      (2L, "ducks paddle across the quiet pond at dawn"),
+      (3L, "completely unrelated gardening notes about tomato seedlings")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25RelatedTopK(docs, queryIds = Seq(0L), k = 3)
+      .orderBy("rank")
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(out.head == ((0L, 1L, 1)), "the clone must rank first")
+    assert(!out.exists(_._2 == 0L), "self-match excluded")
+  }
+
   test("ppJoinPairs: threshold 1.0 keeps only exact set-equal pairs") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{StreamingIngest, StreamingSessionize}
@@ -143,6 +143,39 @@ class StreamingSpec extends SparkSpec {
         r.getStruct(1).getSeq[scala.collection.Seq[Long]](1).map(_.toSeq).toSeq)).toSeq
     assert(streaming == batch,
       "streaming CMS matrix must be bit-identical to the batch matrix")
+  }
+
+  test("streaming OLS trend equals the batch trend on any micro-batch slicing") {
+    // trend is ONE groupBy over five exact decimal moments — all plain
+    // sums, so the operator runs UNCHANGED under Structured Streaming
+    // (Complete mode) and must agree with batch bit-for-bit regardless
+    // of how micro-batches sliced the stream.
+    implicit val sqlCtx = spark.sqlContext
+    val origin = ts("2024-01-01T00:00:00Z")
+    val mem = MemoryStream[(Long, Long, Double)]
+    val streamed = graft.operators.TimeSeriesOps.trend(
+      mem.toDF().toDF("user_id", "off", "value")
+        .withColumn("ts", expr("timestamp_micros(1704067200000000 + off * 60000000)")),
+      origin)
+    val q = streamed.writeStream.format("memory").queryName("trend_s")
+      .outputMode(OutputMode.Complete).start()
+    val r = new scala.util.Random(11)
+    val rows = (1 to 500).map(i =>
+      (i % 5L, i.toLong, math.round(r.nextDouble() * 1e5) / 1e3))
+    mem.addData(rows.take(240): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(240): _*)
+    q.processAllAvailable()
+    val streaming = spark.sql(
+      "SELECT user_id, n, slope_per_day, intercept FROM trend_s ORDER BY user_id")
+      .collect().toSeq
+    q.stop()
+    val batch = graft.operators.TimeSeriesOps.trend(
+      rows.toDF("user_id", "off", "value")
+        .withColumn("ts", expr("timestamp_micros(1704067200000000 + off * 60000000)")),
+      origin).orderBy("user_id").collect().toSeq
+    assert(streaming == batch,
+      "streaming trend must be bit-identical to the batch trend")
   }
 
   test("streaming OHLC bars equal the batch bars under event-time windows") {
