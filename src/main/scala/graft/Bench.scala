@@ -69,7 +69,8 @@ object Bench {
       "x_ann_index_stored", "x_funnel", "x_text_bm25", "x_cohort_retention",
       // round-7 second-session additions
       "x_dedup_ppjoin", "x_graph_pagerank", "x_graph_triangles",
-      "ts_trend", "ts_cusum", "rel_histogram", "x_hybrid_rrf", "x_ann_ndcg"))
+      "ts_trend", "ts_cusum", "rel_histogram", "x_hybrid_rrf", "x_ann_ndcg",
+      "x_graph_kcore"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

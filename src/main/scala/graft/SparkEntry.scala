@@ -79,6 +79,66 @@ object SparkEntry {
       |              * sqrt(list_inner_product(c.centroid, c.centroid)), 0), 4) + 0.0 AS cscore
       |  FROM embeddings e, cvec c)""".stripMargin
 
+  /** Unrolled k-core oracle over the repeat co-purchase graph:
+    * `rounds` relational peels (degree CTE + both-endpoints-surviving
+    * filter per round). [[graft.operators.Graph.kCore]] THROWS if it
+    * hasn't converged within its own `maxRounds`, so declaring the
+    * query with maxRounds == `rounds` makes the unrolled replay exact
+    * BY CONSTRUCTION — rounds past convergence are no-ops on both
+    * sides. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // every CTE MATERIALIZED: each round references its predecessor 3x
+    // (twice in the degree union, once in the filter), so inlined CTEs
+    // would re-expand the base scan 3^rounds times
+    val head = """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s""",
+        |d$i AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+        |    SELECT a AS id FROM e${i - 1} UNION ALL SELECT b AS id FROM e${i - 1}) GROUP BY 1),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e${i - 1} e
+        |  JOIN d$i da ON da.id = e.a JOIN d$i db ON db.id = e.b
+        |  WHERE da.deg >= $k AND db.deg >= $k)""".stripMargin
+    }.mkString
+    head + iters +
+      s"""
+        |SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT a AS id FROM e$rounds UNION ALL SELECT b AS id FROM e$rounds) GROUP BY 1
+        |ORDER BY id""".stripMargin
+  }
+
+  /** Repeat co-purchase graph: parts appearing together in >= 2 orders
+    * — the shared input of the `x_graph_triangles` / `x_graph_kcore`
+    * structure queries. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids)), j -> struct(ids[i] AS a, j AS b))))"
+      )).as("p")).select(col("p.a"), col("p.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+
+  /** Memoized BM25 inverted index per (session, dir) — the lexical
+    * twin of [[builtIvfIndex]]: tokenize+aggregate once, checkpoint,
+    * amortize over every retrieval query. */
+  private val bm25Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def builtBm25Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bm25Memo.getOrElseUpdate((s, dir), {
+      val tf = TextAnalysis.bm25Index(Tables.documents(s, dir)).localCheckpoint()
+      (tf, TextAnalysis.bm25IndexStats(tf).localCheckpoint())
+    })
+
   private def maskNaN(df: DataFrame): DataFrame =
     df.withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
 
@@ -3530,16 +3590,20 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin)),
 
     ("x_hybrid_rrf",
-      // Hybrid retrieval: dense cosine top-20 (embeddings) and lexical
-      // related-doc BM25 top-20 (documents — vec_id ≡ doc_id in this
-      // corpus) fused by reciprocal-rank fusion, top-10 out. The fusion
-      // needs no score calibration between legs; each RRF term is one
-      // IEEE division of small ints, so the whole merge hash-matches.
+      // Hybrid retrieval: dense cosine top-20
+      // (embeddings) and lexical related-doc BM25 top-20 (documents —
+      // vec_id ≡ doc_id in this corpus) fused by reciprocal-rank
+      // fusion, top-10 out. The lexical leg scores from the MEMOIZED
+      // bm25 index (the build-once contract of builtIvfIndex); the
+      // fusion needs no score calibration between legs; each RRF term
+      // is one IEEE division of small ints, so the whole merge
+      // hash-matches.
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 20)
-        val lex = TextAnalysis.bm25RelatedTopK(
-          Tables.documents(s, dir), queryIds = (0L to 7L), k = 20)
+        val (bmTf, bmStats) = builtBm25Index(s, dir)
+        val lex = TextAnalysis.bm25RelatedTopKFrom(
+          bmTf, queryIds = (0L to 7L), k = 20, statsOpt = Some(bmStats))
         Similarity.rrfFuse(dense, lex, k = 10).orderBy("query_id", "rank")
       },
       Some("""WITH dense AS (
@@ -3696,16 +3760,18 @@ object SparkEntry {
           .distinct()
         val edges = cs.select(col("c").as("src"), col("sup").as("dst"))
           .union(cs.select(col("sup").as("src"), col("c").as("dst")))
-        Graph.pageRank(edges, iters = 3).orderBy("id")
+        // the symmetric union of a distinct frame over disjoint id
+        // ranges is distinct by shape — skip the defensive dedup
+        Graph.pageRank(edges, iters = 3, assumeDistinct = true).orderBy("id")
       },
-      Some("""WITH cs AS (
+      Some("""WITH cs AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS sup
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e AS (SELECT c AS src, sup AS dst FROM cs
+        |e AS MATERIALIZED (SELECT c AS src, sup AS dst FROM cs
         |      UNION SELECT sup AS src, c AS dst FROM cs),
-        |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-        |nn AS (SELECT COUNT(*) AS n FROM nodes),
-        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
         |r0 AS (SELECT id, 1000000000000 // n AS ru FROM nodes CROSS JOIN nn),
         |m1 AS (SELECT e.dst AS id, SUM(r0.ru // deg.outdeg) AS m
         |       FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY 1),
@@ -3732,20 +3798,7 @@ object SparkEntry {
       // orientation bounds the wedge join at O(m^1.5). The clique
       // structure of a co-occurrence graph is the signal the pairwise
       // edge list can't show.
-      (s, dir) => {
-        val e = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .groupBy("l_orderkey")
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            "flatten(transform(sequence(0, size(ids) - 2), " +
-              "i -> transform(slice(ids, i + 2, size(ids)), j -> struct(ids[i] AS a, j AS b))))"
-          )).as("p")).select(col("p.a"), col("p.b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-        Graph.triangleCounts(e).orderBy("id")
-      },
+      (s, dir) => Graph.triangleCounts(copurchaseEdges(s, dir)).orderBy("id"),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |edges AS (
         |  SELECT a.l_partkey AS a, b.l_partkey AS b
@@ -3774,6 +3827,15 @@ object SparkEntry {
         |SELECT deg.id, COALESCE(pv.triangles, 0) AS triangles
         |FROM deg LEFT JOIN pv ON pv.id = deg.id
         |ORDER BY deg.id""".stripMargin)),
+
+    ("x_graph_kcore",
+      // 2-core of the repeat co-purchase graph: iterative low-degree
+      // peeling until fixpoint (the operator throws past maxRounds, so
+      // the 8-round unrolled oracle is exact by construction — sf0.1
+      // converges in 6 rounds, sf0.01 in 4).
+      (s, dir) => Graph.kCore(copurchaseEdges(s, dir), k = 2, maxRounds = 8)
+        .orderBy("id"),
+      Some(kCoreOracleSql(k = 2, rounds = 8))),
 
     ("ts_trend",
       // Per-user OLS drift over the event stream: slope per day +

@@ -55,17 +55,27 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // adj pins the (possibly expensive) upstream edge construction ONCE;
-    // nodes derives from the materialized adj, not from a second run of
-    // the edge build (measured: the double build was the single largest
-    // cost in the whole operator).
-    val adj = e.join(outdeg, "src").localCheckpoint()
+    // `assumeDistinct` skips the defensive dedup exchange when the
+    // caller's construction is distinct BY SHAPE (e.g. the symmetric
+    // union of an already-distinct bipartite frame over disjoint id
+    // ranges) — on a 100 TB edge list that exchange is pure waste.
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = if (assumeDistinct) e0 else e0.distinct()
+    // outdeg rides a count-over-partition window: ONE exchange on src
+    // produces the degree-annotated edge list directly (a groupBy +
+    // join-back shuffles the stream twice) AND leaves adj clustered by
+    // src — exactly the layout every iteration's contribution join
+    // wants. adj pins the (possibly expensive) upstream edge
+    // construction ONCE; nodes derives from the materialized adj, not
+    // from a second run of the edge build.
+    val adj = e.withColumn("outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint()
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct().localCheckpoint()
     val n = nodes.count()
@@ -143,5 +153,56 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("triangles"))
     deg.select(col("id")).join(perVertex, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** k-core of an undirected edge list: iteratively peel every vertex
+    * with degree < k until none remain — the standard "dense enough to
+    * matter" subgraph extraction (spam-farm detection on link graphs,
+    * cluster-nucleus selection on co-occurrence graphs).
+    *
+    * Synchronous peeling: each round computes degrees (one agg over the
+    * surviving edges) and anti-joins the low-degree vertex list out of
+    * both endpoints. The low list SHRINKS every round and is usually a
+    * small fraction of vertices, so the anti-join broadcasts; the edge
+    * frame only ever decreases. Rounds localCheckpoint (the
+    * [[Dedup.duplicateClusters]] loop discipline) and converge in
+    * O(peel depth) — star-like graphs peel in a few rounds; an
+    * adversarial path graph needs O(n). THROWS if `maxRounds` rounds
+    * don't reach the fixpoint rather than returning a partial core —
+    * which also makes a `maxRounds`-unrolled relational replay exact by
+    * construction (extra replay rounds past convergence are no-ops).
+    *
+    * Input edges are normalized (a < b, distinct) first. Output:
+    * (id, deg) — every vertex of the k-core with its degree INSIDE the
+    * core (≥ k by definition; empty when no k-core exists).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var e = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    def degrees = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val low = degrees.filter(col("deg") < k).select(col("id")).localCheckpoint()
+      if (low.isEmpty) converged = true
+      else {
+        val lowA = low.select(col("id").as("__low_a"))
+        val lowB = low.select(col("id").as("__low_b"))
+        e = e.join(lowA, col("a") === col("__low_a"), "left_anti")
+          .join(lowB, col("b") === col("__low_b"), "left_anti")
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"k-core peeling did not converge in $maxRounds rounds (k=$k); raise maxRounds")
+    degrees
   }
 }

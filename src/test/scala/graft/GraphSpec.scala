@@ -67,6 +67,29 @@ class GraphSpec extends SparkSpec {
     assert(p === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("kCore: peels a tail chain over multiple rounds, keeps the clique") {
+    // K4 (1..4) with a path tail 4-5-6-7: at k=2 the tail peels from the
+    // far end one vertex per round (3 rounds), the K4 survives intact.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (k4 ++ tail).toDF("a", "b")
+    val core2 = Graph.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=4: no vertex has degree 4 — empty core
+    assert(Graph.kCore(edges, k = 4).count() === 0)
+  }
+
+  test("kCore: throws when maxRounds can't reach the fixpoint") {
+    // a path of 12 vertices at k=2 peels one vertex per end per round
+    // (~5 rounds); maxRounds=2 must throw, not return a partial core
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException](Graph.kCore(path, k = 2, maxRounds = 2).count())
+    assert(ex.getMessage.contains("did not converge"))
+    // with enough rounds it converges to the (empty) 2-core
+    assert(Graph.kCore(path, k = 2, maxRounds = 10).count() === 0)
+  }
+
   test("triangleCounts: matches brute-force enumeration on a random graph, input form-invariant") {
     val r = new scala.util.Random(13)
     val raw = Seq.fill(120)((r.nextInt(20).toLong, r.nextInt(20).toLong)).filter(e => e._1 != e._2)
