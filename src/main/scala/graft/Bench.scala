@@ -70,7 +70,9 @@ object Bench {
       // round-7 second-session additions
       "x_dedup_ppjoin", "x_graph_pagerank", "x_graph_triangles",
       "ts_trend", "ts_cusum", "rel_histogram", "x_hybrid_rrf", "x_ann_ndcg",
-      "x_graph_kcore"))
+      "x_graph_kcore",
+      // round-7 fourth-session additions
+      "x_text_nb"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,
@@ -446,8 +448,15 @@ object Bench {
       s""""floor_decomp":$floorDecompJson,""" +
       s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"""" +
       baselineRaw.map(b => s""","baseline_duckdb":$b""").getOrElse("") + "}"
+    // A SPARK_GRAFT_ONLY-filtered dev run must never overwrite the
+    // committed full-matrix artifact: a filtered run writes a headline
+    // of 0.0 with an empty query map, and committing that (it happened)
+    // makes the repo's central evidence file disagree with every claim
+    // that cites it. Dev runs get their own file.
+    val detailPath =
+      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_dev.json"
     try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detailJson) finally w.close()
     } catch { case _: Throwable => () }
     println(detailJson)

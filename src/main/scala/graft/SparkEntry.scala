@@ -3925,7 +3925,63 @@ object SparkEntry {
       Some("""SELECT k AS key, COUNT(*) AS freq FROM (
         |  SELECT unnest(json_keys(props)) AS k FROM events)
         |GROUP BY k
-        |ORDER BY key""".stripMargin))
+        |ORDER BY key""".stripMargin)),
+
+    ("x_text_nb",
+      // Multinomial Naive Bayes domain classifier, trained on the
+      // corpus's own source labels and scoring every doc — the
+      // quality/domain-classifier step of an LLM data pipeline. The
+      // sparse-model score decomposition (present (token, class) pairs
+      // + per-class base constant) is replayed term-for-term in SQL;
+      // every log is 8dp-rounded and sums ride DECIMAL, so predictions
+      // AND winning scores hash-match.
+      (s, dir) => TextAnalysis.nbClassify(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""WITH ft AS (
+        |  SELECT doc_id, source AS c,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |lab AS (SELECT doc_id, c FROM ft),
+        |tok AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) AS w
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS m FROM tok GROUP BY 1, 2),
+        |pair AS (
+        |  SELECT l.c, t.w, SUM(t.m) AS cnt
+        |  FROM tf t JOIN lab l USING (doc_id) GROUP BY 1, 2),
+        |ctok AS (SELECT c, SUM(cnt) AS nc FROM pair GROUP BY 1),
+        |cdoc AS (SELECT c, COUNT(*) AS dc FROM lab GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS vocab FROM pair),
+        |n AS (SELECT COUNT(*) AS total FROM lab),
+        |cls AS (
+        |  SELECT c, round(ln(CAST(dc AS DOUBLE) / total), 8) AS prior, nc,
+        |         round(ln(0.5 / (nc + 0.5 * vocab)), 8) AS base
+        |  FROM cdoc JOIN ctok USING (c) CROSS JOIN v CROSS JOIN n),
+        |delta AS (
+        |  SELECT p.w, p.c,
+        |         round(ln((p.cnt + 0.5) / (cl.nc + 0.5 * v.vocab)), 8) - cl.base AS delta
+        |  FROM pair p JOIN cls cl USING (c) CROSS JOIN v),
+        |part AS (
+        |  SELECT t.doc_id, d.c, SUM(CAST(t.m * d.delta AS DECIMAL(28,10))) AS part
+        |  FROM tf t JOIN delta d USING (w) GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, SUM(m) AS nd FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT l.doc_id, l.c AS label, cl.c AS cc,
+        |         CAST(round(COALESCE(part.part, 0)
+        |               + CAST(cl.prior AS DECIMAL(28,10))
+        |               + CAST(COALESCE(dlen.nd, 0) * cl.base AS DECIMAL(28,10)),
+        |               6) AS DOUBLE) AS score
+        |  FROM lab l CROSS JOIN cls cl
+        |  LEFT JOIN dlen ON dlen.doc_id = l.doc_id
+        |  LEFT JOIN part ON part.doc_id = l.doc_id AND part.c = cl.c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, cc) AS rn
+        |  FROM scored)
+        |SELECT doc_id, label, cc AS predicted, cc = label AS correct, score
+        |FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

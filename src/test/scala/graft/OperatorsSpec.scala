@@ -1059,4 +1059,52 @@ class OperatorsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L)))
   }
+
+  test("nbClassify: separable corpus recovered; empty doc takes the prior") {
+    val corpus = Seq(
+      (1L, "grep awk sed pipe shell", "code"),
+      (2L, "shell pipe grep compile link", "code"),
+      (3L, "awk sed compile shell grep", "code"),
+      (4L, "sonnet stanza rhyme verse meter", "poem"),
+      (5L, "verse rhyme meter couplet stanza", "poem"),
+      (6L, "", "code"),                                  // token-free
+      (7L, "grep stanza", "poem")                        // mixed doc
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.nbClassify(corpus).orderBy("doc_id")
+      .select("doc_id", "label", "predicted", "correct")
+      .as[(Long, String, String, Boolean)].collect().toSeq
+    assert(got.map(_._1) == (1L to 7L), "one row per input doc")
+    // the separable docs classify to their own label
+    assert(got.take(5).forall(_._4), s"separable docs must be correct: $got")
+    // the empty doc scores on priors alone: "code" has 4 label rows vs
+    // "poem" 3 → highest prior wins
+    assert(got(5)._3 == "code")
+    // determinism: a different partitioning yields the identical frame
+    val re = TextAnalysis.nbClassify(corpus.repartition(7)).orderBy("doc_id")
+      .select("doc_id", "label", "predicted", "correct")
+      .as[(Long, String, String, Boolean)].collect().toSeq
+    assert(re == got)
+  }
+
+  test("nbClassify: prior tie between classes breaks lexicographically") {
+    // two classes, one doc each, and an empty query doc whose class has
+    // equal prior — the winner must be the lexicographically smaller
+    val corpus = Seq(
+      (1L, "x y z", "b"),
+      (2L, "p q r", "a"),
+      (3L, "", "b")).toDF("doc_id", "text", "source")
+    // priors: a=1/3, b=2/3 → empty doc → b (not a tie; checks prior math)
+    val got3 = TextAnalysis.nbClassify(corpus)
+      .filter(col("doc_id") === 3L).select("predicted").as[String].head()
+    assert(got3 == "b")
+    val even = Seq(
+      (1L, "x y z", "b"),
+      (2L, "p q r", "a"),
+      (3L, "", "a"),
+      (4L, "", "b")).toDF("doc_id", "text", "source")
+    // equal priors, equal (empty) likelihoods → tie → "a"
+    val tied = TextAnalysis.nbClassify(even)
+      .filter(col("doc_id") >= 3L).select("predicted").as[String].collect().toSeq
+    assert(tied == Seq("a", "a"))
+  }
 }
