@@ -507,6 +507,37 @@ object SparkEntry {
        |  GROUP BY word, freq)$its""".stripMargin
   }
 
+  /** SQL replay of `Layout.zAddress` + the coarse-cell census: the
+    * Morton interleave unrolls to the same literal shift/mask chain the
+    * Column fold builds, and buckets share the one-IEEE-division rule
+    * (rel_histogram discipline). */
+  private def zOrderOracleSql(bits: Int): String = {
+    val n = (1L << bits).toDouble
+    val hi = (1L << bits) - 1
+    def bucket(v: String, lo: String, hiB: String): String =
+      s"CASE WHEN $hiB = $lo THEN 0 ELSE least($hi, " +
+        s"CAST(floor(($v - $lo) / (($hiB - $lo) / $n)) AS BIGINT)) END"
+    val interleave = (0 until bits).flatMap { i =>
+      Seq(s"(((zx >> $i) & 1) << ${2 * i})", s"(((zy >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS x, value AS y FROM events),
+       |b AS (
+       |  SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi
+       |  FROM e),
+       |z AS (
+       |  SELECT ${bucket("x", "xlo", "xhi")} AS zx,
+       |         ${bucket("y", "ylo", "yhi")} AS zy
+       |  FROM e CROSS JOIN b),
+       |addr AS (
+       |  SELECT zx, zy, ($interleave) AS zaddr FROM z)
+       |SELECT zaddr >> ${2 * bits - 6} AS zcell, COUNT(*) AS n,
+       |       min(zx) AS x_lo, max(zx) AS x_hi,
+       |       min(zy) AS y_lo, max(zy) AS y_hi
+       |FROM addr GROUP BY 1
+       |ORDER BY zcell""".stripMargin
+  }
+
   private def bpeOracleSql(iters: Int): String = {
     val rows = (1 to iters).map { k =>
       if (k == 1) s"SELECT 1 AS iteration, l AS merge_left, r AS merge_right, cnt AS pair_count FROM best1"
@@ -3981,7 +4012,113 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, label, cc AS predicted, cc = label AS correct, score
         |FROM ranked WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_graph_cc",
+      // Connected components in O(log n) rounds (alternating large-star
+      // / small-star contraction) over the SAME near-dup pair graph as
+      // x_dedup_clusters, against the SAME recursive-CTE oracle: a hash
+      // match proves the diameter-independent algorithm, the min-label
+      // propagation one, and the relational reachability truth all
+      // agree row-for-row.
+      (s, dir) => Graph.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 2, threshold = 0.2, maxDf = 50))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $jaccardPairsCte,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, MIN(lab) AS cluster
+        |FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_dsir_weights",
+      // DSIR importance weights: every doc scored by its mean hashed-
+      // unigram log-likelihood ratio against a target seed set
+      // (source = 'src1'), plus the selection the weights exist for —
+      // the top-100 non-target docs by ratio. The full two-LM chain
+      // (counts, 8dp logs, decimal sums, 6dp means) and the ranked
+      // selection replay in SQL and hash-match.
+      (s, dir) => {
+        val w = TextAnalysis.importanceWeights(
+          Tables.documents(s, dir), col("source") === "src1")
+        // top-100 via orderBy+limit → TakeOrderedAndProject (distributed
+        // top-k, no global-window single-partition sort)
+        val sel = w.filter(!col("is_target") && col("log_ratio").isNotNull)
+          .orderBy(col("log_ratio").desc, col("doc_id"))
+          .limit(100).select(col("doc_id").as("__sel_id"))
+        w.join(sel, col("doc_id") === col("__sel_id"), "left")
+          .select(col("doc_id"), col("is_target"), col("n_tokens"),
+            col("log_ratio"), col("__sel_id").isNotNull.as("selected"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ft AS (
+        |  SELECT doc_id, source = 'src1' AS is_target,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |flags AS (SELECT doc_id, is_target FROM ft),
+        |tok AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) AS w
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS m FROM tok GROUP BY 1, 2),
+        |src AS (SELECT w, SUM(m) AS cs FROM tf GROUP BY 1),
+        |tgt AS (
+        |  SELECT w, SUM(m) AS ct FROM tf JOIN flags USING (doc_id)
+        |  WHERE is_target GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT SUM(cs) FROM src) AS ns,
+        |         (SELECT COUNT(*) FROM src) AS v,
+        |         (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt),
+        |terms AS (
+        |  SELECT s.w,
+        |         round(ln((COALESCE(tg.ct, 0) + 0.5) / (tot.nt + 0.5 * tot.v)), 8)
+        |         - round(ln((s.cs + 0.5) / (tot.ns + 0.5 * tot.v)), 8) AS term
+        |  FROM src s CROSS JOIN tot LEFT JOIN tgt tg ON tg.w = s.w),
+        |per AS (
+        |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+        |         round(CAST(SUM(CAST(m * term AS DECIMAL(28,10))) AS DOUBLE)
+        |               / SUM(m), 6) AS log_ratio
+        |  FROM tf JOIN terms USING (w) GROUP BY 1),
+        |base AS (
+        |  SELECT f.doc_id, f.is_target, COALESCE(per.n_tokens, 0) AS n_tokens,
+        |         per.log_ratio
+        |  FROM flags f LEFT JOIN per ON per.doc_id = f.doc_id),
+        |sel AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY log_ratio DESC, doc_id) AS r
+        |    FROM base WHERE NOT is_target AND log_ratio IS NOT NULL)
+        |  WHERE r <= 100)
+        |SELECT b.doc_id, b.is_target, b.n_tokens, b.log_ratio,
+        |       s.doc_id IS NOT NULL AS selected
+        |FROM base b LEFT JOIN sel s ON s.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin)),
+
+    ("x_zorder_layout",
+      // Z-order (Morton) clustering of the event stream on
+      // (time, value): per coarse z-cell — the unit a layout writer
+      // turns into a file — row count and BOTH dimensions' bucket
+      // ranges. Every cell is tight on both axes (the point of the
+      // layout: footer min/max stats prune on either predicate), and
+      // the whole address arithmetic — fixed-width buckets off the
+      // frame's own min/max, 12-bit Morton interleave, top-6-bit cell
+      // id — is integer/IEEE-shared and replayed bit-for-bit in SQL.
+      (s, dir) => Layout.zAddress(
+          // epoch-µs LONG (exact below 2^53 when widened) — not a
+          // ts→double cast, whose seconds+fraction assembly could
+          // differ across engines by an ulp and flip an edge bucket
+          Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
+          "ts_us", "value", bits = 12)
+        .groupBy(shiftright(col("zaddr"), 18).as("zcell"))
+        .agg(count(lit(1)).as("n"),
+          min("zx").as("x_lo"), max("zx").as("x_hi"),
+          min("zy").as("y_lo"), max("zy").as("y_hi"))
+        .orderBy("zcell"),
+      Some(zOrderOracleSql(bits = 12)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -205,4 +205,83 @@ object Graph {
         s"k-core peeling did not converge in $maxRounds rounds (k=$k); raise maxRounds")
     degrees
   }
+
+  /** Connected components in O(log n) rounds: alternating
+    * large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    *
+    * [[Dedup.duplicateClusters]]' min-label propagation needs one round
+    * per graph DIAMETER — fine for near-dup clusters (tiny diameters),
+    * fatal for the long-path components a web-crawl link graph or a
+    * citation chain produces at 100 TB. Star contraction's round count
+    * is logarithmic in the component size regardless of diameter:
+    *
+    *  - large-star (per node u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ u) — one groupBy(u) for m plus one co-keyed
+    *    join back to the adjacency;
+    *  - small-star (per node u over the larger→smaller orientation):
+    *    every neighbor v ≤ u and u itself re-attach to the minimum —
+    *    same two-exchange shape.
+    *
+    * Both emit canonical (small, large) edges, so every round is four
+    * vertex-keyed exchanges with no driver state. Convergence is
+    * checked EXACTLY (count equality + `except` emptiness — two
+    * bounded jobs per round, not a hash heuristic); the fixpoint is a
+    * star forest rooted at each component's minimum id, which is the
+    * same labeling the recursive-CTE oracle and min-label propagation
+    * produce, so all three agree row-for-row. Rounds past `maxRounds`
+    * throw — the bounded-unroll discipline of [[kCore]].
+    *
+    * Output: (id, cluster) for every edge endpoint, cluster = the
+    * component's minimum node id. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var e = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .distinct().localCheckpoint()
+
+    // large-star: m ≤ u < v strictly, so (m, v) is canonical already.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("__m").as("a"), col("v").as("b"))
+        .distinct()
+    }
+
+    // small-star over the larger→smaller orientation: neighbors v ≠ m
+    // re-attach to m, and u itself does too (m < v < u and m < u, so
+    // both emissions are canonical).
+    def smallStar(edges: DataFrame): DataFrame = {
+      val pt = edges.select(col("b").as("u"), col("a").as("v"))
+      val mins = pt.groupBy("u").agg(min(col("v")).as("__m"))
+      pt.join(mins, "u").filter(col("v") =!= col("__m"))
+        .select(col("__m").as("a"), col("v").as("b"))
+        .union(mins.select(col("__m").as("a"), col("u").as("b")))
+        .distinct()
+    }
+
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxRounds rounds; raise maxRounds")
+    nodes
+      .join(e.select(col("b").as("id"), col("a").as("cluster")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
 }

@@ -689,6 +689,59 @@ object TextAnalysis {
     *
     * Output: (id, label, predicted, correct, score) — one row per
     * input document (token-free docs score on priors alone). */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under the TARGET
+    * distribution (a trusted seed set) than under the raw-corpus
+    * distribution — the data-selection step that shapes a 100 TB crawl
+    * toward a target domain without a trained classifier.
+    *
+    * Hashed-unigram bag-of-words LMs with add-k smoothing over the
+    * corpus vocabulary; per-doc weight = mean over tokens of
+    * `log p_target(w) − log p_corpus(w)`. Both model tables are
+    * VOCAB-sized (the target side left-joins the corpus vocab, so
+    * target-absent tokens take the smoothed floor without a dense
+    * union), the per-token term table joins docs on hash keys only,
+    * and the 1-row totals frame broadcasts. [[lmScores]] determinism
+    * discipline throughout (8dp logs, DECIMAL sums, 6dp mean) so
+    * weights hash-match across engines.
+    *
+    * `isTarget` — boolean Column over `docs`' columns selecting the
+    * seed set (e.g. `col("source") === "src1"`).
+    *
+    * Output: (id, is_target, n_tokens, log_ratio); token-free docs
+    * carry a null ratio, the [[lmScores]] convention. */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Double = 0.5): DataFrame = {
+    require(k > 0.0, "smoothing k must be positive")
+    val flags = docs.select(col(idCol), isTarget.cast("boolean").as("is_target"))
+    val tf = docs
+      .select(col(idCol), explode(ShingleHashes(col(textCol), 1)).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__m"))
+    val wf = tf.join(flags, Seq(idCol))
+    val src = wf.groupBy("__w").agg(sum(col("__m")).as("__cs"))
+    val tgt = wf.filter(col("is_target"))
+      .groupBy("__w").agg(sum(col("__m")).as("__ct"))
+    val totals = src.agg(sum(col("__cs")).as("__ns"), count(lit(1)).as("__v"))
+      .crossJoin(tgt.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt")))
+    // Per-token term: lp_tgt(w) − lp_src(w), with the target side split
+    // into base_t + delta_t(w) so only target-present tokens join.
+    val terms = src.crossJoin(broadcast(totals))
+      .join(tgt, Seq("__w"), "left")
+      .select(col("__w"),
+        (round(log((coalesce(col("__ct"), lit(0L)) + lit(k)) / (col("__nt") + lit(k) * col("__v"))), 8)
+          - round(log((col("__cs") + lit(k)) / (col("__ns") + lit(k) * col("__v"))), 8)).as("__term"))
+    val perDoc = tf.join(terms, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).as("__nd"),
+        round(sum((col("__m") * col("__term")).cast("decimal(28,10)")).cast("double")
+          / sum(col("__m")), 6).as("log_ratio"))
+    flags.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("is_target"),
+        coalesce(col("__nd"), lit(0L)).as("n_tokens"), col("log_ratio"))
+  }
+
   def nbClassify(docs: DataFrame, labelCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text",
       k: Double = 0.5): DataFrame = {

@@ -110,4 +110,34 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === brute)
   }
+
+  test("connectedComponents: long path collapses to its minimum in log rounds") {
+    // a 64-vertex path has diameter 63 — min-label propagation needs
+    // 63 rounds, star contraction must finish far inside 12
+    val path = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(path, maxRounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 64 && got.values.forall(_ == 1L))
+    // two components + messy input (dups, reversed, self-loops)
+    val two = Seq((5L, 3L), (3L, 5L), (3L, 4L), (4L, 4L), (10L, 11L), (12L, 11L))
+      .toDF("id_a", "id_b")
+    val m = Graph.connectedComponents(two).as[(Long, Long)].collect().toMap
+    assert(m === Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connectedComponents: agrees with min-label propagation on a random graph") {
+    val r = new scala.util.Random(7)
+    val raw = Seq.fill(150)((r.nextInt(60).toLong, r.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val df = raw.toDF("id_a", "id_b")
+    val star = Graph.connectedComponents(df)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    val prop = graft.operators.Dedup.duplicateClusters(df)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert(star === prop)
+    // partitioning immunity
+    val re = Graph.connectedComponents(df.repartition(13))
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert(re === star)
+  }
 }

@@ -1060,6 +1060,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("importanceWeights: target-like docs outrank unrelated ones") {
+    val corpus = Seq(
+      (1L, "acid base titration molar solution", true),
+      (2L, "molar acid solution base reaction", true),
+      (3L, "acid base solution chemistry reaction", false),  // pool, target-like
+      (4L, "football goal referee penalty kick", false),     // pool, unrelated
+      (5L, "", false)                                        // token-free
+    ).toDF("doc_id", "text", "tgt")
+    val got = TextAnalysis.importanceWeights(corpus, col("tgt"))
+      .orderBy("doc_id")
+      .select("doc_id", "is_target", "n_tokens", "log_ratio")
+      .as[(Long, Boolean, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._1) == (1L to 5L))
+    assert(got.map(_._2) == Seq(true, true, false, false, false))
+    assert(got(4)._3 == 0L && got(4)._4.isEmpty, "token-free doc: null ratio")
+    val chem = got(2)._4.get
+    val sport = got(3)._4.get
+    assert(chem > sport, s"target-like $chem must outrank unrelated $sport")
+    assert(sport < 0.0, "tokens never seen in the target score negative")
+    // partition immunity
+    val re = TextAnalysis.importanceWeights(corpus.repartition(5), col("tgt"))
+      .orderBy("doc_id").select("doc_id", "is_target", "n_tokens", "log_ratio")
+      .as[(Long, Boolean, Long, Option[Double])].collect().toSeq
+    assert(re == got)
+  }
+
   test("nbClassify: separable corpus recovered; empty doc takes the prior") {
     val corpus = Seq(
       (1L, "grep awk sed pipe shell", "code"),

@@ -341,4 +341,41 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "n", "s").as[(Long, Long, Double)].collect().toSet
     assert(batch == emitted)
   }
+
+  test("stream-stream interval join equals the batch join on sliced feeds") {
+    // ONE joinWithin declaration runs as a static range join on batch
+    // frames and as Spark's state-bounded stream-stream join under
+    // watermarks — results must agree row-for-row however the two
+    // streams interleave across micro-batches.
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli + min * 60000L)
+    val imps = (0 until 40).map(i => (i % 7L, t(i), i.toLong))          // key, ts, imp_id
+    val clks = (0 until 60).map(i => (i % 5L, t(i / 2 + 3), 100L + i))  // key, ts, clk_id
+    val impMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clkMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = graft.streaming.StreamingJoin.joinWithin(
+      impMem.toDF().toDF("k", "imp_ts", "imp_id").withWatermark("imp_ts", "5 minutes"),
+      clkMem.toDF().toDF("k", "clk_ts", "clk_id").withWatermark("clk_ts", "5 minutes"),
+      keyCol = "k", leftTs = "imp_ts", rightTs = "clk_ts", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    // interleave the feeds unevenly; processAllAvailable between slices
+    impMem.addData(imps.take(25): _*); clkMem.addData(clks.take(10): _*)
+    q.processAllAvailable()
+    clkMem.addData(clks.slice(10, 45): _*); impMem.addData(imps.drop(25): _*)
+    q.processAllAvailable()
+    clkMem.addData(clks.drop(45): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT k, imp_id, clk_id FROM ss_join")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    val batch = graft.streaming.StreamingJoin.joinWithin(
+        imps.toDF("k", "imp_ts", "imp_id"), clks.toDF("k", "clk_ts", "clk_id"),
+        "k", "imp_ts", "clk_ts", "10 minutes")
+      .select("k", "imp_id", "clk_id").as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-stream join must equal batch: missing=${batch -- streamed} extra=${streamed -- batch}")
+    assert(batch.nonEmpty, "test data must actually produce matches")
+  }
 }

@@ -316,6 +316,28 @@ class TimeDbSpec extends SparkSpec {
     }
   }
 
+  test("incremental change feed: scanChangesBetween reads only the delta") {
+    withDb { db =>
+      db.write(Seq((1L, ts("2024-03-01T00:00:00Z"), 1.0)).toDF("series_id", "valid_time", "value"))
+      val v1 = db.store.versions().last
+      db.write(Seq((2L, ts("2024-03-02T00:00:00Z"), 2.0),
+        (3L, ts("2024-03-03T00:00:00Z"), 3.0)).toDF("series_id", "valid_time", "value"))
+      val v2 = db.store.versions().last
+      // the delta is exactly the second write's rows
+      assert(db.store.scanChangesBetween(v1, v2)
+        .select("series_id").as[Long].collect().toSeq.sorted == Seq(2L, 3L))
+      // an empty interval is an empty (not null, not failing) frame
+      assert(db.store.scanChangesBetween(v2, v2).count() == 0)
+      // full-history delta from the create-commit = the whole table
+      assert(db.store.scanChangesBetween(db.store.versions().head, v2).count() == 3)
+      // unknown cursor fails loudly with the available range
+      val e = intercept[IllegalArgumentException] {
+        db.store.scanChangesBetween(v1, 9999L)
+      }
+      assert(e.getMessage.contains("available"))
+    }
+  }
+
   test("expireRetention drops only expired non-forever partitions") {
     withDb { db =>
       db.write(Seq((1L, ts("2020-01-15T00:00:00Z"), 1.0)).toDF("series_id", "valid_time", "value"),
