@@ -4098,6 +4098,99 @@ object SparkEntry {
         |FROM base b LEFT JOIN sel s ON s.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin)),
 
+    ("x_embed_covariance",
+      // Sample covariance of the embedding store (upper triangle,
+      // d = 64 → 2080 entries): the one-pass statistic under PCA
+      // whitening and Mahalanobis OOD scoring. Partial hash aggregation
+      // bounds the shuffle at partitions × d²/2 sums; means, centered
+      // products, and the /(n−1) all follow the engine's exact
+      // arithmetic and replay in SQL value-for-value.
+      (s, dir) => Similarity.covarianceMatrix(Tables.embeddings(s, dir), dim = 64)
+        .orderBy("j", "k"),
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT COUNT(*) AS cnt FROM e),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |means AS (
+        |  SELECT d,
+        |         round(CAST(SUM(CAST(v[d] AS DECIMAL(28,12))) AS DOUBLE)
+        |               / (SELECT cnt FROM n), 6) AS mu
+        |  FROM e CROSS JOIN dims GROUP BY d),
+        |pairs AS (
+        |  SELECT j.d AS j1, k.d AS k1 FROM dims j JOIN dims k ON k.d >= j.d),
+        |prods AS (
+        |  SELECT p.j1, p.k1,
+        |         CAST((v[p.j1] - mj.mu) * (v[p.k1] - mk.mu) AS DECIMAL(28,12)) AS pr
+        |  FROM e CROSS JOIN pairs p
+        |  JOIN means mj ON mj.d = p.j1
+        |  JOIN means mk ON mk.d = p.k1)
+        |SELECT CAST(j1 - 1 AS INT) AS j, CAST(k1 - 1 AS INT) AS k,
+        |       round(CAST(SUM(pr) AS DOUBLE) / ((SELECT cnt FROM n) - 1), 8) AS cov
+        |FROM prods GROUP BY 1, 2
+        |ORDER BY j, k""".stripMargin)),
+
+    ("x_mix_temperature",
+      // Temperature-scaled mixture sampling (tau = 0.5 flattening, 200
+      // doc budget over the language strata): per-stratum shares
+      // n^tau / sum n^tau, floor'd budgets, and the exact hash-rank
+      // selection all replay relationally — shares and every selected
+      // row hash-match.
+      (s, dir) => Sampling.temperatureSample(Tables.documents(s, dir),
+        idCol = "doc_id", stratumCol = "lang", tau = 0.5, budget = 200L)
+        .select("doc_id", "lang", "n_docs", "share", "stratum_budget", "sample_rank")
+        .orderBy("lang", "sample_rank"),
+      Some("""WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |         round(pow(CAST(COUNT(*) AS DOUBLE), 0.5), 8) AS w
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT SUM(CAST(w AS DECIMAL(28,8))) AS tw FROM counts),
+        |budgets AS (
+        |  SELECT lang, n_docs,
+        |         round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share,
+        |         CAST(floor(round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) * 200.0)
+        |              AS BIGINT) AS stratum_budget
+        |  FROM counts CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |                    doc_id) AS sample_rank
+        |  FROM documents WHERE lang IS NOT NULL)
+        |SELECT r.doc_id, r.lang, b.n_docs, b.share, b.stratum_budget, r.sample_rank
+        |FROM ranked r JOIN budgets b USING (lang)
+        |WHERE r.sample_rank <= b.stratum_budget
+        |ORDER BY r.lang, r.sample_rank""".stripMargin)),
+
+    ("x_strata_overlap",
+      // Cross-source verbatim-content report: pairwise bigram-shingle
+      // Jaccard between language strata — the dataset-card number that
+      // catches one source being another re-hosted. Posting lists are
+      // stratum-catalog-bounded, so the gram-keyed self-join needs no
+      // cap; the whole matrix replays in SQL.
+      (s, dir) => Dedup.strataOverlap(Tables.documents(s, dir), "lang", n = 2)
+        .orderBy("stratum_a", "stratum_b"),
+      Some("""WITH ft AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE lang IS NOT NULL),
+        |grams AS (
+        |  SELECT DISTINCT lang AS s,
+        |         (CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) * 1000003
+        |          + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 AS h
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
+        |  WHERE g.i <= len(t) - 1),
+        |sizes AS (SELECT s, COUNT(*) AS sz FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.s AS stratum_a, b.s AS stratum_b, COUNT(*) AS inter
+        |  FROM grams a JOIN grams b ON a.h = b.h AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT i.stratum_a, i.stratum_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.s = i.stratum_a
+        |JOIN sizes sb ON sb.s = i.stratum_b
+        |ORDER BY stratum_a, stratum_b""".stripMargin)),
+
     ("x_zorder_layout",
       // Z-order (Morton) clustering of the event stream on
       // (time, value): per coarse z-cell — the unit a layout writer

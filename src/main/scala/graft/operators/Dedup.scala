@@ -930,4 +930,44 @@ object Dedup {
       .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
       .select(col("id").as(idCol), col("cluster"), col(scoreCol), col("keep"))
   }
+
+  /** Cross-stratum shingle-overlap matrix — the dataset-card report
+    * that quantifies how much two sources/languages/splits share
+    * VERBATIM n-gram content (mirror sites, syndicated feeds, a crawl
+    * source that is mostly another one re-hosted). Whole-corpus
+    * counterpart of the per-doc [[contaminationScores]].
+    *
+    * Scale shape: per-doc DISTINCT gram hashes from one
+    * [[graft.functions.ShingleHashes]] kernel pass collapse to the
+    * DISTINCT (stratum, gram) frame — the shuffle carries longs keyed
+    * by gram, and each gram's posting list is bounded by the CATALOG
+    * of strata (tens), so the gram-keyed self-join's pair fan-out is
+    * ≤ |strata|² per gram by construction — no maxDf cap needed,
+    * unlike document-keyed posting lists. Output is |strata|²-bounded:
+    * intersecting pairs only (a pair sharing zero grams is absent).
+    *
+    * Output: (stratum_a, stratum_b, inter, sz_a, sz_b, jaccard) with
+    * stratum_a < stratum_b, jaccard rounded at 6dp. */
+  def strataOverlap(docs: DataFrame, stratumCol: String, n: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("__s"),
+        explode(graft.functions.ShingleHashes(col(textCol), n, distinct = true))
+          .as("__h"))
+      .distinct()
+    val sizes = sh.groupBy("__s").agg(count(lit(1)).as("__sz"))
+    sh.select(col("__s").as("stratum_a"), col("__h"))
+      .join(sh.select(col("__s").as("stratum_b"), col("__h")), Seq("__h"))
+      .filter(col("stratum_a") < col("stratum_b"))
+      .groupBy("stratum_a", "stratum_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("__s").as("stratum_a"), col("__sz").as("sz_a"))),
+        Seq("stratum_a"))
+      .join(broadcast(sizes.select(col("__s").as("stratum_b"), col("__sz").as("sz_b"))),
+        Seq("stratum_b"))
+      .select(col("stratum_a"), col("stratum_b"), col("inter"),
+        col("sz_a"), col("sz_b"),
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6)
+          .as("jaccard"))
+  }
 }

@@ -229,4 +229,49 @@ object Sampling {
     }
     df.filter(fineBucket(col(idCol)) < rateCol)
   }
+
+  /** Temperature-scaled mixture sampling (the UniMax/T5 mixing rule):
+    * stratum i's share of a `budget`-doc corpus is `n_i^tau / Σ n_j^tau`
+    * — tau = 1 keeps natural proportions, tau → 0 flattens toward
+    * uniform, the knob that stops one dominant crawl source from
+    * drowning the long tail of a pretraining mix.
+    *
+    * Per-stratum budgets are floor(share · budget) (deterministic,
+    * never over-budget); the docs themselves are the hash-rank-first
+    * rows of each stratum ([[samplePerGroup]]'s WindowGroupLimit
+    * shape, with the group limit joined in rather than constant, so
+    * one window pass serves every stratum's own k). A stratum with
+    * fewer docs than its budget yields everything it has.
+    *
+    * Determinism: the only libm op is `pow(n, tau)`, rounded to 8dp
+    * before the share division (the [[sampleWeighted]] policy); shares
+    * round at 6dp decimal-first. Strata are catalog-sized: the budget
+    * table broadcasts.
+    *
+    * Output: the selected rows + (stratum count `n_docs`, `share`,
+    * `stratum_budget`, `sample_rank`). */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      tau: Double, budget: Long): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    require(budget >= 1, "budget must be >= 1")
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w", round(pow(col("n_docs").cast("double"), lit(tau)), 8))
+    val total = counts.agg(sum(col("__w").cast("decimal(28,8)")).as("__tw"))
+    val budgets = counts.crossJoin(broadcast(total))
+      // share divides in DOUBLE (a true-double quantity: its half-way
+      // cases are measure-zero — ADVICE item A's class B), numerator
+      // and denominator both exact 8dp decimals widened losslessly
+      .withColumn("share",
+        round(col("__w").cast("double") / col("__tw").cast("double"), 6))
+      .withColumn("stratum_budget",
+        floor(col("share") * lit(budget.toDouble)).cast("long"))
+      .select(col(stratumCol), col("n_docs"), col("share"), col("stratum_budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.join(broadcast(budgets), Seq(stratumCol))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= col("stratum_budget"))
+  }
 }

@@ -811,4 +811,141 @@ object Similarity {
       .withColumn("purity",
         round(col("n_matched").cast("double") / (col("n_queries") * lit(k.toLong)).cast("double"), 6))
   }
+
+  /** Sample covariance matrix of the embedding store (upper triangle:
+    * j ≤ k) — the one-pass statistic under PCA whitening, OOD scoring
+    * (Mahalanobis), and dimension-collapse diagnostics on a 100 TB
+    * embedding table.
+    *
+    * Scale shape: each row expands to its d(d+1)/2 centered upper-tri
+    * products IN-PARTITION, and Spark's partial hash aggregation
+    * collapses every partition to ≤ d(d+1)/2 groups before the
+    * exchange — so the shuffle carries (partitions × d²/2) decimal
+    * sums, never (rows × d²/2); per-task state is the same
+    * catalog-sized accumulator frame as [[kmeansTrain]]'s re-center,
+    * expressed through Catalyst instead of RDD code. The 6dp-rounded
+    * dimension means collect once (d rows — the [[assignCells]]
+    * centroid-literal precedent) so centering is a literal lookup.
+    *
+    * Determinism: means take [[cellCentroids]]' exact arithmetic
+    * (DECIMAL(28,12) sums, double division, 6dp round); centered
+    * products sum as DECIMAL(28,12); the final /(n−1) divides in
+    * double and rounds at 8dp (class-B true-double rounding).
+    *
+    * Output: (j, k, cov), 0-based dims, j ≤ k. */
+  def covarianceMatrix(emb: DataFrame, dim: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val mus: Array[Double] = emb
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg((sum(col("v").cast("double").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("mu_raw"))
+      .select(col("dim"), round(col("mu_raw"), 6).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    require(mus.length == dim, s"expected $dim dims, found ${mus.length}")
+    val v = col(vecCol)
+    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), j =>
+      transform(sequence(j, lit(dim - 1)), k =>
+        struct(j.as("j"), k.as("k"),
+          ((element_at(v, j + 1).cast("double") - element_at(typedLit(mus), j + 1)) *
+            (element_at(v, k + 1).cast("double") - element_at(typedLit(mus), k + 1)))
+            .cast("decimal(28,12)").as("p")))))
+    emb.select(explode(tri).as("e"))
+      .select(col("e.j").as("j"), col("e.k").as("k"), col("e.p").as("p"))
+      .groupBy("j", "k")
+      .agg(sum(col("p")).as("__sp"), count(lit(1)).as("__n"))
+      .select(col("j"), col("k"),
+        round(col("__sp").cast("double") / (col("__n") - 1), 8).as("cov"))
+  }
+
+  /** Top-k principal components from the collected covariance matrix
+    * (catalog-sized: d(d+1)/2 entries) via a deterministic cyclic
+    * Jacobi eigensolver on the driver — the same bounded-barrier
+    * pattern as [[kmeansTrain]]'s centroid merges: the DISTRIBUTED
+    * work is the covariance pass; the d×d eigenproblem is driver
+    * arithmetic any engine replays identically.
+    *
+    * Components are sign-normalized (largest-|coordinate| positive,
+    * ties toward the lower index) and ordered by (eigenvalue desc,
+    * first-dim asc), so the decomposition is deterministic.
+    *
+    * Returns (component index, eigenvalue, eigenvector). */
+  def pcaTopK(emb: DataFrame, dim: Int, k: Int,
+      vecCol: String = "embedding"): Seq[(Int, Double, Array[Double])] = {
+    require(k >= 1 && k <= dim, "k must be in [1, dim]")
+    val a = Array.ofDim[Double](dim, dim)
+    covarianceMatrix(emb, dim, vecCol).collect().foreach { r =>
+      val (j, kk, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(j)(kk) = c; a(kk)(j) = c
+    }
+    val vecs = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          val apq = a(p)(q)
+          off += 2 * apq * apq
+          if (math.abs(apq) > 1e-15) {
+            // standard symmetric Jacobi rotation (Golub & Van Loan
+            // §8.4): t = sign(θ)/(|θ| + √(θ²+1)), θ = (aqq−app)/2apq
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1))
+            val c = 1 / math.sqrt(t * t + 1)
+            val s = t * c
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = c * c * app - 2 * s * c * apq + s * s * aqq
+            a(q)(q) = s * s * app + 2 * s * c * apq + c * c * aqq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var i = 0
+            while (i < dim) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = c * aip - s * aiq; a(p)(i) = a(i)(p)
+                a(i)(q) = s * aip + c * aiq; a(q)(i) = a(i)(q)
+              }
+              val vip = vecs(i)(p); val viq = vecs(i)(q)
+              vecs(i)(p) = c * vip - s * viq
+              vecs(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val comps = (0 until dim).map { c =>
+      val vec = Array.tabulate(dim)(i => vecs(i)(c))
+      val imax = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      val signed = if (vec(imax) < 0) vec.map(-_) else vec
+      (a(c)(c), signed)
+    }
+    comps.sortBy { case (ev, _) => -ev }.take(k)
+      .zipWithIndex.map { case ((ev, vec), i) => (i, ev, vec) }
+  }
+
+  /** Project every embedding onto the top-k principal axes (PCA
+    * transform — the dimensionality cut before clustering/indexing).
+    * Pure projection: component vectors ride as literals, one fused
+    * dot per component, zero shuffle. Output: (input columns…,
+    * pca array<double>). */
+  def pcaProject(emb: DataFrame, components: Seq[(Int, Double, Array[Double])],
+      vecCol: String = "embedding"): DataFrame = {
+    require(components.nonEmpty, "components must be non-empty")
+    val v = col(vecCol)
+    val scores = components.map { case (_, _, w) =>
+      aggregate(
+        zip_with(v.cast("array<double>"), typedLit(w.toSeq), (x, y) => x * y),
+        lit(0.0).cast("double"), (acc, x) => acc + x)
+    }
+    emb.withColumn("pca", array(scores: _*))
+  }
 }

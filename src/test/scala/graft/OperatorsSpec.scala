@@ -1060,6 +1060,60 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("covarianceMatrix + pcaTopK: planted principal axis recovered") {
+    // perfectly correlated 2-D signal inside 4-D: dims 0,1 carry 4t and
+    // 0.5t; dims 2,3 are constant → rank-1 covariance, principal axis
+    // ∝ (4, 0.5, 0, 0), all other eigenvalues 0
+    val rows = (0 until 40).map { i =>
+      val t = (i - 19.5) / 4.0
+      (i.toLong, Seq((4 * t).toFloat, (0.5 * t).toFloat, 1.0f, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cov = Similarity.covarianceMatrix(df, dim = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cov.size == 10, "upper triangle of a 4x4")
+    assert(cov((2, 2)) == 0.0 && cov((3, 3)) == 0.0, "constant dims: zero variance")
+    // perfect correlation: cov01² = cov00·cov11 (up to float storage noise)
+    val (c00, c01, c11) = (cov((0, 0)), cov((0, 1)), cov((1, 1)))
+    assert(math.abs(c01 * c01 - c00 * c11) < 1e-6)
+    assert(c00 > c11 && c11 > 0)
+    val comps = Similarity.pcaTopK(df, dim = 4, k = 2)
+    assert(comps.length == 2)
+    val (i0, ev0, v0) = comps.head
+    assert(i0 == 0)
+    val axis = {
+      val n = math.sqrt(4.0 * 4 + 0.5 * 0.5)
+      Array(4.0 / n, 0.5 / n, 0.0, 0.0)
+    }
+    val dot = v0.zip(axis).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) > 0.9999, s"principal axis off: ${v0.toSeq}")
+    assert(v0.map(x => x * x).sum > 0.9999 && v0.map(x => x * x).sum < 1.0001)
+    assert(ev0 > 0 && math.abs(comps(1)._2) < 1e-6, "rank-1: second eigenvalue ~0")
+    // projection onto the top axis carries ~all the variance
+    val proj = Similarity.pcaProject(df, comps.take(1))
+      .select(element_at(col("pca"), 1)).as[Double].collect()
+    val mean = proj.sum / proj.length
+    val pvar = proj.map(x => (x - mean) * (x - mean)).sum / (proj.length - 1)
+    assert(math.abs(pvar - ev0) / ev0 < 1e-3, s"projected var $pvar vs eigval $ev0")
+  }
+
+  test("strataOverlap: clone strata read ~1, disjoint pairs absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s2"),   // clone of s1's content
+      (3L, "alpha beta epsilon zeta", "s3"),  // shares "alpha beta" with s1/s2
+      (4L, "omega psi chi phi", "s4")         // disjoint
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.strataOverlap(corpus, "source", n = 2)
+      .select("stratum_a", "stratum_b", "inter", "jaccard")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("s1", "s2")) == ((3L, 1.0)), "identical content → jaccard 1")
+    assert(got(("s1", "s3"))._1 == 1L, "one shared bigram: 'alpha beta'")
+    assert(!got.keySet.exists(p => p._1 == "s4" || p._2 == "s4"),
+      "disjoint stratum appears in no pair")
+  }
+
   test("importanceWeights: target-like docs outrank unrelated ones") {
     val corpus = Seq(
       (1L, "acid base titration molar solution", true),

@@ -142,6 +142,32 @@ class SamplingSpec extends SparkSpec {
     assert(got == Seq((0, 0, 2.0, 2L), (0, 1, 4.0, 2L), (1, 0, 10.0, 1L), (1, 1, 10.0, 1L)))
   }
 
+  test("temperatureSample: flattening shares, exact per-stratum yield") {
+    // skewed strata: 160 "big" docs, 10 "small"
+    val df = ((1L to 160L).map(i => (i, "big")) ++ (201L to 210L).map(i => (i, "small")))
+      .toDF("doc_id", "stratum")
+    val got = graft.operators.Sampling
+      .temperatureSample(df, "doc_id", "stratum", tau = 0.5, budget = 40L)
+    val byStratum = got.groupBy("stratum")
+      .agg(count(lit(1)).as("n"), first("stratum_budget").as("b"),
+        first("share").as("sh"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // tau=0.5: w_big = sqrt(160) ≈ 12.649, w_small = sqrt(10) ≈ 3.162
+    // shares ≈ 0.8 / 0.2 — far flatter than the 0.94 / 0.06 raw mix
+    val (nBig, bBig, shBig) = byStratum("big")
+    val (nSmall, bSmall, shSmall) = byStratum("small")
+    assert(shBig < 0.85 && shSmall > 0.15, s"flattened shares: $shBig/$shSmall")
+    assert(math.abs(shBig + shSmall - 1.0) < 1e-6)
+    assert(nBig == bBig, "big stratum fills its budget exactly")
+    assert(nSmall == math.min(bSmall, 10L), "small stratum capped by its size")
+    // tau = 1 keeps natural proportions: big gets ~94% of the budget
+    val nat = graft.operators.Sampling
+      .temperatureSample(df, "doc_id", "stratum", tau = 1.0, budget = 40L)
+      .filter(col("stratum") === "big").count()
+    assert(nat >= 37, s"tau=1 must track raw proportions, got $nat")
+  }
+
   test("createViews exposes the store to spark.sql") {
     val base = java.nio.file.Files.createTempDirectory("timedb_views").toString
     val db = new TimeDb(spark, base)
