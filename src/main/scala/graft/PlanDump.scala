@@ -22,7 +22,9 @@ object PlanDump {
         "x_sample_pergroup", "x_ann_label_purity", "x_dedup_incremental_lsh",
         "x_ann_pq", "x_dedup_index_stored", "x_ann_pq_rerank",
         "x_sketch_cms", "x_sample_weighted", "x_dedup_cdc",
-        "x_text_bm25", "x_funnel")) {
+        "x_text_bm25", "x_funnel",
+        "x_text_nb", "x_dsir_weights", "x_zorder_layout",
+        "x_embed_covariance", "x_mix_temperature", "x_strata_overlap")) {
       println(s"\n===== $name =====")
       // Literal control characters in plan strings (e.g. the sampler's
       // NUL null-id sentinel) would make PLANS.md a binary file —

@@ -231,4 +231,38 @@ class PlanSpec extends SparkSpec {
     // corpus-sized shuffle before the per-query top-k window
     assert(plan.contains("BroadcastExchange"), plan)
   }
+
+  test("zAddress is projection-shaped: bounds broadcast, no data shuffle") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", org.apache.spark.sql.functions.unix_micros(col("ts")))
+    val plan = planOf(graft.operators.Layout.zAddress(ev, "ts_us", "value", bits = 12))
+    // the min/max bounds frame is a 1-row broadcast; the address math
+    // itself adds NO exchange over the event rows
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("covarianceMatrix bounds the shuffle with partial hash aggregation") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.Similarity.covarianceMatrix(emb, dim = 64))
+    // partial + final HashAggregate around ONE exchange: each partition
+    // ships at most d(d+1)/2 decimal sums, never rows × d²/2 products
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("temperatureSample joins the budget table broadcast into one window pass") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.Sampling.temperatureSample(
+      docs, "doc_id", "lang", tau = 0.5, budget = 200L))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the rank window still gets its pre-shuffle group limit even with
+    // a non-constant per-stratum k? No — WindowGroupLimit requires a
+    // literal limit, so the pin here is the SHAPE: exactly one Window
+    // node and no sort-merge join of docs against budgets
+    assert("\\bWindow\\b".r.findAllIn(plan).size >= 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -338,6 +338,41 @@ class TimeDbSpec extends SparkSpec {
     }
   }
 
+  test("change feed maintains an incremental aggregate equal to full recompute") {
+    // The materialized-view contract a 100 TB table needs: a consumer
+    // keeps (series_id, n, sum) current by folding ONLY each commit's
+    // delta — never rescanning the table — and the maintained state
+    // equals the full-recompute truth after every commit.
+    withDb { db =>
+      var state = Map.empty[Long, (Long, Double)]
+      var cursor = db.store.versions().last
+      def advance(): Unit = {
+        val head = db.store.versions().last
+        val delta = db.store.scanChangesBetween(cursor, head)
+          .groupBy("series_id")
+          .agg(count(lit(1)).as("n"), sum("value").as("s"))
+          .as[(Long, Long, Double)].collect()
+        delta.foreach { case (sid, n, s) =>
+          val (pn, ps) = state.getOrElse(sid, (0L, 0.0))
+          state = state.updated(sid, (pn + n, ps + s))
+        }
+        cursor = head
+      }
+      db.write(Seq((1L, ts("2024-03-01T00:00:00Z"), 1.0),
+        (2L, ts("2024-03-01T01:00:00Z"), 2.0)).toDF("series_id", "valid_time", "value"))
+      advance()
+      db.write(Seq((1L, ts("2024-03-02T00:00:00Z"), 3.0)).toDF("series_id", "valid_time", "value"))
+      advance()
+      db.write(Seq((3L, ts("2024-03-03T00:00:00Z"), 5.0)).toDF("series_id", "valid_time", "value"))
+      advance()
+      val truth = db.store.scanValues()
+        .groupBy("series_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(state == truth, s"incremental $state vs recompute $truth")
+    }
+  }
+
   test("expireRetention drops only expired non-forever partitions") {
     withDb { db =>
       db.write(Seq((1L, ts("2020-01-15T00:00:00Z"), 1.0)).toDF("series_id", "valid_time", "value"),
