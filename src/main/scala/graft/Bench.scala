@@ -73,7 +73,8 @@ object Bench {
       "x_graph_kcore",
       // round-7 fourth-session additions
       "x_text_nb", "x_graph_cc", "x_zorder_layout", "x_dsir_weights",
-      "x_mix_temperature", "x_strata_overlap", "x_embed_covariance"))
+      "x_mix_temperature", "x_strata_overlap", "x_embed_covariance",
+      "ts_gaps", "ts_mad"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

@@ -4098,6 +4098,48 @@ object SparkEntry {
         |FROM base b LEFT JOIN sel s ON s.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin)),
 
+    ("ts_gaps",
+      // Data-completeness audit: every per-user inter-event gap of 12h
+      // or more — the feed-SLA report a resample would silently FILL.
+      // Gap arithmetic is exact µs subtraction; the lag window is
+      // id-tiebroken so equal timestamps stay deterministic.
+      (s, dir) => TimeSeriesOps.gapReport(Tables.events(s, dir), minGapSec = 43200L)
+        .orderBy("user_id", "gap_end", "gap_start"),
+      Some("""WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |l AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+        |  FROM ev)
+        |SELECT user_id, p AS gap_start, ts AS gap_end,
+        |       CAST(epoch_us(ts) - epoch_us(p) AS DOUBLE) / 1e6 AS gap_sec
+        |FROM l
+        |WHERE p IS NOT NULL
+        |  AND CAST(epoch_us(ts) - epoch_us(p) AS DOUBLE) / 1e6 >= 43200.0
+        |ORDER BY user_id, gap_end, gap_start""".stripMargin)),
+
+    ("ts_mad",
+      // Robust outlier flags: per-user median/MAD baseline (immune to
+      // the outliers it hunts, unlike the moving z-score's mean/std).
+      // Exact interpolated medians are 6dp-rounded BEFORE the flag
+      // comparison, so every engine compares identical doubles.
+      (s, dir) => TimeSeriesOps.madOutliers(Tables.events(s, dir), nMads = 5.0)
+        .orderBy("user_id", "ts", "value"),
+      Some("""WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |med AS (
+        |  SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM ev GROUP BY 1),
+        |wm AS (SELECT e.user_id, e.ts, e.value, m.med
+        |       FROM ev e JOIN med m USING (user_id)),
+        |mad AS (
+        |  SELECT user_id, round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+        |  FROM wm GROUP BY 1)
+        |SELECT w.user_id, w.ts, w.value, w.med, d.mad,
+        |       abs(w.value - w.med) > 5.0 * 1.4826 * d.mad AS is_outlier
+        |FROM wm w JOIN mad d USING (user_id)
+        |ORDER BY user_id, ts, value""".stripMargin)),
+
     ("x_embed_covariance",
       // Sample covariance of the embedding store (upper triangle,
       // d = 64 → 2080 entries): the one-pass statistic under PCA

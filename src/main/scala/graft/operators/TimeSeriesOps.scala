@@ -539,4 +539,60 @@ object TimeSeriesOps {
       .select(col(keyCol), col(tsCol), col(idCol), col(valueCol),
         col("cusum").cast("double").as("cusum"), col("drifted"))
   }
+
+  /** Per-key gap report: every pair of consecutive events further
+    * apart than `minGapSec` — the data-completeness audit a feed SLA
+    * runs (a resample would FILL these; first you have to find them).
+    * One key-keyed exchange (the lag window); gap arithmetic is exact
+    * µs integer subtraction.
+    *
+    * Output: (key, gap_start, gap_end, gap_sec) per detected gap. */
+  def gapReport(events: DataFrame, minGapSec: Long,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(minGapSec >= 1, "minGapSec must be >= 1")
+    // id tiebreak: equal timestamps would otherwise make lag()
+    // partition-order-dependent
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events.select(col(keyCol), col(tsCol), col(idCol))
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("gap_sec",
+        (unix_micros(col(tsCol)) - unix_micros(col("__prev"))).cast("double") / 1e6)
+      .filter(col("gap_sec") >= minGapSec.toDouble)
+      .select(col(keyCol), col("__prev").as("gap_start"),
+        col(tsCol).as("gap_end"), col("gap_sec"))
+  }
+
+  /** Robust per-key outlier flags: median / MAD (median absolute
+    * deviation) instead of mean / stddev, so the baseline itself is
+    * immune to the outliers it is hunting — the z-score's failure mode
+    * on heavy-tailed feeds. Exact medians (`percentile`, the
+    * rel_percentile discipline; swap in `approx_percentile` per the
+    * keepTopQuantileApprox pattern for strata beyond one executor's
+    * sort budget). Two key-keyed aggregates + broadcast-joinable
+    * per-key stats frames; the flag compares against
+    * `nMads · 1.4826 · MAD` (the normal-consistency constant) in
+    * shared IEEE arithmetic.
+    *
+    * Output: every input row + (med, mad, is_outlier). */
+  def madOutliers(events: DataFrame, nMads: Double = 5.0,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(nMads > 0.0, "nMads must be positive")
+    // both stats are 6dp-rounded BEFORE anything compares against them,
+    // so the flag's inputs are cross-engine-identical doubles (an
+    // unrounded interpolated percentile could differ in the last ulp
+    // and flip a boundary row)
+    val meds = events.groupBy(keyCol)
+      .agg(round(percentile(col(valueCol), lit(0.5)), 6).as("med"))
+    val withMed = events.join(meds, Seq(keyCol))
+    val mads = withMed.groupBy(keyCol)
+      .agg(round(percentile(abs(col(valueCol) - col("med")), lit(0.5)), 6).as("mad"))
+    withMed.join(mads, Seq(keyCol))
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("med")) > lit(nMads) * lit(1.4826) * col("mad"))
+      .select(col(keyCol), col(tsCol), col(valueCol),
+        col("med"), col("mad"), col("is_outlier"))
+  }
 }

@@ -413,4 +413,34 @@ class TimeSeriesOpsSpec extends SparkSpec {
       math.abs(s) > 20.0
     }))
   }
+
+  test("gapReport finds exactly the gaps past the threshold, id-tiebroken") {
+    val ev = Seq(
+      (1L, ts("2024-03-01T00:00:00Z"), 10L),
+      (1L, ts("2024-03-01T01:00:00Z"), 11L),   // 1h gap — below
+      (1L, ts("2024-03-01T07:00:00Z"), 12L),   // 6h gap — reported
+      (1L, ts("2024-03-01T07:00:00Z"), 13L),   // 0s gap (equal ts)
+      (2L, ts("2024-03-01T00:00:00Z"), 20L)    // single event: no pair
+    ).toDF("user_id", "ts", "event_id")
+    val got = TimeSeriesOps.gapReport(ev, minGapSec = 7200L)
+      .select("user_id", "gap_sec").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 21600.0)))
+  }
+
+  test("madOutliers: robust baseline survives the outlier it flags") {
+    // 9 values at ~100 and one wild point; mean/std would drag toward
+    // the outlier — the median/MAD baseline must not
+    val ev = ((1 to 9).map(i => (1L, ts(f"2024-03-01T00:0$i:00Z"), 100.0 + i)) :+
+      (1L, ts("2024-03-01T00:10:00Z"), 10000.0)).toDF("user_id", "ts", "value")
+    val got = TimeSeriesOps.madOutliers(ev, nMads = 5.0)
+      .orderBy("value").select("value", "med", "mad", "is_outlier")
+      .as[(Double, Double, Double, Boolean)].collect().toSeq
+    val med = got.head._2
+    assert(med >= 104 && med <= 106, s"median near the bulk, got $med")
+    assert(got.count(_._4) == 1 && got.last._4, "exactly the wild point flags")
+    // a constant series has MAD 0 and flags nothing
+    val const = (1 to 5).map(i => (1L, ts(f"2024-03-01T00:0$i:00Z"), 7.0))
+      .toDF("user_id", "ts", "value")
+    assert(TimeSeriesOps.madOutliers(const).filter(col("is_outlier")).count() == 0)
+  }
 }
