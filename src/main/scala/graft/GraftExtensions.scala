@@ -82,6 +82,16 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"sorted_intersect_count expects (a, b), got ${other.size} args")
       }),
+    (FunctionIdentifier("morton_interleave"),
+      info("morton_interleave",
+        "morton_interleave(bx, by, bits) - z-order address: interleaves the low " +
+          "`bits` bits of two BIGINT bucket ids (bx at even positions, by at odd)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b, bits) =>
+          MortonInterleave(a, b, intLit(bits, "morton_interleave", "bits"))
+        case other => throw new IllegalArgumentException(
+          s"morton_interleave expects (bx, by, bits), got ${other.size} args")
+      }),
     (FunctionIdentifier("cdc_chunks"),
       info("cdc_chunks",
         "cdc_chunks(text, window, avgSize) - content-defined chunks: array of " +

@@ -24,17 +24,12 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Morton interleave of two bucket ids (each in [0, 2^bits)): bit i
-    * of `bx` lands at position 2i, bit i of `by` at 2i+1. A static
-    * fold over literal shift amounts — one codegen'd integer
-    * expression, no UDF. */
-  def interleave(bx: Column, by: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
-  }
+    * of `bx` lands at position 2i, bit i of `by` at 2i+1 — the
+    * [[graft.functions.MortonInterleave]] kernel (magic-number bit
+    * spread, O(log bits) shifts per row; also SQL-registered as
+    * `morton_interleave`). */
+  def interleave(bx: Column, by: Column, bits: Int): Column =
+    graft.functions.MortonInterleave(bx, by, bits)
 
   /** Fixed-width bucket of `v` into [0, 2^bits) between `lo` and `hi`
     * (inclusive domain edges; a degenerate hi == lo collapses to

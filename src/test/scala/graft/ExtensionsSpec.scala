@@ -167,7 +167,36 @@ class ExtensionsSpec extends SparkSpec {
       Set("shingle_hashes", "minhash_from_grams", "simhash_from_grams",
         "sorted_intersect_count", "text_fingerprint", "float_vector_dot",
         "byte_vector_dot", "text_stats", "span_digests", "code_lut_sum",
-        "cdc_chunks"))
+        "cdc_chunks", "morton_interleave"))
+  }
+
+  test("SQL morton_interleave matches the Column API and rejects bad args") {
+    registered
+    // known bit pattern: bx=0b11 → bits 0,2 = 5; by=0b01 → bit 1 = 2
+    assert(spark.sql("SELECT morton_interleave(3L, 1L, 4) AS z")
+      .head().getLong(0) == 7L)
+    // parity with the Column-API kernel across a value sweep
+    val df = spark.range(0, 200)
+      .selectExpr("id * 37 % 4096 AS bx", "id * 91 % 4096 AS by")
+    df.createOrReplaceTempView("mi_probe")
+    val viaSql = spark.sql(
+      "SELECT morton_interleave(bx, by, 12) AS z FROM mi_probe ORDER BY bx, by")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = df.select(graft.functions.MortonInterleave(
+        org.apache.spark.sql.functions.col("bx"),
+        org.apache.spark.sql.functions.col("by"), 12).as("z"))
+      .orderBy("bx", "by").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+    // wrong-typed input fails at analysis
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT morton_interleave('a', 1L, 4)").collect()
+    }
+    assert(e.getMessage.contains("BIGINT"))
+    // non-literal bits rejected with a clear error
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT morton_interleave(bx, by, CAST(bx AS INT)) FROM mi_probe").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal"))
   }
 
   test("code_lut_sum sums LUT entries exactly and nulls on misuse") {
