@@ -4014,6 +4014,88 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1
         |ORDER BY doc_id""".stripMargin)),
 
+    ("x_lsh_plan",
+      // MinHash-LSH parameter planning table for a 16-hash signature:
+      // every (bands, rows) split's S-curve threshold and collision
+      // probabilities at the similarity grid — the numbers banding is
+      // chosen from, emitted through the engine so the plan itself is
+      // oracle-checked (8dp rounds absorb libm ulps, the pow policy).
+      (s, dir) => Dedup.lshPlan(s, numHashes = 16).orderBy("bands"),
+      Some("""WITH splits(bands, rows_per_band) AS (
+        |  VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+        |SELECT bands, rows_per_band,
+        |  round(pow(1.0 / bands, 1.0 / rows_per_band), 8) AS s_star,
+        |  round(1.0 - pow(1.0 - pow(0.3, rows_per_band), bands), 8) AS p_at_03,
+        |  round(1.0 - pow(1.0 - pow(0.5, rows_per_band), bands), 8) AS p_at_05,
+        |  round(1.0 - pow(1.0 - pow(0.7, rows_per_band), bands), 8) AS p_at_07,
+        |  round(1.0 - pow(1.0 - pow(0.9, rows_per_band), bands), 8) AS p_at_09
+        |FROM splits
+        |ORDER BY bands""".stripMargin)),
+
+    ("x_quality_calibrated",
+      // Cross-language score calibration: each doc's quality mapped to
+      // its percent-rank WITHIN its language — the fix for gates that
+      // would otherwise apply different bars per language. Composes
+      // the quality profile with the stratum quantile normalizer.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val q = TextAnalysis.quality(docs)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        Curation.quantileNormalize(q, "lang", "quality")
+          .select("doc_id", "lang", "quality", "calibrated")
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, lang,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN n_tokens = 0 OR n_chars = 0 THEN 0.0 ELSE round(
+        |      least(1.0, CAST(n_tokens AS DOUBLE) / 64)
+        |        * (1.0 - CAST(n_digits AS DOUBLE) / n_chars)
+        |        * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.05
+        |                  AND CAST(n_stop AS DOUBLE) / n_tokens < 0.6
+        |                THEN 1.0 ELSE 0.5 END), 4) END AS quality
+        |  FROM base)
+        |SELECT doc_id, lang, quality,
+        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6)
+        |    AS calibrated
+        |FROM q
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("x_text_ctfidf",
+      // Class-based TF-IDF (BERTopic's c-TF-IDF): the top-10 terms
+      // CHARACTERIZING each source — the dataset-card "what is this
+      // source about" report / topic-labeling step. Groups are the
+      // documents; no doc-sized frame survives the first aggregate.
+      (s, dir) => TextAnalysis.classTfIdf(Tables.documents(s, dir), "source", topK = 10)
+        .orderBy("group", "rank"),
+      Some("""WITH terms AS (
+        |  SELECT source AS "group",
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents WHERE source IS NOT NULL),
+        |tf AS (SELECT "group", token, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |gdf AS (SELECT token, COUNT(*) AS groups_with FROM tf GROUP BY 1),
+        |ng AS (SELECT COUNT(DISTINCT source) AS n FROM documents
+        |       WHERE source IS NOT NULL),
+        |scored AS (
+        |  SELECT t."group", t.token, t.tf, g.groups_with,
+        |         round(t.tf * (ln((ng.n + 1.0) / (g.groups_with + 1.0)) + 1.0), 6)
+        |           AS ctfidf
+        |  FROM tf t JOIN gdf g USING (token) CROSS JOIN ng),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY "group"
+        |                               ORDER BY ctfidf DESC, token) AS rank
+        |  FROM scored)
+        |SELECT "group", token, tf, groups_with, ctfidf, rank
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY "group", rank""".stripMargin)),
+
     ("x_graph_cc",
       // Connected components in O(log n) rounds (alternating large-star
       // / small-star contraction) over the SAME near-dup pair graph as

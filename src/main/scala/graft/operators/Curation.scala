@@ -241,4 +241,24 @@ object Curation {
       .filter(col(scoreCol) >= col(thr))
       .drop(thr)
   }
+
+  /** Quantile normalization of a score WITHIN each stratum: the
+    * calibrated value is the score's percent-rank among its own
+    * stratum, so scores become comparable ACROSS strata — a 0.8
+    * English quality and a 0.8 German quality sit at different
+    * percentiles of their own distributions, and any cross-language
+    * gate on the raw score silently applies different bars. The
+    * standard fix before mixing per-language quality signals into one
+    * curation policy.
+    *
+    * Ties share a rank (percent_rank semantics), so the result is
+    * deterministic with no tiebreak column; one window exchange per
+    * stratum. Output: every input row + `calibrated` ∈ [0, 1] (6dp;
+    * a single-row stratum calibrates to 0.0). */
+  def quantileNormalize(df: DataFrame, stratumCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(scoreCol))
+    df.withColumn("calibrated", round(percent_rank().over(w), 6))
+  }
 }

@@ -931,6 +931,34 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"), col(scoreCol), col("keep"))
   }
 
+  /** MinHash-LSH parameter planner: for every (bands, rows) split of a
+    * `numHashes`-long signature, the S-curve facts an engineer picks
+    * banding from — the threshold similarity `s* = (1/b)^(1/r)` where
+    * collision probability crosses ~50%, and the collision probability
+    * `1 − (1 − s^r)^b` at the similarity grid points. Pure closed-form
+    * math, but emitted THROUGH the engine (pow/round columns) so the
+    * planning table is oracle-checkable like any other query — the
+    * same policy as every libm-touching score (8dp rounds absorb
+    * cross-engine ulp differences).
+    *
+    * Output: one row per divisor b of numHashes:
+    * (bands, rows_per_band, s_star, p_at_03/05/07/09). */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int): DataFrame = {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    import spark.implicits._
+    val splits = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    def pAt(s: Double): Column =
+      round(lit(1.0) - pow(lit(1.0) - pow(lit(s), col("rows_per_band")), col("bands")), 8)
+    splits.toDF("bands", "rows_per_band")
+      .withColumn("s_star",
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 8))
+      .withColumn("p_at_03", pAt(0.3))
+      .withColumn("p_at_05", pAt(0.5))
+      .withColumn("p_at_07", pAt(0.7))
+      .withColumn("p_at_09", pAt(0.9))
+  }
+
   /** Cross-stratum shingle-overlap matrix — the dataset-card report
     * that quantifies how much two sources/languages/splits share
     * VERBATIM n-gram content (mirror sites, syndicated feeds, a crawl

@@ -833,10 +833,10 @@ object Similarity {
     * double and rounds at 8dp (class-B true-double rounding).
     *
     * Output: (j, k, cov), 0-based dims, j ≤ k. */
-  def covarianceMatrix(emb: DataFrame, dim: Int,
-      vecCol: String = "embedding"): DataFrame = {
-    require(dim >= 1, "dim must be >= 1")
-    val mus: Array[Double] = emb
+  /** 6dp-rounded per-dimension means ([[cellCentroids]] arithmetic),
+    * collected once — d rows, the centroid-literal precedent. */
+  private def dimMeans(emb: DataFrame, dim: Int, vecCol: String): Array[Double] = {
+    val mus = emb
       .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy("dim")
       .agg((sum(col("v").cast("double").cast("decimal(28,12)")).cast("double")
@@ -844,6 +844,13 @@ object Similarity {
       .select(col("dim"), round(col("mu_raw"), 6).as("mu"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
     require(mus.length == dim, s"expected $dim dims, found ${mus.length}")
+    mus
+  }
+
+  def covarianceMatrix(emb: DataFrame, dim: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val mus: Array[Double] = dimMeans(emb, dim, vecCol)
     // Per-row products through the CenteredUpperProducts kernel (one
     // compiled loop per row — the HOF lambda formulation this replaced
     // evaluated ~2·d² boxed ops per row interpreted and measured 6.1 s
@@ -942,17 +949,54 @@ object Similarity {
   /** Project every embedding onto the top-k principal axes (PCA
     * transform — the dimensionality cut before clustering/indexing).
     * Pure projection: component vectors ride as literals, one fused
-    * dot per component, zero shuffle. Output: (input columns…,
-    * pca array<double>). */
+    * dot per component, zero shuffle. `whiten = true` scales each
+    * axis by 1/√(λ+eps), so the output coordinates have ~unit
+    * variance — the decorrelated form retrieval stacks often feed to
+    * quantizers. Output: (input columns…, pca array<double>). */
   def pcaProject(emb: DataFrame, components: Seq[(Int, Double, Array[Double])],
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", whiten: Boolean = false,
+      eps: Double = 1e-9): DataFrame = {
     require(components.nonEmpty, "components must be non-empty")
     val v = col(vecCol)
-    val scores = components.map { case (_, _, w) =>
-      aggregate(
+    val scores = components.map { case (_, ev, w) =>
+      val dot = aggregate(
         zip_with(v.cast("array<double>"), typedLit(w.toSeq), (x, y) => x * y),
         lit(0.0).cast("double"), (acc, x) => acc + x)
+      if (whiten) dot / lit(math.sqrt(math.max(ev, 0.0) + eps)) else dot
     }
     emb.withColumn("pca", array(scores: _*))
+  }
+
+  /** Mahalanobis out-of-distribution score per embedding:
+    * d²(x) = Σ_c ((x−μ)·e_c)² / (λ_c + eps) over the FULL
+    * eigendecomposition — equivalent to (x−μ)ᵀ(Σ+εI)⁻¹(x−μ) but
+    * numerically clean and reusing [[pcaTopK]]'s deterministic driver
+    * Jacobi. The OOD detector that catches what Euclidean distance
+    * can't: a 20-σ-along-the-main-axis point is ORDINARY while a
+    * 6-unit step off a zero-variance manifold dimension is extreme,
+    * and d² weighs both by the distribution's own spread.
+    *
+    * The distributed work is the covariance pass inside [[pcaTopK]];
+    * scoring is a pure projection (d literal-axis dots per row —
+    * swap in a fused kernel à la [[graft.functions.CodeLutSum]] if
+    * this becomes a hot path at width ≫ 64). Not SQL-replayable (the
+    * eigensolver is iterative float) — covariance is the
+    * oracle-checked face; the spec pins the geometry.
+    *
+    * Output: (input columns…, m2 DOUBLE). */
+  def mahalanobisScores(emb: DataFrame, dim: Int, eps: Double = 1e-9,
+      vecCol: String = "embedding"): DataFrame = {
+    require(eps > 0.0, "eps must be positive")
+    val comps = pcaTopK(emb, dim, dim, vecCol)
+    val mus = dimMeans(emb, dim, vecCol)
+    val centered = zip_with(col(vecCol).cast("array<double>"),
+      typedLit(mus.toSeq), (x, m) => x - m)
+    val terms = comps.map { case (_, ev, w) =>
+      val dot = aggregate(
+        zip_with(centered, typedLit(w.toSeq), (a, b) => a * b),
+        lit(0.0).cast("double"), (acc, x) => acc + x)
+      dot * dot / lit(math.max(ev, 0.0) + eps)
+    }
+    emb.withColumn("m2", terms.reduce(_ + _))
   }
 }

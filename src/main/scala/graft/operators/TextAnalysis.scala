@@ -656,6 +656,46 @@ object TextAnalysis {
         .otherwise(concat(acc.getField("out"), array(acc.getField("carry")))))
   }
 
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF formulation): the
+    * terms that CHARACTERIZE each group — language, source, cluster
+    * assignment — rather than each document. Groups become the
+    * "documents": per-group term frequency × idf over the group
+    * count, top-k per group, which is the dataset-card "what is this
+    * source actually about" report and the topic-labeling step after
+    * an embedding clustering.
+    *
+    * Scale shape: one token explode → (group, token) count (the
+    * shuffle carries group-token pairs, partial-aggregated map-side),
+    * a group-count-bounded idf table, and a WindowGroupLimit top-k per
+    * group — no doc-sized frame survives the first aggregate.
+    *
+    * Output: (group, token, tf, groups_with, ctfidf, rank ≤ topK),
+    * rank deterministic via (score desc, token asc). */
+  def classTfIdf(docs: DataFrame, groupCol: String, topK: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val terms = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        explode(toks(col(textCol))).as("token"))
+    val tf = terms.groupBy(col("group"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val gdf = tf.groupBy("token")
+      .agg(count(lit(1)).as("groups_with"))
+    val ng = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol)).distinct().agg(count(lit(1)).as("__ng"))
+    val scored = tf.join(gdf, Seq("token"))
+      .crossJoin(broadcast(ng))
+      .withColumn("ctfidf",
+        round(col("tf") * (log((col("__ng") + 1.0) / (col("groups_with") + 1.0)) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+      .orderBy(col("ctfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("group"), col("token"), col("tf"), col("groups_with"),
+        col("ctfidf"), col("rank"))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol),

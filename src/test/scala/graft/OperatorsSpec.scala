@@ -1097,6 +1097,95 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(pvar - ev0) / ev0 < 1e-3, s"projected var $pvar vs eigval $ev0")
   }
 
+  test("classTfIdf: distinctive terms rank first, shared terms rank low") {
+    val corpus = Seq(
+      (1L, "tensor gradient tensor layer", "ml"),
+      (2L, "gradient tensor epoch", "ml"),
+      (3L, "pasta basil pasta oven", "food"),
+      (4L, "basil oven sauce", "food"),
+      (5L, "tensor pasta common common", "mixed")  // shares terms with both
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.classTfIdf(corpus, "source", topK = 2)
+      .select("group", "token", "rank").as[(String, String, Int)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.sortBy(_._3).map(_._2).toSeq }
+    assert(got("ml").head == "tensor", s"ml's top term: ${got("ml")}")
+    // "pasta" leaks into mixed (groups_with = 2) so the food-exclusive
+    // "basil" (2 × idf(1) = 3.39) outranks it (2 × idf(2) = 2.58)
+    assert(got("food").head == "basil", s"food's top term: ${got("food")}")
+    // "common" appears only in mixed → its idf beats the shared terms
+    assert(got("mixed").head == "common", s"mixed's top term: ${got("mixed")}")
+  }
+
+  test("lshPlan: thresholds are monotone in rows-per-band, probabilities in s") {
+    val plan = Dedup.lshPlan(spark, numHashes = 16)
+      .orderBy("bands")
+      .select("bands", "rows_per_band", "s_star", "p_at_03", "p_at_09")
+      .as[(Int, Int, Double, Double, Double)].collect().toSeq
+    assert(plan.map(_._1) == Seq(1, 2, 4, 8, 16))
+    // more bands (fewer rows each) → lower collision threshold
+    val stars = plan.map(_._3)
+    assert(stars == stars.sorted.reverse, s"s* must fall as bands grow: $stars")
+    // and collision probability at any s is monotone in banding
+    assert(plan.forall(r => r._5 >= r._4), "p(0.9) >= p(0.3) everywhere")
+    // closed-form spot check: b=4, r=4 → s* = (1/4)^(1/4)
+    val b4 = plan.find(_._1 == 4).get
+    assert(math.abs(b4._3 - math.pow(0.25, 0.25)) < 1e-7)
+  }
+
+  test("quantileNormalize: cross-stratum percentiles line up") {
+    val df = Seq(
+      ("en", 0.9), ("en", 0.5), ("en", 0.1),
+      ("de", 0.09), ("de", 0.05), ("de", 0.01),  // same SHAPE, lower scale
+      ("zh", 0.7)                                 // singleton stratum
+    ).toDF("lang", "score")
+    val got = Curation.quantileNormalize(df, "lang", "score")
+      .select("lang", "score", "calibrated")
+      .as[(String, Double, Double)].collect().toSeq
+    val en = got.filter(_._1 == "en").sortBy(_._2).map(_._3)
+    val de = got.filter(_._1 == "de").sortBy(_._2).map(_._3)
+    // raw scores differ 10x; calibrated percentiles are identical
+    assert(en == de && en == Seq(0.0, 0.5, 1.0), s"en=$en de=$de")
+    assert(got.find(_._1 == "zh").get._3 == 0.0, "singleton stratum → 0.0")
+  }
+
+  test("mahalanobis: distribution-aware distance beats Euclidean intuition") {
+    // anisotropic cloud: dim0 spread ±20, dim1 spread ±1, dims 2,3
+    // constant (zero-variance manifold)
+    val r = new scala.util.Random(5)
+    val cloud = (0 until 200).map { i =>
+      (i.toLong, Seq((r.nextGaussian() * 20).toFloat,
+        r.nextGaussian().toFloat, 3.0f, 0.0f))
+    }
+    // probes: far along the wide axis / modest along the narrow axis /
+    // a step OFF the zero-variance manifold
+    val probes = Seq(
+      (1000L, Seq(40.0f, 0.0f, 3.0f, 0.0f)),   // ~2 sigma on dim0
+      (1001L, Seq(0.0f, 6.0f, 3.0f, 0.0f)),    // ~6 sigma on dim1
+      (1002L, Seq(0.0f, 0.0f, 4.0f, 0.0f)))    // off-manifold on dim2
+    val df = (cloud ++ probes).toDF("vec_id", "embedding")
+    val m2 = Similarity.mahalanobisScores(df, dim = 4, eps = 1e-6)
+      .filter(col("vec_id") >= 1000L).orderBy("vec_id")
+      .select("m2").as[Double].collect()
+    val (wide, narrow, off) = (m2(0), m2(1), m2(2))
+    // Euclidean would rank wide (40 units) >> narrow (6) >> off (1);
+    // Mahalanobis must invert: the off-manifold step is the most
+    // anomalous, the 6-sigma narrow step beats the 2-sigma wide one
+    assert(narrow > wide, s"6-sigma narrow $narrow must beat 2-sigma wide $wide")
+    // the probes are part of the scored frame, so the off-manifold
+    // point itself inflates dim2's variance to ~1/n — its distance is
+    // ~n, still far above any in-manifold probe
+    assert(off > narrow * 3, s"off-manifold $off must dwarf in-manifold $narrow")
+    assert(off > 100, s"off-manifold distance ~n expected, got $off")
+    // whitened projection: unit variance per kept axis
+    val comps = Similarity.pcaTopK(cloud.toDF("vec_id", "embedding"), dim = 4, k = 2)
+    val white = Similarity.pcaProject(cloud.toDF("vec_id", "embedding"),
+      comps, whiten = true)
+      .select(element_at(col("pca"), 1)).as[Double].collect()
+    val mean = white.sum / white.length
+    val v = white.map(x => (x - mean) * (x - mean)).sum / (white.length - 1)
+    assert(math.abs(v - 1.0) < 0.05, s"whitened variance $v should be ~1")
+  }
+
   test("strataOverlap: clone strata read ~1, disjoint pairs absent") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta", "s1"),
