@@ -125,6 +125,26 @@ object StressDocs {
           .withColumn("w", length(col("text")).cast("double")),
         "doc_id", "w", "grp", k = 1000).count()
     }
+    timed("z-order write + footer-pruning audit (morton kernel, 64 files)") {
+      // layout the corpus on (doc_id, n_chars); the audit re-reads the
+      // files and measures how many a 10%-band n_chars predicate would
+      // prune from footer stats alone — the at-scale proof of the
+      // LayoutSpec property
+      val dir = java.nio.file.Files.createTempDirectory("stress_zorder").toString
+      val sized = corpus.withColumn("n_chars", length(col("text")).cast("double"))
+        .withColumn("idd", col("doc_id").cast("double"))
+      graft.operators.Layout.writeZOrdered(sized, dir, "idd", "n_chars", files = 64)
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+        .localCheckpoint()
+      val total = stats.count()
+      val b = stats.agg(min("lo"), max("hi")).head()
+      val (blo, bhi) = (b.getDouble(0), b.getDouble(1))
+      val qlo = blo + (bhi - blo) * 0.45
+      val qhi = blo + (bhi - blo) * 0.55
+      val touched = stats.filter(col("hi") >= qlo && col("lo") <= qhi).count()
+      println(s"[stress-docs]   10% n_chars band touches $touched of $total files")
+    }
     spark.stop()
   }
 }
