@@ -24,7 +24,8 @@ object PlanDump {
         "x_sketch_cms", "x_sample_weighted", "x_dedup_cdc",
         "x_text_bm25", "x_funnel",
         "x_text_nb", "x_dsir_weights", "x_zorder_layout",
-        "x_embed_covariance", "x_mix_temperature", "x_strata_overlap")) {
+        "x_embed_covariance", "x_mix_temperature", "x_strata_overlap",
+        "x_text_ctfidf", "x_quality_calibrated")) {
       println(s"\n===== $name =====")
       // Literal control characters in plan strings (e.g. the sampler's
       // NUL null-id sentinel) would make PLANS.md a binary file —
