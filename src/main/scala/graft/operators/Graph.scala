@@ -273,7 +273,10 @@ object Graph {
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      // exact fixpoint test in ONE action: both distinct sets are equal
+      // iff their symmetric difference is empty (both except branches
+      // evaluate inside one plan)
+      converged = next.except(e).union(e.except(next)).isEmpty
       e = next
       round += 1
     }
