@@ -3986,9 +3986,14 @@ object SparkEntry {
         |v AS (SELECT COUNT(DISTINCT w) AS vocab FROM pair),
         |n AS (SELECT COUNT(*) AS total FROM lab),
         |cls AS (
-        |  SELECT c, round(ln(CAST(dc AS DOUBLE) / total), 8) AS prior, nc,
-        |         round(ln(0.5 / (nc + 0.5 * vocab)), 8) AS base
-        |  FROM cdoc JOIN ctok USING (c) CROSS JOIN v CROSS JOIN n),
+        |  -- LEFT JOIN + COALESCE: a class whose documents are all
+        |  -- token-free has no ctok row but is still scored by the
+        |  -- engine's model (vocabAndTotals.getOrElse(c, 0L)), so the
+        |  -- oracle must keep it with nc = 0 too.
+        |  SELECT c, round(ln(CAST(dc AS DOUBLE) / total), 8) AS prior,
+        |         COALESCE(nc, 0) AS nc,
+        |         round(ln(0.5 / (COALESCE(nc, 0) + 0.5 * vocab)), 8) AS base
+        |  FROM cdoc LEFT JOIN ctok USING (c) CROSS JOIN v CROSS JOIN n),
         |delta AS (
         |  SELECT p.w, p.c,
         |         round(ln((p.cnt + 0.5) / (cl.nc + 0.5 * v.vocab)), 8) - cl.base AS delta

@@ -236,8 +236,13 @@ object Sampling {
     * uniform, the knob that stops one dominant crawl source from
     * drowning the long tail of a pretraining mix.
     *
-    * Per-stratum budgets are floor(share · budget) (deterministic,
-    * never over-budget); the docs themselves are the hash-rank-first
+    * Per-stratum budgets are floor(share · budget) — deterministic,
+    * and within one doc of the budget in the worst case: shares are
+    * HALF_UP-rounded at 6dp before the floor (the oracle-replayable
+    * arithmetic), so they can sum to marginally over 1 and for budgets
+    * on the order of millions the per-stratum floors can total
+    * budget + 1. Callers needing strict adherence trim the final doc
+    * by `sample_rank`; the docs themselves are the hash-rank-first
     * rows of each stratum ([[samplePerGroup]]'s WindowGroupLimit
     * shape, with the group limit joined in rather than constant, so
     * one window pass serves every stratum's own k). A stratum with

@@ -225,6 +225,13 @@ object Similarity {
       "kmeansTrain: corpus is empty — training needs at least one vector")
     var centroidPairs: Seq[(Any, Seq[Float])] = seedRows.toSeq.zipWithIndex
       .map { case (r, i) => (Int.box(i): Any, r.getSeq[Float](0)) }
+    // Degenerate-seed guard (on the rows already collected — no extra
+    // job): if every seed is zero-norm, cosine can score nothing and
+    // every iteration collapses onto cell 0's null-score fallback.
+    // Fail here with the cause, not inside the kernel's geometry.
+    require(centroidPairs.exists(_._2.exists(_ != 0.0f)),
+      s"kmeansTrain: all $k seed vectors (the lowest-$idCol rows) are " +
+        "zero-norm — cosine assignment is undefined on an all-zero seed set")
     def assigned(pairs: Seq[(Any, Seq[Float])]): DataFrame =
       // ONE projection carries the embedding and its nearest cell —
       // no corpus self-join against a separate assignment frame; the
@@ -516,6 +523,22 @@ object Similarity {
       .collect()
     require(seedRows.nonEmpty,
       "pqTrain: corpus is empty — training needs at least one vector")
+    // Same degenerate-seed guard as kmeansTrain, but per SUBSPACE: a
+    // subspace whose every seed slice is zero-norm trains on nothing
+    // (all-null cosine), and the caller should hear which slice broke
+    // rather than get a codebook of zeros back.
+    locally {
+      val subDimG = dim / m
+      val deadSubspaces = (0 until m).filter { s =>
+        seedRows.forall(r =>
+          r.getSeq[Float](0).slice(s * subDimG, (s + 1) * subDimG)
+            .forall(_ == 0.0f))
+      }
+      require(deadSubspaces.isEmpty,
+        s"pqTrain: subspace(s) ${deadSubspaces.mkString(",")} have all-zero " +
+          s"seed slices across the $k lowest-$idCol vectors — cosine " +
+          "assignment is undefined on an all-zero seed set")
+    }
     // per-element round commutes with slicing, so slicing the rounded
     // full vector equals rounding the slice (what the oracle replays)
     var books: Array[Seq[(Any, Seq[Float])]] = Array.tabulate(m) { s =>
@@ -835,22 +858,29 @@ object Similarity {
     * Output: (j, k, cov), 0-based dims, j ≤ k. */
   /** 6dp-rounded per-dimension means ([[cellCentroids]] arithmetic),
     * collected once — d rows, the centroid-literal precedent. */
-  private def dimMeans(emb: DataFrame, dim: Int, vecCol: String): Array[Double] = {
-    val mus = emb
+  private def dimMeans(emb: DataFrame, dim: Int, vecCol: String): (Array[Double], Long) = {
+    val rows = emb
       .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy("dim")
       .agg((sum(col("v").cast("double").cast("decimal(28,12)")).cast("double")
-        / count(lit(1))).as("mu_raw"))
-      .select(col("dim"), round(col("mu_raw"), 6).as("mu"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
-    require(mus.length == dim, s"expected $dim dims, found ${mus.length}")
-    mus
+        / count(lit(1))).as("mu_raw"), count(lit(1)).as("n"))
+      .select(col("dim"), round(col("mu_raw"), 6).as("mu"), col("n"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    require(rows.length == dim, s"expected $dim dims, found ${rows.length}")
+    (rows.map(_._2), rows.map(_._3).max)
   }
 
   def covarianceMatrix(emb: DataFrame, dim: Int,
       vecCol: String = "embedding"): DataFrame = {
     require(dim >= 1, "dim must be >= 1")
-    val mus: Array[Double] = dimMeans(emb, dim, vecCol)
+    val (mus, n) = dimMeans(emb, dim, vecCol)
+    // /(n − 1) below: a 1-vector corpus would otherwise divide by zero
+    // and emit Infinity covariances that pcaTopK then happily iterates
+    // on. Fail loudly at the entry, on the count dimMeans already paid
+    // a job for.
+    require(n >= 2,
+      s"covarianceMatrix needs at least 2 vectors, found $n — " +
+        "sample covariance divides by (n - 1)")
     // Per-row products through the CenteredUpperProducts kernel (one
     // compiled loop per row — the HOF lambda formulation this replaced
     // evaluated ~2·d² boxed ops per row interpreted and measured 6.1 s
@@ -988,7 +1018,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(eps > 0.0, "eps must be positive")
     val comps = pcaTopK(emb, dim, dim, vecCol)
-    val mus = dimMeans(emb, dim, vecCol)
+    val (mus, _) = dimMeans(emb, dim, vecCol)
     val centered = zip_with(col(vecCol).cast("array<double>"),
       typedLit(mus.toSeq), (x, m) => x - m)
     val terms = comps.map { case (_, ev, w) =>

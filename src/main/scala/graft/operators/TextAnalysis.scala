@@ -786,7 +786,13 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text",
       k: Double = 0.5, materialize: Option[Boolean] = None): DataFrame = {
     require(k > 0.0, "smoothing k must be positive")
-    val labels = docs.select(col(idCol), col(labelCol).as("__c"))
+    // Null / non-string labels: drop-and-cast like the sibling label
+    // consumers (classTfIdf, strataOverlap) — an unlabeled doc can't
+    // train or be scored against a class, and a non-string label would
+    // otherwise surface as a ClassCastException in the driver-side
+    // class-stat collects below.
+    val labels = docs.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).cast("string").as("__c"))
     // (doc, token-hash, multiplicity): one kernel pass, hash-only keys.
     // THREE consumers read this frame (model counts, doc partials, doc
     // lengths); checkpoint it once by default so the tokenize+count

@@ -33,15 +33,24 @@ object StreamingJoin {
     *
     * Streaming callers apply `withWatermark` to BOTH inputs before
     * calling (the engine requires it for state eviction in append
-    * mode); batch callers pass plain frames. */
+    * mode); batch callers pass plain frames.
+    *
+    * The join condition resolves each timestamp against ITS OWN frame
+    * (`left(leftTs)` / `r(rightTs)`), so inputs that happen to share a
+    * column name beyond the key (e.g. both carry `ts`) still analyze;
+    * the joined output then simply contains both same-named columns,
+    * left's first — rename before calling if downstream needs to
+    * address them individually. `rightTs` must name a column of
+    * `right` and `leftTs` one of `left`; a swapped pair fails here
+    * rather than silently resolving across frames. */
   def joinWithin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, within: String): DataFrame = {
     val rk = s"__r_$keyCol"
     val r = right.withColumnRenamed(keyCol, rk)
     left.join(r,
-        col(keyCol) === col(rk) &&
-          col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"interval $within"))
+        left(keyCol) === r(rk) &&
+          r(rightTs) >= left(leftTs) &&
+          r(rightTs) <= left(leftTs) + expr(s"interval $within"))
       .drop(rk)
   }
 }

@@ -1276,4 +1276,60 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("doc_id") >= 3L).select("predicted").as[String].collect().toSeq
     assert(tied == Seq("a", "a"))
   }
+
+  test("nbClassify: null labels dropped, non-string labels cast") {
+    val corpus = Seq(
+      (1L, "grep awk sed", Some(10)),
+      (2L, "grep sed pipe", Some(10)),
+      (3L, "verse rhyme meter", Some(20)),
+      (4L, "stanza verse rhyme", Some(20)),
+      (5L, "grep verse", None)            // unlabeled: not trained, not scored
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.nbClassify(corpus).orderBy("doc_id")
+      .select("doc_id", "label", "predicted")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L), "null-label doc dropped")
+    assert(got.forall { case (_, l, p) => l == p }, s"separable: $got")
+    assert(got.map(_._2).toSet == Set("10", "20"), "int labels cast to string")
+  }
+
+  test("trainer entries fail loudly on degenerate corpora") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val eEmptyK = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(empty, k = 2, iters = 1)
+    }
+    assert(eEmptyK.getMessage.contains("kmeansTrain: corpus is empty"))
+    val eEmptyP = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(empty, m = 2, k = 2, iters = 1, dim = 4)
+    }
+    assert(eEmptyP.getMessage.contains("pqTrain: corpus is empty"))
+
+    // all-zero seed set: cosine has nothing to score — the entry names
+    // the cause instead of degenerating into the null-score fallback
+    val zeros = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val eZeroK = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(zeros, k = 2, iters = 2)
+    }
+    assert(eZeroK.getMessage.contains("zero-norm"))
+
+    // pq: subspace 1 (dims 2..3) all-zero across seeds while subspace 0
+    // is live — the error names the dead subspace
+    val halfDead = Seq(
+      (1L, Seq(1.0f, 0.5f, 0.0f, 0.0f)),
+      (2L, Seq(0.25f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val eDeadP = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(halfDead, m = 2, k = 2, iters = 2, dim = 4)
+    }
+    assert(eDeadP.getMessage.contains("subspace(s) 1"))
+
+    // covariance: sample covariance divides by n−1, so a single-vector
+    // corpus fails at the entry rather than emitting Infinity
+    val one = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val eCov = intercept[IllegalArgumentException] {
+      Similarity.covarianceMatrix(one, dim = 2)
+    }
+    assert(eCov.getMessage.contains("at least 2 vectors"))
+  }
 }
