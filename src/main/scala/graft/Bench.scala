@@ -75,7 +75,9 @@ object Bench {
       "x_text_nb", "x_graph_cc", "x_zorder_layout", "x_dsir_weights",
       "x_mix_temperature", "x_strata_overlap", "x_embed_covariance",
       "ts_gaps", "ts_mad", "x_text_ctfidf", "x_lsh_plan",
-      "x_quality_calibrated"))
+      "x_quality_calibrated",
+      // round-8 additions
+      "td_time_travel", "td_change_feed"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

@@ -445,6 +445,38 @@ object SparkEntry {
       (s.read.parquet(s"$base/centroids"), s.read.parquet(s"$base/corpus"))
     })
 
+  /** Memoized time-travel scratch store per (session, data dir): the
+    * bitemporal surrogate committed in TWO deterministic batches (even
+    * series ids, then odd), so the commit log has a version boundary an
+    * AS-OF read can land on. Rebuilt from scratch on first use in a
+    * process (delete + create + two appends — the same build-once/
+    * serve-many lifecycle as [[storedNearDupIndex]]); repeated query
+    * runs reuse the committed store, which is exactly how a reader
+    * consumes a table's history. versions() after the build:
+    * v1 = empty create, v2 = even-series snapshot, v3 = full table. */
+  private val timeTravelStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.sources.SeriesStore]
+
+  private def timeTravelStore(s: SparkSession, dir: String): graft.sources.SeriesStore =
+    timeTravelStoreMemo.getOrElseUpdate((s, dir), {
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_timetravel"),
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-" + java.lang.Integer.toHexString(dir.hashCode)).getPath
+      val store = new graft.sources.SeriesStore(s, base)
+      store.delete()
+      store.create()
+      val sv = Tables.series(s, dir)
+        // hourly valid buckets → end = start + 1 h (the surrogate has no
+        // end axis; any deterministic derivation works for the replay)
+        .withColumn("valid_time_end",
+          col("valid_time") + expr("INTERVAL 1 HOUR"))
+        .select(graft.sources.Schema.seriesValuesColumns.map(col): _*)
+      store.appendValues(sv.filter(pmod(col("series_id"), lit(2)) === 0))
+      store.appendValues(sv.filter(pmod(col("series_id"), lit(2)) =!= 0))
+      store
+    })
+
   /** Memoized duplicate-cluster frame per (session, data dir): the
     * bigram-Jaccard candidate pairs collapsed to connected components —
     * the assignment every keep/drop decision downstream consumes.
@@ -580,6 +612,7 @@ object SparkEntry {
     clusterMemo.clear()
     storedNearDupIndexMemo.clear()
     pqMemo.clear()
+    timeTravelStoreMemo.clear()
   }
 
   // ---------------------------------------------------------------------
@@ -739,6 +772,51 @@ object SparkEntry {
         |SELECT series_id, run_id, max(knowledge_time) AS first_seen
         |FROM sv GROUP BY series_id, run_id
         |ORDER BY series_id, first_seen DESC, run_id""".stripMargin)),
+
+    // ----- time travel over the store's commit log (SURVEY §2.1 S1) -----
+
+    ("td_time_travel",
+      // Read the table AS OF the version committed BEFORE the second
+      // batch landed: the even-series snapshot, unreachable from the
+      // current manifest. The store plans against exactly the files the
+      // older manifest lists (SeriesStore.scanValuesAsOf), so the oracle
+      // is simply the first batch's defining predicate re-applied to the
+      // source frame — files, not filters, are what's being tested.
+      (s, dir) => {
+        val store = timeTravelStore(s, dir)
+        val evenSnapshot = store.versions()(1) // v1 = empty create
+        store.scanValuesAsOf(evenSnapshot)
+          .select("series_id", "valid_time", "knowledge_time", "change_time",
+            "value", "changed_by", "annotation", "retention")
+          .orderBy("series_id", "valid_time", "knowledge_time", "change_time")
+      },
+      Some(s"""$svCte
+        |SELECT series_id, valid_time, knowledge_time, change_time,
+        |       value, changed_by, annotation, retention
+        |FROM sv
+        |WHERE series_id % 2 = 0
+        |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
+
+    ("td_change_feed",
+      // Incremental consumption over the same commit log: the rows of
+      // every file added between the even-series snapshot and the full
+      // table — the delta a downstream index-maintenance consumer reads
+      // to advance its cursor. Cost ∝ new data, never table size; the
+      // oracle is the second batch's defining predicate.
+      (s, dir) => {
+        val store = timeTravelStore(s, dir)
+        val vs = store.versions()
+        store.scanChangesBetween(vs(1), vs(2))
+          .select("series_id", "valid_time", "knowledge_time", "change_time",
+            "value", "changed_by", "annotation", "retention")
+          .orderBy("series_id", "valid_time", "knowledge_time", "change_time")
+      },
+      Some(s"""$svCte
+        |SELECT series_id, valid_time, knowledge_time, change_time,
+        |       value, changed_by, annotation, retention
+        |FROM sv
+        |WHERE series_id % 2 = 1
+        |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
 
     // ----- skip-unchanged write dedup (SURVEY §2.2 W4 + §2.4 J2) -----
 
