@@ -202,6 +202,74 @@ object ApiDrive {
       check("streaming failed batch landed nothing")(db.read(ReadFilter(Seq(78L))).count() == 0)
     }
 
+    // Restart recovery (checkpoint-dir reuse): the streaming faces must
+    // survive a driver stop — a NEW query over the SAME checkpoint
+    // continues from committed offsets instead of replaying or skipping.
+    {
+      import org.apache.spark.sql.types._
+      val ingestDir = java.nio.file.Files.createTempDirectory("timedb_restart_in").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("timedb_restart_ck").toString
+      val schema = StructType(Seq(
+        StructField("series_id", LongType), StructField("valid_time", TimestampType),
+        StructField("value", DoubleType)))
+      def src() = spark.readStream.schema(schema).parquet(ingestDir)
+      // batch 1 lands under the FIRST query instance…
+      Seq((81L, t("2024-05-01T00:00:00Z"), 1.0), (81L, t("2024-05-01T01:00:00Z"), 2.0))
+        .toDF("series_id", "valid_time", "value")
+        .write.mode("append").parquet(ingestDir)
+      val q1 = streaming.StreamingIngest.writer(src(), base, retention = Some("medium"))
+        .option("checkpointLocation", ckpt).start()
+      q1.processAllAvailable(); q1.stop()
+      // …batch 2 under a SECOND instance recovering from the checkpoint
+      Seq((81L, t("2024-05-01T00:00:00Z"), 9.0)) // late correction
+        .toDF("series_id", "valid_time", "value")
+        .write.mode("append").parquet(ingestDir)
+      val q2 = streaming.StreamingIngest.writer(src(), base, retention = Some("medium"))
+        .option("checkpointLocation", ckpt).start()
+      q2.processAllAvailable(); q2.stop()
+      // overlapping shape: one row per (valid_time, knowledge_time) —
+      // a replayed batch 1 would stamp a NEW knowledge_time and surface
+      // as 5 rows here; a skipped batch as fewer than 3
+      val hist = db.read(ReadFilter(Seq(81L), retention = Seq("medium")),
+        includeKnowledgeTime = true)
+      check("restarted ingest: no replay, no loss (3 rows exactly)")(hist.count() == 3)
+      val latest = db.read(ReadFilter(Seq(81L), retention = Seq("medium"))).collect()
+      check("restarted ingest: post-restart correction wins")(
+        latest.find(_.getTimestamp(1) == t("2024-05-01T00:00:00Z")).exists(_.getDouble(2) == 9.0))
+      check("restarted ingest: one run per landed batch")(db.readRunSeries(81L).length == 2)
+
+      // Stream-stream join: a LEFT row seen BEFORE the restart must join
+      // a RIGHT row arriving AFTER it — that match can only come from
+      // join state recovered out of the checkpoint's state store.
+      val lDir = java.nio.file.Files.createTempDirectory("timedb_ssj_l").toString
+      val rDir = java.nio.file.Files.createTempDirectory("timedb_ssj_r").toString
+      val outDir = java.nio.file.Files.createTempDirectory("timedb_ssj_out").toString
+      val jckpt = java.nio.file.Files.createTempDirectory("timedb_ssj_ck").toString
+      val lSchema = StructType(Seq(
+        StructField("k", LongType), StructField("lts", TimestampType)))
+      val rSchema = StructType(Seq(
+        StructField("k", LongType), StructField("rts", TimestampType)))
+      def joined() = streaming.StreamingJoin.joinWithin(
+        spark.readStream.schema(lSchema).parquet(lDir).withWatermark("lts", "0 seconds"),
+        spark.readStream.schema(rSchema).parquet(rDir).withWatermark("rts", "0 seconds"),
+        keyCol = "k", leftTs = "lts", rightTs = "rts", within = "10 minutes")
+      def startJoin() = joined().writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", jckpt).outputMode("append").start()
+      Seq((1L, t("2024-05-02T10:00:00Z"))).toDF("k", "lts")
+        .write.mode("append").parquet(lDir)
+      Seq((2L, t("2024-05-02T10:00:00Z"))).toDF("k", "rts") // wrong key: no match yet
+        .write.mode("append").parquet(rDir)
+      val j1 = startJoin(); j1.processAllAvailable(); j1.stop()
+      Seq((1L, t("2024-05-02T10:05:00Z"))).toDF("k", "rts") // matches pre-restart left
+        .write.mode("append").parquet(rDir)
+      val j2 = startJoin(); j2.processAllAvailable(); j2.stop()
+      val matches = spark.read.parquet(outDir).collect()
+      check("restarted stream-stream join: recovered state produces the match")(
+        matches.length == 1 && matches.head.getAs[Long]("k") == 1L &&
+          matches.head.getAs[Timestamp]("rts") == t("2024-05-02T10:05:00Z"))
+    }
+
     // Compaction: micro-batch appends collapse, reads unchanged.
     {
       val preCount = db.read(ReadFilter(Seq(1L))).count()

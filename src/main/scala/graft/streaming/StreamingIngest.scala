@@ -33,7 +33,21 @@ object StreamingIngest {
     * the single-writer contract holds by construction, and the
     * manifest-snapshot commits mean concurrent READERS are unaffected.
     * This caps the file count a day of 1-minute batches would otherwise
-    * accumulate, without an external maintenance job. */
+    * accumulate, without an external maintenance job.
+    *
+    * ==Delivery semantics==
+    * Callers pass `option("checkpointLocation", …)` to `start()`; the
+    * engine then tracks source offsets in the checkpoint and a clean
+    * stop + restart continues from the last COMMITTED micro-batch — no
+    * batch is reprocessed, no data is skipped (ApiDrive drives this
+    * end-to-end). Across a CRASH the guarantee is at-least-once per
+    * micro-batch: offsets commit after `foreachBatch` returns, and the
+    * store append is not idempotent, so a crash between
+    * [[SeriesStore.appendValues]] and the offset commit replays that
+    * one batch on restart. Consumers needing exactly-once under crash
+    * pair the ingest with the skip-unchanged digest discipline
+    * ([[graft.operators.WritePipeline.filterUnchanged]]) or read
+    * through the latest-wins collapse, which absorbs the replay. */
   def writer(
       stream: DataFrame,
       basePath: String,
