@@ -101,8 +101,14 @@ object GraftExtensions {
         case Seq(text, w, m) =>
           CdcChunks(text, intLit(w, "cdc_chunks", "window"),
             intLit(m, "cdc_chunks", "avgSize"))
+        case Seq(text, w, m, lo, hi) => // bounded production variant
+          CdcChunks(text, intLit(w, "cdc_chunks", "window"),
+            intLit(m, "cdc_chunks", "avgSize"),
+            intLit(lo, "cdc_chunks", "minSize"),
+            intLit(hi, "cdc_chunks", "maxSize"))
         case other => throw new IllegalArgumentException(
-          s"cdc_chunks expects (text, window, avgSize), got ${other.size} args")
+          s"cdc_chunks expects (text, window, avgSize[, minSize, maxSize]), " +
+            s"got ${other.size} args")
       }),
     (FunctionIdentifier("text_fingerprint"),
       info("text_fingerprint",

@@ -25,20 +25,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * literals both sides), and the chunk digest is the repo's portable
   * 60-bit md5 prefix ([[Portable.hash60]]) of the chunk substring.
   *
-  * Production CDC adds min/max chunk bounds (forced boundaries), which
-  * make the boundary set sequential — replayable only by a recursive
-  * oracle — so this kernel deliberately ships the unbounded classic
-  * form; degenerate inputs (a constant character run) produce either
-  * no boundaries (one whole-text chunk) or boundaries every position
-  * (window-sized chunks), both still content-defined.
+  * ==Bounds (the production variant)==
+  * `minSize`/`maxSize` add FastCDC-style chunk bounds: hash boundaries
+  * are suppressed while the open chunk is shorter than `minSize`, and
+  * a boundary is FORCED when it reaches `maxSize` — the caps that tame
+  * the unbounded form's degenerate inputs (a constant run otherwise
+  * yields window-sized slivers or one whole-text chunk). Bounds make
+  * the boundary set SEQUENTIAL (each boundary depends on the previous
+  * one), which only a recursive oracle could replay — so the bounded
+  * form is the production face (spec-pinned), while `minSize = maxSize
+  * = 0` is the classic unbounded form the SQL oracle replays. An edit
+  * still re-chunks only its neighborhood: resynchronization happens at
+  * the first unsuppressed hash boundary after the edit.
   *
   * Empty text yields an empty array; null text yields null.
   */
-case class CdcChunks(child: Expression, window: Int, avgSize: Int)
+case class CdcChunks(child: Expression, window: Int, avgSize: Int,
+    minSize: Int = 0, maxSize: Int = 0)
     extends UnaryExpression {
 
   require(window >= 1 && window <= 64, "window must be in [1, 64]")
   require(avgSize >= 2, "avgSize must be >= 2")
+  require(minSize >= 0, "minSize must be >= 0 (0 = unbounded)")
+  require(maxSize >= 0, "maxSize must be >= 0 (0 = unbounded)")
+  require(maxSize == 0 || maxSize >= math.max(minSize, 1),
+    "maxSize must be >= minSize when bounded")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     KernelTypeChecks.expectString(prettyName, "text", child)
@@ -48,11 +59,12 @@ case class CdcChunks(child: Expression, window: Int, avgSize: Int)
   override def prettyName: String = "cdc_chunks"
 
   override def nullSafeEval(input: Any): Any =
-    CdcChunks.compute(input.asInstanceOf[UTF8String], window, avgSize)
+    CdcChunks.compute(input.asInstanceOf[UTF8String], window, avgSize,
+      minSize, maxSize)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.CdcChunks.compute($c, $window, $avgSize);")
+      s"${ev.value} = graft.functions.CdcChunks.compute($c, $window, $avgSize, $minSize, $maxSize);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -68,6 +80,13 @@ object CdcChunks {
   def apply(text: Column, window: Int, avgSize: Int): Column =
     GraftColumnBridge.toColumn(
       CdcChunks(GraftColumnBridge.toExpression(text), window, avgSize))
+
+  /** Bounded (production) variant — see the class doc's Bounds section. */
+  def apply(text: Column, window: Int, avgSize: Int,
+      minSize: Int, maxSize: Int): Column =
+    GraftColumnBridge.toColumn(
+      CdcChunks(GraftColumnBridge.toExpression(text), window, avgSize,
+        minSize, maxSize))
 
   val B: Long = 257L
   val P: Long = 1000003L
@@ -91,7 +110,11 @@ object CdcChunks {
     (v << 4) | ((dig(7) >> 4) & 0xFL)
   }
 
-  def compute(text: UTF8String, window: Int, avgSize: Int): ArrayData = {
+  def compute(text: UTF8String, window: Int, avgSize: Int): ArrayData =
+    compute(text, window, avgSize, 0, 0)
+
+  def compute(text: UTF8String, window: Int, avgSize: Int,
+      minSize: Int, maxSize: Int): ArrayData = {
     val s = text.toString
     val n = s.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
@@ -118,8 +141,9 @@ object CdcChunks {
     var i = 0
     while (i < cpCount) {
       val isLast = i == cpCount - 1
-      var boundary = isLast
-      if (!boundary && i + 1 >= window) {
+      val openLen = i + 1 - prevBoundary
+      var boundary = isLast || (maxSize > 0 && openLen >= maxSize)
+      if (!boundary && openLen >= minSize && i + 1 >= window) {
         var roll = 0L
         var k = 0
         while (k < window) { roll += cps(i - k) % P * coeff(k) % P; k += 1 }

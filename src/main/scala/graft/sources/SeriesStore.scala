@@ -352,6 +352,100 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     }
   }
 
+  /** Z-ordered mirror of series_values, clustered on `(series_id,
+    * valid_time)` via [[graft.operators.Layout.writeZOrdered]] — the
+    * lakehouse layout (Delta OPTIMIZE ZORDER / Iceberg sort order)
+    * that makes parquet footer min/max stats selective on BOTH the
+    * series and the time axis at once: a band predicate on either
+    * dimension prunes ~√selectivity of the files, where the store's
+    * native (series_id, valid_time)-sorted files prune on series only.
+    * The complement to [[createBucketedMirror]]: buckets buy
+    * shuffle-free keyed plans, z-order buys 2-D scan pruning.
+    *
+    * Same maintenance discipline as the bucketed mirror: each rebuild
+    * writes a fresh versioned dir (`zordered/<name>/v<N>`) and commits
+    * by dot-temp + rename of a `_current` pointer file — readers
+    * holding the previous version's plan keep their files; dirs older
+    * than the previously-live version are dropped (keep-one grace).
+    * A crash before the pointer commit leaves an orphan dir that
+    * [[scanZOrdered]] never resolves and the next rebuild removes. */
+  def createZOrderedMirror(name: String, files: Int, bits: Int = 12): Unit = {
+    require(files > 0, "files must be positive")
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe mirror name: $name")
+    val root = new Path(s"$basePath/zordered/$name")
+    val existing: Seq[Long] =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+      else Seq.empty
+    val prevLive = zCurrentVersion(root)
+    val next = existing.sorted.lastOption.getOrElse(0L) + 1L
+    graft.operators.Layout.writeZOrdered(
+      scanValues().drop("valid_month"),
+      new Path(root, s"v$next").toString,
+      xCol = "series_id", yCol = "valid_time", files = files, bits = bits)
+    // pointer commit: dot-temp + rename INTO the versioned name space
+    // is not enough here (the target exists across rebuilds), so write
+    // temp, delete, rename — scanZOrdered's highest-version fallback
+    // covers the window between delete and rename.
+    val cur = new Path(root, "_current")
+    val tmp = new Path(root, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(cur)) fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new IllegalStateException(s"failed to commit z-mirror pointer $cur")
+    // keep-one grace: the previously-live dir survives one cycle for
+    // in-flight readers; crashed-rebuild orphans and older dirs go.
+    existing.filter(v => v != next && !prevLive.contains(v)).foreach { v =>
+      fs.delete(new Path(root, s"v$v"), true)
+    }
+  }
+
+  private def zCurrentVersion(root: Path): Option[Long] = {
+    val cur = new Path(root, "_current")
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        scala.util.Try(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+      } finally in.close()
+    }
+  }
+
+  /** The z-ordered mirror as a DataFrame. Resolves the `_current`
+    * pointer; when the pointer is missing or mid-commit, falls back to
+    * the highest version dir whose write COMPLETED (`_SUCCESS` marker)
+    * — an unpointed dir without the marker may be half-written and is
+    * never resolved. */
+  def scanZOrdered(name: String): DataFrame = {
+    val root = new Path(s"$basePath/zordered/$name")
+    val chosen: Option[Path] = zCurrentVersion(root)
+      .map(v => new Path(root, s"v$v"))
+      .filter(fs.exists(_))
+      .orElse {
+        if (!fs.exists(root)) None
+        else fs.listStatus(root).toSeq.filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+          .flatMap(p => scala.util.Try(
+            p.getName.stripPrefix("v").toLong).toOption.map(_ -> p))
+          .sortBy(_._1).lastOption.map(_._2)
+      }
+    chosen match {
+      case Some(p) => spark.read.parquet(p.toString)
+      case None => throw new IllegalArgumentException(
+        s"no z-ordered mirror '$name' at $root — run createZOrderedMirror first")
+    }
+  }
+
   private def versionedTables(tableName: String): Seq[(Long, String)] =
     spark.catalog.listTables().collect().toSeq
       .map(_.name)

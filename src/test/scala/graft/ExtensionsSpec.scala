@@ -75,6 +75,14 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT cdc_chunks(text, doc_id, 16) FROM ext_docs").collect()
     }
     assert(e.getMessage.contains("cdc_chunks"))
+    // 5-arg bounded (production) form resolves and matches the Column API
+    val sqlBounded = spark.sql(
+      "SELECT doc_id, cdc_chunks(text, 4, 16, 4, 24) AS c FROM ext_docs ORDER BY doc_id")
+      .collect()
+    val apiBounded = docs.select(col("doc_id"),
+      graft.functions.CdcChunks(col("text"), 4, 16, 4, 24).as("c"))
+      .orderBy("doc_id").collect()
+    assert(sqlBounded.toSeq == apiBounded.toSeq)
   }
 
   test("SQL sorted_intersect_count and float_vector_dot match the Column API") {

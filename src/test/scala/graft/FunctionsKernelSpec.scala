@@ -439,6 +439,64 @@ class FunctionsKernelSpec extends SparkSpec {
     assert(chunksOf("aaaaaaaaaa") == chunksOf("aaaaaaaaaa"))
   }
 
+  test("CdcChunks bounds: min/max caps tame degenerate runs, 0/0 = classic") {
+    import graft.functions.CdcChunks
+    def chunksOf(s: String, min: Int, max: Int,
+        window: Int = 4, avg: Int = 64): Seq[(Int, Int, Long)] = {
+      val arr = CdcChunks.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), window, avg, min, max)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3)
+        (r.getInt(0), r.getInt(1), r.getLong(2))
+      }
+    }
+    def tiles(s: String, cs: Seq[(Int, Int, Long)]): Boolean =
+      cs.nonEmpty && cs.head._1 == 1 && cs.map(_._2).sum == s.length &&
+        cs.sliding(2).forall {
+          case Seq(a, b) => b._1 == a._1 + a._2
+          case _         => true
+        }
+    val rnd = new scala.util.Random(13)
+    val base = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // bounds off ⇒ exactly the classic unbounded chunking
+    assert(chunksOf(base, 0, 0) == chunksOf(base, 0, 0, 4, 64))
+
+    // degenerate case 1 — constant run whose every window hashes to a
+    // boundary (avg=2 makes hits dense): unbounded yields slivers;
+    // minSize floors every chunk but the last
+    val run = "a" * 200
+    val slivers = chunksOf(run, 0, 0, avg = 2)
+    assert(slivers.exists(_._2 < 8), "premise: unbounded produces slivers")
+    val floored = chunksOf(run, 8, 0, avg = 2)
+    assert(tiles(run, floored))
+    assert(floored.dropRight(1).forall(_._2 >= 8), s"min violated: $floored")
+
+    // degenerate case 2 — no hash hit anywhere (huge avg): unbounded
+    // returns ONE whole-text chunk; maxSize forces a boundary grid
+    val whole = chunksOf(run, 0, 0, avg = 1 << 29)
+    assert(whole.length == 1, "premise: unbounded yields one whole-text chunk")
+    val capped = chunksOf(run, 0, 16, avg = 1 << 29)
+    assert(tiles(run, capped))
+    assert(capped.forall(_._2 <= 16) && capped.dropRight(1).forall(_._2 == 16))
+
+    // both bounds live on real text: every chunk within [min, max],
+    // except the final remainder which may undershoot min
+    val both = chunksOf(base, 8, 32)
+    assert(tiles(base, both))
+    assert(both.forall(_._2 <= 32) && both.dropRight(1).forall(_._2 >= 8))
+
+    // bounded chunking is still content-defined: a prefix edit
+    // resynchronizes at the next unsuppressed boundary, so most chunk
+    // digests survive
+    val edited = "XY" + base
+    val shared = chunksOf(edited, 8, 32).map(_._3).toSet
+      .intersect(both.map(_._3).toSet)
+    assert(shared.size >= both.size - 4,
+      s"only ${shared.size}/${both.size} bounded chunks survived the edit")
+    // (the 5-arg SQL face is pinned in ExtensionsSpec, whose session
+    // has GraftExtensions registered)
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on sorted arrays") {
     val rnd = new scala.util.Random(42)
     val cases = (0 until 200).map { i =>

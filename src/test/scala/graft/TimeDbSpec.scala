@@ -126,6 +126,60 @@ class TimeDbSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered mirror: 2-D band predicates prune files; rebuild keeps one") {
+    withDb { db =>
+      // 128 series × 192 hours — enough rows that 32 mirror files each
+      // hold a real tile of the (series, time) plane
+      val big = (0 until 128).flatMap { sid =>
+        (0 until 192).map(h =>
+          (sid.toLong, ts(f"2024-03-01T00:00:00Z").toInstant.plusSeconds(h * 3600L),
+            sid * 1000.0 + h))
+      }.map { case (s, i, v) => (s, java.sql.Timestamp.from(i), v) }
+        .toDF("series_id", "valid_time", "value")
+      db.write(big, retention = Some("forever"))
+      val store = db.store
+      store.createZOrderedMirror("tdspec_z", files = 32)
+      val mirror = store.scanZOrdered("tdspec_z")
+      val plain = store.scanValues().drop("valid_month")
+      assert(mirror.exceptAll(plain).isEmpty && plain.exceptAll(mirror).isEmpty)
+      // footer-stat prune proxy (the LayoutSpec discipline): files whose
+      // [min,max] range intersects the predicate band. A ~10% band on
+      // EITHER axis must prune most of the 32 files; the store's native
+      // series-then-time sorted layout cannot prune on the time axis.
+      def touched(df: org.apache.spark.sql.DataFrame,
+          whereCol: String, lo: Any, hi: Any): Long =
+        df.groupBy(input_file_name().as("f"))
+          .agg(min(whereCol).as("lo"), max(whereCol).as("hi"))
+          .filter(col("hi") >= lit(lo) && col("lo") <= lit(hi)).count()
+      val zFiles = mirror.select(input_file_name()).distinct().count()
+      assert(zFiles >= 16, s"expected a multi-file mirror, got $zFiles")
+      // measured on this fixture: series band 9-10/32, time band 6-8/32
+      // (a band CROSSING the x midline touches ~19/32 — the z-curve's
+      // known worst case; the pin uses an off-boundary band, the average
+      // case the √selectivity claim describes)
+      val zSeries = touched(mirror, "series_id", 8L, 20L)
+      val zTime = touched(mirror, "valid_time",
+        ts("2024-03-04T00:00:00Z"), ts("2024-03-04T18:00:00Z"))
+      assert(zSeries <= zFiles * 2 / 5, s"series band touched $zSeries/$zFiles")
+      assert(zTime <= zFiles * 2 / 5, s"time band touched $zTime/$zFiles")
+      // native layout: the same time band touches every multi-row file
+      // of the single month partition (time is subordinate to series in
+      // the sort), so z-order is what buys the second axis
+      val nativeFiles = plain.select(input_file_name()).distinct().count()
+      val nativeTime = touched(plain, "valid_time",
+        ts("2024-03-04T00:00:00Z"), ts("2024-03-04T18:00:00Z"))
+      assert(nativeTime == nativeFiles,
+        s"premise: native layout can't prune the time axis ($nativeTime/$nativeFiles)")
+      // rebuild commits a new version and keeps exactly one prior dir
+      store.createZOrderedMirror("tdspec_z", files = 32)
+      val root = new java.io.File(
+        s"${db.store.valuesPath.stripSuffix("/series_values")}/zordered/tdspec_z")
+      val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+      assert(dirs.length == 2, s"keep-one grace: ${dirs.toSeq}")
+      assert(store.scanZOrdered("tdspec_z").count() == plain.count())
+    }
+  }
+
   test("two revisions: latest returns the later knowledge_time values") {
     withDb { db =>
       db.write(revision(10), knowledgeTime = Some(ts("2024-02-29T18:00:00Z")))
