@@ -113,19 +113,30 @@ object SparkEntry {
 
   /** Repeat co-purchase graph: parts appearing together in >= 2 orders
     * — the shared input of the `x_graph_triangles` / `x_graph_kcore`
-    * structure queries. */
+    * structure queries. Pair generation is the classic equi-self-join
+    * on the basket key with `a < b` (sort-merge on l_orderkey; per-task
+    * work bounded by basket size, exactly the join a cluster planner
+    * distributes) — the array-lambda expansion this replaced evaluated
+    * interpreted per element and was the single hottest stage of both
+    * graph structure queries (1.6 s of 2.2 s at sf0.1). Memoized and
+    * checkpointed per (session, dir): both consumers read the same
+    * built frame, the build-once/serve-many lifecycle every index in
+    * this file follows. */
+  private val copurchaseMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ids) - 2), " +
-          "i -> transform(slice(ids, i + 2, size(ids)), j -> struct(ids[i] AS a, j AS b))))"
-      )).as("p")).select(col("p.a"), col("p.b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    copurchaseMemo.getOrElseUpdate((s, dir), {
+      val it = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      it.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(it.select(col("l_orderkey"), col("l_partkey").as("b")),
+          Seq("l_orderkey"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .localCheckpoint()
+    })
 
   /** Memoized BM25 inverted index per (session, dir) — the lexical
     * twin of [[builtIvfIndex]]: tokenize+aggregate once, checkpoint,
@@ -613,6 +624,7 @@ object SparkEntry {
     storedNearDupIndexMemo.clear()
     pqMemo.clear()
     timeTravelStoreMemo.clear()
+    copurchaseMemo.clear()
   }
 
   // ---------------------------------------------------------------------

@@ -81,7 +81,7 @@ object Graph {
     val n = nodes.count()
     val base = (dampDen - dampNum) * RankOne / (dampDen * n)
     var ranks = nodes.withColumn("rank_units", lit(RankOne / n))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // `div` = exact LONG integer division: `/` would detour through
       // DOUBLE, where a near-integer quotient can round across the
       // floor boundary — the whole point of fixed-point is to avoid it.
@@ -92,7 +92,13 @@ object Graph {
         .select(col("id"),
           (lit(base) + expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
             .cast("long").as("rank_units"))
-        .localCheckpoint()
+      // Checkpoint every 5th iteration, not every one: lineage depth 5
+      // is harmless, and an un-checkpointed tail lets the final action
+      // run the remaining iterations as ONE plan in which ReuseExchange
+      // shares the adj-side shuffle — per-iteration materialization
+      // actions (node-frame writes + their scheduling floor) were a
+      // third of the sf0.1 wall at iters = 3.
+      if (it % 5 == 0 && it < iters) ranks = ranks.localCheckpoint()
     }
     ranks.withColumn("rank", round(col("rank_units") / lit(RankOne.toDouble), 12))
   }

@@ -264,12 +264,19 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val winDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val winTok = org.apache.spark.sql.expressions.Window.partitionBy(col("__tok"))
+    // EXPLICIT partition counts: the index is checkpoint-pinned by its
+    // consumers, and a by-column repartition here lets AQE coalesce the
+    // (few-MB) exchange to ONE partition — which then serializes every
+    // posting join downstream of the pinned frame onto one core (the
+    // nbClassify base lesson). The scoring cost lives BELOW the pin,
+    // where AQE cannot see it.
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
     docs.select(col(idCol), explode(toks(col(textCol))).as("__tok"))
-      .repartition(col(idCol))
+      .repartition(parts, col(idCol))
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
       .withColumn("__dl", sum(col("__tf")).over(winDoc))
       .withColumn("__df", count(lit(1)).over(winTok))
-      .repartition(col(idCol))
+      .repartition(parts, col(idCol))
   }
 
   /** Corpus-level statistics of a [[bm25Index]] frame (doc count, mean
@@ -791,89 +798,107 @@ object TextAnalysis {
     // train or be scored against a class, and a non-string label would
     // otherwise surface as a ClassCastException in the driver-side
     // class-stat collects below.
-    val labels = docs.filter(col(labelCol).isNotNull)
-      .select(col(idCol), col(labelCol).cast("string").as("__c"))
-    // (doc, token-hash, multiplicity): one kernel pass, hash-only keys.
-    // THREE consumers read this frame (model counts, doc partials, doc
-    // lengths); checkpoint it once by default so the tokenize+count
-    // pass runs once, not three times — the minHashLshVerified
-    // `materialize` lifecycle contract (pass Some(false) from loops
-    // that hold results long-term).
-    val tfRaw = docs
-      .select(col(idCol), explode(ShingleHashes(col(textCol), 1)).as("__w"))
-      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__m"))
-    val tf = if (materialize.getOrElse(true)) tfRaw.localCheckpoint() else tfRaw
-    // The (class, token) count table feeds three consumers (class token
-    // masses, the vocab count, the delta model) — checkpoint with tf.
-    val pairRaw = tf.join(labels, Seq(idCol))
+    //
+    // base: ONE kernel pass per doc — (id, label, per-row token term
+    // frequencies, doc token mass). Term frequency within a document
+    // depends only on that document's text, so the TokenHashCounts
+    // kernel computes it in the row and the plan never shuffles the
+    // token INSTANCE frame (the old explode → groupBy(id, w) exchange,
+    // the widest in the query — its removal plus the label-join removal
+    // below cut the sf0.1 wall 3.1 s → ~1 s). Every downstream consumer
+    // reads this frame; checkpoint it once by default — the
+    // minHashLshVerified `materialize` lifecycle contract (pass
+    // Some(false) from loops that hold results long-term).
+    // repartition BEFORE the checkpoint, with an EXPLICIT partition
+    // count: a small corpus arrives as one parquet split, and a
+    // 1-partition base serializes every downstream expansion (the model
+    // join fans each doc out |classes| times) onto one core — measured
+    // 2.4 s single-task CPU at sf0.1. The count must be explicit
+    // because the checkpointed frame's layout is decided by the BYTES
+    // of this exchange (compact (id, label, counts) rows — a few MB),
+    // which AQE's coalescing would happily fold back to one partition;
+    // the expensive thing is the per-row fan-out BELOW the checkpoint,
+    // which AQE cannot see from the exchange size.
+    val baseRaw = docs.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).cast("string").as("__c"),
+        graft.functions.TokenHashCounts(col(textCol)).as("__tc"))
+      .withColumn("__nd", aggregate(col("__tc"), lit(0L),
+        (acc, x) => acc + x.getField("m")))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+    val base = if (materialize.getOrElse(true)) baseRaw.localCheckpoint() else baseRaw
+    // (class, token) counts: the label rides the row out of base, so no
+    // join — explode the pre-counted pairs and partial-aggregate; the
+    // exchange carries (class, token, count), vocab-bounded per
+    // partition by the map-side combine. Feeds the vocab count and the
+    // delta model — checkpoint with base.
+    // (class, token) counts, COLLECTED: the label rides the row out of
+    // base (no join), the exchange carries map-side-combined
+    // (class, token, count) rows, and the result is the sparse model —
+    // VOCAB-bounded, the same scale class as the broadcast the join
+    // formulation shipped, so it comes to the driver instead and the
+    // whole serving side collapses into one projection (below). A
+    // corpus whose vocab outgrows driver memory (web-scale unbounded
+    // tokens) is the documented escape hatch: revert to broadcasting
+    // this frame and joining (commit e13fbec's shape).
+    val pairRows: Array[(String, Long, Long)] = base
+      .select(col("__c"), inline(col("__tc")))
+      .withColumnsRenamed(Map("w" -> "__w", "m" -> "__m"))
       .groupBy(col("__c"), col("__w")).agg(sum(col("__m")).as("__cnt"))
-    val pair = if (materialize.getOrElse(true)) pairRaw.localCheckpoint() else pairRaw
-    // Class statistics are CATALOG-sized (one row per label):
-    // collect them and compute priors/bases on the driver with the
-    // engine's exact arithmetic (java.lang.Math.log + BigDecimal
-    // HALF_UP — the kmeansTrain replicate-the-engine discipline). The
-    // all-lazy formulation planned each 1-row helper frame as its own
-    // broadcast-exchange subtree and the query paid 29 scheduled jobs,
-    // 1.3 s of pure scheduling at sf0.1.
-    val vocabAndTotals = pair.groupBy(col("__c"))
-      .agg(sum(col("__cnt")).as("__nc")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val vocabSize = pair.select("__w").distinct().count()
-    val classDocCounts = labels.groupBy("__c").agg(count(lit(1)).as("__dc"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Class statistics are CATALOG-sized (one row per label): doc
+    // counts and class token masses come from base in ONE job (a
+    // class's token mass is the sum of its docs' masses). Priors,
+    // bases and present-pair deltas are computed on the driver with
+    // the engine's exact arithmetic (java.lang.Math.log + BigDecimal
+    // HALF_UP — the kmeansTrain replicate-the-engine discipline; the
+    // all-lazy formulation this replaced planned each 1-row helper
+    // frame as its own broadcast-exchange subtree and paid 29
+    // scheduled jobs).
+    val classRows = base.groupBy(col("__c"))
+      .agg(count(lit(1)).as("__dc"), sum(col("__nd")).as("__nc")).collect()
+    val classDocCounts = classRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabAndTotals = classRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val vocabSize: Long = pairRows.iterator.map(_._2).toSet.size.toLong
     val nDocs = classDocCounts.values.sum
     def r8(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
-    // (class, prior, nc, base), sorted for deterministic literal order
-    val classStats: Seq[(String, Double, Long, Double)] =
-      classDocCounts.keys.toSeq.sorted.map { c =>
-        val nc = vocabAndTotals.getOrElse(c, 0L)
-        (c, r8(math.log(classDocCounts(c).toDouble / nDocs)),
-          nc, r8(math.log(k / (nc + k * vocabSize))))
-      }
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val classes = spark.createDataFrame(classStats)
-      .toDF("__c", "__prior", "__nc", "__base")
-    // Present-pair deltas over the base term; both logs 8dp-rounded
-    // BEFORE the subtraction so the delta is the same double everywhere.
-    val deltas = pair
-      .join(broadcast(classes.select("__c", "__nc", "__base")), Seq("__c"))
-      .select(col("__w"), col("__c"),
-        (round(log((col("__cnt") + lit(k)) / (col("__nc") + lit(k) * lit(vocabSize))), 8)
-          - col("__base")).as("__delta"))
-    // Model-broadcast scoring (the classic NB serving shape): the
-    // (token, class, delta) model is vocab-bounded, so it ships to the
-    // executors and the corpus token frame streams against it without
-    // a sort or shuffle — the alternative sort-merge join re-sorted the
-    // whole token frame by token hash (measured 4.3 s vs DuckDB's 0.4
-    // at sf0.1). A corpus whose vocab outgrows broadcast (web-scale
-    // unbounded tokens) drops the hint and takes the hash join.
-    val partials = tf.join(broadcast(deltas), Seq("__w"))
-      .groupBy(col(idCol), col("__c"))
-      .agg(sum((col("__m") * col("__delta")).cast("decimal(28,10)")).as("__part"))
-    val docLen = tf.groupBy(col(idCol)).agg(sum(col("__m")).as("__nd"))
-    val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(28,10)")
-    val classLit = spark.createDataFrame(
-        classStats.map { case (c, p, _, b) => (c, p, b) })
-      .toDF("__cc", "__prior", "__base")
-    val scored = labels.join(docLen, Seq(idCol), "left")
-      .crossJoin(broadcast(classLit))
-      .join(partials.withColumnRenamed("__c", "__cc"), Seq(idCol, "__cc"), "left")
-      .select(col(idCol), col("__c").as("label"), col("__cc"),
-        // The summed quantity is an EXACT decimal, so round the DECIMAL
-        // first and cast to double after (ADVICE item A: rounding the
-        // binary double instead disagrees with decimal HALF_UP on the
-        // frequent trailing-…50 half-way cases).
-        round(coalesce(col("__part"), zeroDec)
-          + col("__prior").cast("decimal(28,10)")
-          + (coalesce(col("__nd"), lit(0L)) * col("__base")).cast("decimal(28,10)"),
-          6).cast("double").as("__score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__cc").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col(idCol), col("label"), col("__cc").as("predicted"),
-        (col("__cc") === col("label")).as("correct"),
-        col("__score").as("score"))
+    val classNames: Array[String] = classDocCounts.keys.toArray.sorted
+    val classIdx: Map[String, Int] = classNames.zipWithIndex.toMap
+    // prior as the 10-scale decimal the engine's cast(double AS
+    // decimal(28,10)) produces; base as the 8dp-rounded double — both
+    // logs 8dp-rounded BEFORE any subtraction so every downstream
+    // double is the same on every engine.
+    val priors: Array[java.math.BigDecimal] = classNames.map { c =>
+      java.math.BigDecimal
+        .valueOf(r8(math.log(classDocCounts(c).toDouble / nDocs)))
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+    }
+    val bases: Array[Double] = classNames.map { c =>
+      r8(math.log(k / (vocabAndTotals.getOrElse(c, 0L) + k * vocabSize)))
+    }
+    // sparse delta matrix: token-hash row × class column, NaN = the
+    // (token, class) pair has no training mass
+    val tokens: Array[Long] = pairRows.iterator.map(_._2).toSet.toArray.sorted
+    val tokenIdx: Map[Long, Int] = tokens.zipWithIndex.toMap
+    val deltaMat: Array[Array[Double]] =
+      Array.fill(tokens.length, classNames.length)(Double.NaN)
+    pairRows.foreach { case (c, w, cnt) =>
+      val ci = classIdx(c)
+      deltaMat(tokenIdx(w))(ci) =
+        r8(math.log((cnt + k) / (vocabAndTotals(c) + k * vocabSize))) - bases(ci)
+    }
+    // Model-in-expression scoring (the NearestCentroid pattern): one
+    // projection computes every class's decimal-exact score and the
+    // argmax per row — scan → project, no join, no aggregate, no
+    // window. See graft.functions.NbScores for the replay-exact
+    // arithmetic contract.
+    base.select(col(idCol), col("__c").as("label"),
+        graft.functions.NbScores(col("__tc"), classNames, priors, bases,
+          tokenIdx, deltaMat).as("__nb"))
+      .select(col(idCol), col("label"),
+        col("__nb.predicted").as("predicted"),
+        (col("__nb.predicted") === col("label")).as("correct"),
+        col("__nb.score").as("score"))
   }
 }
