@@ -439,6 +439,35 @@ class FunctionsKernelSpec extends SparkSpec {
     assert(chunksOf("aaaaaaaaaa") == chunksOf("aaaaaaaaaa"))
   }
 
+  test("TokenHashCounts equals the explode+groupBy term frequencies") {
+    import graft.functions.{ShingleHashes, TokenHashCounts}
+    val rnd = new scala.util.Random(7)
+    val words = Vector("the", "cat", "sat", "mat", "zh1", "ému", "a")
+    val docs = (0L until 50L).map { i =>
+      (i, (0 until rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaKernel = docs
+      .select(col("doc_id"), explode(TokenHashCounts(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.w").as("w"), col("e.m").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAgg = docs
+      .select(col("doc_id"), explode(ShingleHashes(col("text"), 1)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaKernel == viaAgg)
+    // per-row order is sorted by hash ascending (deterministic), empty
+    // text yields an empty array, null stays null
+    val probe = Seq((1L, "b a b a b"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TokenHashCounts(col("text")).as("tc"))
+      .orderBy("doc_id").collect()
+    val row1 = probe(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(row1.map(_.getLong(0)) == row1.map(_.getLong(0)).sorted)
+    assert(row1.map(_.getLong(1)).sum == 5L)
+    assert(probe(1).getSeq[org.apache.spark.sql.Row](1).isEmpty)
+    assert(probe(2).isNullAt(1))
+  }
+
   test("CdcChunks bounds: min/max caps tame degenerate runs, 0/0 = classic") {
     import graft.functions.CdcChunks
     def chunksOf(s: String, min: Int, max: Int,
