@@ -22,9 +22,26 @@ object Bench {
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle partitions sized to the DATA VOLUME at the measured SF
+      // (8 for sf0.1's hundreds-of-MB working sets), not to the core
+      // count: 32-way shuffles of few-MB frames pay 4× the task
+      // overhead for no parallel win. On a cluster this is exactly the
+      // knob capacity-sizing tunes upward (or AQE coalesces downward).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE OFF for the bench session — a deliberate latency-profile
+      // choice, A/B-measured (paired rounds: 3.81/3.84 s vs 4.23/4.77 s
+      // headline): AQE materializes every exchange as a stage-job
+      // barrier and re-optimizes between them, which costs each
+      // sub-second query 0.3–0.5 s of driver pauses while buying
+      // nothing at this scale (its wins — skew splits, runtime
+      // coalescing, plan switches — need stages with real data volume).
+      // Static planning also lets broadcast builds overlap execution
+      // instead of gating it. The LIBRARY never sets this: cluster
+      // sessions at the 100 TB target should run AQE on, where the
+      // same barriers amortize into minutes-long stages.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.constraintPropagation.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CP", "true"))
       // Scan-split sizing for the measured SF (the maxPartitionBytes
