@@ -415,12 +415,22 @@ object Bench {
         // r5 committed ratios. (timeAux's discarded warmup then charges
         // first-touch planning to warmup, not to the ratio.)
         resetExecutorState()
-        sacrifice(upSet, upDir)
-        val entries = timeAuxSet(upSet, upDir).map { case (name, t) =>
-          val ratio = largeTimes.get(name).map(l => t / l)
-          JsonUtil.quote(name) +
-            s""":{"t10x":$t${ratio.map(r => s""","ratio_vs_1x":$r""").getOrElse("")}}"""
-        }
+        // Partitions sized to VOLUME, here too: the session default (8)
+        // is sized for the measured SF; the 10× tables get the full
+        // core count for their shuffles — exactly the knob a capacity
+        // plan turns with data volume (and what AQE would do adaptively
+        // on a cluster). Restored after the section so the headline
+        // profile is untouched.
+        val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        val entries = try {
+          sacrifice(upSet, upDir)
+          timeAuxSet(upSet, upDir).map { case (name, t) =>
+            val ratio = largeTimes.get(name).map(l => t / l)
+            JsonUtil.quote(name) +
+              s""":{"t10x":$t${ratio.map(r => s""","ratio_vs_1x":$r""").getOrElse("")}}"""
+          }
+        } finally spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
         entries.mkString("""{"factor":10,"queries":{""", ",", "}}")
       } catch {
         case e: Throwable =>
