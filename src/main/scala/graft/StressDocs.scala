@@ -115,6 +115,17 @@ object StressDocs {
       graft.operators.TextAnalysis.bm25TopK(corpus,
         Seq("w100", "w2500", "w47000"), k = 100).count()
     }
+    timed("NB classify (TokenHashCounts + NbScores model-in-expression)") {
+      // 20 synthetic source labels; the r8 serving shape end-to-end at
+      // 200x bench scale: per-row kernel term frequencies, one
+      // (class, token) model aggregate, one scoring projection — the
+      // 50k-token vocab x 20 classes model rides inside the expression
+      val labeled = corpus.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(20))))
+      val out = graft.operators.TextAnalysis.nbClassify(labeled)
+      val n = out.count()
+      println(s"[stress-docs]   scored $n docs against the 20-class model")
+    }
     timed("Count-Min sketch (4x1024 matrix over the token stream)") {
       corpus.select(explode(split(col("text"), " ")).as("token"))
         .agg(graft.functions.CountMinSketch(col("token"), 4, 1024)).head()
