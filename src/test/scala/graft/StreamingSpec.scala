@@ -258,6 +258,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupIngest: the persisted index survives a checkpoint restart") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_restart").toString
+    val inDir = s"$dir/in"
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def start() = StreamingIngest.dedupIngest(
+        spark.readStream.schema(schema).parquet(inDir),
+        outPath = s"$dir/out", indexPath = s"$dir/index")
+      .option("checkpointLocation", s"$dir/ck").start()
+    Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // the cross-batch duplicate of doc 1 arrives at a SECOND query
+    // instance: rejecting it requires the index q1 persisted, and
+    // accepting doc 3 requires the offsets q1 committed (a replay of
+    // batch 0 would re-land docs 1-2 under a new batch id)
+    Seq((3L, "epsilon zeta"), (4L, "alpha beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val accepted = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(accepted == Seq(1L, 2L, 3L), s"got $accepted")
+    assert(spark.read.parquet(s"$dir/index").select("digest").distinct().count() == 3)
+  }
+
   test("streaming near-dup screening against a prebuilt epoch index") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
