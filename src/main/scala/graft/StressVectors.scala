@@ -92,6 +92,10 @@ object StressVectors {
         .agg(avg("recall")).head().getDouble(0)
       println(f"[stress-vec]   avg recall@10 = $rec%.4f (m=4x16 codes over 64 dims)")
     }
+    timed("covariance 64x64 (CenteredUpperProducts kernel, 2080 partial sums)") {
+      val n = graft.operators.Similarity.covarianceMatrix(corpus, dim = 64).count()
+      println(s"[stress-vec]   $n upper-triangle entries")
+    }
     spark.stop()
   }
 }
