@@ -3406,6 +3406,32 @@ object SparkEntry {
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY digest""".stripMargin)),
 
+    ("x_dedup_cdc_bounded",
+      // The BOUNDED (production) CDC form through the oracle gate:
+      // minSize = maxSize = 64 forces a boundary at exactly 64 code
+      // points before any hash test can fire, so the sequential
+      // boundary set degenerates to a fixed grid — the one bounded
+      // configuration a non-recursive oracle can replay exactly. The
+      // general min<max path stays spec-pinned (FunctionsKernelSpec
+      // "CdcChunks bounds"); this query proves the forcing logic and
+      // the census plumbing end-to-end against SQL.
+      (s, dir) => Dedup.cdcChunkCensus(Tables.documents(s, dir),
+        window = 4, avgSize = 64, minDocs = 2, minSize = 64, maxSize = 64)
+        .orderBy("digest"),
+      Some("""WITH gl AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         least(64, n - st + 1) AS len,
+        |         CAST(concat('0x', substr(md5(substr(text, st, 64)), 1, 15)) AS BIGINT) AS digest
+        |  FROM (SELECT doc_id, text, n, unnest(generate_series(1, n, 64)) AS st FROM gl))
+        |SELECT digest, MAX(len) AS chunk_len,
+        |       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        |FROM chunks
+        |GROUP BY digest
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY digest""".stripMargin)),
+
     ("x_dedup_cdc_pairs",
       // The pair face of CDC dedup: documents sharing >= 3 distinct
       // chunk digests, scored by containment (shared / smaller doc's

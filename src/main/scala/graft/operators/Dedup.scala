@@ -555,11 +555,12 @@ object Dedup {
     * the span census, different boundary discipline. */
   def cdcChunkCensus(docs: DataFrame, window: Int = 4, avgSize: Int = 64,
       minDocs: Int = 2, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", minSize: Int = 0, maxSize: Int = 0): DataFrame = {
     require(minDocs >= 1, "minDocs must be >= 1")
     docs
       .select(col(idCol),
-        explode(graft.functions.CdcChunks(col(textCol), window, avgSize)).as("__c"))
+        explode(graft.functions.CdcChunks(col(textCol), window, avgSize,
+          minSize, maxSize)).as("__c"))
       .select(col(idCol), col("__c.digest").as("digest"), col("__c.len").as("len"))
       .groupBy("digest")
       .agg(max(col("len")).as("chunk_len"),
