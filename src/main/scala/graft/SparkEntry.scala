@@ -3647,6 +3647,43 @@ object SparkEntry {
         |FROM r
         |ORDER BY doc_id""".stripMargin)),
 
+    ("x_pack_stats",
+      // Per-pack composition audit of the packing above: docs
+      // contributing to each 2048-token window, how many sit entirely
+      // inside it, and the token fill — the loader-side sanity check
+      // (fill = 2048 everywhere but the final window; boundary-crossing
+      // docs are the loss-masking special case).
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= "")).as("n_tokens"))
+        Curation.packStats(toks, "doc_id", "n_tokens", packTokens = 2048L)
+          .orderBy("pack_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+        |  FROM t WHERE n_tokens > 0),
+        |spans AS (
+        |  SELECT token_start, n_tokens,
+        |    token_start // 2048 AS p0,
+        |    (token_start + n_tokens - 1) // 2048 AS p1,
+        |    unnest(generate_series(token_start // 2048,
+        |                           (token_start + n_tokens - 1) // 2048)) AS pack_id
+        |  FROM r)
+        |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN p0 = p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+        |  CAST(SUM(least((pack_id + 1) * 2048, token_start + n_tokens)
+        |      - greatest(pack_id * 2048, token_start)) AS BIGINT) AS n_tokens
+        |FROM spans
+        |GROUP BY pack_id
+        |ORDER BY pack_id""".stripMargin)),
+
     ("x_mix_proportions",
       // Mixture re-weighting: down-sample the corpus toward a 50/30/20
       // en/de/zh language mix (es/fr dropped) via the deterministic

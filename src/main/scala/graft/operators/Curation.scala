@@ -171,6 +171,41 @@ object Curation {
       .drop(negOrd, running)
   }
 
+  /** Per-pack composition audit of [[packSequences]]' assignment: for
+    * every context window, how many documents contribute tokens to it
+    * (`n_docs`), how many sit entirely inside it (`n_full_docs` — the
+    * rest cross a window boundary and a loss-masking data loader
+    * treats them specially), and the token fill (`n_tokens`, equal to
+    * `packTokens` everywhere but the final window). The audit a
+    * pretraining loader runs before materializing packed sequences.
+    *
+    * Scale shape: [[packSequences]]' distributed prefix sum, then each
+    * doc explodes to the windows it SPANS — fan-out `n/packTokens + 1`
+    * per doc, bounded by construction — and one pack-keyed aggregate.
+    * Zero-token docs contribute to no window and are dropped. */
+  def packStats(df: DataFrame, orderCol: String, tokenCol: String,
+      packTokens: Long, buckets: Int = 0,
+      fixedThresholds: Array[Double] = Array.empty,
+      materialize: Option[Boolean] = None): DataFrame = {
+    val packed = packSequences(df, orderCol, tokenCol, packTokens, buckets,
+      fixedThresholds, materialize)
+      .filter(col(tokenCol) > 0)
+      .select(col(orderCol), col("token_start"),
+        col(tokenCol).cast("long").as("__n"))
+      .withColumn("__p0", expr(s"token_start div ${packTokens}L"))
+      .withColumn("__p1", expr(s"(token_start + __n - 1) div ${packTokens}L"))
+    packed
+      .select(col("token_start"), col("__n"), col("__p0"), col("__p1"),
+        explode(sequence(col("__p0"), col("__p1"))).as("pack_id"))
+      .withColumn("__in_pack",
+        least((col("pack_id") + 1) * packTokens, col("token_start") + col("__n"))
+          - greatest(col("pack_id") * packTokens, col("token_start")))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__p0") === col("__p1"), 1L).otherwise(0L)).as("n_full_docs"),
+        sum(col("__in_pack")).as("n_tokens"))
+  }
+
   /** Greedy token-budget cut: keep the highest-priority prefix whose
     * cumulative `valueCol` stays within `budget`. */
   def budgetCut(df: DataFrame, priorityCol: String, tieCol: String,

@@ -911,6 +911,21 @@ class OperatorsSpec extends SparkSpec {
       (4L, 270L, 2L, 14L)))
   }
 
+  test("packStats audits per-window composition of the packing") {
+    val d = Seq((1L, 100), (2L, 50), (3L, 120), (4L, 10), (5L, 0))
+      .toDF("doc_id", "n_tokens")
+    // stream: doc1 [0,100) doc2 [100,150) doc3 [150,270) doc4 [270,280);
+    // windows of 128: w0 [0,128) w1 [128,256) w2 [256,280)
+    val got = Curation.packStats(d, "doc_id", "n_tokens", packTokens = 128L)
+      .orderBy("pack_id")
+      .select("pack_id", "n_docs", "n_full_docs", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 128L),   // doc1 full, doc2 contributes 28 of its 50
+      (1L, 2L, 0L, 128L),   // doc2's tail (22) + doc3's head (106)
+      (2L, 2L, 1L, 24L)))   // doc3's tail (14) + doc4 full (10)
+  }
+
   test("extractJsonFields promotes typed columns; jsonKeyProfile counts keys") {
     val d = Seq(
       (1L, """{"k": 7, "tag": "x"}"""),
