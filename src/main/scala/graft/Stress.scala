@@ -103,6 +103,29 @@ object Stress {
     }
     spark.sql("DROP TABLE IF EXISTS stress_bucketed")
 
+    timed("build z-ordered mirror (64 files on (series_id, valid_time))") {
+      db.store.createZOrderedMirror("stress_z", files = 64)
+    }
+    timed("z-mirror 2-D prune audit (footer-stat proxy)") {
+      // files whose [min,max] footer range intersects a ~10% band on
+      // EACH axis — the TimeDbSpec pin at 10 M rows. The native layout
+      // (sorted series-then-time inside month partitions) cannot prune
+      // the time axis below month granularity.
+      val m = db.store.scanZOrdered("stress_z") // no checkpoint: input_file_name() must see the files
+      def touched(c: String, lo: Any, hi: Any): Long =
+        m.groupBy(org.apache.spark.sql.functions.input_file_name())
+          .agg(min(c).as("lo"), max(c).as("hi"))
+          .filter(col("hi") >= lit(lo) && col("lo") <= lit(hi)).count()
+      val total = m.select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().count()
+      val sBand = touched("series_id", 5000L, 10000L) // 10% of 50k, off-midline
+      val tBand = touched("valid_time",
+        new java.sql.Timestamp(startUs / 1000 + 8L * 24 * 3600 * 1000),
+        new java.sql.Timestamp(startUs / 1000 + 11L * 24 * 3600 * 1000))
+      println(s"[stress] z-mirror: series band touches $sBand/$total files, " +
+        s"time band touches $tBand/$total")
+    }
+
     // Maintenance under concurrent reads at scale: fragment one month
     // with small appends, then compact + vacuum while a reader loop
     // hammers the store — the snapshot-manifest guarantee (no partial
