@@ -54,6 +54,17 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"shingle_hashes expects (text, n[, distinct literal]), got ${other.size} args")
       }),
+    (FunctionIdentifier("token_hash_counts"),
+      info("token_hash_counts",
+        "token_hash_counts(text) - per-row term frequencies: array of " +
+          "struct(w, m), distinct token hashes (shingle_hashes n=1 semantics) " +
+          "with multiplicities, sorted by hash — the row-local equivalent of " +
+          "explode + groupBy + count, with zero exchange"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => TokenHashCounts(text)
+        case other => throw new IllegalArgumentException(
+          s"token_hash_counts expects (text), got ${other.size} args")
+      }),
     (FunctionIdentifier("minhash_from_grams"),
       info("minhash_from_grams",
         "minhash_from_grams(grams, numHashes) - MinHash signature array of a gram-hash array"),

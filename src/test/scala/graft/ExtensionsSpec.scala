@@ -164,6 +164,29 @@ class ExtensionsSpec extends SparkSpec {
       String.valueOf(e.getCause).contains("INTEGER literal"), e.getMessage)
   }
 
+  test("SQL token_hash_counts matches the Column API and the agg formulation") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      "SELECT doc_id, token_hash_counts(text) AS tc FROM ext_docs ORDER BY doc_id")
+      .collect()
+    val api = docs.select(col("doc_id"),
+      graft.functions.TokenHashCounts(col("text")).as("tc"))
+      .orderBy("doc_id").collect()
+    assert(sql.toSeq == api.toSeq)
+    // and the whole thing is the row-local groupBy: re-aggregate in SQL
+    val viaSql = spark.sql("""
+      SELECT doc_id, e.w, e.m FROM ext_docs
+      LATERAL VIEW explode(token_hash_counts(text)) AS e""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAgg = spark.sql("""
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS m FROM (
+        SELECT doc_id, explode(shingle_hashes(text, 1)) AS w FROM ext_docs)
+      GROUP BY doc_id, w""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql == viaAgg)
+  }
+
   test("the SparkSessionExtensions class injects the shared function set") {
     // A fresh session isn't available mid-JVM (getOrCreate reuses the
     // test session), so pin what CAN be pinned: applying the extensions
@@ -175,7 +198,7 @@ class ExtensionsSpec extends SparkSpec {
       Set("shingle_hashes", "minhash_from_grams", "simhash_from_grams",
         "sorted_intersect_count", "text_fingerprint", "float_vector_dot",
         "byte_vector_dot", "text_stats", "span_digests", "code_lut_sum",
-        "cdc_chunks", "morton_interleave"))
+        "cdc_chunks", "morton_interleave", "token_hash_counts"))
   }
 
   test("SQL morton_interleave matches the Column API and rejects bad args") {
