@@ -177,6 +177,22 @@ class TimeDbSpec extends SparkSpec {
       val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
       assert(dirs.length == 2, s"keep-one grace: ${dirs.toSeq}")
       assert(store.scanZOrdered("tdspec_z").count() == plain.count())
+      // crash-path resolution: with the pointer gone (crashed mid
+      // pointer-commit), the reader falls back to the highest COMPLETE
+      // version; a half-written orphan above it (no _SUCCESS) is never
+      // resolved
+      val n = plain.count()
+      val current = new java.io.File(root, "_current")
+      assert(current.delete(), "test setup: pointer must exist")
+      val orphan = new java.io.File(root, "v99")
+      assert(orphan.mkdir())
+      assert(store.scanZOrdered("tdspec_z").count() == n,
+        "pointer-less read must resolve the highest _SUCCESS-marked dir")
+      // no mirror at all → loud error naming the remedy
+      val e = intercept[IllegalArgumentException] {
+        store.scanZOrdered("tdspec_z_nope")
+      }
+      assert(e.getMessage.contains("createZOrderedMirror"))
     }
   }
 
