@@ -60,6 +60,18 @@ object Quickstart {
       ReadFilter(Seq(42L), startValid = Some(hours.head)),
       daysAhead = 0, timeOfDay = LocalTime.of(7, 0)).show(5)
 
+    // Beyond the reference's walkthrough — the commit log the Spark
+    // store keeps underneath every write:
+    println("== time travel: the table as of the FIRST write's commit ==")
+    val versions = db.store.versions()
+    db.store.scanValuesAsOf(versions(1)) // v0 = empty create
+      .select("series_id", "valid_time", "knowledge_time", "value")
+      .orderBy("valid_time").show(3)
+
+    println("== change feed: rows added between the first and last commit ==")
+    db.store.scanChangesBetween(versions(1), versions.last)
+      .groupBy("knowledge_time").count().orderBy("knowledge_time").show()
+
     db.delete()
     spark.stop()
   }
