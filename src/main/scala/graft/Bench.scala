@@ -128,9 +128,10 @@ object Bench {
     // it is excluded from the total and flagged, so a broken query can
     // never masquerade as a speedup.
     //
-    // Queries over `rerunFloorSec` are measured three times and the MIN
-    // kept — the same discipline as the committed DuckDB baseline
-    // (min-of-3). Single-shot wall times on this box swing far more than
+    // Queries over `rerunFloorSec` are measured five times and the MIN
+    // kept (seven over `slowFloorSec`) — the same discipline as the
+    // committed DuckDB baseline, which merges per-query minima across
+    // regen runs. Single-shot wall times on this box swing far more than
     // ±50%: profiling sessions show the same 256k-row aggregate taking
     // 0.5 s in one run and 15 s in the next under external scheduler
     // interference, so one retry is not enough to recover the steady
@@ -165,8 +166,9 @@ object Bench {
     // noise shifts the min most where absolute time is largest). The
     // sample counts are SYMMETRY with the committed anchor, not
     // cherry-picking: BASELINE_LOCAL.json is a per-query min over
-    // runs × min-of-3 ≥ 21 DuckDB samples (runs=7 at r8), so min-of-5
-    // still concedes the comparator a 4× deeper minimum search.
+    // runs × min-of-3 DuckDB samples (27 at the committed runs=9), so
+    // min-of-5 still concedes the comparator a ~5× deeper minimum
+    // search.
     def run(names: Seq[String]): Seq[(String, Either[String, Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Either[String, Double] = {

@@ -485,6 +485,15 @@ object SparkEntry {
         .select(graft.sources.Schema.seriesValuesColumns.map(col): _*)
       store.appendValues(sv.filter(pmod(col("series_id"), lit(2)) === 0))
       store.appendValues(sv.filter(pmod(col("series_id"), lit(2)) =!= 0))
+      // appendValues SKIPS the manifest commit for a batch that stages
+      // no files, so a dataset whose series ids are all one parity
+      // would silently shift the version indices the queries rely on —
+      // fail loudly instead of letting td_time_travel read the wrong
+      // snapshot against its oracle.
+      require(store.versions().length >= 3,
+        "timeTravelStore: expected 3 committed versions (create + two " +
+          s"parity batches), found ${store.versions().length} — the source " +
+          "frame must contain BOTH series-id parities")
       store
     })
 

@@ -191,8 +191,11 @@ object Curation {
       fixedThresholds, materialize)
       .filter(col(tokenCol) > 0)
       .select(col(orderCol), col("token_start"),
-        col(tokenCol).cast("long").as("__n"))
-      .withColumn("__p0", expr(s"token_start div ${packTokens}L"))
+        col(tokenCol).cast("long").as("__n"),
+        // __p0 IS packSequences' own pack_id — reusing it (rather than
+        // re-deriving the division) keeps the audit tied to whatever
+        // assignment the packing actually made
+        col("pack_id").as("__p0"))
       .withColumn("__p1", expr(s"(token_start + __n - 1) div ${packTokens}L"))
     packed
       .select(col("token_start"), col("__n"), col("__p0"), col("__p1"),

@@ -46,8 +46,12 @@ object Graph {
     * the shuffle with no driver state. On a real cluster, bucket the
     * edge table by `src` and the per-iteration join side of the shuffle
     * disappears; the rank frame (node-sized, two longs) is the only
-    * per-round exchange. Iterations localCheckpoint so lineage doesn't
-    * compound (the [[Dedup.duplicateClusters]] loop discipline).
+    * per-round exchange. The rank chain checkpoints every FIFTH
+    * iteration (lineage depth ≤ 5 is harmless, and an un-checkpointed
+    * tail runs as one plan with the adj-side exchange reused — the
+    * per-iteration materialization actions this replaced were a third
+    * of the sf0.1 wall at iters = 3); long loops still can't compound
+    * lineage, the [[Dedup.duplicateClusters]] discipline.
     *
     * Output: (id, rank_units LONG, rank DOUBLE = units / 10^12). Total
     * mass is conserved up to truncation (each node's division and the

@@ -819,9 +819,14 @@ object TextAnalysis {
     // which AQE's coalescing would happily fold back to one partition;
     // the expensive thing is the per-row fan-out BELOW the checkpoint,
     // which AQE cannot see from the exchange size.
+    // null text reads as an empty token list (the join formulation got
+    // the same effect from explode dropping the row): the doc still
+    // scores, by priors alone. Without the coalesce, a null __tc would
+    // null __nd, break the class-stat collect, and null the scores.
     val baseRaw = docs.filter(col(labelCol).isNotNull)
       .select(col(idCol), col(labelCol).cast("string").as("__c"),
-        graft.functions.TokenHashCounts(col(textCol)).as("__tc"))
+        graft.functions.TokenHashCounts(coalesce(col(textCol), lit("")))
+          .as("__tc"))
       .withColumn("__nd", aggregate(col("__tc"), lit(0L),
         (acc, x) => acc + x.getField("m")))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
@@ -863,6 +868,22 @@ object TextAnalysis {
     val nDocs = classDocCounts.values.sum
     def r8(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    // zero labeled docs: the join formulation propagated an empty frame;
+    // keep that contract (NbScores requires a non-empty class set).
+    if (classDocCounts.isEmpty)
+      return docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            docs.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("predicted",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("correct",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))))
     val classNames: Array[String] = classDocCounts.keys.toArray.sorted
     val classIdx: Map[String, Int] = classNames.zipWithIndex.toMap
     // prior as the 10-scale decimal the engine's cast(double AS

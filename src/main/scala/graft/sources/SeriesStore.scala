@@ -406,18 +406,20 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
 
   private def zCurrentVersion(root: Path): Option[Long] = {
     val cur = new Path(root, "_current")
-    if (!fs.exists(cur)) None
-    else {
-      val in = fs.open(cur)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](64)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        scala.util.Try(new String(bytes.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
-      } finally in.close()
+    // open, don't exists-then-open: a rebuild's delete→rename pointer
+    // commit can race between the two calls, and a reader landing in
+    // that window must take the highest-_SUCCESS fallback, not throw.
+    val in = try fs.open(cur) catch {
+      case _: java.io.FileNotFoundException => return None
     }
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      scala.util.Try(new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+    } finally in.close()
   }
 
   /** The z-ordered mirror as a DataFrame. Resolves the `_current`

@@ -1308,6 +1308,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).toSet == Set("10", "20"), "int labels cast to string")
   }
 
+  test("nbClassify: null text scores by priors; zero labeled docs -> empty frame") {
+    // null text = empty token list (the doc still scores, on priors
+    // alone); a class whose only docs are token-free must not break
+    // the class-stat collect
+    val corpus = Seq(
+      (1L, "grep awk sed", "code"),
+      (2L, "grep sed pipe", "code"),
+      (3L, null, "misc")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.nbClassify(corpus).orderBy("doc_id")
+      .select("doc_id", "predicted").as[(Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), "null-text doc still scored")
+    // doc 3: priors code=2/3 > misc=1/3, likelihoods empty -> code wins
+    assert(got(2)._2 == "code")
+    // all labels null: empty frame with the output schema, not a throw
+    val unlabeled = Seq((1L, "alpha beta", null: String))
+      .toDF("doc_id", "text", "source")
+    val empty = TextAnalysis.nbClassify(unlabeled)
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "label", "predicted", "correct", "score"))
+  }
+
   test("trainer entries fail loudly on degenerate corpora") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     val eEmptyK = intercept[IllegalArgumentException] {
