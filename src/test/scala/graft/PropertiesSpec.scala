@@ -244,4 +244,73 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("nbClassify (kernel serving) ≡ driver-side reference on random corpora") {
+    // The model-in-expression serving path against an independent
+    // reference implementation of the SAME published contract
+    // (multinomial NB, k = 0.5, 8dp-rounded logs, decimal(28,10)
+    // per-term casts, 6dp HALF_UP final round, ties to the smallest
+    // class) computed entirely on the driver — locks the decimal
+    // arithmetic beyond what one fixed oracle corpus exercises.
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docGen = for {
+      n <- Gen.choose(0, 8)
+      toks <- Gen.listOfN(n, Gen.oneOf(words))
+      label <- Gen.oneOf("u", "v", "w")
+    } yield (toks.mkString(" "), label)
+    val corpusGen = Gen.listOfN(30, docGen)
+    for (seed <- 1L to 5L) {
+      val rows = corpusGen.pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+      val df = rows.toDF("doc_id", "text", "source")
+      val got = graft.operators.TextAnalysis.nbClassify(df)
+        .select("doc_id", "predicted", "score")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+
+      // reference: exact per published contract, hash32 token hashes
+      def h(tok: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      def r8(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+      def dec10(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+      val k = 0.5
+      val toks = rows.map { case (id, t, l) =>
+        (id, l, t.split(" ").filter(_.nonEmpty).map(h).toSeq) }
+      val classes = toks.map(_._2).distinct.sorted
+      val nDocs = toks.size
+      val vocab = toks.flatMap(_._3).distinct.size
+      val nc = classes.map(c => c -> toks.filter(_._2 == c).map(_._3.size.toLong).sum).toMap
+      val pairCnt = toks.groupBy(_._2).map { case (c, ds) =>
+        c -> ds.flatMap(_._3).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong } }
+      val prior = classes.map(c =>
+        c -> dec10(r8(math.log(toks.count(_._2 == c).toDouble / nDocs)))).toMap
+      val baseT = classes.map(c => c -> r8(math.log(k / (nc(c) + k * vocab)))).toMap
+      toks.foreach { case (id, _, ws) =>
+        val nd = ws.size.toLong
+        val scored = classes.map { c =>
+          val sum = ws.groupBy(identity).foldLeft(java.math.BigDecimal.ZERO) {
+            case (acc, (w, occ)) =>
+              pairCnt(c).get(w) match {
+                case Some(cnt) =>
+                  val delta = r8(math.log((cnt + k) / (nc(c) + k * vocab))) - baseT(c)
+                  acc.add(dec10(occ.size * delta))
+                case None => acc
+              }
+          }
+          val score = sum.add(prior(c))
+            .add(dec10(nd.toDouble * baseT(c)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          (c, score)
+        }
+        // argmax: score desc, class asc on ties
+        val best = scored.sortBy { case (c, sc) => (-sc, c) }.head
+        assert(got(id) == ((best._1, best._2)),
+          s"seed=$seed doc=$id got=${got(id)} want=$best scored=$scored")
+      }
+    }
+  }
 }
