@@ -245,6 +245,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("packStats invariants hold on random corpora") {
+    val sizeGen = Gen.listOfN(60, Gen.frequency(
+      8 -> Gen.choose(0, 400), 1 -> Gen.const(0), 1 -> Gen.choose(2000, 5000)))
+    for (seed <- 1L to 5L) {
+      val sizes = sizeGen.pureApply(Gen.Parameters.default, Seed(seed))
+      val df = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("doc_id", "n_tokens")
+      val C = 1024L
+      val stats = graft.operators.Curation.packStats(df, "doc_id", "n_tokens", C)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val total = sizes.map(_.toLong).sum
+      if (total == 0) assert(stats.isEmpty)
+      else {
+        // windows tile the stream: ids 0..ceil(total/C)-1, fill == C
+        // everywhere but the last, sum of fills == total tokens
+        val lastPack = (total - 1) / C
+        assert(stats.map(_._1).toSeq == (0L to lastPack))
+        assert(stats.map(_._4).sum == total, s"seed=$seed")
+        assert(stats.dropRight(1).forall(_._4 == C), s"seed=$seed")
+        // doc accounting: full docs are a subset of contributing docs,
+        // and every nonzero doc contributes to >= 1 window
+        assert(stats.forall(r => r._3 <= r._2), s"seed=$seed")
+        assert(stats.map(_._2).sum >= sizes.count(_ > 0), s"seed=$seed")
+      }
+    }
+  }
+
   test("nbClassify (kernel serving) ≡ driver-side reference on random corpora") {
     // The model-in-expression serving path against an independent
     // reference implementation of the SAME published contract
