@@ -406,6 +406,21 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "test data must actually produce matches")
   }
 
+  test("joinWithin analyzes when inputs share non-key column names") {
+    // both frames carry an extra column literally named "extra" (and
+    // the timestamps are named identically too): the frame-qualified
+    // condition must resolve each side against its own frame
+    val left = Seq((1L, ts("2024-03-01T10:00:00Z"), "L"))
+      .toDF("k", "when_ts", "extra")
+    val right = Seq((1L, ts("2024-03-01T10:05:00Z"), "R"))
+      .toDF("k", "when_ts", "extra")
+    val out = graft.streaming.StreamingJoin.joinWithin(
+      left, right.withColumnRenamed("when_ts", "r_ts"),
+      keyCol = "k", leftTs = "when_ts", rightTs = "r_ts", within = "10 minutes")
+    assert(out.count() == 1)
+    assert(out.columns.count(_ == "extra") == 2, "both same-named columns kept")
+  }
+
   test("checkpoint restart: ingest continues, join state survives") {
     import org.apache.spark.sql.types._
     // --- ingest: a second query over the same checkpoint must continue
