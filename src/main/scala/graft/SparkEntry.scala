@@ -419,19 +419,35 @@ object SparkEntry {
   private val storedNearDupIndexMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** pid-scoped scratch root for the build-once/serve-many artifacts
+    * keyed by data dir: without the pid component two concurrent JVMs
+    * benching the same dataset would delete()/rebuild the same store
+    * under each other's reads (ADVICE r8). Path key inside the root:
+    * the sanitized dir string itself (hashCode alone could collide two
+    * dirs onto one store; the full string cannot). */
+  private def scratchPath(kind: String, dir: String): String =
+    new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"${kind}_${ProcessHandle.current().pid()}"),
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "-" + java.lang.Integer.toHexString(dir.hashCode)).getPath
+
+  /** Guards every side-effecting store builder: TrieMap.getOrElseUpdate
+    * is atomic about which RESULT wins, not about how many times the
+    * thunk runs — an intra-process race could otherwise run a
+    * delete+create+append sequence twice against the same path. */
+  private val scratchLock = new Object
+
   private def storedNearDupIndex(s: SparkSession, dir: String): DataFrame =
-    storedNearDupIndexMemo.getOrElseUpdate((s, dir), {
-      val seen = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      // Path key: the sanitized dir string itself (hashCode alone could
-      // collide two dirs onto one stored index; the full string cannot).
-      val path = new java.io.File(
-        new java.io.File(sys.props("java.io.tmpdir"), "graft_neardup_index"),
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-          "-" + java.lang.Integer.toHexString(dir.hashCode)).getPath
-      Dedup.nearDupIndex(seen, n = 2, numHashes = 16, bands = 8)
-        .write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
-    })
+    scratchLock.synchronized {
+      storedNearDupIndexMemo.getOrElseUpdate((s, dir), {
+        val seen = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val path = scratchPath("graft_neardup_index", dir)
+        Dedup.nearDupIndex(seen, n = 2, numHashes = 16, bands = 8)
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      })
+    }
 
   /** Memoized PARQUET-backed IVF index per (session, data dir): the
     * [[builtIvfIndex]] artifacts (centroid table + cell-assigned
@@ -445,16 +461,15 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
 
   private def storedIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    storedIvfIndexMemo.getOrElseUpdate((s, dir), {
-      val (cent, corpus) = builtIvfIndex(s, dir)
-      val base = new java.io.File(
-        new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf_index"),
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-          "-" + java.lang.Integer.toHexString(dir.hashCode)).getPath
-      cent.write.mode("overwrite").parquet(s"$base/centroids")
-      corpus.write.mode("overwrite").parquet(s"$base/corpus")
-      (s.read.parquet(s"$base/centroids"), s.read.parquet(s"$base/corpus"))
-    })
+    scratchLock.synchronized {
+      storedIvfIndexMemo.getOrElseUpdate((s, dir), {
+        val (cent, corpus) = builtIvfIndex(s, dir)
+        val base = scratchPath("graft_ivf_index", dir)
+        cent.write.mode("overwrite").parquet(s"$base/centroids")
+        corpus.write.mode("overwrite").parquet(s"$base/corpus")
+        (s.read.parquet(s"$base/centroids"), s.read.parquet(s"$base/corpus"))
+      })
+    }
 
   /** Memoized time-travel scratch store per (session, data dir): the
     * bitemporal surrogate committed in TWO deterministic batches (even
@@ -469,11 +484,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.sources.SeriesStore]
 
   private def timeTravelStore(s: SparkSession, dir: String): graft.sources.SeriesStore =
-    timeTravelStoreMemo.getOrElseUpdate((s, dir), {
-      val base = new java.io.File(
-        new java.io.File(sys.props("java.io.tmpdir"), "graft_timetravel"),
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-          "-" + java.lang.Integer.toHexString(dir.hashCode)).getPath
+    scratchLock.synchronized { timeTravelStoreMemo.getOrElseUpdate((s, dir), {
+      val base = scratchPath("graft_timetravel", dir)
       val store = new graft.sources.SeriesStore(s, base)
       store.delete()
       store.create()
@@ -495,7 +507,7 @@ object SparkEntry {
           s"parity batches), found ${store.versions().length} — the source " +
           "frame must contain BOTH series-id parities")
       store
-    })
+    }) }
 
   /** Memoized duplicate-cluster frame per (session, data dir): the
     * bigram-Jaccard candidate pairs collapsed to connected components —
@@ -631,9 +643,34 @@ object SparkEntry {
     ivfIndexMemo.clear()
     clusterMemo.clear()
     storedNearDupIndexMemo.clear()
+    storedIvfIndexMemo.clear()
+    bm25Memo.clear()
     pqMemo.clear()
     timeTravelStoreMemo.clear()
     copurchaseMemo.clear()
+  }
+
+  /** Force every build-artifact memo for `dir` and report each build's
+    * wall seconds. The bench calls this BEFORE its timed region so
+    * index/store construction is charged to a named `index_build` line
+    * instead of leaking into whichever timed query touches the memo
+    * first (r8: `x_ann_ivf_probe` swung 0.28 ↔ 1.45 s between epochs
+    * purely on build attribution). Each thunk forces materialization —
+    * the localCheckpoints inside the builders are eager, and the
+    * stores/parquet round-trips are synchronous writes. */
+  def prewarmBuilds(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime(); f; name -> (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      timed("copurchase_edges") { copurchaseEdges(s, dir); () },
+      timed("bm25_index") { builtBm25Index(s, dir); () },
+      timed("ivf_index") { builtIvfIndex(s, dir); () },
+      timed("pq_codebook") { pqTrained(s, dir); () },
+      timed("neardup_index_stored") { storedNearDupIndex(s, dir); () },
+      timed("ivf_index_stored") { storedIvfIndex(s, dir); () },
+      timed("dup_clusters") { builtClusters(s, dir).count(); () },
+      timed("timetravel_store") { timeTravelStore(s, dir); () })
   }
 
   // ---------------------------------------------------------------------

@@ -73,4 +73,78 @@ object Layout {
       .sortWithinPartitions("zaddr")
       .drop("zx", "zy", "zaddr")
       .write.mode("overwrite").parquet(path)
+
+  /** Default re-chunk policy for [[rechunkMirror]]: fact-sized tables
+    * (≥ 50k rows) split into ~8k-row chunks capped at 32; smaller
+    * tables are copied byte-identical (splitting a dimension table
+    * buys nothing and costs per-file listing/open overhead). Callers
+    * with per-row-expensive columns (text kernels, embeddings)
+    * override per table. */
+  def defaultChunkPolicy(table: String, rows: Long): Int =
+    if (rows >= 50000) math.min(32L, rows / 8192).toInt else 1
+
+  /** Ingest-layout mirror: rewrite every `<table>.parquet` under
+    * `srcDir` into `dstDir` with `partsFor(table, rows)` row groups,
+    * preserving row order (stable id → range partition → sort). Tables
+    * the policy leaves at 1 part are copied byte-for-byte.
+    *
+    * Why this exists: Spark's scan parallelism bottoms out at ROW
+    * GROUP granularity — `maxPartitionBytes` can cut a file into
+    * splits, but only the split holding a row group's start reads any
+    * rows, so a single-row-group file serializes its whole
+    * scan→join→agg pipeline onto one task no matter how many cores
+    * the session has. Real deployments never see that layout (TB-scale
+    * tables arrive as thousands of files × row groups, and this
+    * engine's own store — SeriesStore, like the reference's ClickHouse
+    * MergeTree ingest, timedb/db.py:60-84 — re-lays data out on
+    * write), but flat single-file parquet drops straight into the
+    * degenerate case. Re-chunking once at ingest is the layout every
+    * scan after it inherits.
+    *
+    * Order preservation matters so time-clustered sources keep their
+    * min/max footer locality (the same property writeZOrdered buys in
+    * 2-D): `monotonically_increasing_id` is monotone within each input
+    * split and splits are file-ordered, so range-partitioning on it
+    * reproduces the source order exactly for single-file inputs. */
+  def rechunkMirror(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String,
+      partsFor: (String, Long) => Int = defaultChunkPolicy): Unit = {
+    // ns-timestamp sources (the events table) read as raw longs — the
+    // mirror then stores plain int64 and readers apply the same
+    // ns→µs truncation they apply to the source (Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tables = Option(new java.io.File(srcDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    tables.foreach { f =>
+      val table = f.getName.stripSuffix(".parquet")
+      val src = spark.read.parquet(f.getPath)
+      val parts = partsFor(table, src.count())
+      val outDir = new java.io.File(dstDir, f.getName)
+      if (parts <= 1) {
+        outDir.mkdirs()
+        val dst = new java.io.File(outDir, "part-00000.parquet").toPath
+        if (f.isDirectory) {
+          // copy each data file of an already-multi-file table
+          f.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+            .foreach { case (p, i) =>
+              java.nio.file.Files.copy(p.toPath,
+                new java.io.File(outDir, f"part-$i%05d.parquet").toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+        } else {
+          java.nio.file.Files.copy(f.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        ()
+      } else {
+        src.withColumn("__rid", monotonically_increasing_id())
+          .repartitionByRange(parts, col("__rid"))
+          .sortWithinPartitions("__rid")
+          .drop("__rid")
+          .write.mode("overwrite").parquet(outDir.getPath)
+      }
+    }
+  }
 }

@@ -62,4 +62,45 @@ class LayoutSpec extends SparkSpec {
     assert(touched(xPath, 2000, 2400) == 16L)
     assert(touched(zPath, 2000, 2400) <= 8L)
   }
+
+  test("rechunkMirror: row order preserved, chunk policy honored, small tables byte-copied") {
+    val src = java.nio.file.Files.createTempDirectory("rechunk_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("rechunk_dst").toString + "/mirror"
+    // a "fact" table written as ONE file/row group, in a known order
+    (0 until 60000).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "payload")
+      .coalesce(1).write.parquet(s"$src/fact.parquet")
+    // a small table the policy must copy untouched
+    Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+      .coalesce(1).write.parquet(s"$src/dim.parquet")
+    Layout.rechunkMirror(spark, src, dst)
+    // fact: 60000/8192 = 7 chunks, each its own file
+    val factFiles = new java.io.File(s"$dst/fact.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(factFiles == 7, s"expected 7 chunk files, got $factFiles")
+    // order preservation: per-file id ranges must not overlap, and the
+    // full id sequence must survive exactly
+    val ranges = spark.read.parquet(s"$dst/fact.parquet")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"), count(lit(1)).as("n"))
+      .select("lo", "hi", "n").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(ranges.map(_._3).sum == 60000L)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: $hi1 >= $lo2 — order lost")
+      case _ =>
+    }
+    // dim: byte-identical copy (same length as the single source file)
+    val srcDim = new java.io.File(s"$src/dim.parquet")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val dstDim = new java.io.File(s"$dst/dim.parquet")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(dstDim == srcDim, "small table must be copied, not rewritten")
+    // content equality both tables
+    assert(spark.read.parquet(s"$dst/fact.parquet").orderBy("id").collect().toSeq ==
+      spark.read.parquet(s"$src/fact.parquet").orderBy("id").collect().toSeq)
+    assert(spark.read.parquet(s"$dst/dim.parquet").orderBy("k").collect().toSeq ==
+      spark.read.parquet(s"$src/dim.parquet").orderBy("k").collect().toSeq)
+  }
 }
