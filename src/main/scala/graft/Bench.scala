@@ -155,7 +155,9 @@ object Bench {
       "ts_gaps", "ts_mad", "x_text_ctfidf", "x_lsh_plan",
       "x_quality_calibrated",
       // round-8 additions
-      "td_time_travel", "td_change_feed", "x_dedup_cdc_bounded", "x_pack_stats"))
+      "td_time_travel", "td_change_feed", "x_dedup_cdc_bounded", "x_pack_stats",
+      // round-9 additions
+      "td_zmirror_read"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

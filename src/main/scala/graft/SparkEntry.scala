@@ -509,6 +509,24 @@ object SparkEntry {
       store
     }) }
 
+  /** Memoized z-mirrored store per (session, data dir): the
+    * [[timeTravelStore]] with a z-ordered mirror of its current table
+    * committed (SeriesStore.createZOrderedMirror) — the build-once
+    * lifecycle of every stored artifact here, so `td_zmirror_read`
+    * measures the mirror READ path (pointer resolve → versioned dir →
+    * 2-D-clustered files), not a rebuild per run. */
+  private val zMirrorMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.sources.SeriesStore]
+
+  private def zMirroredStore(s: SparkSession, dir: String): graft.sources.SeriesStore =
+    scratchLock.synchronized {
+      zMirrorMemo.getOrElseUpdate((s, dir), {
+        val store = timeTravelStore(s, dir)
+        store.createZOrderedMirror("sv_zm", files = 16)
+        store
+      })
+    }
+
   /** Memoized duplicate-cluster frame per (session, data dir): the
     * bigram-Jaccard candidate pairs collapsed to connected components —
     * the assignment every keep/drop decision downstream consumes.
@@ -670,7 +688,8 @@ object SparkEntry {
       timed("neardup_index_stored") { storedNearDupIndex(s, dir); () },
       timed("ivf_index_stored") { storedIvfIndex(s, dir); () },
       timed("dup_clusters") { builtClusters(s, dir).count(); () },
-      timed("timetravel_store") { timeTravelStore(s, dir); () })
+      timed("timetravel_store") { timeTravelStore(s, dir); () },
+      timed("zorder_mirror") { zMirroredStore(s, dir); () })
   }
 
   // ---------------------------------------------------------------------
@@ -874,6 +893,34 @@ object SparkEntry {
         |       value, changed_by, annotation, retention
         |FROM sv
         |WHERE series_id % 2 = 1
+        |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
+
+    ("td_zmirror_read",
+      // Read SERVED FROM the z-ordered mirror: the engine resolves the
+      // `_current` pointer to the committed versioned dir and scans the
+      // 2-D-clustered files with a band predicate on BOTH clustering
+      // axes — the oracle replays the defining predicate over the
+      // source frame, so what's tested is that the mirror's files
+      // (written via Layout.writeZOrdered, committed by pointer
+      // rename) hold exactly the table. Footer stats prune ~√sel of
+      // the files on either axis (LayoutSpec pins the geometry).
+      (s, dir) => {
+        val store = zMirroredStore(s, dir)
+        store.scanZOrdered("sv_zm")
+          .filter(col("series_id").between(20, 70) &&
+            col("valid_time") >= lit(ts("2024-01-03T00:00:00Z")) &&
+            col("valid_time") < lit(ts("2024-02-01T00:00:00Z")))
+          .select("series_id", "valid_time", "knowledge_time", "change_time",
+            "value", "changed_by", "annotation", "retention")
+          .orderBy("series_id", "valid_time", "knowledge_time", "change_time")
+      },
+      Some(s"""$svCte
+        |SELECT series_id, valid_time, knowledge_time, change_time,
+        |       value, changed_by, annotation, retention
+        |FROM sv
+        |WHERE series_id BETWEEN 20 AND 70
+        |  AND valid_time >= TIMESTAMP '2024-01-03'
+        |  AND valid_time <  TIMESTAMP '2024-02-01'
         |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
 
     // ----- skip-unchanged write dedup (SURVEY §2.2 W4 + §2.4 J2) -----
@@ -1200,9 +1247,17 @@ object SparkEntry {
             .when(pmod(col("c_custkey"), lit(4)) === 1, "medium")
             .when(pmod(col("c_custkey"), lit(4)) === 2, "long")
             .otherwise("forever").as("retention"))
-        val (ids, rets) = graft.sources.MetaSource(catalog, rootPath = Some("root/BUILDING")).resolve()
+        // plan-side resolve (resolvedCatalog): the id and retention
+        // sets ride in as broadcast semi-joins that build WHILE the
+        // series scan plans/runs, replacing the blocking driver collect
+        // + literal isin splice (resolve()) — one fewer job, same
+        // oracle. TimeDb's store reads keep resolve(): there the
+        // literal list must prune month partitions before the scan.
+        val resolved = graft.sources.MetaSource(catalog, rootPath = Some("root/BUILDING"))
+          .resolvedCatalog()
         ReadShapes.latest(Tables.series(s, dir)
-          .filter(col("series_id").isin(ids: _*) && col("retention").isin(rets: _*)))
+          .join(broadcast(resolved.select("series_id")), Seq("series_id"), "left_semi")
+          .join(broadcast(resolved.select("retention").distinct()), Seq("retention"), "left_semi"))
           .orderBy("series_id", "valid_time")
       },
       Some(s"""$svCte,
@@ -2396,14 +2451,21 @@ object SparkEntry {
         // 100 TB the winner shuffle moves ~50× less than rows that
         // still hold text. Winner choice (min doc_id per digest) is
         // independent of the profile values, so the reorder is exact.
-        val w = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
+        // min-doc_id-per-digest as min(struct(doc_id, ...)) — a HASH
+        // aggregate with map-side partial combine, replacing the digest
+        // window (which had to SORT each hash partition to rank rows).
+        // doc_id leads the struct and is unique, so lexicographic min =
+        // the min-doc_id row. The quality gate moves BEFORE the
+        // exchange: duplicate rows share the text byte-for-byte, so
+        // quality/approx_bpe_tokens are equal across a digest group and
+        // gating first drops the same winners the window formulation
+        // gated after — while shrinking the shuffle.
         val cand = TextAnalysis.withProfile(
             docs.withColumn("__digest", md5(col("text").cast("binary"))))
-          .select(col("__digest"), col("doc_id"), col("quality"), col("approx_bpe_tokens"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
           .filter(col("quality") >= 0.5)
-          .select("doc_id", "quality", "approx_bpe_tokens")
+          .groupBy("__digest")
+          .agg(min(struct(col("doc_id"), col("quality"), col("approx_bpe_tokens"))).as("__w"))
+          .select(col("__w.doc_id"), col("__w.quality"), col("__w.approx_bpe_tokens"))
         // quality is a known [0,1] score — fixed thresholds skip the
         // quantile-estimation scan, making the whole operator ONE job.
         // materialize=Some(false): the input is deterministic (pure
@@ -4473,12 +4535,25 @@ object SparkEntry {
         |         round(pow(CAST(COUNT(*) AS DOUBLE), 0.5), 8) AS w
         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
         |tot AS (SELECT SUM(CAST(w AS DECIMAL(28,8))) AS tw FROM counts),
-        |budgets AS (
+        |quotas AS (
         |  SELECT lang, n_docs,
         |         round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share,
-        |         CAST(floor(round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) * 200.0)
-        |              AS BIGINT) AS stratum_budget
+        |         round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) * 200.0 AS q
         |  FROM counts CROSS JOIN tot),
+        |lr AS (
+        |  SELECT lang, n_docs, share,
+        |         CAST(floor(q) AS BIGINT) AS base,
+        |         row_number() OVER (ORDER BY round(q - floor(q), 6) DESC, lang) AS rk,
+        |         200 - SUM(CAST(floor(q) AS BIGINT)) OVER () AS extra,
+        |         COUNT(*) OVER () AS ns
+        |  FROM quotas),
+        |budgets AS (
+        |  SELECT lang, n_docs, share,
+        |         greatest(0, base
+        |           + CASE WHEN extra > 0 AND rk <= extra THEN 1 ELSE 0 END
+        |           - CASE WHEN extra < 0 AND rk > ns + extra THEN 1 ELSE 0 END)
+        |           AS stratum_budget
+        |  FROM lr),
         |ranked AS (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang

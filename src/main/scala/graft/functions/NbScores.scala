@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -14,13 +15,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The [[NearestCentroid]] pattern applied to text classification: the
   * model is VOCAB-bounded (distinct-token × class deltas + per-class
-  * prior/base constants), so it ships inside the expression and each
-  * corpus row costs `tokens × classes` lookups with NO |model|-way row
-  * expansion, NO join, NO aggregation and NO window — the plan is
-  * scan → project. (The broadcast-join formulation this replaces
-  * fanned the token frame out |classes|× into a decimal aggregate and
-  * re-joined per doc; at sf0.1 that was a 2.3 M-row exchange for a
-  * 620-entry model.)
+  * prior/base constants), so each corpus row costs `tokens × classes`
+  * lookups with NO |model|-way row expansion, NO join, NO aggregation
+  * and NO window — the plan is scan → project. (The broadcast-join
+  * formulation this replaces fanned the token frame out |classes|×
+  * into a decimal aggregate and re-joined per doc; at sf0.1 that was
+  * a 2.3 M-row exchange for a 620-entry model.)
+  *
+  * The model ships as a [[Broadcast]] handle, NOT inline in the
+  * expression: the expression (and thus every task binary) carries
+  * only the stub, and each executor fetches the vocab × classes
+  * matrix once via the torrent broadcast instead of once per task —
+  * the standard model-serving shape at cluster scale. Two expressions
+  * built from one [[NbScores.apply]] call share the handle and
+  * compare equal; models trained separately are distinct by design
+  * (array equality on a vocab-sized matrix is not a planner's job).
   *
   * Arithmetic is replay-exact against the SQL oracle's decimal
   * formulation: per-present-pair terms accumulate as
@@ -30,16 +39,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * HALF_UP and only then narrows to double — so predictions AND
   * winning scores hash-match the join formulation bit for bit. Ties
   * break toward the lexicographically smallest class (classes arrive
-  * sorted; strict improvement only).
-  *
-  * `classes` are the sorted class names; `priors(i)`/`bases(i)` their
-  * log-prior (as the 10-scale decimal the engine's cast produces) and
-  * 8dp-rounded base term; `tokenIdx` maps a token hash to its row in
-  * `deltaMat`, whose `Double.NaN` entries mark (token, class) pairs
-  * absent from the training mass. */
-case class NbScores(child: Expression, classes: Array[String],
-    priors: Array[java.math.BigDecimal], bases: Array[Double],
-    tokenIdx: Map[Long, Int], deltaMat: Array[Array[Double]])
+  * sorted; strict improvement only). */
+case class NbScores(child: Expression, model: Broadcast[NbScores.Model])
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -52,10 +53,12 @@ case class NbScores(child: Expression, classes: Array[String],
 
   override def prettyName: String = "nb_scores"
 
+  @transient private lazy val m = model.value
+
   override def nullSafeEval(v: Any): Any = {
     val tc = v.asInstanceOf[ArrayData]
     val n = tc.numElements()
-    val nc = classes.length
+    val nc = m.classes.length
     val sums = new Array[java.math.BigDecimal](nc)
     java.util.Arrays.fill(sums.asInstanceOf[Array[AnyRef]], java.math.BigDecimal.ZERO)
     var nd = 0L
@@ -63,11 +66,11 @@ case class NbScores(child: Expression, classes: Array[String],
     while (i < n) {
       val row = tc.getStruct(i, 2)
       val w = row.getLong(0)
-      val m = row.getLong(1)
-      nd += m
-      tokenIdx.get(w) match {
+      val cnt = row.getLong(1)
+      nd += cnt
+      m.tokenIdx.get(w) match {
         case Some(r) =>
-          val deltas = deltaMat(r)
+          val deltas = m.deltaMat(r)
           var c = 0
           while (c < nc) {
             val d = deltas(c)
@@ -75,7 +78,7 @@ case class NbScores(child: Expression, classes: Array[String],
             // formulation's `col("__m") * col("__delta")`
             if (!d.isNaN)
               sums(c) = sums(c).add(java.math.BigDecimal
-                .valueOf(m * d).setScale(10, java.math.RoundingMode.HALF_UP))
+                .valueOf(cnt * d).setScale(10, java.math.RoundingMode.HALF_UP))
             c += 1
           }
         case None => // token absent from the model: contributes nd only
@@ -86,15 +89,15 @@ case class NbScores(child: Expression, classes: Array[String],
     var bestScore = 0.0
     var c = 0
     while (c < nc) {
-      val score = sums(c).add(priors(c))
-        .add(java.math.BigDecimal.valueOf(nd.toDouble * bases(c))
+      val score = sums(c).add(m.priors(c))
+        .add(java.math.BigDecimal.valueOf(nd.toDouble * m.bases(c))
           .setScale(10, java.math.RoundingMode.HALF_UP))
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       if (best < 0 || score > bestScore) { best = c; bestScore = score }
       c += 1
     }
     val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
-    out.update(0, UTF8String.fromString(classes(best)))
+    out.update(0, UTF8String.fromString(m.classes(best)))
     out.update(1, bestScore)
     out
   }
@@ -104,12 +107,24 @@ case class NbScores(child: Expression, classes: Array[String],
 }
 
 object NbScores {
+
+  /** The executor-resident model: sorted class names, their log-priors
+    * (10-scale decimals) and 8dp base terms, the token-hash → row
+    * index, and the dense (token × class) delta matrix with NaN
+    * marking pairs absent from the training mass. */
+  final case class Model(classes: Array[String],
+      priors: Array[java.math.BigDecimal], bases: Array[Double],
+      tokenIdx: Map[Long, Int], deltaMat: Array[Array[Double]])
+      extends Serializable
+
   def apply(tokenCounts: Column, classes: Array[String],
       priors: Array[java.math.BigDecimal], bases: Array[Double],
       tokenIdx: Map[Long, Int], deltaMat: Array[Array[Double]]): Column = {
     require(classes.nonEmpty, "NB model must have at least one class")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(
+      Model(classes, priors, bases, tokenIdx, deltaMat))
     GraftColumnBridge.toColumn(NbScores(
-      GraftColumnBridge.toExpression(tokenCounts),
-      classes, priors, bases, tokenIdx, deltaMat))
+      GraftColumnBridge.toExpression(tokenCounts), bc))
   }
 }

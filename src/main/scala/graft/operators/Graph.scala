@@ -185,35 +185,101 @@ object Graph {
     * Input edges are normalized (a < b, distinct) first. Output:
     * (id, deg) — every vertex of the k-core with its degree INSIDE the
     * core (≥ k by definition; empty when no k-core exists).
+    *
+    * Hybrid tail: when the surviving edge frame fits
+    * `localFinishEdges` (collected rows on the driver), the remaining
+    * rounds run as an in-core loop under the SAME round budget —
+    * peeling shrinks the frame monotonically, so distribution pays on
+    * the early frame and the tail stops burning a scheduling-floor
+    * job pair per degree level. 0 disables (pure distributed loop).
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,
-      aCol: String = "a", bCol: String = "b"): DataFrame = {
+      aCol: String = "a", bCol: String = "b",
+      localFinishEdges: Long = 1L << 20): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
     var e = edges.select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") < col("b")).distinct().localCheckpoint()
-    def degrees = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // One whole peel as a PLAN, not an action: the low list rides into
+    // both anti-joins as an explicit broadcast built inside the same
+    // job (two aliases of one subplan — ReuseExchange ships ONE
+    // broadcast). Under static planning the low side's size estimate
+    // is unknown (it hangs off a checkpointed RDD), so without the
+    // hint these anti-joins silently fall back to sort-merge — three
+    // extra exchanges per round. The frontier after round one is
+    // peel-depth-bounded; a graph whose FIRST frontier outgrows
+    // executor memory should pre-gate degree-0/1 vertices with one
+    // ordinary shuffle before calling this.
+    def peel(cur: DataFrame): DataFrame = {
+      val low = cur.select(col("a").as("id")).union(cur.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select(col("id"))
+      cur.join(broadcast(low.select(col("id").as("__low_a"))),
+          col("a") === col("__low_a"), "left_anti")
+        .join(broadcast(low.select(col("id").as("__low_b"))),
+          col("b") === col("__low_b"), "left_anti")
+    }
+    // Convergence by edge count, exactly: a peeled vertex appears in
+    // ≥ 1 surviving edge by definition (deg ≥ 1 > 0), so the peel
+    // removed a vertex iff it removed an edge — count unchanged ⟺
+    // the low set was empty ⟺ fixpoint. That makes each round TWO
+    // jobs (materialize + count over the materialized blocks) instead
+    // of the low-checkpoint / isEmpty / e-checkpoint triple, with the
+    // same exactness.
+    var eCount = e.count()
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
-      val low = degrees.filter(col("deg") < k).select(col("id")).localCheckpoint()
-      if (low.isEmpty) converged = true
-      else {
-        val lowA = low.select(col("id").as("__low_a"))
-        val lowB = low.select(col("id").as("__low_b"))
-        e = e.join(lowA, col("a") === col("__low_a"), "left_anti")
-          .join(lowB, col("b") === col("__low_b"), "left_anti")
-          .localCheckpoint()
-        round += 1
+    var localResult: Option[DataFrame] = None
+    while (!converged && round < maxRounds && localResult.isEmpty) {
+      if (eCount <= localFinishEdges && localFinishEdges > 0) {
+        // In-core finish — same hybrid as [[connectedComponents]]: the
+        // surviving frame fits the driver, so the remaining peel rounds
+        // (each a scheduling-floor-bound job pair) run as an in-memory
+        // loop. The round budget STAYS in force: the `maxRounds`-
+        // unrolled relational oracle is exact only because the operator
+        // refuses to out-converge it, so the local loop throws past the
+        // same bound the distributed loop would.
+        var cur = e.select(col("a"), col("b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        var stable = false
+        while (!stable && round < maxRounds) {
+          val deg = scala.collection.mutable.Map.empty[Long, Int]
+          cur.foreach { case (a, b) =>
+            deg(a) = deg.getOrElse(a, 0) + 1; deg(b) = deg.getOrElse(b, 0) + 1
+          }
+          val nxt = cur.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+          if (nxt.length == cur.length) stable = true
+          else { cur = nxt; round += 1 }
+        }
+        if (!stable)
+          throw new IllegalStateException(
+            s"k-core peeling did not converge in $maxRounds rounds (k=$k); raise maxRounds")
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val degs = {
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          cur.foreach { case (a, b) =>
+            m(a) = m.getOrElse(a, 0L) + 1L; m(b) = m.getOrElse(b, 0L) + 1L
+          }
+          m.toSeq
+        }
+        localResult = Some(degs.toDF("id", "deg"))
+        converged = true
+      } else {
+        val e2 = peel(e).localCheckpoint()
+        val c2 = e2.count()
+        if (c2 == eCount) converged = true
+        else { e = e2; eCount = c2; round += 1 }
       }
     }
     if (!converged)
       throw new IllegalStateException(
         s"k-core peeling did not converge in $maxRounds rounds (k=$k); raise maxRounds")
-    degrees
+    localResult.getOrElse(
+      e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg")))
   }
 
   /** Connected components in O(log n) rounds: alternating
@@ -243,9 +309,16 @@ object Graph {
     * throw — the bounded-unroll discipline of [[kCore]].
     *
     * Output: (id, cluster) for every edge endpoint, cluster = the
-    * component's minimum node id. */
+    * component's minimum node id.
+    *
+    * Hybrid tail: star contraction shrinks the edge frame
+    * geometrically, so once it fits `localFinishEdges` the fixpoint
+    * closes with one bounded collect + min-id union-find (exact: every
+    * round's frame spans the same node partition as the input) instead
+    * of two floor-bound jobs per remaining halving. 0 disables. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+      aCol: String = "id_a", bCol: String = "id_b",
+      localFinishEdges: Long = 1L << 20): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     var e = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
@@ -279,22 +352,70 @@ object Graph {
         .distinct()
     }
 
+    // In-core finish: once the contracting frame fits `localFinishEdges`,
+    // a driver-side union-find closes the fixpoint in O(m α) instead of
+    // O(log n) more two-job rounds. Contraction shrinks the frame
+    // geometrically, so at any input scale the loop spends its rounds
+    // where distribution pays (the TB-sized early frame) and the tail —
+    // which would otherwise burn a scheduling-floor-bound round per
+    // remaining halving — collapses into one bounded collect. The
+    // invariant making this exact: every round's edge set spans the
+    // SAME node partition as the input (each non-root node persists as
+    // a `b` endpoint through both stars), so min-id components of the
+    // current frame ARE the final labels. localFinishEdges = 0 forces
+    // the pure distributed fixpoint (what the spec pins).
+    def localFinish(edges: Array[(Long, Long)]): DataFrame = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN id — the label IS the root
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }
+        .toArray.distinct.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      labels.toSeq.toDF("id", "cluster")
+    }
+
     var converged = false
     var round = 0
+    var labelled: Option[DataFrame] = None
+    // the count actions exist only to steer the local finish; the pure
+    // distributed fixpoint (localFinishEdges = 0) never pays them
+    var eCount = if (localFinishEdges > 0) e.count() else Long.MaxValue
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      // exact fixpoint test in ONE action: both distinct sets are equal
-      // iff their symmetric difference is empty (both except branches
-      // evaluate inside one plan)
-      converged = next.except(e).union(e.except(next)).isEmpty
-      e = next
-      round += 1
+      if (eCount <= localFinishEdges && localFinishEdges > 0) {
+        labelled = Some(localFinish(e.select(col("a"), col("b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))))
+        converged = true
+      } else {
+        val next = smallStar(largeStar(e)).localCheckpoint()
+        // exact fixpoint test in ONE action: both distinct sets are equal
+        // iff their symmetric difference is empty (both except branches
+        // evaluate inside one plan)
+        converged = next.except(e).union(e.except(next)).isEmpty
+        e = next
+        eCount =
+          if (converged || localFinishEdges == 0) eCount else e.count()
+        round += 1
+      }
     }
     if (!converged)
       throw new IllegalStateException(
         s"star contraction did not converge in $maxRounds rounds; raise maxRounds")
+    val labelEdges = labelled.getOrElse(
+      e.select(col("b").as("id"), col("a").as("cluster")))
     nodes
-      .join(e.select(col("b").as("id"), col("a").as("cluster")), Seq("id"), "left")
+      .join(labelEdges.select(col("id"), col("cluster")), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 }

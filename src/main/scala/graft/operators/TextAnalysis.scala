@@ -767,17 +767,21 @@ object TextAnalysis {
       .select(col(idCol), explode(ShingleHashes(col(textCol), 1)).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__m"))
     val wf = tf.join(flags, Seq(idCol))
-    val src = wf.groupBy("__w").agg(sum(col("__m")).as("__cs"))
-    val tgt = wf.filter(col("is_target"))
-      .groupBy("__w").agg(sum(col("__m")).as("__ct"))
-    val totals = src.agg(sum(col("__cs")).as("__ns"), count(lit(1)).as("__v"))
-      .crossJoin(tgt.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt")))
-    // Per-token term: lp_tgt(w) − lp_src(w), with the target side split
-    // into base_t + delta_t(w) so only target-present tokens join.
-    val terms = src.crossJoin(broadcast(totals))
-      .join(tgt, Seq("__w"), "left")
+    // Source and target token masses in ONE vocab-keyed aggregate: the
+    // target mass is a conditional sum over the same rows (every target
+    // doc is also a source doc), so the separate tgt groupBy + vocab
+    // left-join the two-frame formulation paid — two extra exchanges
+    // over the vocab — collapse into per-row arithmetic.
+    val byWord = wf.groupBy("__w").agg(
+      sum(col("__m")).as("__cs"),
+      sum(when(col("is_target"), col("__m")).otherwise(lit(0L))).as("__ct"))
+    val totals = byWord.agg(sum(col("__cs")).as("__ns"), count(lit(1)).as("__v"),
+      coalesce(sum(col("__ct")), lit(0L)).as("__nt"))
+    // Per-token term: lp_tgt(w) − lp_src(w); __ct is already 0 for
+    // tokens absent from the target side.
+    val terms = byWord.crossJoin(broadcast(totals))
       .select(col("__w"),
-        (round(log((coalesce(col("__ct"), lit(0L)) + lit(k)) / (col("__nt") + lit(k) * col("__v"))), 8)
+        (round(log((col("__ct") + lit(k)) / (col("__nt") + lit(k) * col("__v"))), 8)
           - round(log((col("__cs") + lit(k)) / (col("__ns") + lit(k) * col("__v"))), 8)).as("__term"))
     val perDoc = tf.join(terms, Seq("__w"))
       .groupBy(col(idCol))
@@ -884,6 +888,14 @@ object TextAnalysis {
             org.apache.spark.sql.types.BooleanType),
           org.apache.spark.sql.types.StructField("score",
             org.apache.spark.sql.types.DoubleType))))
+    // labeled docs exist but carry ZERO tokens (all-null/empty text):
+    // every smoothing denominator k*vocabSize is 0, log(k/0) = +Inf,
+    // and BigDecimal.valueOf(Inf) would surface as an opaque
+    // NumberFormatException — fail with the trainer-guard diagnosis
+    // instead (the kmeansTrain/pqTrain degenerate-corpus discipline).
+    require(vocabSize > 0,
+      s"nbClassify: $nDocs labeled docs produced an empty vocabulary " +
+        "(all text null/empty?) — a Naive Bayes model needs at least one token")
     val classNames: Array[String] = classDocCounts.keys.toArray.sorted
     val classIdx: Map[String, Int] = classNames.zipWithIndex.toMap
     // prior as the 10-scale decimal the engine's cast(double AS

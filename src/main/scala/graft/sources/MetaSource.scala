@@ -59,6 +59,22 @@ final case class MetaSource(
     val rows = catalog.filter(pred).select("series_id", "retention").collect()
     (rows.toSeq.map(_.getLong(0)), rows.toSeq.map(_.getString(1)).distinct)
   }
+
+  /** The matched catalog rows as a FRAME — the zero-round-trip twin of
+    * [[resolve]] for consumers that splice the resolution into the read
+    * plan itself (broadcast semi-joins on series_id and on the distinct
+    * retention set) instead of materializing literal lists. Same
+    * semantics, one fewer driver action: the catalog-sized broadcast
+    * builds overlap the main scan under static planning, where the
+    * collect is a blocking job before planning can even start. Literal
+    * isin lists still win when the filter must prune PARTITIONS of the
+    * store (resolve() remains the path TimeDb's partition-pruned reads
+    * use); semi-joins win when the read scans anyway. */
+  def resolvedCatalog(): DataFrame = {
+    var pred = addressing
+    dataType.foreach(dt => pred = pred && col("data_type") === dt)
+    catalog.filter(pred).select("series_id", "retention")
+  }
 }
 
 object MetaSource {

@@ -76,16 +76,26 @@ class GraphSpec extends SparkSpec {
     val core2 = Graph.kCore(edges, k = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(core2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // the pure DISTRIBUTED peel (local finish off) must agree exactly
+    val dist2 = Graph.kCore(edges, k = 2, localFinishEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist2 === core2)
     // k=4: no vertex has degree 4 — empty core
     assert(Graph.kCore(edges, k = 4).count() === 0)
+    assert(Graph.kCore(edges, k = 4, localFinishEdges = 0).count() === 0)
   }
 
-  test("kCore: throws when maxRounds can't reach the fixpoint") {
+  test("kCore: throws when maxRounds can't reach the fixpoint (both paths)") {
     // a path of 12 vertices at k=2 peels one vertex per end per round
-    // (~5 rounds); maxRounds=2 must throw, not return a partial core
+    // (~5 rounds); maxRounds=2 must throw, not return a partial core —
+    // on the in-core finish AND the distributed loop alike (the bounded
+    // round budget is what makes the unrolled oracle exact)
     val path = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
     val ex = intercept[IllegalStateException](Graph.kCore(path, k = 2, maxRounds = 2).count())
     assert(ex.getMessage.contains("did not converge"))
+    val exDist = intercept[IllegalStateException](
+      Graph.kCore(path, k = 2, maxRounds = 2, localFinishEdges = 0).count())
+    assert(exDist.getMessage.contains("did not converge"))
     // with enough rounds it converges to the (empty) 2-core
     assert(Graph.kCore(path, k = 2, maxRounds = 10).count() === 0)
   }
@@ -115,9 +125,14 @@ class GraphSpec extends SparkSpec {
     // a 64-vertex path has diameter 63 — min-label propagation needs
     // 63 rounds, star contraction must finish far inside 12
     val path = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Graph.connectedComponents(path, maxRounds = 12)
+    // local finish OFF: this pins the distributed log-round contraction
+    // itself — diameter 63 must close far inside 12 star rounds
+    val got = Graph.connectedComponents(path, maxRounds = 12, localFinishEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(got.size === 64 && got.values.forall(_ == 1L))
+    // default (hybrid): same labels via the in-core union-find finish
+    assert(Graph.connectedComponents(path, maxRounds = 12)
+      .as[(Long, Long)].collect().toMap === got)
     // two components + messy input (dups, reversed, self-loops)
     val two = Seq((5L, 3L), (3L, 5L), (3L, 4L), (4L, 4L), (10L, 11L), (12L, 11L))
       .toDF("id_a", "id_b")
@@ -130,13 +145,17 @@ class GraphSpec extends SparkSpec {
     val raw = Seq.fill(150)((r.nextInt(60).toLong, r.nextInt(60).toLong))
       .filter(e => e._1 != e._2)
     val df = raw.toDF("id_a", "id_b")
-    val star = Graph.connectedComponents(df)
+    val star = Graph.connectedComponents(df, localFinishEdges = 0)
       .select("id", "cluster").as[(Long, Long)].collect().toMap
     val prop = graft.operators.Dedup.duplicateClusters(df)
       .select("id", "cluster").as[(Long, Long)].collect().toMap
     assert(star === prop)
+    // the hybrid's union-find finish must agree with both
+    val hybrid = Graph.connectedComponents(df)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert(hybrid === star)
     // partitioning immunity
-    val re = Graph.connectedComponents(df.repartition(13))
+    val re = Graph.connectedComponents(df.repartition(13), localFinishEdges = 0)
       .select("id", "cluster").as[(Long, Long)].collect().toMap
     assert(re === star)
   }

@@ -168,6 +168,36 @@ class SamplingSpec extends SparkSpec {
     assert(nat >= 37, s"tau=1 must track raw proportions, got $nat")
   }
 
+  test("temperatureSample: largest-remainder allocation never exceeds the budget") {
+    // randomized strata shapes × budgets; every case must satisfy
+    // Σ stratum_budget ≤ budget, and == budget when the floors' total
+    // shortfall fits the stratum count (the largest-remainder law)
+    val rnd = new scala.util.Random(91)
+    for (trial <- 1 to 8) {
+      val nStrata = 2 + rnd.nextInt(7)
+      val sizes = Seq.fill(nStrata)(1 + rnd.nextInt(500))
+      val budget = 1L + rnd.nextInt(3000)
+      var id = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (1 to n).map { _ => id += 1; (id, s"s$s") }
+      }
+      val tau = 0.3 + 0.7 * rnd.nextDouble()
+      val alloc = graft.operators.Sampling
+        .temperatureSample(rows.toDF("doc_id", "stratum"), "doc_id", "stratum",
+          tau = tau, budget = budget)
+        .select("stratum", "stratum_budget").distinct()
+        .as[(String, Long)].collect().toMap
+      val total = alloc.values.sum
+      assert(total <= budget,
+        s"trial $trial (tau=$tau budget=$budget sizes=$sizes): allocated $total > budget")
+      assert(alloc.values.forall(_ >= 0L), s"trial $trial: negative allocation")
+      // share rounding loses < 1 doc of mass at these budget sizes, so
+      // the correction must land the total exactly on the budget
+      assert(total == budget,
+        s"trial $trial: allocated $total != budget $budget (sizes=$sizes)")
+    }
+  }
+
   test("createViews exposes the store to spark.sql") {
     val base = java.nio.file.Files.createTempDirectory("timedb_views").toString
     val db = new TimeDb(spark, base)
