@@ -83,7 +83,7 @@ object Bench {
     // row-count default (measured best of {1,4,8,16,32} on the
     // headline+lsh set); everything else follows the default policy.
     def chunkPolicy(table: String, rows: Long): Int =
-      if (table == "documents") math.min(8L, math.max(1L, rows / 64)).toInt
+      if (table == "documents") math.min(32L, math.max(1L, rows / 625)).toInt
       else graft.operators.Layout.defaultChunkPolicy(table, rows)
     var ingestSec = 0.0
     val mirrored = scala.collection.mutable.Map.empty[String, String]
@@ -480,6 +480,12 @@ object Bench {
         // earlier run of this process may survive the rewrite.
         Tables.invalidate()
         SparkEntry.invalidateBuildMemos()
+        // Same ingest layout as the measured dir (the 10× union lands
+        // as ten coarse files — documents would sit at a tenth of the
+        // measured dir's chunk density, and the ratio would compare
+        // layouts, not volumes). The policy itself scales: 10× the
+        // rows → up to the full 32-chunk cap.
+        val timedUpDir = mirrorOf(upDir)
         // Executor-state reset between the 10× table build and the
         // timings: the build itself unions/writes ~10× the measured SF
         // and leaves cached blocks, shuffle files, and a heap full of
@@ -496,8 +502,8 @@ object Bench {
         val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
         val entries = try {
-          sacrifice(upSet, upDir)
-          timeAuxSet(upSet, upDir).map { case (name, t) =>
+          sacrifice(upSet, timedUpDir)
+          timeAuxSet(upSet, timedUpDir).map { case (name, t) =>
             val ratio = largeTimes.get(name).map(l => t / l)
             JsonUtil.quote(name) +
               s""":{"t10x":$t${ratio.map(r => s""","ratio_vs_1x":$r""").getOrElse("")}}"""

@@ -49,8 +49,11 @@ object Scratch {
     }
     SparkEntry.prewarmBuilds(spark, dst)
 
-    for (name <- Seq("td_meta_read", "x_pipeline_curate", "x_graph_cc",
-        "x_graph_kcore", "x_dsir_weights", "rel_join_agg", "rel_topk")) {
+    for (name <- Seq("x_dsir_weights", "x_pipeline_curate", "td_meta_read",
+        "td_zmirror_read", "x_mix_temperature",
+        "x_embed_covariance", "x_cohort_retention", "x_ann_label_purity",
+        "x_ann_ivfpq", "x_text_bm25", "x_text_ctfidf", "x_ann_brute",
+        "x_graph_pagerank")) {
       time(name, warm = 2, n = 5)(SparkEntry.queries(name)(spark, dst).count())
     }
     spark.stop()

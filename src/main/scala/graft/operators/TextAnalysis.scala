@@ -745,13 +745,23 @@ object TextAnalysis {
     *
     * Hashed-unigram bag-of-words LMs with add-k smoothing over the
     * corpus vocabulary; per-doc weight = mean over tokens of
-    * `log p_target(w) − log p_corpus(w)`. Both model tables are
-    * VOCAB-sized (the target side left-joins the corpus vocab, so
-    * target-absent tokens take the smoothed floor without a dense
-    * union), the per-token term table joins docs on hash keys only,
-    * and the 1-row totals frame broadcasts. [[lmScores]] determinism
-    * discipline throughout (8dp logs, DECIMAL sums, 6dp mean) so
-    * weights hash-match across engines.
+    * `log p_target(w) − log p_corpus(w)`.
+    *
+    * Shape: one [[graft.functions.TokenHashCounts]] kernel pass
+    * produces per-row term frequencies (no token-INSTANCE exchange —
+    * the nbClassify discipline); source and target token masses come
+    * from ONE vocab-keyed conditional aggregate over the pre-counted
+    * pairs (every target doc is also a source doc); the per-token term
+    * table — VOCAB-bounded, the same scale class the join formulation
+    * broadcast — is computed in-plan (8dp logs over the broadcast
+    * 1-row totals), collected once, and served back through the
+    * [[graft.functions.TokenHashLogRatio]] projection: scoring is
+    * scan → project, no (doc, token) join, no per-doc aggregation. A
+    * corpus whose vocab outgrows driver memory is the documented
+    * escape hatch: revert to joining the term frame (nbClassify's
+    * contract, same trade).
+    * [[lmScores]] determinism discipline throughout (8dp logs, DECIMAL
+    * sums, 6dp mean) so weights hash-match across engines.
     *
     * `isTarget` — boolean Column over `docs`' columns selecting the
     * seed set (e.g. `col("source") === "src1"`).
@@ -762,35 +772,34 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text",
       k: Double = 0.5): DataFrame = {
     require(k > 0.0, "smoothing k must be positive")
-    val flags = docs.select(col(idCol), isTarget.cast("boolean").as("is_target"))
-    val tf = docs
-      .select(col(idCol), explode(ShingleHashes(col(textCol), 1)).as("__w"))
-      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__m"))
-    val wf = tf.join(flags, Seq(idCol))
-    // Source and target token masses in ONE vocab-keyed aggregate: the
-    // target mass is a conditional sum over the same rows (every target
-    // doc is also a source doc), so the separate tgt groupBy + vocab
-    // left-join the two-frame formulation paid — two extra exchanges
-    // over the vocab — collapse into per-row arithmetic.
-    val byWord = wf.groupBy("__w").agg(
-      sum(col("__m")).as("__cs"),
-      sum(when(col("is_target"), col("__m")).otherwise(lit(0L))).as("__ct"))
+    val withCounts = docs.select(col(idCol),
+      isTarget.cast("boolean").as("is_target"),
+      graft.functions.TokenHashCounts(coalesce(col(textCol), lit(""))).as("__tc"))
+    val byWord = withCounts
+      .select(col("is_target"), explode(col("__tc")).as("__p"))
+      .select(col("is_target"), col("__p.w").as("__w"), col("__p.m").as("__m"))
+      .groupBy("__w").agg(
+        sum(col("__m")).as("__cs"),
+        sum(when(col("is_target"), col("__m")).otherwise(lit(0L))).as("__ct"))
     val totals = byWord.agg(sum(col("__cs")).as("__ns"), count(lit(1)).as("__v"),
       coalesce(sum(col("__ct")), lit(0L)).as("__nt"))
     // Per-token term: lp_tgt(w) − lp_src(w); __ct is already 0 for
-    // tokens absent from the target side.
-    val terms = byWord.crossJoin(broadcast(totals))
+    // tokens absent from the target side. Computed IN PLAN (so the
+    // engine's own round/log produce the collected doubles — nothing
+    // is re-derived driver-side), then collected: vocab-bounded.
+    val termRows = byWord.crossJoin(broadcast(totals))
       .select(col("__w"),
         (round(log((col("__ct") + lit(k)) / (col("__nt") + lit(k) * col("__v"))), 8)
           - round(log((col("__cs") + lit(k)) / (col("__ns") + lit(k) * col("__v"))), 8)).as("__term"))
-    val perDoc = tf.join(terms, Seq("__w"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__m")).as("__nd"),
-        round(sum((col("__m") * col("__term")).cast("decimal(28,10)")).cast("double")
-          / sum(col("__m")), 6).as("log_ratio"))
-    flags.join(perDoc, Seq(idCol), "left")
+      .collect()
+    val termMap: Map[Long, Double] =
+      termRows.iterator.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(termMap)
+    withCounts
       .select(col(idCol), col("is_target"),
-        coalesce(col("__nd"), lit(0L)).as("n_tokens"), col("log_ratio"))
+        graft.functions.TokenHashLogRatio(col("__tc"), bc).as("__s"))
+      .select(col(idCol), col("is_target"),
+        col("__s.n_tokens").as("n_tokens"), col("__s.log_ratio").as("log_ratio"))
   }
 
   def nbClassify(docs: DataFrame, labelCol: String = "source",
