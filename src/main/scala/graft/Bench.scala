@@ -78,12 +78,16 @@ object Bench {
     // raw-layout measurement. The mirror path is pid-scoped so
     // concurrent bench JVMs never race on a shared tmp dir.
     val rechunkOn = !sys.env.get("SPARK_GRAFT_RECHUNK").contains("0")
-    // documents at 8 chunks: its rows carry per-row-expensive text
-    // kernels (minhash/profile), so it wants finer chunks than the
-    // row-count default (measured best of {1,4,8,16,32} on the
-    // headline+lsh set); everything else follows the default policy.
+    // documents and embeddings get finer chunks than the row-count
+    // default: their rows carry per-row-expensive kernels (minhash /
+    // text profiling; dot products / PQ encoding / decimal covariance
+    // products), so scan parallelism is worth more than file-count
+    // overhead (measured best of {1,4,8,16,32} on the dedup/text set
+    // and {1,8,16} on the vector set). Everything else follows the
+    // default policy (facts by rows, small dims byte-copied).
     def chunkPolicy(table: String, rows: Long): Int =
       if (table == "documents") math.min(32L, math.max(1L, rows / 625)).toInt
+      else if (table == "embeddings") math.min(32L, math.max(1L, rows / 250)).toInt
       else graft.operators.Layout.defaultChunkPolicy(table, rows)
     var ingestSec = 0.0
     val mirrored = scala.collection.mutable.Map.empty[String, String]
@@ -573,7 +577,7 @@ object Bench {
       s""""extended":${toJson(extResults)},"extended_total":$extTotal,""" +
       s""""scaling":$scalingJson,"scale_up":$scaleUpJson,""" +
       s""""ingest":{"rechunk":$rechunkOn,"sec":${fmt(ingestSec, 2)},""" +
-      s""""policy":"fact rows/8192 cap 32; documents cap 8; else copy"},""" +
+      s""""policy":"fact rows/8192 cap 32; documents rows/625 cap 32; embeddings rows/250 cap 32; else copy"},""" +
       indexBuilds.map { case (k, v) => JsonUtil.quote(k) + ":" + fmt(v, 3) }
         .mkString("\"index_build\":{", ",", s""","total":${fmt(indexBuilds.map(_._2).sum, 3)}},""") +
       s""""overhead_floor_sec":$overheadFloor,"job_floor_sec":$jobFloor,""" +
