@@ -79,6 +79,21 @@ object StressGraph {
       val cc = graft.operators.Graph.connectedComponents(slice, maxRounds = 30)
       println(s"[stress-graph]   ${cc.select("cluster").distinct().count()} components " +
         s"over ${cc.count()} labeled vertices")
+      // hybrid ≡ pure-distributed AT SCALE: the default run above
+      // contracts until the frame fits the in-core threshold and
+      // finishes with the union-find; the localFinishEdges = 0 run
+      // drives the star contraction to its distributed fixpoint. The
+      // two labelings must agree row-for-row — the at-volume version
+      // of GraphSpec's equality pin.
+      val ccDist = timed("  pure-distributed fixpoint (localFinishEdges = 0)") {
+        graft.operators.Graph.connectedComponents(slice, maxRounds = 30,
+          localFinishEdges = 0).localCheckpoint()
+      }
+      val diff = cc.withColumnRenamed("cluster", "c1")
+        .join(ccDist.withColumnRenamed("cluster", "c2"), "id")
+        .filter(col("c1") =!= col("c2")).count()
+      require(diff == 0, s"hybrid and distributed CC disagree on $diff vertices")
+      println(s"[stress-graph]   hybrid ≡ distributed on all ${ccDist.count()} labels")
     }
     spark.stop()
   }
