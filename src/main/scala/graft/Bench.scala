@@ -99,13 +99,18 @@ object Bench {
             .replaceAll("[^A-Za-z0-9]", "_")
           val dst = new java.io.File(sys.props("java.io.tmpdir"),
             s"graft_ingest_${key}_${ProcessHandle.current().pid()}")
-          val marker = new java.io.File(dst, "_INGESTED")
-          if (!marker.exists()) {
-            val t0 = System.nanoTime()
-            graft.operators.Layout.rechunkMirror(spark, dir, dst.getPath, chunkPolicy)
-            new java.io.FileOutputStream(marker).close()
-            ingestSec += (System.nanoTime() - t0) / 1e9
+          // the in-process memo above is the only reuse path — a
+          // pre-existing dir is a crashed run's leftover under a
+          // recycled pid (and the scale-up source dir is rewritten
+          // every run), so ALWAYS rebuild from the current source
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
           }
+          if (dst.exists()) rm(dst)
+          val t0 = System.nanoTime()
+          graft.operators.Layout.rechunkMirror(spark, dir, dst.getPath, chunkPolicy)
+          ingestSec += (System.nanoTime() - t0) / 1e9
           dst.getPath
         } catch { case _: Throwable => dir }
       })
@@ -185,9 +190,8 @@ object Bench {
     // first made `x_ann_ivf_probe` read 0.28 s in one epoch and 1.45 s
     // in the next (r8 verdict): a measurement artifact, not a plan
     // fact. Timed probes now measure probes; builds report as builds.
-    val indexBuilds: Seq[(String, Double)] =
-      try SparkEntry.prewarmBuilds(spark, measuredDir)
-      catch { case _: Throwable => Seq.empty }
+    val (indexBuilds, indexBuildErrors) =
+      SparkEntry.prewarmBuilds(spark, measuredDir)
     // A query that throws is recorded as an error (not a near-zero time):
     // it is excluded from the total and flagged, so a broken query can
     // never masquerade as a speedup.
@@ -317,6 +321,8 @@ object Bench {
     // correctness failure of a measured query, so it doesn't flip the
     // exit code.
     val auxErrors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a failed index prewarm is aux evidence, not a query failure
+    auxErrors ++= indexBuildErrors.map("index_build " + _)
     // A failed aux query yields no (name, time) entry at all.
     // Discipline (r5 lesson — the committed td_latest_changes 10× ratio
     // read 14.25 where an isolated rerun measured 1.12, pure full-bench
@@ -578,8 +584,11 @@ object Bench {
       s""""scaling":$scalingJson,"scale_up":$scaleUpJson,""" +
       s""""ingest":{"rechunk":$rechunkOn,"sec":${fmt(ingestSec, 2)},""" +
       s""""policy":"fact rows/8192 cap 32; documents rows/625 cap 32; embeddings rows/250 cap 32; else copy"},""" +
-      indexBuilds.map { case (k, v) => JsonUtil.quote(k) + ":" + fmt(v, 3) }
-        .mkString("\"index_build\":{", ",", s""","total":${fmt(indexBuilds.map(_._2).sum, 3)}},""") +
+      // total rides the entry list (not appended after mkString's close)
+      // so an EMPTY build list still emits a valid JSON object
+      (indexBuilds.map { case (k, v) => JsonUtil.quote(k) + ":" + fmt(v, 3) } :+
+        s""""total":${fmt(indexBuilds.map(_._2).sum, 3)}""")
+        .mkString("\"index_build\":{", ",", "},") +
       s""""overhead_floor_sec":$overheadFloor,"job_floor_sec":$jobFloor,""" +
       s""""floor_decomp":$floorDecompJson,""" +
       s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"""" +

@@ -425,12 +425,35 @@ object SparkEntry {
     * under each other's reads (ADVICE r8). Path key inside the root:
     * the sanitized dir string itself (hashCode alone could collide two
     * dirs onto one store; the full string cannot). */
-  private def scratchPath(kind: String, dir: String): String =
-    new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"),
-        s"${kind}_${ProcessHandle.current().pid()}"),
+  private def scratchPath(kind: String, dir: String): String = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${kind}_${ProcessHandle.current().pid()}")
+    registerScratchRoot(root)
+    new java.io.File(root,
       dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         "-" + java.lang.Integer.toHexString(dir.hashCode)).getPath
+  }
+
+  // pid-scoped scratch roots would otherwise accumulate one artifact
+  // set per JVM run (the pre-pid fixed paths were overwritten in
+  // place, bounding disk; the pid suffix unbounded it) — a shutdown
+  // hook reclaims everything this process created.
+  private val scratchRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      scratchRoots.forEach(rm(_))
+    }))
+    ()
+  }
+  private def registerScratchRoot(root: java.io.File): Unit = {
+    scratchHook
+    scratchRoots.add(root); ()
+  }
 
   /** Guards every side-effecting store builder: TrieMap.getOrElseUpdate
     * is atomic about which RESULT wins, not about how many times the
@@ -665,6 +688,7 @@ object SparkEntry {
     bm25Memo.clear()
     pqMemo.clear()
     timeTravelStoreMemo.clear()
+    zMirrorMemo.clear()
     copurchaseMemo.clear()
   }
 
@@ -676,20 +700,31 @@ object SparkEntry {
     * purely on build attribution). Each thunk forces materialization —
     * the localCheckpoints inside the builders are eager, and the
     * stores/parquet round-trips are synchronous writes. */
-  def prewarmBuilds(s: SparkSession, dir: String): Seq[(String, Double)] = {
-    def timed(name: String)(f: => Unit): (String, Double) = {
-      val t0 = System.nanoTime(); f; name -> (System.nanoTime() - t0) / 1e9
+  def prewarmBuilds(s: SparkSession, dir: String): (Seq[(String, Double)], Seq[String]) = {
+    val times = Seq.newBuilder[(String, Double)]
+    val errors = Seq.newBuilder[String]
+    // per-build fault isolation: one failing build must neither abort
+    // the remaining prewarms (they'd leak back into timed queries —
+    // the exact attribution bug this function exists to fix) nor
+    // discard the timings already taken
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { f; times += name -> (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName}"
+      }
     }
-    Seq(
-      timed("copurchase_edges") { copurchaseEdges(s, dir); () },
-      timed("bm25_index") { builtBm25Index(s, dir); () },
-      timed("ivf_index") { builtIvfIndex(s, dir); () },
-      timed("pq_codebook") { pqTrained(s, dir); () },
-      timed("neardup_index_stored") { storedNearDupIndex(s, dir); () },
-      timed("ivf_index_stored") { storedIvfIndex(s, dir); () },
-      timed("dup_clusters") { builtClusters(s, dir).count(); () },
-      timed("timetravel_store") { timeTravelStore(s, dir); () },
-      timed("zorder_mirror") { zMirroredStore(s, dir); () })
+    timed("copurchase_edges") { copurchaseEdges(s, dir); () }
+    timed("bm25_index") { builtBm25Index(s, dir); () }
+    timed("ivf_index") { builtIvfIndex(s, dir); () }
+    timed("pq_codebook") { pqTrained(s, dir); () }
+    timed("neardup_index_stored") { storedNearDupIndex(s, dir); () }
+    timed("ivf_index_stored") { storedIvfIndex(s, dir); () }
+    timed("dup_clusters") { builtClusters(s, dir).count(); () }
+    timed("timetravel_store") { timeTravelStore(s, dir); () }
+    timed("zorder_mirror") { zMirroredStore(s, dir); () }
+    (times.result(), errors.result())
   }
 
   // ---------------------------------------------------------------------
@@ -4544,16 +4579,20 @@ object SparkEntry {
         |  SELECT lang, n_docs, share,
         |         CAST(floor(q) AS BIGINT) AS base,
         |         row_number() OVER (ORDER BY round(q - floor(q), 6) DESC, lang) AS rk,
-        |         200 - SUM(CAST(floor(q) AS BIGINT)) OVER () AS extra,
-        |         COUNT(*) OVER () AS ns
+        |         200 - SUM(CAST(floor(q) AS BIGINT)) OVER () AS extra
         |  FROM quotas),
-        |budgets AS (
-        |  SELECT lang, n_docs, share,
-        |         greatest(0, base
-        |           + CASE WHEN extra > 0 AND rk <= extra THEN 1 ELSE 0 END
-        |           - CASE WHEN extra < 0 AND rk > ns + extra THEN 1 ELSE 0 END)
-        |           AS stratum_budget
+        |alloc AS (
+        |  SELECT lang, n_docs, share, rk,
+        |         base + CASE WHEN extra > 0 AND rk <= extra THEN 1 ELSE 0 END AS a0
         |  FROM lr),
+        |budgets AS (
+        |  -- SUM(BIGINT) widens to HUGEINT in DuckDB; cast back so the
+        |  -- column type (and the driver's value rendering) matches Spark
+        |  SELECT lang, n_docs, share,
+        |         CAST(greatest(0, least(a0,
+        |           200 - (SUM(a0) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) - a0)))
+        |           AS BIGINT) AS stratum_budget
+        |  FROM alloc),
         |ranked AS (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang

@@ -202,23 +202,22 @@ object Graph {
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") < col("b")).distinct().localCheckpoint()
-    // One whole peel as a PLAN, not an action: the low list rides into
-    // both anti-joins as an explicit broadcast built inside the same
-    // job (two aliases of one subplan — ReuseExchange ships ONE
-    // broadcast). Under static planning the low side's size estimate
-    // is unknown (it hangs off a checkpointed RDD), so without the
-    // hint these anti-joins silently fall back to sort-merge — three
-    // extra exchanges per round. The frontier after round one is
-    // peel-depth-bounded; a graph whose FIRST frontier outgrows
-    // executor memory should pre-gate degree-0/1 vertices with one
-    // ordinary shuffle before calling this.
+    // One whole peel as a PLAN, not an action: the low frontier rides
+    // into both anti-joins inside the same job. NOT broadcast-hinted:
+    // the frontier is peel-depth-bounded only AFTER the first round —
+    // round one's low set is every vertex under degree k, which for
+    // k above the typical degree is O(V) and would OOM a forced
+    // broadcast. Under static planning the un-hinted anti-joins run
+    // sort-merge (scale-safe at any frontier size); cluster sessions
+    // run AQE, which converts the post-first-round frontiers to
+    // broadcasts at runtime from their REAL sizes.
     def peel(cur: DataFrame): DataFrame = {
       val low = cur.select(col("a").as("id")).union(cur.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select(col("id"))
-      cur.join(broadcast(low.select(col("id").as("__low_a"))),
+      cur.join(low.select(col("id").as("__low_a")),
           col("a") === col("__low_a"), "left_anti")
-        .join(broadcast(low.select(col("id").as("__low_b"))),
+        .join(low.select(col("id").as("__low_b")),
           col("b") === col("__low_b"), "left_anti")
     }
     // Convergence by edge count, exactly: a peeled vertex appears in

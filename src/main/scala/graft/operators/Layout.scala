@@ -126,8 +126,12 @@ object Layout {
         outDir.mkdirs()
         val dst = new java.io.File(outDir, "part-00000.parquet").toPath
         if (f.isDirectory) {
-          // copy each data file of an already-multi-file table
-          f.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+          // copy each data file of an already-multi-file table — in
+          // NAME order (listFiles order is OS-arbitrary; readers list
+          // by name, so a scrambled rename would reorder rows and
+          // break this method's order-preservation contract)
+          f.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex
             .foreach { case (p, i) =>
               java.nio.file.Files.copy(p.toPath,
                 new java.io.File(outDir, f"part-$i%05d.parquet").toPath,

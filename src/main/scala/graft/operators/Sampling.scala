@@ -280,21 +280,30 @@ object Sampling {
     // whole-frame window (the derived-constant partition key — the
     // Curation single-group discipline; O(strata) rows regardless of
     // data volume). `__extra` ≥ 0 is the usual floor shortfall, handed
-    // +1 to the `__extra` largest remainders; < 0 only when 6dp share
-    // rounding overshoots at huge budgets, clawed back from the
-    // smallest remainders so the total NEVER exceeds `budget`.
+    // +1 to the `__extra` largest remainders. The CUMULATIVE CAP below
+    // then enforces Σ ≤ budget unconditionally: allocations consume a
+    // running capacity in remainder-rank order, so when 6dp share
+    // rounding overshoots at huge budgets (shares can each round up by
+    // ~5e-7, an overshoot of budget·strata·5e-7 — multiple docs at
+    // million-scale budgets, which a ±1-per-stratum correction cannot
+    // absorb) the smallest-remainder strata truncate by exactly the
+    // excess. Down-rounding at the same scale can leave the total
+    // short of the budget (a shortfall > strata escapes the +1 pass) —
+    // under-allocation is the safe side and stays documented.
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__base") * lit(0L))
     val wRk = wAll.orderBy(col("__rem").desc, col(stratumCol))
+    val wRun = wRk.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
     val budgets = quotas
       .withColumn("__rk", row_number().over(wRk))
       .withColumn("__extra", lit(budget) - sum(col("__base")).over(wAll))
-      .withColumn("__ns", count(lit(1)).over(wAll))
+      .withColumn("__alloc0",
+        col("__base") +
+          when(col("__extra") > 0 && col("__rk") <= col("__extra"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__alloc0")).over(wRun))
       .withColumn("stratum_budget", greatest(lit(0L),
-        col("__base")
-          + when(col("__extra") > 0 && col("__rk") <= col("__extra"), 1L).otherwise(0L)
-          - when(col("__extra") < 0 && col("__rk") > col("__ns") + col("__extra"), 1L)
-            .otherwise(0L)))
+        least(col("__alloc0"), lit(budget) - (col("__run") - col("__alloc0")))))
       .select(col(stratumCol), col("n_docs"), col("share"), col("stratum_budget"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))

@@ -54,9 +54,7 @@ final case class MetaSource(
     * one job instead of two (measured 0.31 s → 0.15 s on a 3k-row
     * resolve). The retention set is deduplicated driver-side. */
   def resolve(): (Seq[Long], Seq[String]) = {
-    var pred = addressing
-    dataType.foreach(dt => pred = pred && col("data_type") === dt)
-    val rows = catalog.filter(pred).select("series_id", "retention").collect()
+    val rows = resolvedCatalog().collect()
     (rows.toSeq.map(_.getLong(0)), rows.toSeq.map(_.getString(1)).distinct)
   }
 

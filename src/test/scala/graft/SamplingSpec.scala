@@ -196,6 +196,28 @@ class SamplingSpec extends SparkSpec {
       assert(total == budget,
         s"trial $trial: allocated $total != budget $budget (sizes=$sizes)")
     }
+    // million-scale budgets: 6dp share rounding can overshoot or
+    // undershoot by MULTIPLE docs — the cumulative cap must still hold
+    // Σ ≤ budget (exact equality is not promised in this regime)
+    for ((nStrata, budget) <- Seq((3, 10000000L), (7, 50000000L), (40, 25000001L))) {
+      val sizes = (1 to nStrata).map(i => 10 + 37 * i)
+      var id = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (1 to n).map { _ => id += 1; (id, s"s$s") }
+      }
+      val alloc = graft.operators.Sampling
+        .temperatureSample(rows.toDF("doc_id", "stratum"), "doc_id", "stratum",
+          tau = 0.7, budget = budget)
+        .select("stratum", "stratum_budget").distinct()
+        .as[(String, Long)].collect().toMap
+      val total = alloc.values.sum
+      assert(total <= budget, s"budget=$budget: allocated $total > budget")
+      assert(alloc.values.forall(_ >= 0L))
+      // and within strata docs of it (the only slack sources are the
+      // ±1-per-stratum remainder pass and share-rounding mass)
+      assert(budget - total <= nStrata.toLong * 30,
+        s"budget=$budget: unexpectedly large shortfall ${budget - total}")
+    }
   }
 
   test("createViews exposes the store to spark.sql") {
