@@ -126,6 +126,23 @@ object StressDocs {
       val n = out.count()
       println(s"[stress-docs]   scored $n docs against the 20-class model")
     }
+    timed("DSIR importance weights (TokenHashLogRatio serving kernel)") {
+      // every 20th doc is the trusted seed set; the r9 serving shape
+      // end-to-end at 200x bench scale: per-row kernel term
+      // frequencies, ONE conditional vocab aggregate for both LMs, the
+      // 50k-entry term map collected once and scored back as a
+      // broadcast projection — no (doc, token) join at any point
+      val w = graft.operators.TextAnalysis.importanceWeights(
+        corpus, pmod(col("doc_id"), lit(20)) === 0)
+      val agg = w.agg(count(lit(1)).as("n"),
+        sum(when(col("log_ratio").isNotNull, 1L).otherwise(0L)).as("scored"),
+        avg(when(col("is_target"), col("log_ratio"))).as("tgt_mean"),
+        avg(when(!col("is_target"), col("log_ratio"))).as("rest_mean")).head()
+      require(agg.getDouble(2) >= agg.getDouble(3),
+        "target docs must not score below the rest under their own LM")
+      println(s"[stress-docs]   ${agg.getLong(1)} of ${agg.getLong(0)} docs scored; " +
+        f"target mean ${agg.getDouble(2)}%.4f vs rest ${agg.getDouble(3)}%.4f")
+    }
     timed("Count-Min sketch (4x1024 matrix over the token stream)") {
       corpus.select(explode(split(col("text"), " ")).as("token"))
         .agg(graft.functions.CountMinSketch(col("token"), 4, 1024)).head()
