@@ -90,31 +90,42 @@ object Bench {
       else if (table == "embeddings") math.min(32L, math.max(1L, rows / 250)).toInt
       else graft.operators.Layout.defaultChunkPolicy(table, rows)
     var ingestSec = 0.0
+    val ingestErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     val mirrored = scala.collection.mutable.Map.empty[String, String]
     def mirrorOf(dir: String): String =
       if (!rechunkOn) dir
       else mirrored.getOrElseUpdate(dir, {
+        val key = new java.io.File(dir).getCanonicalPath
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val dst = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_ingest_${key}_${ProcessHandle.current().pid()}")
         try {
-          val key = new java.io.File(dir).getCanonicalPath
-            .replaceAll("[^A-Za-z0-9]", "_")
-          val dst = new java.io.File(sys.props("java.io.tmpdir"),
-            s"graft_ingest_${key}_${ProcessHandle.current().pid()}")
           // the in-process memo above is the only reuse path — a
           // pre-existing dir is a crashed run's leftover under a
           // recycled pid (and the scale-up source dir is rewritten
           // every run), so ALWAYS rebuild from the current source
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          if (dst.exists()) rm(dst)
+          if (dst.exists()) FsUtil.deleteRecursively(dst)
           val t0 = System.nanoTime()
           graft.operators.Layout.rechunkMirror(spark, dir, dst.getPath, chunkPolicy)
           ingestSec += (System.nanoTime() - t0) / 1e9
           dst.getPath
-        } catch { case _: Throwable => dir }
+        } catch {
+          case e: Throwable =>
+            // a failed ingest must never masquerade as a re-chunked
+            // measurement: reclaim the partial dir, record the error
+            // (surfaces under aux_errors), and the artifact's
+            // "rechunk" flag below reports the layout ACTUALLY
+            // measured, not the one requested
+            FsUtil.deleteRecursively(dst)
+            ingestErrors += s"ingest $dir: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(120)
+            dir
+        }
       })
     val measuredDir = mirrorOf(sfDir)
+    // what the headline timings actually read: false when disabled OR
+    // when the mirror build failed and the raw dir was measured
+    val rechunkMeasured = measuredDir != sfDir
 
     // Dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the measured sets (the
     // driver never sets it, so round benches always run the full matrix).
@@ -323,6 +334,7 @@ object Bench {
     val auxErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     // a failed index prewarm is aux evidence, not a query failure
     auxErrors ++= indexBuildErrors.map("index_build " + _)
+    auxErrors ++= ingestErrors
     // A failed aux query yields no (name, time) entry at all.
     // Discipline (r5 lesson — the committed td_latest_changes 10× ratio
     // read 14.25 where an isolated rerun measured 1.12, pure full-bench
@@ -582,7 +594,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
       s""""extended":${toJson(extResults)},"extended_total":$extTotal,""" +
       s""""scaling":$scalingJson,"scale_up":$scaleUpJson,""" +
-      s""""ingest":{"rechunk":$rechunkOn,"sec":${fmt(ingestSec, 2)},""" +
+      s""""ingest":{"rechunk":$rechunkMeasured,"sec":${fmt(ingestSec, 2)},""" +
       s""""policy":"fact rows/8192 cap 32; documents rows/625 cap 32; embeddings rows/250 cap 32; else copy"},""" +
       // total rides the entry list (not appended after mkString's close)
       // so an EMPTY build list still emits a valid JSON object
@@ -627,7 +639,7 @@ object Bench {
       s""""scaling_ratio_10x_down":${ratioMap(scalingJson, "ratio")},""" +
       s""""scale_up_ratio_10x":${ratioMap(scaleUpJson, "ratio_vs_1x")},""" +
       s""""overhead_floor_sec":${f3(overheadFloor)},"job_floor_sec":${f3(jobFloor)},""" +
-      s""""ingest_sec":${fmt(ingestSec, 2)},"rechunk":$rechunkOn,""" +
+      s""""ingest_sec":${fmt(ingestSec, 2)},"rechunk":$rechunkMeasured,""" +
       s""""index_build_sec":${fmt(indexBuilds.map(_._2).sum, 3)},""" +
       s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"$baselineSummary}""")
     // pid-scoped ingest mirrors are per-run scratch — reclaim them

@@ -442,11 +442,7 @@ object SparkEntry {
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
   private lazy val scratchHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      scratchRoots.forEach(rm(_))
+      scratchRoots.forEach(FsUtil.deleteRecursively(_))
     }))
     ()
   }
@@ -712,7 +708,11 @@ object SparkEntry {
       try { f; times += name -> (System.nanoTime() - t0) / 1e9 }
       catch {
         case e: Throwable =>
-          errors += s"$name: ${e.getClass.getSimpleName}"
+          // keep the message, same 120-char discipline as Bench's
+          // timed-query errors — a failed prewarm must be diagnosable
+          // from the committed artifact alone
+          errors += s"$name: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(120)
       }
     }
     timed("copurchase_edges") { copurchaseEdges(s, dir); () }

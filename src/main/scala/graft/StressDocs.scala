@@ -138,6 +138,9 @@ object StressDocs {
         sum(when(col("log_ratio").isNotNull, 1L).otherwise(0L)).as("scored"),
         avg(when(col("is_target"), col("log_ratio"))).as("tgt_mean"),
         avg(when(!col("is_target"), col("log_ratio"))).as("rest_mean")).head()
+      require(!agg.isNullAt(2) && !agg.isNullAt(3),
+        "both the seed set and its complement must contain scored docs " +
+          s"(scored ${agg.getLong(1)} of ${agg.getLong(0)})")
       require(agg.getDouble(2) >= agg.getDouble(3),
         "target docs must not score below the rest under their own LM")
       println(s"[stress-docs]   ${agg.getLong(1)} of ${agg.getLong(0)} docs scored; " +

@@ -89,9 +89,12 @@ object StressGraph {
         graft.operators.Graph.connectedComponents(slice, maxRounds = 30,
           localFinishEdges = 0).localCheckpoint()
       }
+      // full-outer on id: a vertex missing from EITHER labeling counts
+      // as a disagreement (an inner join would hide dropped rows)
       val diff = cc.withColumnRenamed("cluster", "c1")
-        .join(ccDist.withColumnRenamed("cluster", "c2"), "id")
-        .filter(col("c1") =!= col("c2")).count()
+        .join(ccDist.withColumnRenamed("cluster", "c2"), Seq("id"), "full_outer")
+        .filter(col("c1").isNull || col("c2").isNull || col("c1") =!= col("c2"))
+        .count()
       require(diff == 0, s"hybrid and distributed CC disagree on $diff vertices")
       println(s"[stress-graph]   hybrid ≡ distributed on all ${ccDist.count()} labels")
     }

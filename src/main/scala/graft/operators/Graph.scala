@@ -195,7 +195,7 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,
       aCol: String = "a", bCol: String = "b",
-      localFinishEdges: Long = 1L << 20): DataFrame = {
+      localFinishEdges: Long = 1L << 18): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
     var e = edges.select(
@@ -244,7 +244,7 @@ object Graph {
           .map(r => (r.getLong(0), r.getLong(1)))
         var stable = false
         while (!stable && round < maxRounds) {
-          val deg = scala.collection.mutable.Map.empty[Long, Int]
+          val deg = scala.collection.mutable.LongMap.empty[Int]
           cur.foreach { case (a, b) =>
             deg(a) = deg.getOrElse(a, 0) + 1; deg(b) = deg.getOrElse(b, 0) + 1
           }
@@ -258,7 +258,7 @@ object Graph {
         val spark = edges.sparkSession
         import spark.implicits._
         val degs = {
-          val m = scala.collection.mutable.Map.empty[Long, Long]
+          val m = scala.collection.mutable.LongMap.empty[Long]
           cur.foreach { case (a, b) =>
             m(a) = m.getOrElse(a, 0L) + 1L; m(b) = m.getOrElse(b, 0L) + 1L
           }
@@ -317,7 +317,7 @@ object Graph {
     * of two floor-bound jobs per remaining halving. 0 disables. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
       aCol: String = "id_a", bCol: String = "id_b",
-      localFinishEdges: Long = 1L << 20): DataFrame = {
+      localFinishEdges: Long = 1L << 18): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     var e = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
@@ -364,7 +364,10 @@ object Graph {
     // current frame ARE the final labels. localFinishEdges = 0 forces
     // the pure distributed fixpoint (what the spec pins).
     def localFinish(edges: Array[(Long, Long)]): DataFrame = {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // LongMap: unboxed keys — the collected frame is threshold-bounded
+      // (default 2^18 edges), and the union-find over it must not
+      // balloon into boxed-entry heap on a default-sized driver
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)

@@ -103,16 +103,27 @@ object Layout {
     *
     * Order preservation matters so time-clustered sources keep their
     * min/max footer locality (the same property writeZOrdered buys in
-    * 2-D): `monotonically_increasing_id` is monotone within each input
-    * split and splits are file-ordered, so range-partitioning on it
-    * reproduces the source order exactly for single-file inputs. */
+    * 2-D). The stable order key is `(file ordinal by NAME,
+    * monotonically_increasing_id)`: Spark's scan bin-packs splits by
+    * SIZE, not name, so the bare id alone would interleave whole files
+    * of a multi-file source in arbitrary order. With the file ordinal
+    * leading, order is exact whenever each source file maps to one
+    * scan split (single-row-group files — both the driver testdata and
+    * this method's own output); a many-row-group file that splits
+    * across partitions keeps file-level order with chunk-level
+    * approximation inside it. */
   def rechunkMirror(spark: org.apache.spark.sql.SparkSession, srcDir: String,
       dstDir: String,
       partsFor: (String, Long) => Int = defaultChunkPolicy): Unit = {
     // ns-timestamp sources (the events table) read as raw longs — the
     // mirror then stores plain int64 and readers apply the same
     // ns→µs truncation they apply to the source (Tables.events).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session conf is RESTORED on exit: a layout operator must not
+    // silently change how the caller's later ns-parquet reads behave.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosBefore = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try {
     val tables = Option(new java.io.File(srcDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.endsWith(".parquet"))
@@ -143,11 +154,34 @@ object Layout {
         }
         ()
       } else {
-        src.withColumn("__rid", monotonically_increasing_id())
-          .repartitionByRange(parts, col("__rid"))
-          .sortWithinPartitions("__rid")
-          .drop("__rid")
+        // file ordinal by NAME via a broadcast filename → index map
+        // (input_file_name() gives the path; the scan's split order
+        // does not) — see the order contract in the scaladoc
+        val fileNames: Seq[String] =
+          if (f.isDirectory)
+            f.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(_.getName).sorted.toSeq
+          else Seq(f.getName)
+        val ordinal = fileNames.zipWithIndex.toMap
+        val ordCol = ordinal.foldLeft(lit(0L)) { case (acc, (n, i)) =>
+          when(element_at(split(input_file_name(), "/"), -1) === n, lit(i.toLong))
+            .otherwise(acc)
+        }
+        // two-column order key (no bit packing — a partition index
+        // rides the high bits of monotonically_increasing_id and
+        // would collide with any fixed shift on wide scans)
+        src.withColumn("__ford", ordCol)
+          .withColumn("__rid", monotonically_increasing_id())
+          .repartitionByRange(parts, col("__ford"), col("__rid"))
+          .sortWithinPartitions("__ford", "__rid")
+          .drop("__ford", "__rid")
           .write.mode("overwrite").parquet(outDir.getPath)
+      }
+    }
+    } finally {
+      nanosBefore match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None => spark.conf.unset(nanosKey)
       }
     }
   }

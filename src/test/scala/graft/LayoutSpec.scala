@@ -103,4 +103,41 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dst/dim.parquet").orderBy("k").collect().toSeq ==
       spark.read.parquet(s"$src/dim.parquet").orderBy("k").collect().toSeq)
   }
+
+  test("rechunkMirror: multi-file source keeps NAME order even when sizes would bin-pack differently") {
+    val src = java.nio.file.Files.createTempDirectory("rechunk_mf_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("rechunk_mf_dst").toString + "/m"
+    // four name-ordered shards with DELIBERATELY non-monotonic sizes:
+    // Spark's scan orders splits by size descending, so a bare
+    // monotonically_increasing_id would visit part-1 (the biggest)
+    // first — the file-ordinal order key must win anyway
+    val tdir = new java.io.File(s"$src/t.parquet"); tdir.mkdirs()
+    val shardSizes = Seq(2000, 60000, 500, 30000) // ids 0.., name order
+    var lo = 0L
+    shardSizes.zipWithIndex.foreach { case (n, i) =>
+      val df = (lo until lo + n).map(id => (id, s"p$id")).toDF("id", "payload")
+      lo += n
+      val tmp = java.nio.file.Files.createTempDirectory("shard").toString + "/w"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(tdir, f"part-$i%05d.parquet").toPath)
+    }
+    graft.operators.Layout.rechunkMirror(spark, src, dst,
+      partsFor = (_, _) => 5)
+    val ranges = spark.read.parquet(s"$dst/t.parquet")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"), count(lit(1)).as("n"))
+      .select("lo", "hi", "n").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(ranges.map(_._3).sum == shardSizes.map(_.toLong).sum)
+    // global order preserved ⟺ per-output-file id ranges are disjoint
+    // and ascending across the whole source, not just within shards
+    ranges.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 < lo2, s"output ranges overlap: $hi1 >= $lo2 — file order lost")
+      case _ =>
+    }
+  }
 }
