@@ -3799,7 +3799,13 @@ object SparkEntry {
       (s, dir) => {
         val toks = Tables.documents(s, dir).select(col("doc_id"),
           size(filter(split(col("text"), " "), t => t =!= "")).as("n_tokens"))
-        Curation.packStats(toks, "doc_id", "n_tokens", packTokens = 2048L)
+        // materialize=Some(false): the input is a deterministic pure
+        // projection (the x_pipeline_curate rationale — the bucket
+        // exchange is reused across the prefix-sum branches, so
+        // skipping the checkpoint removes a whole materialization job
+        // and leaves the quantile scan as the only extra action)
+        Curation.packStats(toks, "doc_id", "n_tokens", packTokens = 2048L,
+            materialize = Some(false))
           .orderBy("pack_id")
       },
       Some("""WITH t AS (

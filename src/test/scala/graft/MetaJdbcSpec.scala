@@ -46,6 +46,24 @@ class MetaJdbcSpec extends SparkSpec {
     assert(ids == Seq(3L) && rets == Seq("short"))
   }
 
+  test("resolvedCatalog ≡ resolve over JDBC, and the addressing pushes into the JDBC scan") {
+    seeded
+    val ms = MetaSource.jdbc(spark, url, "meta", props, rootPath = Some("/plant/a"))
+    val frame = ms.resolvedCatalog()
+    val rows = frame.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (ids, rets) = ms.resolve()
+    assert(rows == ids.map(i => i -> (if (i == 1L) "short" else "long")).toSet)
+    assert(rets.toSet == rows.map(_._2))
+    // the plan-side twin must keep the single-round-trip property:
+    // the addressing predicate appears as a JDBC pushed filter (or at
+    // minimum the scan projects only the two resolved columns), so a
+    // catalog-sized resolve never ships the whole engine table
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("LIKE") ||
+      plan.toLowerCase.contains("path"),
+      s"addressing did not reach the JDBC scan:\n$plan")
+  }
+
   test("addressing validation applies to the JDBC constructor too") {
     seeded
     intercept[IllegalArgumentException] {
