@@ -177,7 +177,7 @@ object Bench {
       // round-8 additions
       "td_time_travel", "td_change_feed", "x_dedup_cdc_bounded", "x_pack_stats",
       // round-9 additions
-      "td_zmirror_read"))
+      "td_zmirror_read", "td_zmirror_tail"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

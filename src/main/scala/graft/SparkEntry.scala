@@ -542,6 +542,12 @@ object SparkEntry {
       zMirrorMemo.getOrElseUpdate((s, dir), {
         val store = timeTravelStore(s, dir)
         store.createZOrderedMirror("sv_zm", files = 16)
+        // second mirror pinned AT the even-batch snapshot (v2): the
+        // odd batch then sits only in the commit log, so
+        // `td_zmirror_tail`'s merge-on-read must produce the full
+        // table from clustered-base ∪ change-feed-delta
+        store.createZOrderedMirror("sv_zmt", files = 16,
+          asOfVersion = Some(store.versions()(1)))
         store
       })
     }
@@ -956,6 +962,31 @@ object SparkEntry {
         |WHERE series_id BETWEEN 20 AND 70
         |  AND valid_time >= TIMESTAMP '2024-01-03'
         |  AND valid_time <  TIMESTAMP '2024-02-01'
+        |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
+
+    ("td_zmirror_tail",
+      // MERGE-ON-READ over the z-mirror: the mirror is pinned at the
+      // even-series snapshot (v2), the odd batch exists only in the
+      // commit log — the engine must serve the CURRENT table as
+      // clustered base ∪ change-feed tail, the lakehouse base+delta
+      // pattern (rebuilds play the compaction role). The oracle is
+      // simply the full table: files and the version cursor, not
+      // filters, are what's being tested.
+      (s, dir) => {
+        val store = zMirroredStore(s, dir)
+        store.scanZOrderedWithTail("sv_zmt")
+          .filter(col("series_id").between(10, 80) &&
+            col("valid_time") >= lit(ts("2024-01-02T00:00:00Z")))
+          .select("series_id", "valid_time", "knowledge_time", "change_time",
+            "value", "changed_by", "annotation", "retention")
+          .orderBy("series_id", "valid_time", "knowledge_time", "change_time")
+      },
+      Some(s"""$svCte
+        |SELECT series_id, valid_time, knowledge_time, change_time,
+        |       value, changed_by, annotation, retention
+        |FROM sv
+        |WHERE series_id BETWEEN 10 AND 80
+        |  AND valid_time >= TIMESTAMP '2024-01-02'
         |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
 
     // ----- skip-unchanged write dedup (SURVEY §2.2 W4 + §2.4 J2) -----

@@ -369,7 +369,8 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     * than the previously-live version are dropped (keep-one grace).
     * A crash before the pointer commit leaves an orphan dir that
     * [[scanZOrdered]] never resolves and the next rebuild removes. */
-  def createZOrderedMirror(name: String, files: Int, bits: Int = 12): Unit = {
+  def createZOrderedMirror(name: String, files: Int, bits: Int = 12,
+      asOfVersion: Option[Long] = None): Unit = {
     require(files > 0, "files must be positive")
     require(name.matches("[A-Za-z0-9_]+"), s"unsafe mirror name: $name")
     val root = new Path(s"$basePath/zordered/$name")
@@ -381,10 +382,21 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
       else Seq.empty
     val prevLive = zCurrentVersion(root)
     val next = existing.sorted.lastOption.getOrElse(0L) + 1L
+    // The mirror records which STORE version it reflects (default: the
+    // current head) — the cursor [[scanZOrderedWithTail]] resumes the
+    // change feed from, the same contract as any downstream index.
+    val baseVersion = asOfVersion.getOrElse(versions().last)
+    val baseScan = asOfVersion.map(scanValuesAsOf).getOrElse(scanValues())
     graft.operators.Layout.writeZOrdered(
-      scanValues().drop("valid_month"),
+      baseScan.drop("valid_month"),
       new Path(root, s"v$next").toString,
       xCol = "series_id", yCol = "valid_time", files = files, bits = bits)
+    // store-version marker INSIDE the versioned dir: it travels with
+    // the dir through the pointer commit and the keep-one grace drop
+    val verOut = fs.create(new Path(new Path(root, s"v$next"), "_STORE_VERSION"), true)
+    try verOut.write(baseVersion.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally verOut.close()
     // pointer commit: dot-temp + rename INTO the versioned name space
     // is not enough here (the target exists across rebuilds), so write
     // temp, delete, rename — scanZOrdered's highest-version fallback
@@ -427,11 +439,12 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     * the highest version dir whose write COMPLETED (`_SUCCESS` marker)
     * — an unpointed dir without the marker may be half-written and is
     * never resolved. */
-  def scanZOrdered(name: String): DataFrame = {
+  def scanZOrdered(name: String): DataFrame =
+    spark.read.parquet(zResolvedDir(name).toString)
+
+  private def zResolvedDir(name: String): Path = {
     val root = new Path(s"$basePath/zordered/$name")
-    val chosen: Option[Path] = zCurrentVersion(root)
-      .map(v => new Path(root, s"v$v"))
-      .filter(fs.exists(_))
+    zCurrentVersion(root).map(v => new Path(root, s"v$v")).filter(fs.exists(_))
       .orElse {
         if (!fs.exists(root)) None
         else fs.listStatus(root).toSeq.filter(_.isDirectory)
@@ -441,11 +454,72 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
             p.getName.stripPrefix("v").toLong).toOption.map(_ -> p))
           .sortBy(_._1).lastOption.map(_._2)
       }
-    chosen match {
-      case Some(p) => spark.read.parquet(p.toString)
-      case None => throw new IllegalArgumentException(
-        s"no z-ordered mirror '$name' at $root — run createZOrderedMirror first")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no z-ordered mirror '$name' at $root — run createZOrderedMirror first"))
+  }
+
+  /** The store version the live mirror reflects (`_STORE_VERSION`
+    * marker written at build). Mirrors built before the marker existed
+    * fail loudly — a silent guess would corrupt the tail read. */
+  def zMirrorBaseVersion(name: String): Long = {
+    val marker = new Path(zResolvedDir(name), "_STORE_VERSION")
+    val in = try fs.open(marker) catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"z-mirror '$name' carries no _STORE_VERSION marker — rebuild it " +
+            "(createZOrderedMirror) before tail reads")
     }
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    } finally in.close()
+  }
+
+  /** MERGE-ON-READ over the z-mirror: the clustered mirror files plus
+    * the commit-log change feed since the mirror's recorded base
+    * version — the current table without a rebuild, the lakehouse
+    * base-plus-delta serving pattern (and the reference's ClickHouse
+    * parts-plus-unmerged-inserts read model). Periodic
+    * [[createZOrderedMirror]] rebuilds play the compaction role:
+    * between rebuilds every read costs (clustered scan) + (delta
+    * proportional to NEW data since the base).
+    *
+    * Exactness guard: the file-diff change feed re-surfaces rows when
+    * a commit REWRITES files (compaction), which would double them
+    * under this union — so if any base-version file is no longer in
+    * the current manifest, the read fails loudly asking for a rebuild
+    * instead of serving duplicates. TTL/vacuum that DROPPED base files
+    * trips the same guard; both are exactly the moments a mirror is
+    * stale. */
+  def scanZOrderedWithTail(name: String): DataFrame = {
+    val base = zMirrorBaseVersion(name)
+    val head = versions().last
+    val baseFiles = {
+      val all = manifestVersions()
+      all.find(_._1 == base) match {
+        case Some((_, p)) => readManifest(p)
+        case None => throw new IllegalStateException(
+          s"z-mirror '$name' was built at store version $base, which no " +
+            "longer has a manifest (vacuumed?) — rebuild the mirror")
+      }
+    }
+    val headFiles = {
+      val all = manifestVersions()
+      all.find(_._1 == head).map { case (_, p) => readManifest(p).toSet }.get
+    }
+    val rewritten = baseFiles.filterNot(headFiles)
+    if (rewritten.nonEmpty)
+      throw new IllegalStateException(
+        s"z-mirror '$name' base version $base has ${rewritten.size} file(s) " +
+          "rewritten or dropped since (compaction/TTL) — the file-diff tail " +
+          "would duplicate or lose their rows; rebuild the mirror")
+    val mirror = scanZOrdered(name)
+    mirror.unionByName(
+      scanChangesBetween(base, head).select(mirror.columns.map(col): _*))
   }
 
   private def versionedTables(tableName: String): Seq[(Long, String)] =

@@ -196,6 +196,40 @@ class TimeDbSpec extends SparkSpec {
     }
   }
 
+  test("z-mirror merge-on-read: base ∪ change-feed tail serves the current table; rewrites throw") {
+    withDb { db =>
+      db.write(revision(10), knowledgeTime = Some(ts("2024-02-29T18:00:00Z")))
+      val store = db.store
+      val vBase = store.versions().last
+      // mirror pinned at the first batch, by explicit as-of AND by the
+      // current-head default (both must record the same base version)
+      store.createZOrderedMirror("tdspec_mor", files = 4, asOfVersion = Some(vBase))
+      assert(store.zMirrorBaseVersion("tdspec_mor") == vBase)
+      // second batch lands only in the commit log
+      db.write(revision(100), knowledgeTime = Some(ts("2024-03-01T03:00:00Z")))
+      val merged = store.scanZOrderedWithTail("tdspec_mor")
+      val plain = store.scanValues().drop("valid_month")
+      assert(merged.exceptAll(plain).isEmpty && plain.exceptAll(merged).isEmpty,
+        "base ∪ tail must equal the current table exactly")
+      // the mirror alone must NOT contain the second batch (the tail is
+      // doing real work, not shadowing a stale-free mirror)
+      assert(store.scanZOrdered("tdspec_mor").count() < plain.count())
+      // a compaction rewrite between base and head re-surfaces rows in
+      // the file-diff feed — the tail read must refuse, not duplicate
+      assert(db.store.compactPartitions(maxFiles = 1).nonEmpty)
+      val ex = intercept[IllegalStateException] {
+        store.scanZOrderedWithTail("tdspec_mor").count()
+      }
+      assert(ex.getMessage.contains("rebuild the mirror"))
+      // rebuild (defaults to the new head) restores exact serving
+      store.createZOrderedMirror("tdspec_mor", files = 4)
+      val after = store.scanZOrderedWithTail("tdspec_mor")
+      val plainAfter = store.scanValues().drop("valid_month")
+      assert(after.exceptAll(plainAfter).isEmpty &&
+        plainAfter.exceptAll(after).isEmpty)
+    }
+  }
+
   test("two revisions: latest returns the later knowledge_time values") {
     withDb { db =>
       db.write(revision(10), knowledgeTime = Some(ts("2024-02-29T18:00:00Z")))
