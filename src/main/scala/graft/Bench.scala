@@ -95,11 +95,15 @@ object Bench {
     def mirrorOf(dir: String): String =
       if (!rechunkOn) dir
       else mirrored.getOrElseUpdate(dir, {
-        val key = new java.io.File(dir).getCanonicalPath
-          .replaceAll("[^A-Za-z0-9]", "_")
-        val dst = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_ingest_${key}_${ProcessHandle.current().pid()}")
+        // dst resolves INSIDE the try: even getCanonicalPath can throw
+        // (transient fs errors), and a failed ingest must fall back to
+        // measuring the raw dir, never kill the run
+        var dst: java.io.File = null
         try {
+          val key = new java.io.File(dir).getCanonicalPath
+            .replaceAll("[^A-Za-z0-9]", "_")
+          dst = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_ingest_${key}_${ProcessHandle.current().pid()}")
           // the in-process memo above is the only reuse path — a
           // pre-existing dir is a crashed run's leftover under a
           // recycled pid (and the scale-up source dir is rewritten
@@ -116,7 +120,7 @@ object Bench {
             // (surfaces under aux_errors), and the artifact's
             // "rechunk" flag below reports the layout ACTUALLY
             // measured, not the one requested
-            FsUtil.deleteRecursively(dst)
+            if (dst != null) FsUtil.deleteRecursively(dst)
             ingestErrors += s"ingest $dir: ${e.getClass.getSimpleName}: " +
               String.valueOf(e.getMessage).take(120)
             dir
@@ -643,13 +647,9 @@ object Bench {
       s""""index_build_sec":${fmt(indexBuilds.map(_._2).sum, 3)},""" +
       s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"$baselineSummary}""")
     // pid-scoped ingest mirrors are per-run scratch — reclaim them
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-      f.delete(); ()
-    }
     mirrored.values
       .filter(_.contains("graft_ingest_")) // never touch a source dir
-      .foreach(p => deleteRec(new java.io.File(p)))
+      .foreach(p => FsUtil.deleteRecursively(new java.io.File(p)))
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

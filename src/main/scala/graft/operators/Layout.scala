@@ -154,24 +154,31 @@ object Layout {
         }
         ()
       } else {
-        // file ordinal by NAME via a broadcast filename → index map
-        // (input_file_name() gives the path; the scan's split order
-        // does not) — see the order contract in the scaladoc
-        val fileNames: Seq[String] =
-          if (f.isDirectory)
-            f.listFiles().filter(_.getName.endsWith(".parquet"))
-              .map(_.getName).sorted.toSeq
-          else Seq(f.getName)
-        val ordinal = fileNames.zipWithIndex.toMap
-        val ordCol = ordinal.foldLeft(lit(0L)) { case (acc, (n, i)) =>
-          when(element_at(split(input_file_name(), "/"), -1) === n, lit(i.toLong))
-            .otherwise(acc)
-        }
+        // file ordinal by NAME from the scan's OWN file list
+        // (src.inputFiles — full URIs exactly as input_file_name()
+        // reports them, nested dirs included), as ONE literal-map
+        // lookup per row: a when-chain over N files would cost O(N)
+        // per row and blow past codegen's method-size limit on
+        // many-file sources. Unmatched paths map to -1; the guard
+        // below fails LOUDLY instead of writing a silently misordered
+        // mirror (the zMirrorBaseVersion discipline).
+        val inputs = src.inputFiles.sorted
+        val ordinal: Map[String, Long] =
+          inputs.zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
+        val ordCol =
+          if (inputs.length <= 1) lit(0L)
+          else coalesce(
+            element_at(typedLit(ordinal), input_file_name()), lit(-1L))
+        val keyed = src.withColumn("__ford", ordCol)
+          .withColumn("__rid", monotonically_increasing_id())
+        if (inputs.length > 1)
+          require(keyed.filter(col("__ford") < 0).isEmpty,
+            s"rechunkMirror($table): a scanned row's input_file_name() is " +
+              "missing from the scan's inputFiles — cannot preserve order")
         // two-column order key (no bit packing — a partition index
         // rides the high bits of monotonically_increasing_id and
         // would collide with any fixed shift on wide scans)
-        src.withColumn("__ford", ordCol)
-          .withColumn("__rid", monotonically_increasing_id())
+        keyed
           .repartitionByRange(parts, col("__ford"), col("__rid"))
           .sortWithinPartitions("__ford", "__rid")
           .drop("__ford", "__rid")

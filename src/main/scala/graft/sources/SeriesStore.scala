@@ -385,8 +385,13 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     // The mirror records which STORE version it reflects (default: the
     // current head) — the cursor [[scanZOrderedWithTail]] resumes the
     // change feed from, the same contract as any downstream index.
+    // The scan goes through scanValuesAsOf(baseVersion) even in the
+    // default case: resolving "head" once and reading THAT manifest is
+    // atomic, where a separate scanValues() could list a newer commit
+    // that landed in between — the marker would then understate the
+    // mirror's content and the tail read would duplicate those rows.
     val baseVersion = asOfVersion.getOrElse(versions().last)
-    val baseScan = asOfVersion.map(scanValuesAsOf).getOrElse(scanValues())
+    val baseScan = scanValuesAsOf(baseVersion)
     graft.operators.Layout.writeZOrdered(
       baseScan.drop("valid_month"),
       new Path(root, s"v$next").toString,
@@ -424,14 +429,18 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     val in = try fs.open(cur) catch {
       case _: java.io.FileNotFoundException => return None
     }
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      scala.util.Try(new String(bytes.toByteArray,
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
-    } finally in.close()
+    try scala.util.Try(slurp(in).trim.toLong).toOption
+    finally in.close()
+  }
+
+  // shared byte-slurp for the small marker/pointer files (three call
+  // sites — pointer, store-version marker, and Try-wrapped variants)
+  private def slurp(in: java.io.InputStream): String = {
+    val bytes = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64)
+    var n = in.read(buf)
+    while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+    new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** The z-ordered mirror as a DataFrame. Resolves the `_current`
@@ -469,14 +478,8 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
           s"z-mirror '$name' carries no _STORE_VERSION marker — rebuild it " +
             "(createZOrderedMirror) before tail reads")
     }
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray,
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    } finally in.close()
+    try slurp(in).trim.toLong
+    finally in.close()
   }
 
   /** MERGE-ON-READ over the z-mirror: the clustered mirror files plus
@@ -497,29 +500,34 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     * stale. */
   def scanZOrderedWithTail(name: String): DataFrame = {
     val base = zMirrorBaseVersion(name)
-    val head = versions().last
-    val baseFiles = {
-      val all = manifestVersions()
-      all.find(_._1 == base) match {
-        case Some((_, p)) => readManifest(p)
-        case None => throw new IllegalStateException(
-          s"z-mirror '$name' was built at store version $base, which no " +
-            "longer has a manifest (vacuumed?) — rebuild the mirror")
-      }
+    // ONE manifest listing serves the head resolve, both file lists,
+    // and the delta (a second listing could race a vacuum into a bare
+    // NoSuchElementException; this path's whole contract is loud,
+    // diagnosable errors)
+    val all = manifestVersions()
+    if (all.isEmpty)
+      throw new IllegalStateException(
+        s"z-mirror '$name': the store at $valuesPath has no committed " +
+          "manifests (deleted?) — nothing to serve a tail from")
+    val baseFiles = all.find(_._1 == base) match {
+      case Some((_, p)) => readManifest(p)
+      case None => throw new IllegalStateException(
+        s"z-mirror '$name' was built at store version $base, which no " +
+          "longer has a manifest (vacuumed?) — rebuild the mirror")
     }
-    val headFiles = {
-      val all = manifestVersions()
-      all.find(_._1 == head).map { case (_, p) => readManifest(p).toSet }.get
-    }
-    val rewritten = baseFiles.filterNot(headFiles)
+    val headFiles = readManifest(all.last._2)
+    val headSet = headFiles.toSet
+    val rewritten = baseFiles.filterNot(headSet)
     if (rewritten.nonEmpty)
       throw new IllegalStateException(
         s"z-mirror '$name' base version $base has ${rewritten.size} file(s) " +
           "rewritten or dropped since (compaction/TTL) — the file-diff tail " +
           "would duplicate or lose their rows; rebuild the mirror")
+    val baseSet = baseFiles.toSet
     val mirror = scanZOrdered(name)
     mirror.unionByName(
-      scanChangesBetween(base, head).select(mirror.columns.map(col): _*))
+      scanFileList(headFiles.filterNot(baseSet))
+        .select(mirror.columns.map(col): _*))
   }
 
   private def versionedTables(tableName: String): Seq[(Long, String)] =
