@@ -747,14 +747,20 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__lut", pqLutCol(books, subDim, col("__qv")))
       .select(col("query_id"), col("__lut"))
+    // probe list and LUT fuse into ONE broadcast frame before the
+    // corpus join: (query_id, cell, lut) is still queries × nprobe
+    // rows — broadcast-sized by construction — and shipping it once
+    // removes a whole broadcast build plus the second probe-side join
+    // from the hot path (two of ivfPqTopK's six scheduled jobs were
+    // the separate builds).
+    val probeLut = probes.join(q, "query_id")
     // corpus side: (coarse cell, id, m codes) in ONE projection — the
     // float vector never leaves the scan
     val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("cand_id"),
       pqCodesCol(books, subDim, col(vecCol)).as("codes"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
-    c.join(broadcast(probes), "cell")
-      .join(broadcast(q), "query_id")
+    c.join(broadcast(probeLut), "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score",
         round(graft.functions.CodeLutSum(col("codes"), col("__lut")), 4))
