@@ -552,6 +552,47 @@ object SparkEntry {
       })
     }
 
+  /** Memoized bucketed-mirror store per (session, data dir): the
+    * [[timeTravelStore]] with TWO bucketed mirrors committed at EQUAL
+    * bucket counts — the values table and a per-series aggregate
+    * table, both bucketed on `series_id`
+    * (SeriesStore.createBucketedMirror / createBucketedMirrorOf) — so
+    * `td_bucketed_join` measures the co-located-join READ path (two
+    * bucketed scans, zero exchanges), not a rebuild per run. The
+    * aggregate side is exact arithmetic only (count + min/max
+    * timestamps), so the oracle replays it bit-for-bit. */
+  private val bucketedMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.sources.SeriesStore]
+
+  /** Catalog names for `dir`'s bucketed mirrors: the session catalog is
+    * GLOBAL, and one bench session touches several data dirs (sf0.001
+    * warmup, the measured mirror, the scale dirs) — an unscoped name
+    * would let a later dir's rebuild silently repoint an earlier dir's
+    * memoized store at the wrong data. */
+  private def bucketedNames(dir: String): (String, String) = {
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(dir).getCanonicalPath))
+    (s"sv_bk_$h", s"sv_agg_bk_$h")
+  }
+
+  private def bucketedStore(s: SparkSession, dir: String): graft.sources.SeriesStore =
+    scratchLock.synchronized {
+      bucketedMemo.getOrElseUpdate((s, dir), {
+        val store = timeTravelStore(s, dir)
+        val (valsName, aggName) = bucketedNames(dir)
+        store.createBucketedMirror(valsName, nBuckets = 8)
+        store.createBucketedMirrorOf(
+          store.scanValues().drop("valid_month")
+            .groupBy(col("series_id"))
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("valid_time")).as("first_valid"),
+              max(col("valid_time")).as("last_valid")),
+          aggName, nBuckets = 8, sortCols = Seq("series_id"))
+        store
+      })
+    }
+
   /** Memoized duplicate-cluster frame per (session, data dir): the
     * bigram-Jaccard candidate pairs collapsed to connected components —
     * the assignment every keep/drop decision downstream consumes.
@@ -691,7 +732,11 @@ object SparkEntry {
     pqMemo.clear()
     timeTravelStoreMemo.clear()
     zMirrorMemo.clear()
+    bucketedMemo.clear()
     copurchaseMemo.clear()
+    // model broadcasts are memoized by content inside the kernel object;
+    // a rewritten dir retrains, so the stale handles must be destroyed
+    graft.functions.NbScores.invalidateModelMemo()
   }
 
   /** Force every build-artifact memo for `dir` and report each build's
@@ -729,6 +774,7 @@ object SparkEntry {
     timed("ivf_index_stored") { storedIvfIndex(s, dir); () }
     timed("dup_clusters") { builtClusters(s, dir).count(); () }
     timed("timetravel_store") { timeTravelStore(s, dir); () }
+    timed("bucketed_mirrors") { bucketedStore(s, dir); () }
     timed("zorder_mirror") { zMirroredStore(s, dir); () }
     (times.result(), errors.result())
   }
@@ -988,6 +1034,40 @@ object SparkEntry {
         |WHERE series_id BETWEEN 10 AND 80
         |  AND valid_time >= TIMESTAMP '2024-01-02'
         |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
+
+    ("td_bucketed_join",
+      // CO-LOCATED equi-join served from TWO bucketed mirrors with
+      // equal bucket counts (values table ⋈ per-series aggregates,
+      // both bucketed on series_id): the scans arrive already
+      // hash-partitioned on the key, so the join plans with ZERO
+      // exchanges — no shuffle, no broadcast build (PlanSpec pins the
+      // no-Exchange shape). The merge hint keeps the catalog-sized agg
+      // side out of a broadcast: at 100 TB both sides are fact-scale
+      // and sort-merge-over-buckets IS the plan this layout exists for
+      // (the reference's sort-key co-location, ch_create_tables.sql:42).
+      // The oracle replays the aggregate + join over the source frame —
+      // files and bucket layout, not filters, are what's being tested.
+      (s, dir) => {
+        val store = bucketedStore(s, dir)
+        val (valsName, aggName) = bucketedNames(dir)
+        store.scanBucketed(valsName)
+          .join(store.scanBucketed(aggName).hint("merge"), "series_id")
+          .filter(col("series_id").between(10, 60))
+          .select(col("series_id"), col("valid_time"), col("knowledge_time"),
+            col("change_time"), col("value"), col("n_rows"),
+            col("first_valid"), col("last_valid"))
+          .orderBy("series_id", "valid_time", "knowledge_time", "change_time")
+      },
+      Some(s"""$svCte,
+        |agg AS (SELECT series_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |               MIN(valid_time) AS first_valid,
+        |               MAX(valid_time) AS last_valid
+        |        FROM sv GROUP BY series_id)
+        |SELECT s.series_id, s.valid_time, s.knowledge_time, s.change_time,
+        |       s.value, a.n_rows, a.first_valid, a.last_valid
+        |FROM sv s JOIN agg a USING (series_id)
+        |WHERE s.series_id BETWEEN 10 AND 60
+        |ORDER BY s.series_id, s.valid_time, s.knowledge_time, s.change_time""".stripMargin)),
 
     // ----- skip-unchanged write dedup (SURVEY §2.2 W4 + §2.4 J2) -----
 

@@ -293,9 +293,25 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
     * version dirs are dropped on the NEXT rebuild (keep-one grace),
     * mirroring the manifest vacuum discipline. Rebuild after appends,
     * like any materialized layout. */
-  def createBucketedMirror(tableName: String, nBuckets: Int): Unit = {
+  def createBucketedMirror(tableName: String, nBuckets: Int): Unit =
+    createBucketedMirrorOf(scanValues().drop("valid_month"), tableName, nBuckets,
+      sortCols = Seq("series_id", "valid_time"))
+
+  /** [[createBucketedMirror]] for an ARBITRARY series-keyed frame —
+    * derived tables (per-series aggregates, rollups, feature frames)
+    * get the same shuffle-free keyed-join layout as the values table.
+    * Two mirrors written with EQUAL bucket counts equi-join on
+    * `series_id` with zero exchanges (the reference's sort-key
+    * co-location, ch_create_tables.sql:42, generalized to any table
+    * that shares the key). Same versioned-dir + catalog-swap
+    * maintenance as the values mirror. */
+  def createBucketedMirrorOf(frame: org.apache.spark.sql.DataFrame,
+      tableName: String, nBuckets: Int,
+      sortCols: Seq[String]): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(tableName.matches("[A-Za-z0-9_]+"), s"unsafe table name: $tableName")
+    require(frame.columns.contains("series_id"),
+      s"bucketed mirror $tableName: frame must carry series_id (the bucket key)")
     val tableRoot = new Path(s"$basePath/bucketed/$tableName")
     val versions =
       if (fs.exists(tableRoot))
@@ -320,15 +336,14 @@ final class SeriesStore(spark: SparkSession, basePath: String) {
             "^v(\\d+)/".r.findFirstMatchIn(f.stripPrefix(qRoot)).map(_.group(1).toLong)
           }
       else None
-    scanValues()
-      .drop("valid_month")
+    frame
       .write
       .format("parquet")
       .mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("path", path.toString)
       .bucketBy(nBuckets, "series_id")
-      .sortBy("series_id", "valid_time")
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(s"${tableName}__v$next")
     // Swap the public name to the new version. DROP + RENAME is two
     // catalog calls, so a crash between them leaves no base-name table —

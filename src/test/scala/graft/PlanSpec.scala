@@ -33,6 +33,44 @@ class PlanSpec extends SparkSpec {
     db.delete()
   }
 
+  test("bucketed-mirror co-located join (equal bucket counts) plans zero exchanges") {
+    val base = java.nio.file.Files.createTempDirectory("timedb_bkjoin").toString
+    val db = new TimeDb(spark, base)
+    db.create()
+    val rows = (0 until 48).map(h =>
+      (h.toLong % 4, ts(f"2024-03-${h / 24 + 1}%02dT${h % 24}%02d:00:00Z"), h.toDouble))
+      .toDF("series_id", "valid_time", "value")
+    db.write(rows, retention = Some("short"))
+    val store = db.store
+    store.createBucketedMirror("planspec_bk", nBuckets = 4)
+    store.createBucketedMirrorOf(
+      store.scanValues().drop("valid_month").groupBy(col("series_id"))
+        .agg(count(lit(1)).as("n_rows")),
+      "planspec_agg_bk", nBuckets = 4, sortCols = Seq("series_id"))
+    try {
+      // the td_bucketed_join shape: both scans arrive hash-partitioned
+      // on series_id (equal bucket counts), so the sort-merge join must
+      // plan with NO exchange of any kind — no shuffle, no broadcast
+      // build. The merge hint keeps the small agg side out of a
+      // BroadcastExchange (at scale both sides are fact-sized).
+      val joined = store.scanBucketed("planspec_bk")
+        .join(store.scanBucketed("planspec_agg_bk").hint("merge"), "series_id")
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"),
+        s"co-located bucketed join must plan zero exchanges:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      // result parity with the plain (shuffling) formulation
+      val plain = store.scanValues().drop("valid_month")
+      val plainJoined = plain.join(
+        plain.groupBy(col("series_id")).agg(count(lit(1)).as("n_rows")), "series_id")
+      assert(joined.count() == plainJoined.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS planspec_bk")
+      spark.sql("DROP TABLE IF EXISTS planspec_agg_bk")
+      db.delete()
+    }
+  }
+
   test("latest read is a partial+final aggregate (map-side combine before shuffle)") {
     val df = Seq((1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:00Z"),
       ts("2024-01-01T00:00:00Z"), 1.0, "", ""))
