@@ -26,10 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression: the expression (and thus every task binary) carries
   * only the stub, and each executor fetches the vocab × classes
   * matrix once via the torrent broadcast instead of once per task —
-  * the standard model-serving shape at cluster scale. Two expressions
-  * built from one [[NbScores.apply]] call share the handle and
-  * compare equal; models trained separately are distinct by design
-  * (array equality on a vocab-sized matrix is not a planner's job).
+  * the standard model-serving shape at cluster scale. The handle is
+  * MEMOIZED by model content ([[NbScores.apply]]), so repeated
+  * trainings of the same corpus — the bench's per-iteration query
+  * rebuild — reuse one broadcast and their expressions compare equal
+  * (subexpression elimination works); `invalidateModelMemo()`
+  * destroys the handles when a data dir is rewritten.
   *
   * Arithmetic is replay-exact against the SQL oracle's decimal
   * formulation: per-present-pair terms accumulate as
@@ -117,13 +119,37 @@ object NbScores {
       tokenIdx: Map[Long, Int], deltaMat: Array[Array[Double]])
       extends Serializable
 
+  // Broadcast memo keyed by the model's CONTENT (fully structural —
+  // immutable lists, not arrays, so equals/hashCode are value-based):
+  // the bench rebuilds the query per timing iteration, and a fresh
+  // torrent broadcast per apply call both accumulated never-destroyed
+  // blocks on driver and executors AND made two expressions from
+  // separate apply calls compare unequal (same handle ⇒ case-class
+  // equality ⇒ subexpression elimination works again). Vocab × classes
+  // is catalog-sized, so the structural key costs microseconds.
+  // Cleared (with destroy) alongside SparkEntry.invalidateBuildMemos —
+  // a rewritten data dir retrains the model, and the stale broadcast
+  // must not pin executor memory for the rest of the session.
+  private type ModelKey = (List[String], List[java.math.BigDecimal], List[Double],
+    Map[Long, Int], List[List[Double]])
+  private val modelMemo =
+    scala.collection.concurrent.TrieMap.empty[ModelKey, Broadcast[Model]]
+
+  /** Destroy and forget every memoized model broadcast. */
+  def invalidateModelMemo(): Unit = {
+    modelMemo.values.foreach(b => try b.destroy() catch { case _: Throwable => () })
+    modelMemo.clear()
+  }
+
   def apply(tokenCounts: Column, classes: Array[String],
       priors: Array[java.math.BigDecimal], bases: Array[Double],
       tokenIdx: Map[Long, Int], deltaMat: Array[Array[Double]]): Column = {
     require(classes.nonEmpty, "NB model must have at least one class")
     val spark = org.apache.spark.sql.SparkSession.active
-    val bc = spark.sparkContext.broadcast(
-      Model(classes, priors, bases, tokenIdx, deltaMat))
+    val key: ModelKey = (classes.toList, priors.toList, bases.toList,
+      tokenIdx, deltaMat.map(_.toList).toList)
+    val bc = modelMemo.getOrElseUpdate(key, spark.sparkContext.broadcast(
+      Model(classes, priors, bases, tokenIdx, deltaMat)))
     GraftColumnBridge.toColumn(NbScores(
       GraftColumnBridge.toExpression(tokenCounts), bc))
   }

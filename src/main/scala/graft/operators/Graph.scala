@@ -304,8 +304,10 @@ object Graph {
     * bounded jobs per round, not a hash heuristic); the fixpoint is a
     * star forest rooted at each component's minimum id, which is the
     * same labeling the recursive-CTE oracle and min-label propagation
-    * produce, so all three agree row-for-row. Rounds past `maxRounds`
-    * throw — the bounded-unroll discipline of [[kCore]].
+    * produce, so all three agree row-for-row. Distributed rounds past
+    * `maxRounds` throw (the [[kCore]] discipline) — though the hybrid
+    * tail below may close the fixpoint where the pure loop would have
+    * thrown; see its note for why that cannot change a row.
     *
     * Output: (id, cluster) for every edge endpoint, cluster = the
     * component's minimum node id.
@@ -314,7 +316,19 @@ object Graph {
     * geometrically, so once it fits `localFinishEdges` the fixpoint
     * closes with one bounded collect + min-id union-find (exact: every
     * round's frame spans the same node partition as the input) instead
-    * of two floor-bound jobs per remaining halving. 0 disables. */
+    * of two floor-bound jobs per remaining halving. 0 disables.
+    *
+    * The local finish closes the fixpoint UNCONDITIONALLY — it may
+    * out-converge a round budget the distributed loop would have blown
+    * (a call that throws at `localFinishEdges = 0` can succeed at the
+    * default). That asymmetry is deliberate and sound for CC, unlike
+    * [[kCore]]'s tail, which keeps the budget: CC's answer is the
+    * unique min-id component labeling, independent of how many rounds
+    * reached it, so out-converging cannot change a row — whereas
+    * kCore's `maxRounds`-unrolled relational oracle is exact only
+    * because the operator refuses to peel past the same bound. Here
+    * `maxRounds` bounds the DISTRIBUTED spend (the resource guard),
+    * not the result. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
       aCol: String = "id_a", bCol: String = "id_b",
       localFinishEdges: Long = 1L << 18): DataFrame = {

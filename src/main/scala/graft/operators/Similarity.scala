@@ -144,10 +144,15 @@ object Similarity {
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // probe list and query vector fuse into ONE broadcast frame before
+    // the corpus join (the ivfPqTopK probeLut pattern): (query_id,
+    // cell, qv) is queries × nprobe rows — broadcast-sized by
+    // construction — and shipping it once removes a whole broadcast
+    // build plus the second probe-side join from the hot path.
+    val probeQ = probes.join(q, "query_id")
     val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("cand_id"), col(vecCol).as("cv"))
     val scored = c
-      .join(broadcast(probes), "cell")
-      .join(broadcast(q), "query_id")
+      .join(broadcast(probeQ), "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score", round(Portable.cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("query_id"))

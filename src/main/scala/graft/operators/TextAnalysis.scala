@@ -531,8 +531,28 @@ object TextAnalysis {
     * Words are lowercased and restricted to `^[a-z]+$` (whitespace
     * tokens), keeping symbol comparisons byte-identical across engines
     * and collations. Training stops early if the vocabulary runs out of
-    * adjacent pairs. */
-  def bpeTrain(docs: DataFrame, iters: Int, textCol: String = "text"): DataFrame = {
+    * adjacent pairs.
+    *
+    * Hybrid in-core tail (the [[Graph.connectedComponents]] /
+    * [[Graph.kCore]] pattern applied to the merge loop): the
+    * word-frequency table is LANGUAGE-bounded, not corpus-bounded —
+    * at web scale it is millions of rows where the corpus is billions,
+    * and every real BPE trainer (Sennrich's reference code included)
+    * trains on exactly that table in memory. So when the vocab fits
+    * `localVocabWords` (collected rows on the driver), the merge
+    * iterations run as an in-core loop — same census arithmetic, same
+    * (cnt desc, l, r) winner rule, same greedy left-to-right
+    * non-overlapping re-encode — instead of one scheduling-floor job
+    * per merge round. 0 disables (pure distributed loop; the spec pins
+    * hybrid ≡ distributed on the same corpus). NOT batched-B merges:
+    * a merge creates new pairs containing the merged symbol whose
+    * counts can outrank a stale runner-up picked from the pre-merge
+    * census (e.g. `e a b f`×N: after (a,b), the new (ab,f)=N beats any
+    * disjoint runner-up), so batch selection from one census is not
+    * replay-exact; the in-core loop cuts the same job count without
+    * that hazard. */
+  def bpeTrain(docs: DataFrame, iters: Int, textCol: String = "text",
+      localVocabWords: Long = 1L << 20): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -543,6 +563,9 @@ object TextAnalysis {
       .withColumn("syms", filter(split(col("word"), ""), s => s =!= ""))
       .select("freq", "syms")
       .localCheckpoint()
+    if (localVocabWords > 0 && base.count() <= localVocabWords)
+      return bpeTrainLocal(spark, base.collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toArray)), iters)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var enc = base
     var it = 1
@@ -599,6 +622,63 @@ object TextAnalysis {
           merges += ((it, l, r, cnt))
           enc = enc.withColumn("syms", bpeMergeOnce(col("syms"), l, r))
           if (it % 4 == 0) enc = enc.localCheckpoint()
+          it += 1
+      }
+    }
+    merges.toSeq.toDF("iteration", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** The in-core merge loop of [[bpeTrain]]'s hybrid tail: identical
+    * census (weighted adjacent-pair counts, exact long sums), identical
+    * winner rule (cnt desc, then (l, r) ascending byte order), and the
+    * same greedy left-to-right non-overlapping replacement as
+    * [[bpeMergeOnce]]'s carry fold (a merged emission never re-matches
+    * in the same pass), so the merge table is bit-identical to the
+    * distributed loop's for any input. */
+  private def bpeTrainLocal(spark: org.apache.spark.sql.SparkSession,
+      vocab: Array[(Long, Array[String])], iters: Int): DataFrame = {
+    import spark.implicits._
+    var words = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
+      val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (f, s) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val key = (s(i), s(i + 1))
+          m.update(key, m.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      // same strict-improvement fold as the distributed loop: the
+      // winner is order-independent over the map's iteration order
+      val top = m.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, e @ ((l, r), cnt)) => acc match {
+          case Some(((bl, br), bc))
+            if cnt < bc || (cnt == bc && (l > bl || (l == bl && r >= br))) => acc
+          case _ => Some(e)
+        }
+      }
+      top match {
+        case None => exhausted = true
+        case Some(((l, r), cnt)) =>
+          merges += ((it, l, r, cnt))
+          words = words.map { case (f, s) =>
+            if (!s.indices.exists(i => i < s.length - 1 && s(i) == l && s(i + 1) == r))
+              (f, s)
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < s.length) {
+                if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                  out += l + r; i += 2
+                } else { out += s(i); i += 1 }
+              }
+              (f, out.toArray)
+            }
+          }
           it += 1
       }
     }

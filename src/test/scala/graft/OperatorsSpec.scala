@@ -370,6 +370,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ml == Seq((1, "e", "d", 1L), (2, "i", "x", 1L)))
   }
 
+  test("bpeTrain hybrid in-core tail is merge-for-merge identical to the distributed loop") {
+    // enough structure that winners shift across iterations (shared
+    // prefixes, overlaps, ties) — the exact surface where a batched or
+    // sloppy local loop would diverge from sequential replay
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"low lower lowest newer newest wide wider widest " +
+        s"aaa${"a" * (i % 3)} shared${i % 5} text tokens token"))
+      .toDF("doc_id", "text").repartition(6)
+    val local = graft.operators.TextAnalysis.bpeTrain(docs, iters = 10)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val dist = graft.operators.TextAnalysis
+      .bpeTrain(docs, iters = 10, localVocabWords = 0L)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(local == dist, s"hybrid $local != distributed $dist")
+    assert(local.size == 10)
+  }
+
   test("bpeEncode applies merges in order; opaque passthrough; position order") {
     val docs = Seq((1L, "low lower 42 Lo!w low")).toDF("doc_id", "text")
     val merges = Seq(("l", "o"), ("lo", "w"))
