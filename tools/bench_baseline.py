@@ -29,7 +29,22 @@ def main(sfdir, oracle_json, out_path):
     con = duckdb.connect()
     for f in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(f)[: -len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+        # a re-chunked mirror (graft.MakeMirror / Layout.rechunkMirror)
+        # ships each table as a DIRECTORY of part files
+        src = f"{f}/*.parquet" if os.path.isdir(f) else f
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+        # the mirror stores ns-timestamp sources as raw int64 (the same
+        # representation Spark reads them back in); normalize to the
+        # TIMESTAMP the raw layout presents — make_timestamp(us) after
+        # the identical ns//1000 truncation — so one oracle SQL runs
+        # unchanged on both layouts
+        cols = con.execute(f"DESCRIBE {name}").fetchall()
+        ts_bigint = [c for c, t, *_ in cols if c == "ts" and t == "BIGINT"]
+        if ts_bigint:
+            con.execute(f"DROP VIEW {name}")
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
 
     oracles = json.load(open(oracle_json))
     times = {}
