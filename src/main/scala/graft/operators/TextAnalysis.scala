@@ -884,8 +884,11 @@ object TextAnalysis {
 
   def nbClassify(docs: DataFrame, labelCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text",
-      k: Double = 0.5, materialize: Option[Boolean] = None): DataFrame = {
+      k: Double = 0.5, materialize: Option[Boolean] = None,
+      serving: String = "model"): DataFrame = {
     require(k > 0.0, "smoothing k must be positive")
+    require(serving == "model" || serving == "join",
+      s"serving must be 'model' or 'join', got '$serving'")
     // Null / non-string labels: drop-and-cast like the sibling label
     // consumers (classTfIdf, strataOverlap) — an unlabeled doc can't
     // train or be scored against a class, and a non-string label would
@@ -902,28 +905,32 @@ object TextAnalysis {
     // reads this frame; checkpoint it once by default — the
     // minHashLshVerified `materialize` lifecycle contract (pass
     // Some(false) from loops that hold results long-term).
-    // repartition BEFORE the checkpoint, with an EXPLICIT partition
-    // count: a small corpus arrives as one parquet split, and a
-    // 1-partition base serializes every downstream expansion (the model
-    // join fans each doc out |classes| times) onto one core — measured
-    // 2.4 s single-task CPU at sf0.1. The count must be explicit
-    // because the checkpointed frame's layout is decided by the BYTES
-    // of this exchange (compact (id, label, counts) rows — a few MB),
-    // which AQE's coalescing would happily fold back to one partition;
-    // the expensive thing is the per-row fan-out BELOW the checkpoint,
-    // which AQE cannot see from the exchange size.
+    // Widen ONLY a degenerate single-partition input (the one-row-group
+    // local layout): a 1-partition base serializes every downstream
+    // pass onto one core — measured 2.4 s single-task CPU at sf0.1
+    // under the old join fan-out. But the widening must be conditional:
+    // at cluster scale the scan already arrives thousands of partitions
+    // wide, and the unconditional repartition this replaces was a full
+    // corpus shuffle that bought nothing (and at small scale it paid
+    // 32 task launches per downstream job for a 5k-row frame — the
+    // dominant term in the query's wall once the kernels got cheap).
+    // The explicit count matters where it does fire: the checkpointed
+    // layout is decided by the BYTES of this exchange (compact rows),
+    // which AQE's coalescing would fold back to one partition.
     // null text reads as an empty token list (the join formulation got
     // the same effect from explode dropping the row): the doc still
     // scores, by priors alone. Without the coalesce, a null __tc would
     // null __nd, break the class-stat collect, and null the scores.
-    val baseRaw = docs.filter(col(labelCol).isNotNull)
+    val projected = docs.filter(col(labelCol).isNotNull)
       .select(col(idCol), col(labelCol).cast("string").as("__c"),
         graft.functions.TokenHashCounts(coalesce(col(textCol), lit("")))
           .as("__tc"))
       .withColumn("__nd", aggregate(col("__tc"), lit(0L),
         (acc, x) => acc + x.getField("m")))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    val baseRaw =
+      if (projected.rdd.getNumPartitions > 1) projected
+      else projected.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
     val base = if (materialize.getOrElse(true)) baseRaw.localCheckpoint() else baseRaw
     // (class, token) counts: the label rides the row out of base, so no
     // join — explode the pre-counted pairs and partial-aggregate; the
