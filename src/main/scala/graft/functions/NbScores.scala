@@ -127,11 +127,25 @@ object NbScores {
   // separate apply calls compare unequal (same handle ⇒ case-class
   // equality ⇒ subexpression elimination works again). Vocab × classes
   // is catalog-sized, so the structural key costs microseconds.
+  //
+  // Doubles enter the key as their raw BIT PATTERNS (doubleToLongBits):
+  // deltaMat marks absent (token, class) pairs with NaN, and boxed
+  // NaN == NaN is false, so a List[Double] key would NEVER hit for a
+  // real trained model — every apply would mint (and strongly pin) a
+  // fresh broadcast, the exact leak the memo exists to close. Bit
+  // patterns compare NaN-stably (one canonical NaN from
+  // doubleToLongBits) and cost the same to build.
+  //
+  // The key also carries the owning SparkContext's applicationId: a
+  // handle minted under a stopped-and-recreated context must not be
+  // served to the new one (it would fail at execution), and two
+  // sessions in one JVM must not share handles.
+  //
   // Cleared (with destroy) alongside SparkEntry.invalidateBuildMemos —
   // a rewritten data dir retrains the model, and the stale broadcast
   // must not pin executor memory for the rest of the session.
-  private type ModelKey = (List[String], List[java.math.BigDecimal], List[Double],
-    Map[Long, Int], List[List[Double]])
+  private type ModelKey = (String, List[String], List[java.math.BigDecimal], List[Long],
+    Map[Long, Int], List[List[Long]])
   private val modelMemo =
     scala.collection.concurrent.TrieMap.empty[ModelKey, Broadcast[Model]]
 
@@ -141,15 +155,38 @@ object NbScores {
     modelMemo.clear()
   }
 
+  /** Memoized broadcast handle for a model, exposed for the memo-hit
+    * spec; production callers go through [[apply]]. */
+  private[graft] def broadcastFor(classes: Array[String],
+      priors: Array[java.math.BigDecimal], bases: Array[Double],
+      tokenIdx: Map[Long, Int], deltaMat: Array[Array[Double]]): Broadcast[Model] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bits = (a: Array[Double]) =>
+      a.iterator.map(java.lang.Double.doubleToLongBits).toList
+    val key: ModelKey = (spark.sparkContext.applicationId, classes.toList,
+      priors.toList, bits(bases), tokenIdx, deltaMat.iterator.map(bits).toList)
+    modelMemo.get(key) match {
+      case Some(b) => b
+      case None =>
+        // putIfAbsent, not getOrElseUpdate: under a race the latter can
+        // run the broadcast op twice and DROP one handle unmemoized —
+        // the loser must be destroyed, not leaked.
+        val fresh = spark.sparkContext.broadcast(
+          Model(classes, priors, bases, tokenIdx, deltaMat))
+        modelMemo.putIfAbsent(key, fresh) match {
+          case None => fresh
+          case Some(winner) =>
+            try fresh.destroy() catch { case _: Throwable => () }
+            winner
+        }
+    }
+  }
+
   def apply(tokenCounts: Column, classes: Array[String],
       priors: Array[java.math.BigDecimal], bases: Array[Double],
       tokenIdx: Map[Long, Int], deltaMat: Array[Array[Double]]): Column = {
     require(classes.nonEmpty, "NB model must have at least one class")
-    val spark = org.apache.spark.sql.SparkSession.active
-    val key: ModelKey = (classes.toList, priors.toList, bases.toList,
-      tokenIdx, deltaMat.map(_.toList).toList)
-    val bc = modelMemo.getOrElseUpdate(key, spark.sparkContext.broadcast(
-      Model(classes, priors, bases, tokenIdx, deltaMat)))
+    val bc = broadcastFor(classes, priors, bases, tokenIdx, deltaMat)
     GraftColumnBridge.toColumn(NbScores(
       GraftColumnBridge.toExpression(tokenCounts), bc))
   }

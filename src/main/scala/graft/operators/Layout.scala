@@ -128,8 +128,16 @@ object Layout {
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
+    // Columns read ns-as-long lose their timestamp annotation in the
+    // mirror (Spark writes them back as plain INT64), so downstream
+    // consumers — the DuckDB anchor's view builder — cannot recover the
+    // type from the mirror alone. Record table → [ns columns] in a
+    // sidecar so the normalization is TYPE-driven, not guessed from a
+    // column being named "ts".
+    val nsAsLong = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     tables.foreach { f =>
       val table = f.getName.stripSuffix(".parquet")
+      nsTimestampColumns(spark, f).foreach(cols => nsAsLong(table) = cols)
       val src = spark.read.parquet(f.getPath)
       val parts = partsFor(table, src.count())
       val outDir = new java.io.File(dstDir, f.getName)
@@ -185,11 +193,54 @@ object Layout {
           .write.mode("overwrite").parquet(outDir.getPath)
       }
     }
+    if (nsAsLong.nonEmpty) {
+      val body = nsAsLong.map { case (t, cols) =>
+        graft.JsonUtil.quote(t) + ": [" +
+          cols.map(graft.JsonUtil.quote).mkString(", ") + "]"
+      }.mkString("{", ", ", "}")
+      java.nio.file.Files.write(
+        new java.io.File(dstDir, "_ns_as_long.json").toPath,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     } finally {
       nanosBefore match {
         case Some(v) => spark.conf.set(nanosKey, v)
         case None => spark.conf.unset(nanosKey)
       }
+    }
+  }
+
+  /** Top-level column names annotated TIMESTAMP(NANOS) in a parquet
+    * source's footer (one footer read of the first data file — schemas
+    * are uniform within a table). None when the source has none. */
+  private def nsTimestampColumns(spark: org.apache.spark.sql.SparkSession,
+      src: java.io.File): Option[Seq[String]] = {
+    val dataFile =
+      if (src.isDirectory)
+        src.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .headOption
+      else Some(src)
+    dataFile.flatMap { df =>
+      try {
+        val conf = spark.sessionState.newHadoopConf()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(df.getPath), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          import scala.jdk.CollectionConverters._
+          val cols = reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .collect {
+              case f if f.isPrimitive &&
+                (f.getLogicalTypeAnnotation match {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+                  case _ => false
+                }) => f.getName
+            }.toSeq
+          if (cols.nonEmpty) Some(cols) else None
+        } finally reader.close()
+      } catch { case _: Throwable => None }
     }
   }
 }

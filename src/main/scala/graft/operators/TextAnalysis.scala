@@ -927,8 +927,28 @@ object TextAnalysis {
           .as("__tc"))
       .withColumn("__nd", aggregate(col("__tc"), lit(0L),
         (acc, x) => acc + x.getField("m")))
+    // EFFECTIVE parallelism, not split count: a single one-row-group
+    // file larger than maxPartitionBytes reports several scan
+    // partitions of which only one reads rows (row groups are the
+    // atomic scan unit), so the RDD partition count alone would skip
+    // the widening exactly where it matters — e.g. the raw-layout
+    // single-row-group dir. For a single parquet file, one driver-side
+    // footer read gives the true upper bound.
+    val effectiveParallelism: Int = {
+      val files = docs.inputFiles
+      if (files.length == 1 && files(0).endsWith(".parquet")) {
+        try {
+          val conf = docs.sparkSession.sessionState.newHadoopConf()
+          val p = new org.apache.hadoop.fs.Path(files(0))
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try reader.getFooter.getBlocks.size()
+          finally reader.close()
+        } catch { case _: Throwable => projected.rdd.getNumPartitions }
+      } else projected.rdd.getNumPartitions
+    }
     val baseRaw =
-      if (projected.rdd.getNumPartitions > 1) projected
+      if (effectiveParallelism > 1) projected
       else projected.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
     val base = if (materialize.getOrElse(true)) baseRaw.localCheckpoint() else baseRaw
@@ -946,11 +966,22 @@ object TextAnalysis {
     // corpus whose vocab outgrows driver memory (web-scale unbounded
     // tokens) is the documented escape hatch: revert to broadcasting
     // this frame and joining (commit e13fbec's shape).
-    val pairRows: Array[(String, Long, Long)] = base
+    val pair = base
       .select(col("__c"), inline(col("__tc")))
       .withColumnsRenamed(Map("w" -> "__w", "m" -> "__m"))
       .groupBy(col("__c"), col("__w")).agg(sum(col("__m")).as("__cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // serving="model" (default): the vocab-bounded sparse model comes
+    // to the driver and scoring is ONE projection (NbScores). serving
+    // ="join" is the documented escape hatch for corpora whose vocab
+    // outgrows driver memory: the (class, token, delta) frame stays
+    // DISTRIBUTED (shuffle-joined on token hash, never collected) and
+    // only the catalog-sized class stats touch the driver. Both paths
+    // are replay-exact to the same decimal arithmetic — pinned
+    // prediction- and score-equal in OperatorsSpec.
+    val pairRows: Array[(String, Long, Long)] =
+      if (serving == "model")
+        pair.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      else Array.empty
     // Class statistics are CATALOG-sized (one row per label): doc
     // counts and class token masses come from base in ONE job (a
     // class's token mass is the sum of its docs' masses). Priors,
@@ -964,7 +995,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__dc"), sum(col("__nd")).as("__nc")).collect()
     val classDocCounts = classRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val vocabAndTotals = classRows.map(r => r.getString(0) -> r.getLong(2)).toMap
-    val vocabSize: Long = pairRows.iterator.map(_._2).toSet.size.toLong
     val nDocs = classDocCounts.values.sum
     def r8(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -989,6 +1019,14 @@ object TextAnalysis {
     // and BigDecimal.valueOf(Inf) would surface as an opaque
     // NumberFormatException — fail with the trainer-guard diagnosis
     // instead (the kmeansTrain/pqTrain degenerate-corpus discipline).
+    // join serving pays one catalog-scale job for the vocab count (the
+    // model path reads it off the already-collected pairs for free);
+    // both paths then share the degenerate-corpus guard and the
+    // driver-side prior/base arithmetic — classes are catalog-sized
+    // under either serving mode.
+    val vocabSize: Long =
+      if (serving == "model") pairRows.iterator.map(_._2).toSet.size.toLong
+      else pair.select("__w").distinct().count()
     require(vocabSize > 0,
       s"nbClassify: $nDocs labeled docs produced an empty vocabulary " +
         "(all text null/empty?) — a Naive Bayes model needs at least one token")
@@ -1005,6 +1043,51 @@ object TextAnalysis {
     }
     val bases: Array[Double] = classNames.map { c =>
       r8(math.log(k / (vocabAndTotals.getOrElse(c, 0L) + k * vocabSize)))
+    }
+    if (serving == "join") {
+      // Distributed serving: the present-pair delta frame is computed
+      // IN PLAN from `pair` (Spark's round/log are the r8/Math.log
+      // twins — the kmeansTrain replicate-the-engine discipline), the
+      // catalog-sized class table broadcasts, and the corpus joins the
+      // delta frame ON TOKEN HASH — the only vocab-scale object in the
+      // query never leaves the executors. This is the 100 TB shape for
+      // an unbounded-vocab corpus; it trades the model path's
+      // scan→project serving for one (doc, token)-pair shuffle.
+      val classIdxOf = classIdx
+      val catalog = docs.sparkSession.createDataFrame(
+        classNames.toIndexedSeq.map { c =>
+          val i = classIdxOf(c)
+          (c, priors(i).doubleValue(), bases(i), vocabAndTotals.getOrElse(c, 0L))
+        }).toDF("__cc", "__prior", "__base", "__ncc")
+      val deltas = pair
+        .join(broadcast(catalog.select(col("__cc"), col("__base"), col("__ncc"))),
+          col("__c") === col("__cc"))
+        .select(col("__w"), col("__cc"),
+          (round(log((col("__cnt") + lit(k)) / (col("__ncc") + lit(k) * lit(vocabSize.toDouble))), 8)
+            - col("__base")).as("__delta"))
+      val tf = base.select(col(idCol), inline(col("__tc")))
+        .withColumnsRenamed(Map("w" -> "__w", "m" -> "__m"))
+      val partials = tf.join(deltas, Seq("__w"))
+        .groupBy(col(idCol), col("__cc"))
+        .agg(sum((col("__m") * col("__delta")).cast("decimal(28,10)")).as("__part"))
+      val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(28,10)")
+      // Round the exact DECIMAL, cast double after — the NbScores
+      // arithmetic contract, so both servings hash-match bit for bit.
+      val scored = base.select(col(idCol), col("__c"), col("__nd"))
+        .crossJoin(broadcast(catalog.select(col("__cc"), col("__prior"), col("__base"))))
+        .join(partials, Seq(idCol, "__cc"), "left")
+        .select(col(idCol), col("__c").as("label"), col("__cc"),
+          round(coalesce(col("__part"), zeroDec)
+            + col("__prior").cast("decimal(28,10)")
+            + (col("__nd") * col("__base")).cast("decimal(28,10)"), 6)
+            .cast("double").as("__score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__cc").asc)
+      return scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(idCol), col("label"), col("__cc").as("predicted"),
+          (col("__cc") === col("label")).as("correct"),
+          col("__score").as("score"))
     }
     // sparse delta matrix: token-hash row × class column, NaN = the
     // (token, class) pair has no training mass

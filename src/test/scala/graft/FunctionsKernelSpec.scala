@@ -526,6 +526,33 @@ class FunctionsKernelSpec extends SparkSpec {
     // has GraftExtensions registered)
   }
 
+  test("NbScores memoizes the model broadcast NaN-stably across apply calls") {
+    import graft.functions.NbScores
+    assert(spark.sparkContext.isStopped == false) // force session init
+    // A realistic trained model: deltaMat carries NaN sentinels for
+    // (token, class) pairs with no training mass. Boxed NaN == NaN is
+    // false, so a value-based key would miss on every lookup — the
+    // memo must key on bit patterns to ever hit.
+    def model() = (
+      Array("ham", "spam"),
+      Array(java.math.BigDecimal.valueOf(-1.2).setScale(10),
+        java.math.BigDecimal.valueOf(-0.4).setScale(10)),
+      Array(-2.5, -3.5),
+      Map(11L -> 0, 22L -> 1),
+      Array(Array(1.5, Double.NaN), Array(Double.NaN, 2.5)))
+    val (c1, p1, b1, t1, d1) = model()
+    val (c2, p2, b2, t2, d2) = model() // structurally equal, fresh arrays
+    val bc1 = NbScores.broadcastFor(c1, p1, b1, t1, d1)
+    val bc2 = NbScores.broadcastFor(c2, p2, b2, t2, d2)
+    assert(bc1 eq bc2,
+      "two apply calls with an identical NaN-bearing model must share one broadcast")
+    // …and a genuinely different model must NOT collide
+    val d3 = Array(Array(1.5, Double.NaN), Array(Double.NaN, 99.0))
+    val bc3 = NbScores.broadcastFor(c1, p1, b1, t1, d3)
+    assert(!(bc1 eq bc3), "distinct models must get distinct broadcasts")
+    NbScores.invalidateModelMemo()
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on sorted arrays") {
     val rnd = new scala.util.Random(42)
     val cases = (0 until 200).map { i =>

@@ -1287,6 +1287,34 @@ class OperatorsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("nbClassify: serving=join matches serving=model row for row") {
+    // The distributed escape hatch (deltas stay a shuffle-joined frame,
+    // no vocab-sized collect) must be replay-exact to the model-in-
+    // expression path: same predictions AND same 6dp winning scores,
+    // including token-free docs (prior-only), mixed docs, and ties.
+    val corpus = Seq(
+      (1L, "grep awk sed pipe shell", "code"),
+      (2L, "shell pipe grep compile link", "code"),
+      (3L, "awk sed compile shell grep", "code"),
+      (4L, "sonnet stanza rhyme verse meter", "poem"),
+      (5L, "verse rhyme meter couplet stanza", "poem"),
+      (6L, "", "code"),
+      (7L, "grep stanza", "poem"),
+      (8L, null, "poem")
+    ).toDF("doc_id", "text", "source")
+    def rows(serving: String) =
+      TextAnalysis.nbClassify(corpus, serving = serving).orderBy("doc_id")
+        .select("doc_id", "label", "predicted", "correct", "score")
+        .as[(Long, String, String, Boolean, Double)].collect().toSeq
+    val model = rows("model")
+    val join = rows("join")
+    assert(join == model, s"join serving diverged:\n  model=$model\n  join =$join")
+    val bad = intercept[IllegalArgumentException] {
+      TextAnalysis.nbClassify(corpus, serving = "rpc")
+    }
+    assert(bad.getMessage.contains("serving"))
+  }
+
   test("nbClassify: prior tie between classes breaks lexicographically") {
     // two classes, one doc each, and an empty query doc whose class has
     // equal prior — the winner must be the lexicographically smaller
