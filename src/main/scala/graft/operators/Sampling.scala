@@ -266,8 +266,16 @@ object Sampling {
     val counts = df.filter(col(stratumCol).isNotNull)
       .groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
       .withColumn("__w", round(pow(col("n_docs").cast("double"), lit(tau)), 8))
-    val total = counts.agg(sum(col("__w").cast("decimal(28,8)")).as("__tw"))
-    val quotas = counts.crossJoin(broadcast(total))
+    // The weight total is a whole-frame window over the CATALOG-sized
+    // counts frame (the derived-constant single-group key below), not
+    // a separate 1-row aggregate: the agg formulation planned its own
+    // broadcast-exchange subtree, which cost the query a second
+    // scan-and-aggregate job for one number the window pass already
+    // has in hand. Same exact decimal sum either way.
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_docs") * lit(0L))
+    val quotas = counts
+      .withColumn("__tw", sum(col("__w").cast("decimal(28,8)")).over(wTot))
       // share divides in DOUBLE (a true-double quantity: its half-way
       // cases are measure-zero — ADVICE item A's class B), numerator
       // and denominator both exact 8dp decimals widened losslessly
@@ -291,7 +299,7 @@ object Sampling {
     // short of the budget (a shortfall > strata escapes the +1 pass) —
     // under-allocation is the safe side and stays documented.
     val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__base") * lit(0L))
+      .partitionBy(col("n_docs") * lit(0L))
     val wRk = wAll.orderBy(col("__rem").desc, col(stratumCol))
     val wRun = wRk.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)

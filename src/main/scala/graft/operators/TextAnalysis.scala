@@ -183,8 +183,11 @@ object TextAnalysis {
     * bit-identical across engines and partitionings.
     *
     * Scale shape: tf is one filtered aggregate over the token stream
-    * (the `isin` filter prunes it to query terms BEFORE the shuffle);
-    * df and the (N, avgdl) stats are term- and 1-row-sized broadcast
+    * (the `isin` filter prunes it to query terms BEFORE the shuffle),
+    * with the doc length carried through the group key (it is a
+    * projection of the row, so no doc-keyed length join and no
+    * unfiltered token-stream exchange exist anywhere in the plan); df
+    * and the (N, avgdl) stats are term- and 1-row-sized broadcast
     * frames; the top-k is `orderBy.limit` → TakeOrdered. `N`/`avgdl`
     * count documents with at least one token (token-free docs can
     * never match). */
@@ -193,11 +196,28 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, "k must be >= 1")
-    val tokensDf = docs.select(col(idCol), explode(toks(col(textCol))).as("__tok"))
-    val dl = tokensDf.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
-    val stats = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
-    val tf = tokensDf.filter(col("__tok").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    // Doc length rides the ROW, not a join: dl is the size of the
+    // doc's own token array — computable in the scan projection — and
+    // it is functionally dependent on the doc id, so carrying it
+    // through the tf group key costs nothing. This deletes the two
+    // corpus-scale structures of the naive formulation: the full
+    // token-stream explode → groupBy(id) exchange (the widest exchange
+    // in the query — the whole corpus token stream at 100 TB) and the
+    // doc-keyed dl join-back. What remains shuffles only (doc, term)
+    // pairs MATCHING the query terms. (N, avgdl) become one scan-side
+    // aggregate with no exchange underneath; df stays an aggregate
+    // broadcast (a token-partitioned window over tf would put every
+    // doc matching one common term in a single partition — the exact
+    // skew the broadcast formulation avoids).
+    val withDl = docs
+      .select(col(idCol), toks(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val stats = withDl.filter(col("__dl") > 0)
+      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val tf = withDl
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__tok"))
+      .filter(col("__tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__tok")).agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     val idf = round(log(
       (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)), 8)
@@ -206,7 +226,6 @@ object TextAnalysis {
         (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 8)
     tf
       .join(broadcast(dfreq), "__tok")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("__contrib", contrib)
       .groupBy(col(idCol))
