@@ -209,7 +209,9 @@ object Bench {
       // round-9 additions
       "td_zmirror_read", "td_zmirror_tail",
       // round-10 additions
-      "td_bucketed_join"))
+      "td_bucketed_join",
+      // round-11 additions
+      "td_compact_read"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

@@ -593,6 +593,51 @@ object SparkEntry {
       })
     }
 
+  /** Memoized COMPACTED store per (session, data dir): its own scratch
+    * store written as SIX small parity batches (every month dir ends
+    * over the compaction threshold), then `compactPartitions` rewrites
+    * each dir to sorted zstd files and `vacuum` physically deletes the
+    * replaced originals and the superseded manifests. The memo asserts
+    * the maintenance actually happened (file count shrank, old files
+    * gone), so the `td_compact_read` query measures — and its oracle
+    * checks — the READ-AFTER-MAINTENANCE path: manifest resolve over
+    * only the rewritten files. Read-after-compact ≡ read-before is
+    * exactly the invariant compaction must preserve. */
+  private val compactedMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.sources.SeriesStore]
+
+  private def compactedStore(s: SparkSession, dir: String): graft.sources.SeriesStore =
+    scratchLock.synchronized {
+      compactedMemo.getOrElseUpdate((s, dir), {
+        val base = scratchPath("graft_compact", dir)
+        val store = new graft.sources.SeriesStore(s, base)
+        store.delete()
+        store.create()
+        val sv = Tables.series(s, dir)
+          .withColumn("valid_time_end",
+            col("valid_time") + expr("INTERVAL 1 HOUR"))
+          .select(graft.sources.Schema.seriesValuesColumns.map(col): _*)
+        (0 until 6).foreach { p =>
+          store.appendValues(sv.filter(pmod(col("series_id"), lit(6)) === p))
+        }
+        val before = store.currentFiles().length
+        val compacted = store.compactPartitions(maxFiles = 2)
+        require(compacted.nonEmpty,
+          s"compactedStore: no partition dir exceeded maxFiles — $before " +
+            "live files; the six parity batches should over-populate every dir")
+        val after = store.currentFiles().toSet
+        require(after.size < before,
+          s"compactedStore: compaction did not shrink the file count " +
+            s"($before -> ${after.size})")
+        // minAge 0: the test store's replaced files are deletable NOW;
+        // production keeps the 15-minute in-flight-reader grace window.
+        val deleted = store.vacuum(keepManifests = 1, minAgeMillis = 0L)
+        require(deleted.nonEmpty && deleted.forall(!after.contains(_)),
+          "compactedStore: vacuum must delete only the replaced pre-compact files")
+        store
+      })
+    }
+
   /** Memoized duplicate-cluster frame per (session, data dir): the
     * bigram-Jaccard candidate pairs collapsed to connected components —
     * the assignment every keep/drop decision downstream consumes.
@@ -774,6 +819,7 @@ object SparkEntry {
     timed("ivf_index_stored") { storedIvfIndex(s, dir); () }
     timed("dup_clusters") { builtClusters(s, dir).count(); () }
     timed("timetravel_store") { timeTravelStore(s, dir); () }
+    timed("compacted_store") { compactedStore(s, dir); () }
     timed("bucketed_mirrors") { bucketedStore(s, dir); () }
     timed("zorder_mirror") { zMirroredStore(s, dir); () }
     (times.result(), errors.result())
@@ -1033,6 +1079,26 @@ object SparkEntry {
         |FROM sv
         |WHERE series_id BETWEEN 10 AND 80
         |  AND valid_time >= TIMESTAMP '2024-01-02'
+        |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
+
+    ("td_compact_read",
+      // Read AFTER compaction + vacuum (SURVEY §2.1 S4 maintenance):
+      // six small append batches over-populated every month dir,
+      // compactPartitions rewrote each to sorted zstd files, vacuum
+      // deleted the originals and superseded manifests — the scan now
+      // resolves the current manifest over ONLY the rewritten files.
+      // The oracle is the full table: read-after-compact ≡
+      // read-before is the invariant the maintenance pair must
+      // preserve (the td_time_travel discipline — files, not filters,
+      // are what's tested).
+      (s, dir) => compactedStore(s, dir).scanValues()
+        .select("series_id", "valid_time", "knowledge_time", "change_time",
+          "value", "changed_by", "annotation", "retention")
+        .orderBy("series_id", "valid_time", "knowledge_time", "change_time"),
+      Some(s"""$svCte
+        |SELECT series_id, valid_time, knowledge_time, change_time,
+        |       value, changed_by, annotation, retention
+        |FROM sv
         |ORDER BY series_id, valid_time, knowledge_time, change_time""".stripMargin)),
 
     ("td_bucketed_join",
