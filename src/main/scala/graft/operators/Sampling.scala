@@ -271,9 +271,15 @@ object Sampling {
     // a separate 1-row aggregate: the agg formulation planned its own
     // broadcast-exchange subtree, which cost the query a second
     // scan-and-aggregate job for one number the window pass already
-    // has in hand. Same exact decimal sum either way.
+    // has in hand. Same exact decimal sum either way. The key is
+    // pmod(n_docs, 1) — always 0, but NOT foldable: n_docs is a
+    // non-nullable count, so the Curation trick (`x * 0`) would be
+    // constant-folded here (the multiply-by-zero rule fires exactly
+    // when the column is non-nullable), emptying the partition spec.
+    // Every single-group window in this method shares this key, so
+    // they all stack on ONE exchange.
     val wTot = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("n_docs") * lit(0L))
+      .partitionBy(pmod(col("n_docs"), lit(1L)))
     val quotas = counts
       .withColumn("__tw", sum(col("__w").cast("decimal(28,8)")).over(wTot))
       // share divides in DOUBLE (a true-double quantity: its half-way
@@ -299,7 +305,7 @@ object Sampling {
     // short of the budget (a shortfall > strata escapes the +1 pass) —
     // under-allocation is the safe side and stays documented.
     val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("n_docs") * lit(0L))
+      .partitionBy(pmod(col("n_docs"), lit(1L)))
     val wRk = wAll.orderBy(col("__rem").desc, col(stratumCol))
     val wRun = wRk.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)
