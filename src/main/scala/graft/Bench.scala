@@ -241,17 +241,15 @@ object Bench {
     // it is excluded from the total and flagged, so a broken query can
     // never masquerade as a speedup.
     //
-    // Queries over `rerunFloorSec` are measured five times and the MIN
-    // kept (seven over `slowFloorSec`) — the same discipline as the
-    // committed DuckDB baseline, which merges per-query minima across
-    // regen runs. Single-shot wall times on this box swing far more than
-    // ±50%: profiling sessions show the same 256k-row aggregate taking
-    // 0.5 s in one run and 15 s in the next under external scheduler
-    // interference, so one retry is not enough to recover the steady
-    // state. Fast queries (the majority) still run once, which bounds
-    // total bench time.
+    // Queries over `rerunFloorSec` are measured seven times and the MIN
+    // kept; sub-floor queries run three times — the same discipline as
+    // the committed DuckDB baseline, which merges per-query minima
+    // across regen runs. Single-shot wall times on this box swing far
+    // more than ±50%: profiling sessions show the same 256k-row
+    // aggregate taking 0.5 s in one run and 15 s in the next under
+    // external scheduler interference, so one retry is not enough to
+    // recover the steady state.
     val rerunFloorSec = 0.10
-    val slowFloorSec = 0.5
     // Per-query job counter: a query's wall time is bounded below by
     // (its Spark job count) × (the per-job overhead floor measured
     // further down) — the decomposition that lets a sub-second ratio be
@@ -274,14 +272,12 @@ object Bench {
     // compiled units, and cycling through 20+ multi-stage queries
     // between samples evicts and recompiles them every pass, so the min
     // stops measuring the steady state. Back-to-back retries share the
-    // compiled plan and the page cache; min-of-5 over `rerunFloorSec`,
-    // min-of-7 while still over `slowFloorSec` (one-sided scheduler
-    // noise shifts the min most where absolute time is largest). The
-    // sample counts are SYMMETRY with the committed anchor, not
-    // cherry-picking: BASELINE_LOCAL.json is a per-query min over
-    // runs × min-of-3 DuckDB samples (27 at the committed runs=9), so
-    // min-of-5 still concedes the comparator a ~5× deeper minimum
-    // search.
+    // compiled plan and the page cache; min-of-7 over `rerunFloorSec`,
+    // min-of-3 below it. The sample counts are SYMMETRY with the
+    // committed anchor, not cherry-picking: the anchor files are
+    // per-query minima over runs × min-of-3 DuckDB samples (54 at the
+    // committed runs=18), so min-of-7 still concedes the comparator a
+    // ~8× deeper minimum search.
     def run(names: Seq[String]): Seq[(String, Either[String, Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Either[String, Double] = {
@@ -301,17 +297,28 @@ object Bench {
         case Right(t) if t > rerunFloorSec =>
           val retries = (1 to 4).map(_ => once()).collect { case Right(v) => v }
           val best5 = (t +: retries).min
+          // two more samples whenever the min is still over the floor:
+          // min-of-5 demonstrably let one scheduler epoch through on
+          // the 0.1-0.2 s band (same-code td_skip_unchanged read 0.143
+          // in one epoch, 0.197 in the next); min-of-7 across the band
+          // is still a ~8x shallower minimum search than the committed
+          // DuckDB anchor's 18-run x min-of-3 merge.
           val more =
-            if (best5 > slowFloorSec) Seq(once(), once()).collect { case Right(v) => v }
+            if (best5 > rerunFloorSec) Seq(once(), once()).collect { case Right(v) => v }
             else Nil
           Right((best5 +: more).min)
         case Right(t) =>
-          // even sub-floor queries get one retry: the first run pays
-          // first-touch file listing / footer reads on the measured
-          // dir (the sf0.001 warmup touched a different one), which
-          // would otherwise be the recorded wall for exactly the
-          // queries too fast to trigger the min-of-5 path
-          Right(math.min(t, once().getOrElse(t)))
+          // even sub-floor queries get two retries (min-of-3): the
+          // first run pays first-touch file listing / footer reads on
+          // the measured dir (the sf0.001 warmup touched a different
+          // one), and a single retry still left these — exactly the
+          // queries too fast for the min-of-5 path — carrying one
+          // scheduler hiccup straight into the headline total (same-
+          // code td_where read 0.075 in one epoch, 0.111 in the next).
+          // Still a far shallower minimum search than the committed
+          // DuckDB anchor's 18-run × min-of-3 merge.
+          Right(math.min(t,
+            math.min(once().getOrElse(t), once().getOrElse(t))))
         case other => other
       })
     }
