@@ -291,6 +291,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("bm25TopK never exchanges the unfiltered token stream") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.TextAnalysis.bm25TopK(
+      docs, Seq("the", "model", "data"), k = 5))
+    // doc length rides the row and the tf group key: the only
+    // token-stream shuffle carries (doc, MATCHING term) pairs, so the
+    // plan has no groupBy(id)-over-all-tokens exchange and no
+    // doc-keyed dl join-back — at 100 TB the unfiltered stream is the
+    // whole corpus re-tokenized.
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // doc length is a scan-side projection of the doc's own token
+    // array — the old groupBy(id)-over-all-tokens dl aggregate is gone
+    assert(plan.contains("size(__toks"), plan)
+    // EVERY exploded token stream is pruned to the query terms before
+    // anything downstream (exchange, aggregate): one isin filter per
+    // Generate. The old formulation's dl side exploded with no filter.
+    val generates = "Generate explode".r.findAllIn(plan).size
+    val isins = "Filter __tok#\\d+ IN".r.findAllIn(plan).size
+    assert(generates >= 1 && isins == generates, s"$generates generates vs $isins isin filters\n$plan")
+  }
+
   test("temperatureSample joins the budget table broadcast into one window pass") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = planOf(graft.operators.Sampling.temperatureSample(
