@@ -33,7 +33,7 @@ object Bench {
   def chunkPolicy(table: String, rows: Long): Int =
     chunkDivisors.get(table)
       .map(d => math.min(32L, math.max(1L, rows / d)).toInt)
-      .getOrElse(if (rows >= 50000) math.min(factCap, rows / 8192).toInt else 1)
+      .getOrElse(graft.operators.Layout.defaultChunkPolicy(table, rows, factCap))
   val chunkPolicyDesc: String = chunkDivisors.toSeq.sorted
     .map { case (t, d) => s"$t rows/$d cap 32" }
     .mkString("", "; ",
@@ -348,14 +348,20 @@ object Bench {
     }
     // The index builds above are the biggest cleaner-debt producers in
     // the whole run; quiesce before ANY timed number, and burn the
-    // section's first query once (result discarded) so every kept
-    // timing runs in the same settled state — the aux sections'
-    // sacrifice discipline applied to the main sections.
+    // section's first query once (a single execution, result
+    // discarded — the full retry protocol would cost 7 extra runs for
+    // a settle that one provides) so every kept timing runs in the
+    // same settled state — the aux sections' sacrifice discipline
+    // applied to the main sections.
+    def burn(names: Seq[String]): Unit = names.headOption.foreach { n =>
+      try { SparkEntry.queries(n)(spark, measuredDir).count(); () }
+      catch { case _: Throwable => () }
+    }
     resetExecutorState()
-    run(headline.take(1))
+    burn(headline)
     val results = run(headline)
     resetExecutorState()
-    run(extended.take(1))
+    burn(extended)
     val extResults = run(extended)
     val errors = (results ++ extResults).collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum

@@ -778,6 +778,7 @@ object SparkEntry {
     timeTravelStoreMemo.clear()
     zMirrorMemo.clear()
     bucketedMemo.clear()
+    compactedMemo.clear()
     copurchaseMemo.clear()
     // model broadcasts are memoized by content inside the kernel object;
     // a rewritten dir retrains, so the stale handles must be destroyed

@@ -168,6 +168,17 @@ object NbScores {
     modelMemo.get(key) match {
       case Some(b) => b
       case None =>
+        // A miss is the cheap moment to evict entries minted under
+        // OTHER applications: their contexts are gone (or foreign), the
+        // appId key already prevents serving them, and leaving them in
+        // the map would pin dead Broadcast handles for the JVM's life —
+        // a small permanent leak inside the memo that exists to close
+        // one. destroy() on a dead context throws; dropping the entry
+        // is the real reclamation (the GC can then collect the handle).
+        modelMemo.keys.filter(_._1 != key._1).foreach { k =>
+          modelMemo.remove(k).foreach(b =>
+            try b.destroy() catch { case _: Throwable => () })
+        }
         // putIfAbsent, not getOrElseUpdate: under a race the latter can
         // run the broadcast op twice and DROP one handle unmemoized —
         // the loser must be destroyed, not leaked.

@@ -81,7 +81,13 @@ object Layout {
     * with per-row-expensive columns (text kernels, embeddings)
     * override per table. */
   def defaultChunkPolicy(table: String, rows: Long): Int =
-    if (rows >= 50000) math.min(32L, rows / 8192).toInt else 1
+    defaultChunkPolicy(table, rows, cap = 32L)
+
+  /** The same rule with a caller-chosen file cap — Bench's fact-table
+    * policy tunes only the cap, so the 50k threshold and 8192-row
+    * divisor live in exactly one place. */
+  def defaultChunkPolicy(table: String, rows: Long, cap: Long): Int =
+    if (rows >= 50000) math.min(cap, rows / 8192).toInt else 1
 
   /** Ingest-layout mirror: rewrite every `<table>.parquet` under
     * `srcDir` into `dstDir` with `partsFor(table, rows)` row groups,
@@ -193,15 +199,18 @@ object Layout {
           .write.mode("overwrite").parquet(outDir.getPath)
       }
     }
-    if (nsAsLong.nonEmpty) {
-      val body = nsAsLong.map { case (t, cols) =>
-        graft.JsonUtil.quote(t) + ": [" +
-          cols.map(graft.JsonUtil.quote).mkString(", ") + "]"
-      }.mkString("{", ", ", "}")
-      java.nio.file.Files.write(
-        new java.io.File(dstDir, "_ns_as_long.json").toPath,
-        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    // Written UNCONDITIONALLY (an empty {} when no source has ns
+    // columns): a re-run into an existing mirror dir after the
+    // source's ns columns were dropped must not leave a stale sidecar
+    // directing consumers to timestamp-convert now-plain int64.
+    val sidecarBody = nsAsLong.map { case (t, cols) =>
+      graft.JsonUtil.quote(t) + ": [" +
+        cols.map(graft.JsonUtil.quote).mkString(", ") + "]"
+    }.mkString("{", ", ", "}")
+    new java.io.File(dstDir).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dstDir, "_ns_as_long.json").toPath,
+      sidecarBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {
       nanosBefore match {
         case Some(v) => spark.conf.set(nanosKey, v)
@@ -209,6 +218,22 @@ object Layout {
       }
     }
   }
+
+  /** Driver-side parquet footer read with the open/close and
+    * swallow-and-fallback discipline in ONE place (the sidecar writer
+    * below and nbClassify's effective-parallelism gate both need a
+    * footer fact; two open-read-close copies would drift). None on any
+    * read failure — every caller has a safe fallback. */
+  private[graft] def withParquetFooter[A](
+      spark: org.apache.spark.sql.SparkSession, path: String)(
+      f: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): Option[A] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(f(reader.getFooter)) finally reader.close()
+    } catch { case _: Throwable => None }
 
   /** Top-level column names annotated TIMESTAMP(NANOS) in a parquet
     * source's footer (one footer read of the first data file — schemas
@@ -221,26 +246,19 @@ object Layout {
           .headOption
       else Some(src)
     dataFile.flatMap { df =>
-      try {
-        val conf = spark.sessionState.newHadoopConf()
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(df.getPath), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          import org.apache.parquet.schema.LogicalTypeAnnotation
-          import scala.jdk.CollectionConverters._
-          val cols = reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-            .collect {
-              case f if f.isPrimitive &&
-                (f.getLogicalTypeAnnotation match {
-                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                    t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-                  case _ => false
-                }) => f.getName
-            }.toSeq
-          if (cols.nonEmpty) Some(cols) else None
-        } finally reader.close()
-      } catch { case _: Throwable => None }
+      withParquetFooter(spark, df.getPath) { footer =>
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        import scala.jdk.CollectionConverters._
+        footer.getFileMetaData.getSchema.getFields.asScala
+          .collect {
+            case f if f.isPrimitive &&
+              (f.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+                case _ => false
+              }) => f.getName
+          }.toSeq
+      }.filter(_.nonEmpty)
     }
   }
 }

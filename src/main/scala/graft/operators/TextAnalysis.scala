@@ -190,7 +190,12 @@ object TextAnalysis {
     * and the (N, avgdl) stats are term- and 1-row-sized broadcast
     * frames; the top-k is `orderBy.limit` → TakeOrdered. `N`/`avgdl`
     * count documents with at least one token (token-free docs can
-    * never match). */
+    * never match).
+    *
+    * Contract: `idCol` identifies one document per ROW. Rows sharing
+    * an id are scored as separate documents that merge in the final
+    * per-id sum (each against its own row's length) — if your corpus
+    * splits documents across rows, concatenate first. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -952,19 +957,17 @@ object TextAnalysis {
     // atomic scan unit), so the RDD partition count alone would skip
     // the widening exactly where it matters — e.g. the raw-layout
     // single-row-group dir. For a single parquet file, one driver-side
-    // footer read gives the true upper bound.
+    // footer read bounds it by the row-group count; the TRUE effective
+    // parallelism is min(row groups, scan partitions) — a small
+    // multi-row-group file under maxPartitionBytes scans as ONE
+    // partition no matter how many groups its footer lists.
+    val scanPartitions = projected.rdd.getNumPartitions
     val effectiveParallelism: Int = {
       val files = docs.inputFiles
-      if (files.length == 1 && files(0).endsWith(".parquet")) {
-        try {
-          val conf = docs.sparkSession.sessionState.newHadoopConf()
-          val p = new org.apache.hadoop.fs.Path(files(0))
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try reader.getFooter.getBlocks.size()
-          finally reader.close()
-        } catch { case _: Throwable => projected.rdd.getNumPartitions }
-      } else projected.rdd.getNumPartitions
+      if (files.length == 1 && files(0).endsWith(".parquet"))
+        Layout.withParquetFooter(docs.sparkSession, files(0))(_.getBlocks.size())
+          .fold(scanPartitions)(groups => math.min(groups, scanPartitions))
+      else scanPartitions
     }
     val baseRaw =
       if (effectiveParallelism > 1) projected

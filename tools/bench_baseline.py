@@ -48,7 +48,15 @@ def main(sfdir, oracle_json, out_path):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
         cols = con.execute(f"DESCRIBE {name}").fetchall()
         bigint_cols = {c for c, t, *_ in cols if t == "BIGINT"}
-        wanted = ns_sidecar.get(name, ["ts"])  # fallback: legacy name match
+        # a PRESENT sidecar is authoritative for every table — a table
+        # absent from it has no ns columns, even if it carries a BIGINT
+        # literally named 'ts' (an epoch-seconds or counter column must
+        # not be rewritten). The name guess survives only for mirrors
+        # that predate the sidecar entirely.
+        if os.path.exists(sidecar_path):
+            wanted = ns_sidecar.get(name, [])
+        else:
+            wanted = ["ts"]  # fallback: legacy name match
         ns_cols = [c for c in wanted if c in bigint_cols]
         if ns_cols:
             repl = ", ".join(f"make_timestamp({c} // 1000) AS {c}" for c in ns_cols)
