@@ -2074,6 +2074,64 @@ object SparkEntry {
         |FROM bandkeys GROUP BY band, key HAVING COUNT(*) > 1
         |ORDER BY band, key""".stripMargin)),
 
+    ("x_quality_gopher",
+      // The canonical published pretraining quality gate (Gopher rules,
+      // Rae et al. 2021 Table A1): per-doc signals, one boolean per
+      // rule, and the keep conjunction — scan → project, no shuffle.
+      (s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w,
+        |    string_split(text, chr(10)) AS l,
+        |    text AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words,
+        |    round(CASE WHEN len(w) = 0 THEN NULL ELSE
+        |      CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END, 6) AS mean_word_len,
+        |    round(CASE WHEN len(w) = 0 THEN NULL ELSE
+        |      ((length(t) - length(replace(t, '#', '')))
+        |       + (length(t) - length(replace(t, '...', ''))) / 3) / len(w) END, 6) AS symbol_word_ratio,
+        |    round(CASE WHEN len(l) = 0 THEN NULL ELSE
+        |      CAST(len(list_filter(l, x -> starts_with(ltrim(x), '-')
+        |        OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•'))) AS DOUBLE) / len(l) END, 6) AS bullet_line_ratio,
+        |    round(CASE WHEN len(l) = 0 THEN NULL ELSE
+        |      CAST(len(list_filter(l, x -> right(rtrim(x), 3) = '...'
+        |        OR right(rtrim(x), 1) = '…')) AS DOUBLE) / len(l) END, 6) AS ellipsis_line_ratio,
+        |    round(CASE WHEN len(w) = 0 THEN NULL ELSE
+        |      CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) END, 6) AS alpha_word_ratio,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> len(list_filter(w, x -> lower(x) = s)) > 0)) AS BIGINT) AS stopwords_present,
+        |    round(CASE WHEN len(l) = 0 THEN NULL ELSE
+        |      CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l) END, 6) AS dup_line_frac,
+        |    round(CASE WHEN list_sum(list_transform(l, x -> length(x))) = 0 THEN NULL ELSE
+        |      CAST(list_sum(list_transform(l, x ->
+        |        CASE WHEN len(list_filter(l, y -> y = x)) > 1 THEN length(x) ELSE 0 END)) AS DOUBLE)
+        |      / list_sum(list_transform(l, x -> length(x))) END, 6) AS dup_line_char_frac
+        |  FROM base),
+        |ruled AS (
+        |  SELECT *,
+        |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+        |    (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
+        |    (bullet_line_ratio <= 0.9) AS r_bullet_lines,
+        |    (ellipsis_line_ratio <= 0.3) AS r_ellipsis_lines,
+        |    (alpha_word_ratio >= 0.8) AS r_alpha_words,
+        |    (stopwords_present >= 2) AS r_stopwords,
+        |    (dup_line_frac <= 0.3) AS r_dup_lines,
+        |    (dup_line_char_frac <= 0.2) AS r_dup_line_chars
+        |  FROM sig)
+        |SELECT *,
+        |  (COALESCE(r_word_count, FALSE) AND COALESCE(r_mean_word_len, FALSE)
+        |   AND COALESCE(r_symbol_ratio, FALSE) AND COALESCE(r_bullet_lines, FALSE)
+        |   AND COALESCE(r_ellipsis_lines, FALSE) AND COALESCE(r_alpha_words, FALSE)
+        |   AND COALESCE(r_stopwords, FALSE) AND COALESCE(r_dup_lines, FALSE)
+        |   AND COALESCE(r_dup_line_chars, FALSE)) AS gopher_keep
+        |FROM ruled
+        |ORDER BY doc_id""".stripMargin)),
+
     ("x_quality_gate",
       // Per-stratum quantile gate: keep the top 30% of each language by
       // document length (deterministic doc_id tie-break) — the curation

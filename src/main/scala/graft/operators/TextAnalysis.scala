@@ -132,8 +132,99 @@ object TextAnalysis {
     statsThen(docs, textCol, docs.columns.toSeq.map(col),
       st => qualityCols(st) ++ tokenCols(st))
 
+  /** Gopher-style rule filtering (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Table A1 — the canonical published pretraining quality gate):
+    * per-document signal columns, one boolean per rule, and the
+    * conjunction `gopher_keep`. Rules (thresholds as published):
+    *
+    *   - word count in [50, 100 000]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio (`#` chars + `...` occurrences) ≤ 0.1
+    *   - lines starting with a bullet (`-`, `*`, `•`) ≤ 90%
+    *   - lines ending with an ellipsis (`...`, `…`) ≤ 30%
+    *   - words containing an alphabetic character ≥ 80%
+    *   - ≥ 2 of the 8 Gopher stopwords present
+    *     (the, be, to, of, and, that, have, with)
+    *   - duplicate-line fraction ≤ 30% (repeated VALUES / lines)
+    *   - duplicate-line character fraction ≤ 20% (characters in line
+    *     instances whose value occurs more than once / line characters)
+    *
+    * Everything is a per-row projection over the document's own word
+    * and line arrays — scan → project, no shuffle, no join, so the
+    * gate runs at full scan parallelism on any corpus size (the
+    * duplicate-line check is O(lines²) within a document, bounded by
+    * per-doc line counts, never by corpus size). Ratios round to 6dp
+    * BEFORE threshold comparison so rule booleans are bit-identical
+    * across engines; null ratios (empty text) fail their rules. */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val inner = docs.select(col(idCol),
+      filter(split(coalesce(col(textCol), lit("")), " "), w => w =!= "").as("__w"),
+      split(coalesce(col(textCol), lit("")), "\n").as("__l"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    val nW = size(col("__w"))
+    val nL = size(col("__l"))
+    val r6 = (c: Column) => round(c, 6)
+    // counts of '#' chars and literal '...' runs, by replace-and-diff
+    val hashes = length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))
+    val dots = (length(col("__t")) -
+      length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / lit(3)
+    val bulletLines = size(filter(col("__l"), l => {
+      val t = ltrim(l)
+      t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
+    }))
+    val ellipsisLines = size(filter(col("__l"), l => {
+      val t = rtrim(l)
+      t.endsWith("...") || t.endsWith("…")
+    }))
+    val alphaWords = size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
+    val stopsPresent = gopherStops.map(s =>
+      when(exists(col("__w"), w => lower(w) === s), 1).otherwise(0))
+      .reduce(_ + _)
+    val wordLenSum = aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w))
+    val lineCharSum = aggregate(col("__l"), lit(0L), (acc, l) => acc + length(l))
+    // line instances whose VALUE occurs more than once in the doc
+    val dupLineChars = aggregate(col("__l"), lit(0L), (acc, l) =>
+      acc + when(size(filter(col("__l"), y => y === l)) > 1, length(l)).otherwise(0L))
+    val sig = inner.select(col(idCol),
+      nW.as("n_words"),
+      r6(when(nW === 0, lit(null)).otherwise(wordLenSum.cast("double") / nW))
+        .as("mean_word_len"),
+      r6(when(nW === 0, lit(null))
+        .otherwise((hashes + dots).cast("double") / nW)).as("symbol_word_ratio"),
+      r6(when(nL === 0, lit(null))
+        .otherwise(bulletLines.cast("double") / nL)).as("bullet_line_ratio"),
+      r6(when(nL === 0, lit(null))
+        .otherwise(ellipsisLines.cast("double") / nL)).as("ellipsis_line_ratio"),
+      r6(when(nW === 0, lit(null))
+        .otherwise(alphaWords.cast("double") / nW)).as("alpha_word_ratio"),
+      stopsPresent.cast("long").as("stopwords_present"),
+      r6(when(nL === 0, lit(null))
+        .otherwise((nL - size(array_distinct(col("__l")))).cast("double") / nL))
+        .as("dup_line_frac"),
+      r6(when(lineCharSum === 0, lit(null))
+        .otherwise(dupLineChars.cast("double") / lineCharSum))
+        .as("dup_line_char_frac"))
+    val rules = Seq(
+      (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
+      (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("r_mean_word_len"),
+      (col("symbol_word_ratio") <= 0.1).as("r_symbol_ratio"),
+      (col("bullet_line_ratio") <= 0.9).as("r_bullet_lines"),
+      (col("ellipsis_line_ratio") <= 0.3).as("r_ellipsis_lines"),
+      (col("alpha_word_ratio") >= 0.8).as("r_alpha_words"),
+      (col("stopwords_present") >= 2).as("r_stopwords"),
+      (col("dup_line_frac") <= 0.3).as("r_dup_lines"),
+      (col("dup_line_char_frac") <= 0.2).as("r_dup_line_chars"))
+    val withRules = sig.select(col(idCol) +: sig.columns.tail.map(col) ++: rules: _*)
+    withRules.withColumn("gopher_keep",
+      withRules.columns.filter(_.startsWith("r_"))
+        .map(c => coalesce(col(c), lit(false))).reduce(_ && _))
+  }
+
   /** Global term frequencies (X4): explode → count per token. Map-side
-    * combine keeps the shuffle at one row per distinct term per mapper. */
+    * combine keeps the shuffle at one row per distinct token per mapper. */
   def termFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(toks(col(textCol))).as("token"))
       .groupBy("token")

@@ -601,6 +601,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2).getAs[Double]("quality") > 0.0)
   }
 
+  test("gopherRules: each published rule fires on its crafted violator") {
+    val fiftyGood = (1 to 30).map(i => s"word$i the").mkString(" ")
+    val docs = Seq(
+      // 0: healthy doc — enough words, stopwords, letters, no dups
+      (0L, ((1 to 60).map(i => "the quick brown fox of lore".split(" ")(i % 6)).mkString(" "))),
+      (1L, "too few words here"),                        // word count < 50
+      (2L, (1 to 60).map(_ => "a").mkString(" ")),       // mean word length < 3
+      (3L, (1 to 60).map(_ => "the####").mkString(" ")), // symbol ratio > 0.1
+      (4L, (1 to 10).map(_ => "- the bullet item of note").mkString("\n")), // >90% bullet lines
+      (5L, (1 to 10).map(_ => "the line trails off of...").mkString("\n")), // >30% ellipsis lines
+      (6L, (1 to 60).map(_ => "1234 5678 !!!").mkString(" ")), // alpha words < 80%
+      (7L, fiftyGood),                                   // only 1 distinct stopword ("the")
+      (8L, (1 to 10).map(_ => "the same line of text and more with it be that have").mkString("\n")), // dup lines
+      (9L, "")                                           // empty: everything fails
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+    def b(r: org.apache.spark.sql.Row, c: String): Boolean = {
+      val i = r.fieldIndex(c); !r.isNullAt(i) && r.getBoolean(i)
+    }
+    assert(got(0).getAs[Boolean]("gopher_keep"), got(0).toString)
+    assert(!b(got(1), "r_word_count"))
+    assert(!b(got(2), "r_mean_word_len"))
+    assert(!b(got(3), "r_symbol_ratio"))
+    assert(!b(got(4), "r_bullet_lines"))
+    assert(!b(got(5), "r_ellipsis_lines"))
+    assert(!b(got(6), "r_alpha_words"))
+    assert(!b(got(7), "r_stopwords") && got(7).getAs[Long]("stopwords_present") == 1L)
+    assert(!b(got(8), "r_dup_lines") && !b(got(8), "r_dup_line_chars"))
+    assert(!got(9).getAs[Boolean]("gopher_keep") && got(9).getAs[Int]("n_words") == 0)
+    // every violator is kept=false
+    (1 to 9).foreach(i => assert(!got(i).getAs[Boolean]("gopher_keep"), s"doc $i"))
+  }
+
   test("sampleFrames emits the trailing partial window's frame") {
     // 80-byte payload, frameBytes=16, stride=4 (span 64): offsets 0 and 64.
     val a = Multimodal.assetsFromText(Seq((1L, "x" * 80)).toDF("doc_id", "text"))
