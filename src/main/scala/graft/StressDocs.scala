@@ -68,6 +68,11 @@ object StressDocs {
       graft.operators.TextAnalysis.profile(corpus)
         .agg(avg("quality"), sum("approx_bpe_tokens")).head()
     }
+    timed("Gopher rule gate (9 published rules, scan -> project)") {
+      val kept = graft.operators.TextAnalysis.gopherRules(corpus)
+        .filter(col("gopher_keep")).count()
+      println(s"[stress-docs]   gopher keeps $kept of $docs")
+    }
     timed("MinHash-LSH candidates (16 hashes, 8 bands, capped buckets)") {
       val pairs = graft.operators.Dedup.minHashLshCandidates(
         corpus, n = 2, numHashes = 16, bands = 8).count()

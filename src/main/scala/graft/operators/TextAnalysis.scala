@@ -101,8 +101,17 @@ object TextAnalysis {
       keep: Seq[Column], out: Column => Seq[Column]): DataFrame = {
     val stName = Iterator.from(0).map(i => s"__stats$i")
       .find(n => !docs.columns.contains(n)).get
+    // explode(array(kernel)): the Generate is a CollapseProject
+    // BARRIER, so the kernel struct lands as an ATTRIBUTE and the
+    // out() columns extract fields for free. A plain two-step select
+    // does NOT protect it: CollapseProject inlines even expensive
+    // producers when every consumer is extract-only (GetStructField),
+    // and the measured plan held up to 30 kernel copies per row —
+    // each a full text scan (the from_json duplication class, which
+    // Spark special-cases for json/csv only). Generate stays inside
+    // whole-stage codegen, so the barrier costs nothing.
     docs.select(keep :+
-        graft.functions.TextStats(col(textCol), stopwords).as(stName): _*)
+        explode(array(graft.functions.TextStats(col(textCol), stopwords))).as(stName): _*)
       .select(keep ++ out(col(stName)): _*)
   }
 
@@ -150,62 +159,54 @@ object TextAnalysis {
     *   - duplicate-line character fraction ≤ 20% (characters in line
     *     instances whose value occurs more than once / line characters)
     *
-    * Everything is a per-row projection over the document's own word
-    * and line arrays — scan → project, no shuffle, no join, so the
-    * gate runs at full scan parallelism on any corpus size (the
-    * duplicate-line check is O(lines²) within a document, bounded by
-    * per-doc line counts, never by corpus size). Ratios round to 6dp
-    * BEFORE threshold comparison so rule booleans are bit-identical
-    * across engines; null ratios (empty text) fail their rules. */
+    * Everything derives from ONE [[graft.functions.GopherStats]]
+    * kernel call per row (compiled byte scans — the higher-order-
+    * function formulation this replaced ran ~10 interpreted array
+    * passes per row at 42 µs/doc) — scan → project, no shuffle, no
+    * join, so the gate runs at full scan parallelism on any corpus
+    * size (the duplicate-line census is per-document hashing, bounded
+    * by per-doc line counts, never by corpus size). Ratios round to
+    * 6dp BEFORE threshold comparison so rule booleans are
+    * bit-identical across engines; null ratios (empty text) fail
+    * their rules. */
   def gopherRules(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // explode(array(kernel)) so the kernel runs once per row — the
+    // statsThen Generate-barrier discipline (CollapseProject inlines
+    // extract-only consumers of even expensive producers; the plain
+    // two-step select measured 30 kernel copies in the plan)
     val inner = docs.select(col(idCol),
-      filter(split(coalesce(col(textCol), lit("")), " "), w => w =!= "").as("__w"),
-      split(coalesce(col(textCol), lit("")), "\n").as("__l"),
-      coalesce(col(textCol), lit("")).as("__t"))
-    val nW = size(col("__w"))
-    val nL = size(col("__l"))
+      explode(array(graft.functions.GopherStats(
+        coalesce(col(textCol), lit("")), gopherStops))).as("__g"))
+    val g = col("__g")
+    val nW = g.getField("n_words")
+    val nL = g.getField("n_lines")
+    val lineCharSum = g.getField("line_char_sum")
     val r6 = (c: Column) => round(c, 6)
-    // counts of '#' chars and literal '...' runs, by replace-and-diff
-    val hashes = length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))
-    val dots = (length(col("__t")) -
-      length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / lit(3)
-    val bulletLines = size(filter(col("__l"), l => {
-      val t = ltrim(l)
-      t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
-    }))
-    val ellipsisLines = size(filter(col("__l"), l => {
-      val t = rtrim(l)
-      t.endsWith("...") || t.endsWith("…")
-    }))
-    val alphaWords = size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
-    val stopsPresent = gopherStops.map(s =>
-      when(exists(col("__w"), w => lower(w) === s), 1).otherwise(0))
-      .reduce(_ + _)
-    val wordLenSum = aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w))
-    val lineCharSum = aggregate(col("__l"), lit(0L), (acc, l) => acc + length(l))
-    // line instances whose VALUE occurs more than once in the doc
-    val dupLineChars = aggregate(col("__l"), lit(0L), (acc, l) =>
-      acc + when(size(filter(col("__l"), y => y === l)) > 1, length(l)).otherwise(0L))
     val sig = inner.select(col(idCol),
       nW.as("n_words"),
-      r6(when(nW === 0, lit(null)).otherwise(wordLenSum.cast("double") / nW))
+      r6(when(nW === 0, lit(null))
+        .otherwise(g.getField("word_len_sum").cast("double") / nW))
         .as("mean_word_len"),
       r6(when(nW === 0, lit(null))
-        .otherwise((hashes + dots).cast("double") / nW)).as("symbol_word_ratio"),
+        .otherwise((g.getField("n_hashes") + g.getField("n_dots")).cast("double") / nW))
+        .as("symbol_word_ratio"),
       r6(when(nL === 0, lit(null))
-        .otherwise(bulletLines.cast("double") / nL)).as("bullet_line_ratio"),
+        .otherwise(g.getField("bullet_lines").cast("double") / nL))
+        .as("bullet_line_ratio"),
       r6(when(nL === 0, lit(null))
-        .otherwise(ellipsisLines.cast("double") / nL)).as("ellipsis_line_ratio"),
+        .otherwise(g.getField("ellipsis_lines").cast("double") / nL))
+        .as("ellipsis_line_ratio"),
       r6(when(nW === 0, lit(null))
-        .otherwise(alphaWords.cast("double") / nW)).as("alpha_word_ratio"),
-      stopsPresent.cast("long").as("stopwords_present"),
+        .otherwise(g.getField("alpha_words").cast("double") / nW))
+        .as("alpha_word_ratio"),
+      g.getField("stops_present").as("stopwords_present"),
       r6(when(nL === 0, lit(null))
-        .otherwise((nL - size(array_distinct(col("__l")))).cast("double") / nL))
+        .otherwise((nL - g.getField("distinct_lines")).cast("double") / nL))
         .as("dup_line_frac"),
       r6(when(lineCharSum === 0, lit(null))
-        .otherwise(dupLineChars.cast("double") / lineCharSum))
+        .otherwise(g.getField("dup_line_char_sum").cast("double") / lineCharSum))
         .as("dup_line_char_frac"))
     val rules = Seq(
       (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),

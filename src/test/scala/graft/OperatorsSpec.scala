@@ -629,7 +629,7 @@ class OperatorsSpec extends SparkSpec {
     assert(!b(got(6), "r_alpha_words"))
     assert(!b(got(7), "r_stopwords") && got(7).getAs[Long]("stopwords_present") == 1L)
     assert(!b(got(8), "r_dup_lines") && !b(got(8), "r_dup_line_chars"))
-    assert(!got(9).getAs[Boolean]("gopher_keep") && got(9).getAs[Int]("n_words") == 0)
+    assert(!got(9).getAs[Boolean]("gopher_keep") && got(9).getAs[Long]("n_words") == 0L)
     // every violator is kept=false
     (1 to 9).foreach(i => assert(!got(i).getAs[Boolean]("gopher_keep"), s"doc $i"))
   }
