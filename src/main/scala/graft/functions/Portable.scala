@@ -56,10 +56,11 @@ object Portable {
     * same left-to-right fold as `aggregate(zip_with(...))`, so results
     * are bit-identical to the HOF formulation, but it stays inside
     * whole-stage codegen (the HOF lambda plumbing does not). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = FloatVectorDot(x, y)
-    // null (not an ANSI divide-by-zero abort) for zero-norm vectors
-    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    when(denom === 0.0, lit(null)).otherwise(dot(a, b) / denom)
-  }
+  // null (not an ANSI divide-by-zero abort) for zero-norm vectors.
+  // One fused kernel, not when(denom === 0, …).otherwise(ab / denom)
+  // over three FloatVectorDot calls: the branch duplication re-ran the
+  // norm dots per pair (codegen CSE stops at conditional branches) and
+  // the composed form read each array three times. Fold-for-fold
+  // identical arithmetic — see FloatVectorCosine.
+  def cosine(a: Column, b: Column): Column = FloatVectorCosine(a, b)
 }

@@ -44,9 +44,14 @@ object TextAnalysis {
         lit(invRank(lang)).as("inv"),
         lit(lang).as("lang"))
     }: _*)
-    docs.select(col(idCol),
-      best.getField("lang").as("pred_lang"),
-      best.getField("score").as("score"))
+    // Generate barrier (the statsThen discipline): the two getField
+    // extracts would otherwise each inline their own copy of the
+    // whole greatest-of-kernel-structs — 2× every language's TextStats
+    // pass per row.
+    docs.select(col(idCol), explode(array(best)).as("__best"))
+      .select(col(idCol),
+        col("__best.lang").as("pred_lang"),
+        col("__best.score").as("score"))
   }
 
   /** Stopword list for the quality score's stopword ratio. */
@@ -993,7 +998,11 @@ object TextAnalysis {
     val bc = docs.sparkSession.sparkContext.broadcast(termMap)
     withCounts
       .select(col(idCol), col("is_target"),
-        graft.functions.TokenHashLogRatio(col("__tc"), bc).as("__s"))
+        // Generate barrier (the statsThen discipline): the two
+        // getField extracts below would otherwise each inline their
+        // own TokenHashLogRatio(TokenHashCounts(...)) copy — two full
+        // token passes per row instead of one.
+        explode(array(graft.functions.TokenHashLogRatio(col("__tc"), bc))).as("__s"))
       .select(col(idCol), col("is_target"),
         col("__s.n_tokens").as("n_tokens"), col("__s.log_ratio").as("log_ratio"))
   }
