@@ -209,7 +209,13 @@ object Dedup {
       idCol: String, textCol: String): DataFrame = {
     val sigs = graft.functions.MinHashFromGrams(
       graft.functions.ShingleHashes(col(textCol), n), numHashes)
-    docs.select(col(idCol), sigs.as("__sigs"))
+    // explode(array(kernel)): the Generate barrier keeps the signature
+    // kernel to ONE evaluation per row — the numHashes getItem extracts
+    // below are extract-only consumers, which CollapseProject inlines
+    // even for expensive producers (the statsThen discipline; the
+    // null-filter rides ABOVE the Generate, so pushdown cannot clone
+    // the kernel into the scan filter either).
+    docs.select(col(idCol), explode(array(sigs)).as("__sigs"))
       .filter(col("__sigs").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i =>
         col("__sigs").getItem(i).as(s"sig_$i")): _*)
@@ -394,9 +400,13 @@ object Dedup {
     // a per-row projection ([[graft.functions.SimHashFromGrams]]) —
     // ZERO shuffle; earlier rounds aggregated ±1 bit votes over the
     // exploded shingle stream, a full stream shuffle keyed by doc id.
+    // explode(array(kernel)): Generate barrier so the null filter (and
+    // any downstream extraction) consumes the fingerprint ATTRIBUTE —
+    // predicate pushdown was cloning the whole shingle+fingerprint
+    // kernel into a scan-side filter copy (the statsThen discipline).
     docs.select(col(idCol),
-        graft.functions.SimHashFromGrams(
-          graft.functions.ShingleHashes(col(textCol), n), bits).as("simhash"))
+        explode(array(graft.functions.SimHashFromGrams(
+          graft.functions.ShingleHashes(col(textCol), n), bits))).as("simhash"))
       .filter(col("simhash").isNotNull)
 
   /** Incremental ingest dedup: keep only the docs of `incoming` whose
