@@ -278,7 +278,21 @@ object Bench {
     // per-query minima over runs × min-of-3 DuckDB samples (54 at the
     // committed runs=18), so min-of-7 still concedes the comparator a
     // ~8× deeper minimum search.
-    def run(names: Seq[String]): Seq[(String, Either[String, Double])] = names.map { name =>
+    // `quiesceEvery` > 0 re-runs the executor-state reset every that
+    // many queries WITHIN the section (outside any timed wall). The
+    // r11 final-epoch A/B motivates it: two quiet same-code epochs
+    // agreed within ~1% on the 19-query headline phase (which times
+    // right after a reset) but spread ~15% on the 85-query extended
+    // phase, with the inflation concentrated in the LATE list
+    // positions (+0.04-0.12 s each) — ~400 query executions of
+    // broadcast/shuffle debt hand the async ContextCleaner a workload
+    // that competes with the timed jobs more the deeper the section
+    // runs. Headline keeps quiesceEvery = 0: its protocol is the one
+    // the committed DuckDB anchor was measured under, and changing it
+    // would move the gate number for protocol rather than code
+    // reasons.
+    def run(names: Seq[String], quiesceEvery: Int = 0): Seq[(String, Either[String, Double])] = names.zipWithIndex.map { case (name, qi) =>
+      if (quiesceEvery > 0 && qi > 0 && qi % quiesceEvery == 0) resetExecutorState()
       val fn = SparkEntry.queries(name)
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
@@ -362,7 +376,7 @@ object Bench {
     val results = run(headline)
     resetExecutorState()
     burn(extended)
-    val extResults = run(extended)
+    val extResults = run(extended, quiesceEvery = 16)
     val errors = (results ++ extResults).collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val extTotal = extResults.collect { case (_, Right(v)) => v }.sum
