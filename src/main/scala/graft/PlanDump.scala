@@ -25,7 +25,7 @@ object PlanDump {
         "x_text_bm25", "x_funnel",
         "x_text_nb", "x_dsir_weights", "x_zorder_layout",
         "x_embed_covariance", "x_mix_temperature", "x_strata_overlap",
-        "x_text_ctfidf", "x_quality_calibrated")) {
+        "x_text_ctfidf", "x_quality_calibrated", "x_quality_gopher")) {
       println(s"\n===== $name =====")
       // Literal control characters in plan strings (e.g. the sampler's
       // NUL null-id sentinel) would make PLANS.md a binary file —

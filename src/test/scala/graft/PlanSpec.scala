@@ -205,6 +205,19 @@ class PlanSpec extends SparkSpec {
     assert(hits == 1, s"expected exactly one text_stats evaluation, got $hits:\n$plan")
   }
 
+  test("gopherRules is one kernel projection — no shuffle, one gopher_stats per row") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = planOf(graft.operators.TextAnalysis.gopherRules(docs))
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"), plan)
+    // the explode(array(kernel)) Generate barrier must survive
+    // optimization as a SINGLE kernel evaluation: CollapseProject
+    // inlining the struct producer into the 9 ratio columns + 9 rule
+    // booleans would re-run the full byte-scan per column (the measured
+    // 30-copies-per-row failure mode this barrier exists to prevent)
+    val hits = "gopher_stats".r.findAllIn(plan).size
+    assert(hits == 1, s"expected exactly one gopher_stats evaluation, got $hits:\n$plan")
+  }
+
   test("bigram-LM scoring shuffles hashes, never token strings") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = planOf(graft.operators.TextAnalysis.lmScores(docs))
