@@ -2082,9 +2082,9 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some("""WITH base AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS w,
-        |    string_split(text, chr(10)) AS l,
-        |    text AS t
+        |    list_filter(regexp_split_to_array(COALESCE(text, ''), '[ \t\n\r]'), x -> x <> '') AS w,
+        |    string_split(COALESCE(text, ''), chr(10)) AS l,
+        |    COALESCE(text, '') AS t
         |  FROM documents),
         |sig AS (
         |  SELECT doc_id,
@@ -2092,8 +2092,10 @@ object SparkEntry {
         |    round(CASE WHEN len(w) = 0 THEN NULL ELSE
         |      CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END, 6) AS mean_word_len,
         |    round(CASE WHEN len(w) = 0 THEN NULL ELSE
-        |      ((length(t) - length(replace(t, '#', '')))
-        |       + (length(t) - length(replace(t, '...', ''))) / 3) / len(w) END, 6) AS symbol_word_ratio,
+        |      CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE) / len(w) END, 6) AS hash_word_ratio,
+        |    round(CASE WHEN len(w) = 0 THEN NULL ELSE
+        |      CAST((length(t) - length(replace(t, '...', ''))) / 3
+        |           + (length(t) - length(replace(t, '…', ''))) AS DOUBLE) / len(w) END, 6) AS ellipsis_word_ratio,
         |    round(CASE WHEN len(l) = 0 THEN NULL ELSE
         |      CAST(len(list_filter(l, x -> starts_with(ltrim(x), '-')
         |        OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•'))) AS DOUBLE) / len(l) END, 6) AS bullet_line_ratio,
@@ -2115,7 +2117,8 @@ object SparkEntry {
         |  SELECT *,
         |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
         |    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
-        |    (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
+        |    (hash_word_ratio <= 0.1) AS r_hash_ratio,
+        |    (ellipsis_word_ratio <= 0.1) AS r_ellipsis_ratio,
         |    (bullet_line_ratio <= 0.9) AS r_bullet_lines,
         |    (ellipsis_line_ratio <= 0.3) AS r_ellipsis_lines,
         |    (alpha_word_ratio >= 0.8) AS r_alpha_words,
@@ -2125,7 +2128,8 @@ object SparkEntry {
         |  FROM sig)
         |SELECT *,
         |  (COALESCE(r_word_count, FALSE) AND COALESCE(r_mean_word_len, FALSE)
-        |   AND COALESCE(r_symbol_ratio, FALSE) AND COALESCE(r_bullet_lines, FALSE)
+        |   AND COALESCE(r_hash_ratio, FALSE) AND COALESCE(r_ellipsis_ratio, FALSE)
+        |   AND COALESCE(r_bullet_lines, FALSE)
         |   AND COALESCE(r_ellipsis_lines, FALSE) AND COALESCE(r_alpha_words, FALSE)
         |   AND COALESCE(r_stopwords, FALSE) AND COALESCE(r_dup_lines, FALSE)
         |   AND COALESCE(r_dup_line_chars, FALSE)) AS gopher_keep

@@ -18,15 +18,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are IDENTICAL to the SQL primitives the oracle runs, so
   * the `x_quality_gopher` hash-match is unchanged:
   *
-  *  - words        = maximal runs delimited by the single byte 0x20
-  *    (newlines stay INSIDE words, exactly like `split(text, " ")`)
+  *  - words        = maximal runs delimited by ASCII whitespace
+  *    (0x20, 0x09, 0x0A, 0x0D — so newlines and tabs BREAK words,
+  *    matching `regexp_split_to_array(text, '[ \t\n\r]')` with empties
+  *    dropped; the pre-r13 kernel split on 0x20 only, undercounting
+  *    `n_words` on multi-line text)
   *  - word_len_sum = Σ `length(word)` in codepoints (UTF-8 lead bytes)
   *  - alpha_words  = words containing an ASCII letter (`[A-Za-z]`)
   *  - stops_present= DISTINCT constructor stopwords present as
   *    ASCII-case-insensitive whole words (a bitmask popcount)
   *  - n_hashes     = `#` bytes in the whole text
-  *  - n_dots       = non-overlapping leftmost `...` occurrences, the
-  *    `(length(t) − length(replace(t, '...', ''))) / 3` count
+  *  - n_ellipses   = non-overlapping leftmost `...` occurrences PLUS
+  *    `…` (U+2026) occurrences — the published Gopher symbol counts
+  *    threshold hash and ellipsis ratios SEPARATELY (Rae et al. 2021
+  *    Table A1), so the kernel reports them separately; the SQL
+  *    equivalent is `(length(t) − length(replace(t,'...','')))/3 +
+  *    (length(t) − length(replace(t,'…','')))`
   *  - lines        = `split(text, "\n")` INCLUDING empty strings
   *  - bullet_lines = lines whose space-left-trimmed form starts with
   *    `-`, `*` or `•`
@@ -74,7 +81,7 @@ object GopherStats {
     StructField("alpha_words", LongType, nullable = false),
     StructField("stops_present", LongType, nullable = false),
     StructField("n_hashes", LongType, nullable = false),
-    StructField("n_dots", LongType, nullable = false),
+    StructField("n_ellipses", LongType, nullable = false),
     StructField("n_lines", LongType, nullable = false),
     StructField("bullet_lines", LongType, nullable = false),
     StructField("ellipsis_lines", LongType, nullable = false),
@@ -121,7 +128,7 @@ object GopherStats {
     val bytes = text.getBytes
     val n = bytes.length
 
-    // ---- word pass (0x20-delimited runs) ----
+    // ---- word pass (ASCII-whitespace-delimited runs) ----
     var nWords = 0L
     var wordLenSum = 0L
     var alphaWords = 0L
@@ -144,20 +151,26 @@ object GopherStats {
       tokStart = -1
     }
     while (i < n) {
-      if (bytes(i) == 0x20) closeWord(i)
+      val b = bytes(i)
+      if (b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0D) closeWord(i)
       else if (tokStart < 0) tokStart = i
       i += 1
     }
     closeWord(n)
 
     // ---- whole-text symbol pass ----
+    // '...' and '…' are disjoint byte patterns, so one leftmost
+    // non-overlapping scan over both equals two independent counts.
     var nHashes = 0L
-    var nDots = 0L
+    var nEllipses = 0L
     i = 0
     while (i < n) {
       if (bytes(i) == '#') { nHashes += 1; i += 1 }
       else if (bytes(i) == '.' && i + 2 < n && bytes(i + 1) == '.' && bytes(i + 2) == '.') {
-        nDots += 1; i += 3
+        nEllipses += 1; i += 3
+      } else if (bytes(i) == 0xE2.toByte && i + 2 < n &&
+          bytes(i + 1) == 0x80.toByte && bytes(i + 2) == 0xA6.toByte) {
+        nEllipses += 1; i += 3
       } else i += 1
     }
 
@@ -214,7 +227,7 @@ object GopherStats {
 
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nWords, wordLenSum, alphaWords,
-        java.lang.Long.bitCount(stopMask).toLong, nHashes, nDots,
+        java.lang.Long.bitCount(stopMask).toLong, nHashes, nEllipses,
         nLines, bulletLines, ellipsisLines, lineCharSum,
         lineCounts.size().toLong, dupLineCharSum))
   }

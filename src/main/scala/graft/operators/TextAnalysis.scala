@@ -154,7 +154,12 @@ object TextAnalysis {
     *
     *   - word count in [50, 100 000]
     *   - mean word length in [3, 10]
-    *   - symbol-to-word ratio (`#` chars + `...` occurrences) ≤ 0.1
+    *   - hash-to-word ratio (`#` chars / words) ≤ 0.1
+    *   - ellipsis-to-word ratio ((`...` + `…` occurrences) / words)
+    *     ≤ 0.1 — Table A1 thresholds the hash and ellipsis symbol
+    *     ratios SEPARATELY; the pre-r13 formulation summed them into
+    *     one ratio (wrongly rejecting e.g. 6% hashes + 6% ellipses)
+    *     and missed the unicode `…`
     *   - lines starting with a bullet (`-`, `*`, `•`) ≤ 90%
     *   - lines ending with an ellipsis (`...`, `…`) ≤ 30%
     *   - words containing an alphabetic character ≥ 80%
@@ -195,8 +200,11 @@ object TextAnalysis {
         .otherwise(g.getField("word_len_sum").cast("double") / nW))
         .as("mean_word_len"),
       r6(when(nW === 0, lit(null))
-        .otherwise((g.getField("n_hashes") + g.getField("n_dots")).cast("double") / nW))
-        .as("symbol_word_ratio"),
+        .otherwise(g.getField("n_hashes").cast("double") / nW))
+        .as("hash_word_ratio"),
+      r6(when(nW === 0, lit(null))
+        .otherwise(g.getField("n_ellipses").cast("double") / nW))
+        .as("ellipsis_word_ratio"),
       r6(when(nL === 0, lit(null))
         .otherwise(g.getField("bullet_lines").cast("double") / nL))
         .as("bullet_line_ratio"),
@@ -216,7 +224,8 @@ object TextAnalysis {
     val rules = Seq(
       (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
       (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("r_mean_word_len"),
-      (col("symbol_word_ratio") <= 0.1).as("r_symbol_ratio"),
+      (col("hash_word_ratio") <= 0.1).as("r_hash_ratio"),
+      (col("ellipsis_word_ratio") <= 0.1).as("r_ellipsis_ratio"),
       (col("bullet_line_ratio") <= 0.9).as("r_bullet_lines"),
       (col("ellipsis_line_ratio") <= 0.3).as("r_ellipsis_lines"),
       (col("alpha_word_ratio") >= 0.8).as("r_alpha_words"),

@@ -608,13 +608,26 @@ class OperatorsSpec extends SparkSpec {
       (0L, ((1 to 60).map(i => "the quick brown fox of lore".split(" ")(i % 6)).mkString(" "))),
       (1L, "too few words here"),                        // word count < 50
       (2L, (1 to 60).map(_ => "a").mkString(" ")),       // mean word length < 3
-      (3L, (1 to 60).map(_ => "the####").mkString(" ")), // symbol ratio > 0.1
+      (3L, (1 to 60).map(_ => "the####").mkString(" ")), // hash ratio > 0.1
       (4L, (1 to 10).map(_ => "- the bullet item of note").mkString("\n")), // >90% bullet lines
       (5L, (1 to 10).map(_ => "the line trails off of...").mkString("\n")), // >30% ellipsis lines
       (6L, (1 to 60).map(_ => "1234 5678 !!!").mkString(" ")), // alpha words < 80%
       (7L, fiftyGood),                                   // only 1 distinct stopword ("the")
       (8L, (1 to 10).map(_ => "the same line of text and more with it be that have").mkString("\n")), // dup lines
-      (9L, "")                                           // empty: everything fails
+      (9L, ""),                                          // empty: everything fails
+      // 10: 6% hashes + 6% unicode ellipses — KEPT under the published
+      // per-symbol 0.1 thresholds; the pre-r13 combined ratio (0.12)
+      // wrongly rejected exactly this document
+      (10L, {
+        val base = Seq("the", "quick", "brown", "fox", "of", "lore")
+        (0 until 100).map { i =>
+          val w = base(i % 6)
+          if (i < 6) w + "#" else if (i < 12) w + "…" else w
+        }.mkString(" ")
+      }),
+      (11L, (1 to 60).map(_ => "the…").mkString(" ")),   // unicode-ellipsis ratio 1.0 > 0.1
+      (12L, "the quick\nbrown fox\tof lore\rmore"),      // \n \t \r all break words
+      (13L, null.asInstanceOf[String])                   // null text ≡ empty: everything fails
     ).toDF("doc_id", "text")
     val got = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
     def b(r: org.apache.spark.sql.Row, c: String): Boolean = {
@@ -623,7 +636,7 @@ class OperatorsSpec extends SparkSpec {
     assert(got(0).getAs[Boolean]("gopher_keep"), got(0).toString)
     assert(!b(got(1), "r_word_count"))
     assert(!b(got(2), "r_mean_word_len"))
-    assert(!b(got(3), "r_symbol_ratio"))
+    assert(!b(got(3), "r_hash_ratio"))
     assert(!b(got(4), "r_bullet_lines"))
     assert(!b(got(5), "r_ellipsis_lines"))
     assert(!b(got(6), "r_alpha_words"))
@@ -632,6 +645,20 @@ class OperatorsSpec extends SparkSpec {
     assert(!got(9).getAs[Boolean]("gopher_keep") && got(9).getAs[Long]("n_words") == 0L)
     // every violator is kept=false
     (1 to 9).foreach(i => assert(!got(i).getAs[Boolean]("gopher_keep"), s"doc $i"))
+    // 10: separate thresholds keep what the combined ratio rejected
+    assert(got(10).getAs[Double]("hash_word_ratio") == 0.06 &&
+      got(10).getAs[Double]("ellipsis_word_ratio") == 0.06, got(10).toString)
+    assert(b(got(10), "r_hash_ratio") && b(got(10), "r_ellipsis_ratio") &&
+      got(10).getAs[Boolean]("gopher_keep"), got(10).toString)
+    // 11: '…' counts toward the ellipsis ratio (pre-r13 kernel missed it)
+    assert(!b(got(11), "r_ellipsis_ratio") &&
+      got(11).getAs[Double]("ellipsis_word_ratio") == 1.0, got(11).toString)
+    assert(!got(11).getAs[Boolean]("gopher_keep"))
+    // 12: newline/tab/CR are word delimiters (0x20-only split saw 4 words)
+    assert(got(12).getAs[Long]("n_words") == 7L, got(12).toString)
+    // 13: null text behaves exactly like empty text on the Spark side
+    // (the oracle mirrors via COALESCE(text, ''))
+    assert(!got(13).getAs[Boolean]("gopher_keep") && got(13).getAs[Long]("n_words") == 0L)
   }
 
   test("sampleFrames emits the trailing partial window's frame") {
