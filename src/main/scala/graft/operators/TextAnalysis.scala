@@ -298,13 +298,21 @@ object TextAnalysis {
     * count documents with at least one token (token-free docs can
     * never match).
     *
-    * Contract: `idCol` identifies one document per ROW. Rows sharing
-    * an id are scored as separate documents that merge in the final
-    * per-id sum (each against its own row's length) — if your corpus
-    * splits documents across rows, concatenate first. */
+    * Contract: `idCol` identifies one document per ROW — ENFORCED by
+    * default: a `count_distinct(id)`-vs-`count(*)` guard fused into
+    * the existing corpus stats aggregate (no extra Spark job; the
+    * 1-row stats frame is already broadcast into the scoring path)
+    * raises on the first emitted row when the corpus holds duplicate
+    * ids, instead of silently merging per-row scores into a non-BM25
+    * number. If your corpus splits documents across rows, concatenate
+    * first; if ids are pre-validated upstream, pass
+    * `requireUniqueIds = false` to skip the distinct-count (its
+    * shuffle carries one small row per distinct id — bounded, but not
+    * free at corpus scale). */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      requireUniqueIds: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, "k must be >= 1")
     // Doc length rides the ROW, not a join: dl is the size of the
@@ -323,8 +331,17 @@ object TextAnalysis {
     val withDl = docs
       .select(col(idCol), toks(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))
-    val stats = withDl.filter(col("__dl") > 0)
-      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    // The uniqueness guard rides THIS aggregate (input prunes to
+    // (id, dl) — the token arrays never reach it), so enforcement
+    // costs zero extra jobs and zero extra scans.
+    val statsAggs = Seq(
+      sum(when(col("__dl") > 0, lit(1L)).otherwise(lit(0L))).as("__n"),
+      avg(when(col("__dl") > 0, col("__dl"))).as("__avgdl")) ++
+      (if (requireUniqueIds)
+        Seq(count(lit(1)).as("__rows"), count_distinct(col(idCol)).as("__ids"))
+      else
+        Seq(max(lit(0L)).as("__rows"), max(lit(0L)).as("__ids")))
+    val stats = withDl.agg(statsAggs.head, statsAggs.tail: _*)
     val tf = withDl
       .select(col(idCol), col("__dl"), explode(col("__toks")).as("__tok"))
       .filter(col("__tok").isin(queryTerms: _*))
@@ -339,7 +356,9 @@ object TextAnalysis {
       .join(broadcast(dfreq), "__tok")
       .crossJoin(broadcast(stats))
       .withColumn("__contrib", contrib)
-      .groupBy(col(idCol))
+      // __rows/__ids are 1-row broadcast constants: grouping by them
+      // changes no group and keeps the guard alive through the agg
+      .groupBy(col(idCol), col("__rows"), col("__ids"))
       .agg(count(lit(1)).as("matched_terms"),
         // decimal-round BEFORE the double cast: the sum is an EXACT
         // decimal of 8dp terms, so 6dp half-way cases are common and
@@ -347,6 +366,18 @@ object TextAnalysis {
         // decimal HALF_UP (the pqAdcOracleCtes rounding class)
         round(sum(col("__contrib").cast("decimal(28,10)")), 6)
           .cast("double").as("bm25"))
+      // the guard is a runtime aggregate output, so the optimizer can
+      // never constant-fold the raise_error branch away; when ids are
+      // unique it costs one long comparison per emitted row
+      .select(col(idCol), col("matched_terms"),
+        when(col("__ids") === col("__rows"), col("bm25"))
+          .otherwise(raise_error(concat(
+            lit(s"bm25TopK: duplicate values in id column '$idCol' ("),
+            (col("__rows") - col("__ids")).cast("string"),
+            lit(" extra rows) — one document per row is required; " +
+              "concatenate split documents first or pass " +
+              "requireUniqueIds = false if ids are pre-validated"))))
+          .as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }

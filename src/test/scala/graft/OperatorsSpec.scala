@@ -304,6 +304,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("bm25TopK: duplicate ids raise by default, merge only when opted out") {
+    val dup = Seq(
+      (1L, "alpha beta beta"),
+      (1L, "beta gamma"), // same id twice — per-row scoring would silently merge
+      (2L, "beta delta"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.operators.TextAnalysis.bm25TopK(dup, Seq("beta"), k = 3).collect()
+    }
+    assert(ex.getMessage.contains("duplicate values in id column 'doc_id'"),
+      ex.getMessage)
+    // opt-out keeps the documented rows-as-separate-docs-merged-per-id
+    // semantics for pre-validated pipelines
+    val merged = graft.operators.TextAnalysis
+      .bm25TopK(dup, Seq("beta"), k = 3, requireUniqueIds = false)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(merged.map(_._1).sorted == Seq(1L, 2L) && merged.forall(_._3 > 0))
+    // unique-id corpora pass the default guard untouched
+    val clean = graft.operators.TextAnalysis
+      .bm25TopK(dup.filter(col("text") =!= "beta gamma"), Seq("beta"), k = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(clean.map(_._1).sorted == Seq(1L, 2L))
+  }
+
   test("cdcContainmentPairs: near-identical docs pair with high containment") {
     val rnd = new scala.util.Random(29)
     val body = (1 to 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
