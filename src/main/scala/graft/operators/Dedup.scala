@@ -142,12 +142,37 @@ object Dedup {
     * kernel reduces mod 2^31−1 — so the embedding is exact for df up to
     * 2^32, far past any real corpus's doc count.)
     *
+    * Candidate pruning applies PPJoin's full filter set (Xiao et al.
+    * §3), not just the prefix filter, BEFORE any key array ships:
+    *
+    *  - length filter — Jaccard ≥ t forces `min(sz) ≥ t·max(sz)`;
+    *    posting-list entries carry each doc's set size, so undersized
+    *    pairs die inside the pair generator.
+    *  - positional filter (§3.2) — both sets are sorted in the SAME
+    *    global rarity order, so a prefix token at (1-based) positions
+    *    (i_a, i_b) bounds the true overlap by `min(i_a, i_b) +
+    *    min(sz_a − i_a, sz_b − i_b)`; the bound holds for EVERY shared
+    *    prefix token, so the pair-level dedup (a groupBy that replaces
+    *    the old `distinct()` — same exchange) takes the TIGHTEST bound
+    *    across instances and drops pairs it proves sub-threshold.
+    *
+    *  Both filters compare via the exact double formula the verify step
+    *  uses (`ub/(sz_a+sz_b−ub) ≥ t`, monotone in the bound) — a pair
+    *  that could pass verification can never be pruned by float drift.
+    *  Only survivors reach the two rset-array joins, which each ship
+    *  full key arrays per candidate.
+    *
     * Output: (id_a, id_b, inter, sz_a, sz_b, jaccard) — identical
     * schema and values to [[ngramJaccardPairs]] at the same `n` and
     * `threshold` with no df cap (spec-pinned equality).
-    */
+    *
+    * `materialize = false` skips the set-preparation localCheckpoint
+    * (which otherwise cuts the rarity-window recompute for the three
+    * docRanks consumers but costs one materialization job) — the same
+    * opt-out contract as the sibling dedup operators. */
   def ppJoinPairs(docs: DataFrame, n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     // df rides a count-over-partition window on the exploded gram
     // stream — ONE exchange on sh produces the composite key directly
@@ -161,27 +186,55 @@ object Dedup {
     // Each doc's set in rarity-key space, sorted ascending — rarest
     // first, which is simultaneously the prefix order AND the sorted
     // order the intersect kernel needs.
-    val docRanks = keyed
+    val docRanks0 = keyed
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("r"))).as("rset"))
       .withColumn("sz", size(col("rset")))
       .withColumn("plen",
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
-      .localCheckpoint()
+    val docRanks = if (materialize) docRanks0.localCheckpoint() else docRanks0
     // Prefix-token posting lists → in-array pair combinatorics (the
-    // ngramJaccardPairs postings plan, over prefixes only).
-    val prefixes = docRanks.select(col(idCol),
-      explode(slice(col("rset"), lit(1), col("plen"))).as("pt"))
+    // ngramJaccardPairs postings plan, over prefixes only). Entries
+    // carry (id, sz, 1-based prefix position) so the length and
+    // positional filters run on ids+ints, before any array ships.
+    val prefixes = docRanks
+      .select(col(idCol), col("sz"),
+        posexplode(slice(col("rset"), lit(1), col("plen"))))
+      .select(col(idCol), col("sz"), (col("pos") + 1).as("i"), col("col").as("pt"))
     val postings = prefixes.groupBy(col("pt"))
-      .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val cands = postings.select(explode(expr(
-        "flatten(transform(sequence(0, size(ids) - 2), " +
-          "i -> transform(slice(ids, i + 2, size(ids)), j -> struct(ids[i] AS id_a, j AS id_b))))"
-      )).as("p")).select(col("p.id_a"), col("p.id_b")).distinct()
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("sz").as("sz"), col("i").as("i")))).as("es"))
+      .filter(size(col("es")) > 1)
+    // Per shared prefix token at positions (ia, ib): overlap ≤
+    // min(ia, ib) + min(sz_a − ia, sz_b − ib) (both sets share one
+    // global sort order). Emit the bound with each generated pair.
+    val rawPairs = postings.select(explode(expr(
+        "flatten(transform(sequence(0, size(es) - 2), " +
+          "i -> transform(slice(es, i + 2, size(es)), " +
+          "e -> struct(es[i].id AS id_a, e.id AS id_b, " +
+          "es[i].sz AS sz_a, e.sz AS sz_b, " +
+          "least(es[i].i, e.i) + least(es[i].sz - es[i].i, e.sz - e.i) AS ub))))"
+      )).as("p")).select(col("p.*"))
+    // The bound comparisons reuse the verify step's own formula
+    // x/(sz_a+sz_b−x) ≥ t, monotone in x — so float drift can never
+    // prune a pair the verification would keep.
+    def jUb(x: Column): Column =
+      x.cast("double") / (col("sz_a") + col("sz_b") - x) >= threshold
+    val cands = rawPairs
+      .filter(jUb(least(col("sz_a"), col("sz_b")))) // length filter
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(min(col("ub")).as("__ub")) // pair dedup + tightest positional bound
+      .filter(jUb(col("__ub")))
+    // Both sides fetch rsets from the IDENTICAL projection, so the two
+    // broadcast subplans canonicalize equal and ReuseExchange ships ONE
+    // broadcast build (measured: one fewer job per run; at cluster
+    // scale one fewer broadcast of the set table).
+    val sets = docRanks.select(col(idCol).as("__sid"), col("rset").as("__rset"))
     cands
-      .join(docRanks.select(col(idCol).as("id_a"), col("rset").as("__ra"), col("sz").as("sz_a")), "id_a")
-      .join(docRanks.select(col(idCol).as("id_b"), col("rset").as("__rb"), col("sz").as("sz_b")), "id_b")
+      .join(sets, col("id_a") === col("__sid"))
+      .withColumnRenamed("__rset", "__ra").drop("__sid")
+      .join(sets, col("id_b") === col("__sid"))
+      .withColumnRenamed("__rset", "__rb").drop("__sid")
       .withColumn("inter",
         graft.functions.SortedIntersectCount(col("__ra"), col("__rb")))
       .withColumn("jaccard",

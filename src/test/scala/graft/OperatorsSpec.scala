@@ -1174,6 +1174,32 @@ class OperatorsSpec extends SparkSpec {
     val out = Dedup.ppJoinPairs(docs, n = 1, threshold = 1.0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L)))
+    // materialize=false (no localCheckpoint) is plan-shape only
+    val lazyOut = Dedup.ppJoinPairs(docs, n = 1, threshold = 1.0, materialize = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(lazyOut == out)
+  }
+
+  test("ppJoinPairs: length+positional filters lose no pair on a randomized corpus") {
+    // 40 docs over a tiny alphabet — dense overlap structure exercises
+    // boundary Jaccards where an off-by-float filter would drop pairs
+    val rnd = new scala.util.Random(41)
+    val docs = (0 until 40).map { i =>
+      val len = 4 + rnd.nextInt(12)
+      (i.toLong, (0 until len).map(_ => s"w${rnd.nextInt(14)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val pp = Dedup.ppJoinPairs(docs, n = 1, threshold = t)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+      val full = Dedup.ngramJaccardPairs(docs, n = 1, threshold = t)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          col("sz_a").cast("int"), col("sz_b").cast("int"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+      assert(pp == full, s"threshold $t: PPJoin filters must lose no pair")
+      assert(pp.nonEmpty, s"threshold $t: corpus must produce pairs")
+    }
   }
 
   test("covarianceMatrix + pcaTopK: planted principal axis recovered") {
