@@ -376,7 +376,12 @@ object Bench {
     val results = run(headline)
     resetExecutorState()
     burn(extended)
-    val extResults = run(extended, quiesceEvery = 16)
+    // every 8 (was 16): the r12 rerun showed same-code extended
+    // inflation concentrated in late positions even WITH the 16-query
+    // cadence (x_hybrid_rrf 0.285→0.566); halving the window halves
+    // the broadcast/shuffle debt a timed query can inherit, at ~10×2 s
+    // of UNtimed wall — outside every measured number
+    val extResults = run(extended, quiesceEvery = 8)
     val errors = (results ++ extResults).collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val extTotal = extResults.collect { case (_, Right(v)) => v }.sum

@@ -2742,21 +2742,23 @@ object SparkEntry {
         // 100 TB the winner shuffle moves ~50× less than rows that
         // still hold text. Winner choice (min doc_id per digest) is
         // independent of the profile values, so the reorder is exact.
-        // min-doc_id-per-digest as min(struct(doc_id, ...)) — a HASH
-        // aggregate with map-side partial combine, replacing the digest
-        // window (which had to SORT each hash partition to rank rows).
-        // doc_id leads the struct and is unique, so lexicographic min =
-        // the min-doc_id row. The quality gate moves BEFORE the
-        // exchange: duplicate rows share the text byte-for-byte, so
-        // quality/approx_bpe_tokens are equal across a digest group and
-        // gating first drops the same winners the window formulation
-        // gated after — while shrinking the shuffle.
+        // min-doc_id-per-digest as THREE scalar mins: duplicate rows
+        // share the text byte-for-byte, so quality/approx_bpe_tokens
+        // are constant across a digest group and min() of each equals
+        // the winner row's value — and scalar mins keep the aggregate
+        // a HashAggregate with map-side partial combine (the earlier
+        // min(struct(...)) formulation silently planned as
+        // SortAggregate — struct ordering isn't hash-aggregable — and
+        // paid three per-partition sorts). The quality gate moves
+        // BEFORE the exchange: duplicates share text, so gating first
+        // drops the same winners while shrinking the shuffle.
         val cand = TextAnalysis.withProfile(
             docs.withColumn("__digest", md5(col("text").cast("binary"))))
           .filter(col("quality") >= 0.5)
           .groupBy("__digest")
-          .agg(min(struct(col("doc_id"), col("quality"), col("approx_bpe_tokens"))).as("__w"))
-          .select(col("__w.doc_id"), col("__w.quality"), col("__w.approx_bpe_tokens"))
+          .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"),
+            min(col("approx_bpe_tokens")).as("approx_bpe_tokens"))
+          .select("doc_id", "quality", "approx_bpe_tokens")
         // quality is a known [0,1] score — fixed thresholds skip the
         // quantile-estimation scan, making the whole operator ONE job.
         // materialize=Some(false): the input is deterministic (pure
