@@ -37,3 +37,26 @@ object PlanDump {
     spark.stop()
   }
 }
+
+/** Diagnostic: list every query whose executed plan contains a
+  * SortAggregate (the struct-buffer hash-aggregation fallback). */
+object SortAggScan {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val n = "SortAggregate".r.findAllIn(plan).size
+        if (n > 0) println(s"SORTAGG $name: $n")
+      } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage.take(60)}") }
+    }
+    spark.stop()
+  }
+}

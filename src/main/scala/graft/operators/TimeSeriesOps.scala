@@ -118,11 +118,23 @@ object TimeSeriesOps {
     // reading is genuinely NULL stays distinguishable from an empty
     // bucket — bare-null carrying would let the forward fill resurrect a
     // stale value over a real null (same guard as asOfJoin's _rv).
+    // ArgMaxLatest(ts, ts, value) ≡ max(struct(ts, value)).value
+    // (lexicographic max, NaN-greatest, nulls-low) but with a FLAT
+    // hash-aggregable buffer — the struct-max formulation silently
+    // planned partial+final SortAggregate over the in-range stream
+    // (the ReadShapes.latest rationale, see ArgMaxLatest's scaladoc).
+    // The flat aggregate's value buffer is double-typed; other value
+    // types keep the struct-max path (semantically identical).
+    val winner = values.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType =>
+        graft.functions.ArgMaxLatest(col(tsCol), col(tsCol), col(valueCol))
+      case _ => max(struct(col(tsCol), col(valueCol))).getField(valueCol)
+    }
     val bucketed = inRange
       .withColumn("bucket", timestamp_micros(
         unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)) - lit(startUs), lit(stepUs))))
       .groupBy(col(keyCol), col("bucket"))
-      .agg(struct(max(struct(col(tsCol), col(valueCol))).getField(valueCol).as("v")).as("_bv"))
+      .agg(struct(winner.as("v")).as("_bv"))
     // Grid generated relationally: explode a long sequence then a
     // codegen'd projection to timestamps (a transform() lambda here would
     // evaluate interpreted per element). Bucket count is the CEILING of
