@@ -1468,9 +1468,12 @@ object SparkEntry {
         // literal list must prune month partitions before the scan.
         val resolved = graft.sources.MetaSource(catalog, rootPath = Some("root/BUILDING"))
           .resolvedCatalog()
+        // no .distinct() on the retention side: left_semi dedupes by
+        // construction, and the distinct only shrank a catalog-sized
+        // broadcast at the cost of an exchange inside its build
         ReadShapes.latest(Tables.series(s, dir)
           .join(broadcast(resolved.select("series_id")), Seq("series_id"), "left_semi")
-          .join(broadcast(resolved.select("retention").distinct()), Seq("retention"), "left_semi"))
+          .join(broadcast(resolved.select("retention")), Seq("retention"), "left_semi"))
           .orderBy("series_id", "valid_time")
       },
       Some(s"""$svCte,
@@ -3071,8 +3074,14 @@ object SparkEntry {
       // for query-driven corpus slicing. ln and each contribution
       // round to 8dp, the per-doc sum runs in DECIMAL, the score
       // rounds to 6dp — the lm-score determinism discipline.
+      // requireUniqueIds=false: doc_id is the documents table's
+      // primary key (driver-generated, pre-validated), so the
+      // duplicate-id guard's corpus-distinct count would buy nothing
+      // here — library callers on unvalidated corpora keep the
+      // default-on guard (spec-pinned raise)
       (s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir),
-        queryTerms = Seq("hash", "join", "scan"), k = 10)
+        queryTerms = Seq("hash", "join", "scan"), k = 10,
+        requireUniqueIds = false)
         .orderBy(col("bm25").desc, col("doc_id")),
       Some("""WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
