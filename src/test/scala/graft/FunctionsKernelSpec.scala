@@ -218,6 +218,82 @@ class FunctionsKernelSpec extends SparkSpec {
       stats.getInt(3), stats.getInt(4)) == (18, 5, 2, 3, 6))
   }
 
+  test("GopherStats signals match an independent primitive formulation on randomized text") {
+    // Independent reimplementation of every gopherRules signal from
+    // split/regexp/array primitives, over a seeded random corpus that
+    // exercises the r13 kernel semantics: tabs/newlines/CRs as word
+    // delimiters, '...' AND unicode '…' ellipses, '#' runs, bullets,
+    // duplicate lines, empty and null text.
+    val rnd = new scala.util.Random(1013)
+    val pool = Seq("the", "be", "to", "of", "and", "that", "have", "with",
+      "fox", "plasma", "x9", "42", "##", "#tag", "a…b", "...", "…",
+      "-", "•", "* item", "trailing...", "dots…", "naïve", "!!!")
+    val seps = Seq(" ", " ", " ", " ", "\n", "\n", "\t", "\r", "  ", " \n ")
+    val randomDocs = (0 until 150).map { i =>
+      val k = 1 + rnd.nextInt(60)
+      val sb = new StringBuilder(pool(rnd.nextInt(pool.size)))
+      (1 until k).foreach { _ =>
+        sb.append(seps(rnd.nextInt(seps.size))).append(pool(rnd.nextInt(pool.size)))
+      }
+      (i.toLong, sb.toString)
+    }
+    val docs = (randomDocs ++ Seq(
+      (900L, ""), (901L, null.asInstanceOf[String]), (902L, "\n\n"),
+      (903L, "…"), (904L, "# # #"), (905L, "a\nb\nb\nb"),
+      (906L, "same line\nsame line\ndifferent")))
+      .toDF("doc_id", "text")
+
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(lit): _*)
+    val t = coalesce(col("text"), lit(""))
+    val w = filter(split(t, "[ \t\n\r]"), x => x =!= "")
+    val l = split(t, "\n", -1)
+    val nW = size(w)
+    val nL = size(l)
+    val r6 = (c: org.apache.spark.sql.Column) => round(c, 6)
+    val lineChars = aggregate(transform(l, x => length(x)), lit(0L), (a, x) => a + x)
+    val reference = docs.select(col("doc_id"),
+      nW.cast("long").as("n_words"),
+      r6(when(nW === 0, lit(null)).otherwise(
+        aggregate(transform(w, x => length(x)), lit(0L), (a, x) => a + x)
+          .cast("double") / nW)).as("mean_word_len"),
+      r6(when(nW === 0, lit(null)).otherwise(
+        (length(t) - length(regexp_replace(t, "#", ""))).cast("double") / nW))
+        .as("hash_word_ratio"),
+      r6(when(nW === 0, lit(null)).otherwise(
+        ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+          + (length(t) - length(regexp_replace(t, "…", "")))).cast("double") / nW))
+        .as("ellipsis_word_ratio"),
+      r6(when(nL === 0, lit(null)).otherwise(
+        size(filter(l, x => regexp_replace(x, "^ +", "").rlike("^[-*•]")))
+          .cast("double") / nL)).as("bullet_line_ratio"),
+      r6(when(nL === 0, lit(null)).otherwise(
+        size(filter(l, x => regexp_replace(x, " +$", "").rlike("(\\.\\.\\.|…)$")))
+          .cast("double") / nL)).as("ellipsis_line_ratio"),
+      r6(when(nW === 0, lit(null)).otherwise(
+        size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / nW))
+        .as("alpha_word_ratio"),
+      size(filter(stops, s => exists(w, x => lower(x) === s))).cast("long")
+        .as("stopwords_present"),
+      r6(when(nL === 0, lit(null)).otherwise(
+        (nL - size(array_distinct(l))).cast("double") / nL)).as("dup_line_frac"),
+      r6(when(lineChars === 0, lit(null)).otherwise(
+        aggregate(transform(l, x =>
+          when(size(filter(l, y => y === x)) > 1, length(x).cast("long"))
+            .otherwise(lit(0L))), lit(0L), (a, x) => a + x)
+          .cast("double") / lineChars)).as("dup_line_char_frac"))
+
+    val sigCols = Seq("doc_id", "n_words", "mean_word_len", "hash_word_ratio",
+      "ellipsis_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
+      "alpha_word_ratio", "stopwords_present", "dup_line_frac", "dup_line_char_frac")
+    val kernel = graft.operators.TextAnalysis.gopherRules(docs)
+      .select(sigCols.map(col): _*).orderBy("doc_id").collect().toSeq
+    val ref = reference.select(sigCols.map(col): _*).orderBy("doc_id").collect().toSeq
+    kernel.zip(ref).foreach { case (k, r) =>
+      assert(k == r, s"kernel $k != reference $r")
+    }
+  }
+
   test("SpanDigests matches the transform/slice/concat_ws formulation") {
     val docs = (corpus ++ Seq(
       (30L, (1 to 20).map(i => s"t$i").mkString(" ")),   // 2.5 spans of 8
