@@ -537,7 +537,12 @@ object Bench {
       // x_dedup_clusters exercises iterative CC on the 10× pair graph;
       // x_pipeline_curate the distributed prefix sum at 10× the rows.
       "x_dedup_lsh", "x_dedup_lsh_verified", "x_simhash_neardup",
-      "x_dedup_clusters", "x_pipeline_curate"))
+      "x_dedup_clusters", "x_pipeline_curate",
+      // r13: the PPJoin length+positional filters' scaling evidence —
+      // disjoint-token shards grow posting lists linearly, so the
+      // candidate generator (the part the filters bound) is the term
+      // under test
+      "x_dedup_ppjoin"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {

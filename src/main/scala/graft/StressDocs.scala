@@ -115,6 +115,19 @@ object StressDocs {
       val dups = graft.operators.Dedup.cdcChunkCensus(corpus).count()
       println(s"[stress-docs]   recurring chunk digests: $dups")
     }
+    timed("PPJoin exact set-similarity (prefix+length+positional filters, 50k-doc slice)") {
+      // exact Jaccard >= 0.9 over 1-gram sets: the synthetic 50k-word
+      // vocabulary over 100-token docs gives every body token df ~100
+      // at this slice — the worst case for prefix filtering (no rare
+      // tokens to hide behind), so this times the length/positional
+      // filters under pressure rather than a friendly skew. The slice
+      // holds the planted exact-dup clusters (J = 1.0 >= 0.9).
+      val slice = corpus.filter(col("doc_id") < 50000)
+      val pairs = graft.operators.Dedup
+        .ppJoinPairs(slice, n = 1, threshold = 0.9).count()
+      println(s"[stress-docs]   exact Jaccard>=0.9 pairs in slice: $pairs")
+      assert(pairs > 0, "planted exact-dup pairs must surface")
+    }
     timed("BM25 top-100 (3-term query over the full corpus)") {
       // query three body words guaranteed present by the modular vocab
       graft.operators.TextAnalysis.bm25TopK(corpus,
