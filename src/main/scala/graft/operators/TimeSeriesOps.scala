@@ -406,20 +406,24 @@ object TimeSeriesOps {
         round(col("n_active").cast("double") / col("cohort_size"), 4))
   }
 
-  /** The aggregation-only OHLC formulation: open/close via
-    * `min_by`/`max_by` on the (ts, id) struct — no windows, so it
-    * composes with Structured Streaming's incremental aggregation
-    * (state per open bucket = the four running extremes plus a count).
-    * Same values as [[downsampleOhlc]]'s window formulation because
-    * (ts, id) totally orders each bucket. Use this under
+  /** The aggregation-only OHLC formulation: open/close via the
+    * flat-buffer [[graft.functions.ArgExtremum]] argmin/argmax over
+    * the (ts, id) key — no windows, so it composes with Structured
+    * Streaming's incremental aggregation (state per open bucket = the
+    * running extremes plus a count). The earlier `min_by`/`max_by` on
+    * a (ts, id) STRUCT carried a struct ordering buffer, which is not
+    * hash-aggregable — every micro-batch paid a SortAggregate; the
+    * flat buffer hash-aggregates on both the batch and streaming
+    * paths. Same values as [[downsampleOhlc]]'s window formulation
+    * because (ts, id) totally orders each bucket. Use this under
     * `groupBy(window(...))` with a watermark; the window form for
     * batch (where the stacked-windows single exchange wins). */
   def ohlcAggCols(tsCol: String = "ts", valueCol: String = "value",
       idCol: String = "event_id"): Seq[Column] = Seq(
-    min_by(col(valueCol), struct(col(tsCol), col(idCol))).as("open"),
+    graft.functions.ArgExtremum.minBy(col(valueCol), col(tsCol), col(idCol)).as("open"),
     max(col(valueCol)).as("high"),
     min(col(valueCol)).as("low"),
-    max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
+    graft.functions.ArgExtremum.maxBy(col(valueCol), col(tsCol), col(idCol)).as("close"),
     count(lit(1)).as("n_points"))
 
   /** OHLC downsampling: per (key, time bucket) the open (first value),

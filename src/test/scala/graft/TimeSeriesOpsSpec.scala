@@ -353,12 +353,33 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(exchanges == 1, "stacked windows + bar agg must share one exchange")
     // the aggregation-only formulation (the streaming face) produces
     // the identical bars: (ts, id) totally orders each bucket
-    val viaAgg = pts.groupBy(col("series_id"), date_trunc("day", col("ts")).as("bucket"))
+    val aggForm = pts.groupBy(col("series_id"), date_trunc("day", col("ts")).as("bucket"))
       .agg(TimeSeriesOps.ohlcAggCols().head, TimeSeriesOps.ohlcAggCols().tail: _*)
+    val viaAgg = aggForm
       .orderBy("series_id", "bucket")
       .select("series_id", "open", "high", "low", "close", "n_points")
       .as[(Long, Double, Double, Double, Double, Long)].collect().toSeq
     assert(viaAgg == got)
+    // the flat ArgExtremum buffer keeps the streaming face a pure
+    // HashAggregate (min_by/max_by on a (ts, id) struct key planned
+    // partial+final SortAggregate per micro-batch)
+    val aggPlan = aggForm.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("SortAggregate"), aggPlan)
+    // ArgExtremum ≡ min_by/max_by on randomized (ts, id, value) rows
+    val rnd = new scala.util.Random(67)
+    val fuzz = (0 until 400).map { i =>
+      (rnd.nextInt(5).toLong, ts(f"2024-01-01T${rnd.nextInt(24)}%02d:0${rnd.nextInt(6)}:00Z"),
+        rnd.nextDouble() * 100, i.toLong)
+    }.toDF("series_id", "ts", "value", "event_id").repartition(7)
+    val mine = fuzz.groupBy("series_id").agg(
+      graft.functions.ArgExtremum.minBy(col("value"), col("ts"), col("event_id")).as("open"),
+      graft.functions.ArgExtremum.maxBy(col("value"), col("ts"), col("event_id")).as("close"))
+      .orderBy("series_id").collect().toSeq
+    val builtin = fuzz.groupBy("series_id").agg(
+      min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+      max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+      .orderBy("series_id").collect().toSeq
+    assert(mine == builtin)
   }
 
   test("trend: recovers a constructed linear drift; degenerate keys go null") {
