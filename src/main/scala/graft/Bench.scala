@@ -211,7 +211,9 @@ object Bench {
       // round-10 additions
       "td_bucketed_join",
       // round-11 additions
-      "td_compact_read", "x_quality_gopher"))
+      "td_compact_read", "x_quality_gopher",
+      // round-13 additions
+      "x_dedup_incremental_ppjoin"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

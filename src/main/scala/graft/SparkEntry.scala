@@ -4345,6 +4345,50 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    ("x_dedup_incremental_ppjoin",
+      // Incremental EXACT near-dup: which incoming docs (doc_id % 5 =
+      // 0, the batch) have exact 5-gram-set Jaccard >= 0.5 against the
+      // already-ingested corpus (the other 80%) — the deterministic
+      // leg of the incremental family (exact digests: byte-identical;
+      // LSH banding: probabilistic; this: exact similarity, no recall
+      // knob). Screening is O(batch + collisions) against the corpus
+      // epoch's prefix-posting index; the oracle computes the FULL
+      // batch x corpus answer with no prefix logic, so a hash match
+      // proves the cross-set filter chain loses nothing.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incrementalPpJoin(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          n = 5, threshold = 0.5)
+          .orderBy("new_id", "seen_id")
+      },
+      Some(s"""WITH ft AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    (((((CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) % 2147483647) * 1000003
+        |      + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+        |      + CAST(concat('0x', substr(md5(t[g.i + 2]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+        |      + CAST(concat('0x', substr(md5(t[g.i + 3]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+        |      + CAST(concat('0x', substr(md5(t[g.i + 4]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
+        |  WHERE g.i <= len(t) - 4),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS seen_id, COUNT(*) AS inter
+        |  FROM toks a JOIN toks b ON a.sh = b.sh
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT new_id, seen_id, inter, sa.sz AS sz_new, sb.sz AS sz_seen,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = new_id
+        |JOIN sizes sb ON sb.doc_id = seen_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        |ORDER BY new_id, seen_id""".stripMargin)),
+
     ("x_graph_pagerank",
       // Fixed-point PageRank (3 iterations, d = 0.85) over the
       // symmetrized customer<->supplier trade graph. Every iteration

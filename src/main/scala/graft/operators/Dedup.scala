@@ -244,6 +244,126 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Build products for incremental EXACT-Jaccard screening
+    * ([[ppJoinIndex]] / [[ppJoinAgainst]]): the corpus-epoch document
+    * frequencies (the global rarity order new batches must sort
+    * under), the prefix-token posting lists, and the rarity-keyed
+    * document sets. `n` and `threshold` travel WITH the index so a
+    * screen can never run under mismatched parameters (a shorter
+    * build-time prefix than the screen assumes would silently drop
+    * true pairs). All three frames are plain DataFrames — persist
+    * them as parquet once per ingest epoch and reconstruct the case
+    * class to screen any number of batches. */
+  final case class PpJoinIndex(dfTable: DataFrame, postings: DataFrame,
+      sets: DataFrame, n: Int, threshold: Double, idCol: String)
+
+  /** Build the [[PpJoinIndex]] for a seen corpus — the exact-Jaccard
+    * counterpart of [[nearDupIndex]], closing the incremental family's
+    * deterministic leg (exact digests catch byte-identical re-ingests,
+    * LSH banding catches near-dups probabilistically; this screen is
+    * exact: every batch↔corpus pair with Jaccard ≥ threshold, no
+    * recall knob). Build cost is one df aggregate + one df join over
+    * the corpus gram stream plus the set/posting aggregates — paid
+    * once per ingest epoch, like the LSH index.
+    *
+    * Unlike [[ppJoinPairs]]' intra-corpus postings, single-entry
+    * posting lists are KEPT: a batch doc may match the one corpus doc
+    * holding a prefix token. */
+  def ppJoinIndex(seen: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): PpJoinIndex = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val exploded = seen.select(col(idCol),
+      explode(graft.functions.ShingleHashes(col(textCol), n, distinct = true)).as("sh"))
+    // df as a first-class table (the screen needs it to order batch
+    // tokens under the corpus epoch's rarity), so the rarity key comes
+    // from a join rather than ppJoinPairs' window — two gram-stream
+    // exchanges instead of one, paid at build time only.
+    val dfTable = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val keyed = exploded.join(dfTable, "sh")
+      .withColumn("r", col("df") * lit(2147483648L) + col("sh"))
+    val sets = keyed.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("r"))).as("rset"))
+      .withColumn("sz", size(col("rset")))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+    val postings = sets
+      .select(col(idCol), col("sz"),
+        posexplode(slice(col("rset"), lit(1), col("plen"))))
+      .select(col(idCol), col("sz"), (col("pos") + 1).as("i"), col("col").as("pt"))
+      .groupBy(col("pt"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("sz").as("sz"), col("i").as("i")))).as("es"))
+    PpJoinIndex(dfTable, postings, sets.drop("plen"), n, threshold, idCol)
+  }
+
+  /** Screen a batch against a prebuilt [[PpJoinIndex]]: every
+    * (new_id, seen_id) pair with EXACT n-gram-set Jaccard ≥ the
+    * index's threshold, O(batch + collisions) — the corpus is touched
+    * only through its posting lists and the matched sets, never
+    * rescanned.
+    *
+    * Exactness across the batch/corpus split: both sides sort under
+    * ONE total order — the corpus epoch's (df, sh) composite key,
+    * with batch-only tokens at df = 0 (rarest; they can match no
+    * corpus token, so they soak up prefix slots without ever
+    * generating candidates — the conservative direction). The prefix
+    * theorem and the length/positional filters then apply verbatim
+    * ([[ppJoinPairs]]' plan, re-pointed at the stored posting lists).
+    *
+    * Output: (new_id, seen_id, inter, sz_new, sz_seen, jaccard);
+    * same-id rows are excluded (a re-screened doc is not its own
+    * duplicate). */
+  def ppJoinAgainst(incoming: DataFrame, index: PpJoinIndex,
+      textCol: String = "text"): DataFrame = {
+    val idCol = index.idCol
+    val threshold = index.threshold
+    val grams = incoming.select(col(idCol),
+      explode(graft.functions.ShingleHashes(col(textCol), index.n, distinct = true)).as("sh"))
+    val keyed = grams.join(index.dfTable, Seq("sh"), "left")
+      .withColumn("r", coalesce(col("df"), lit(0L)) * lit(2147483648L) + col("sh"))
+    val bsets = keyed.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("r"))).as("__brset"))
+      .withColumn("__bsz", size(col("__brset")))
+      .withColumn("__bplen",
+        (col("__bsz") - ceil(lit(threshold) * col("__bsz")) + 1).cast("int"))
+    val bprefixes = bsets
+      .select(col(idCol).as("new_id"), col("__bsz"),
+        posexplode(slice(col("__brset"), lit(1), col("__bplen"))))
+      .select(col("new_id"), col("__bsz"), (col("pos") + 1).as("__bi"), col("col").as("pt"))
+    val rawPairs = bprefixes.join(index.postings, "pt")
+      .select(col("new_id"), col("__bsz"), col("__bi"), explode(col("es")).as("e"))
+      .select(col("new_id"), col("e.id").as("seen_id"),
+        col("__bsz").as("sz_new"), col("e.sz").as("sz_seen"),
+        (least(col("__bi"), col("e.i"))
+          + least(col("__bsz") - col("__bi"), col("e.sz") - col("e.i"))).as("ub"))
+      .filter(col("new_id") =!= col("seen_id"))
+    def jUb(x: Column): Column =
+      x.cast("double") / (col("sz_new") + col("sz_seen") - x) >= threshold
+    val cands = rawPairs
+      .filter(jUb(least(col("sz_new"), col("sz_seen")))) // length filter
+      .groupBy(col("new_id"), col("seen_id"), col("sz_new"), col("sz_seen"))
+      .agg(min(col("ub")).as("__ub")) // pair dedup + tightest positional bound
+      .filter(jUb(col("__ub")))
+    cands
+      .join(bsets.select(col(idCol).as("new_id"), col("__brset")), "new_id")
+      .join(index.sets.select(col(idCol).as("seen_id"), col("rset").as("__srset")), "seen_id")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("__brset"), col("__srset")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_new") + col("sz_seen") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("seen_id"), col("inter"),
+        col("sz_new"), col("sz_seen"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** One-shot convenience: build the index from `seen` and screen
+    * `incoming` — the [[incrementalNearDup]] shape for the exact leg.
+    * Real ingest loops build [[ppJoinIndex]] once per epoch. */
+  def incrementalPpJoin(incoming: DataFrame, seen: DataFrame,
+      n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ppJoinAgainst(incoming, ppJoinIndex(seen, n, threshold, idCol, textCol), textCol)
+
   /** MinHash signatures (X2): for each doc, `numHashes` permutation
     * minima over its shingle hashes. Output: (id, i, sig).
     *

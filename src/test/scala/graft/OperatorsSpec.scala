@@ -1180,6 +1180,44 @@ class OperatorsSpec extends SparkSpec {
     assert(lazyOut == out)
   }
 
+  test("ppJoinAgainst: incremental exact screen equals the brute-force cross join") {
+    val rnd = new scala.util.Random(43)
+    val docs = (0 until 60).map { i =>
+      val len = 4 + rnd.nextInt(12)
+      (i.toLong, (0 until len).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    } ++ Seq(
+      (100L, "only batch tokens qzx qzy qzz never seen"), // df=0 prefix slots
+      (101L, "w1 w2 w3 w4 w5"), (102L, "w1 w2 w3 w4 w5")) // planted clone pair
+    val df = docs.toDF("doc_id", "text")
+    val batch = df.filter(col("doc_id") % 2 === 0)
+    val corpus = df.filter(col("doc_id") % 2 =!= 0)
+    for (t <- Seq(0.4, 0.7)) {
+      val idx = Dedup.ppJoinIndex(corpus, n = 1, threshold = t)
+      val got = Dedup.ppJoinAgainst(batch, idx)
+        .orderBy("new_id", "seen_id")
+        .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+      // brute force: every batch x corpus pair via the uncapped
+      // all-pairs join restricted to the split
+      val full = Dedup.ngramJaccardPairs(df, n = 1, threshold = t)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          col("sz_a").cast("int"), col("sz_b").cast("int"), col("jaccard"))
+        .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+        .flatMap { case (a, b, i, sa, sb, j) =>
+          // orient each qualifying pair as (batch, corpus)
+          Seq((a, b, i, sa, sb, j), (b, a, i, sb, sa, j))
+        }
+        .filter { case (n2, s2, _, _, _, _) => n2 % 2 == 0 && s2 % 2 != 0 }
+        .sorted
+      assert(got == full, s"threshold $t: incremental screen must be exact")
+    }
+    // the clone pair (102 batch, 101 corpus) surfaces at jaccard 1.0
+    val idx = Dedup.ppJoinIndex(corpus, n = 1, threshold = 0.7)
+    val hit = Dedup.ppJoinAgainst(batch, idx)
+      .filter(col("new_id") === 102L && col("seen_id") === 101L)
+      .select("jaccard").as[Double].collect().toSeq
+    assert(hit == Seq(1.0))
+  }
+
   test("ppJoinPairs: length+positional filters lose no pair on a randomized corpus") {
     // 40 docs over a tiny alphabet — dense overlap structure exercises
     // boundary Jaccards where an off-by-float filter would drop pairs
