@@ -368,6 +368,40 @@ object SparkEntry {
         |  )"""
   }
 
+  /** DuckDB replay of the incremental EXACT-Jaccard screen (batch =
+    * doc_id % 5 == 0 against the other 80%) — the FULL batch x corpus
+    * intersection with no prefix logic, shared by
+    * `x_dedup_incremental_ppjoin` (one-shot index) and
+    * `x_dedup_ppjoin_index_stored` (parquet round-tripped index): a
+    * hash match proves the prefix/length/positional filter chain AND
+    * the storage layer lose nothing. */
+  private lazy val incrementalPpjoinOracleSql: String =
+    s"""WITH ft AS (
+    |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    |  FROM documents),
+    |toks AS (
+    |  SELECT DISTINCT doc_id,
+    |    (((((CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) % 2147483647) * 1000003
+    |      + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+    |      + CAST(concat('0x', substr(md5(t[g.i + 2]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+    |      + CAST(concat('0x', substr(md5(t[g.i + 3]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+    |      + CAST(concat('0x', substr(md5(t[g.i + 4]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+    |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
+    |  WHERE g.i <= len(t) - 4),
+    |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+    |inter AS (
+    |  SELECT a.doc_id AS new_id, b.doc_id AS seen_id, COUNT(*) AS inter
+    |  FROM toks a JOIN toks b ON a.sh = b.sh
+    |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    |  GROUP BY 1, 2)
+    |SELECT new_id, seen_id, inter, sa.sz AS sz_new, sb.sz AS sz_seen,
+    |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    |FROM inter
+    |JOIN sizes sa ON sa.doc_id = new_id
+    |JOIN sizes sb ON sb.doc_id = seen_id
+    |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    |ORDER BY new_id, seen_id""".stripMargin
+
   /** DuckDB replay of the incremental LSH screening (batch = doc_id %
     * 5 == 0 against the other 80%'s capped posting lists) — shared by
     * `x_dedup_incremental_lsh` (in-process index) and
@@ -465,6 +499,32 @@ object SparkEntry {
         Dedup.nearDupIndex(seen, n = 2, numHashes = 16, bands = 8)
           .write.mode("overwrite").parquet(path)
         s.read.parquet(path)
+      })
+    }
+
+  /** Memoized PARQUET-backed PpJoin index per (session, data dir) —
+    * the exact-Jaccard twin of [[storedNearDupIndex]]: the three
+    * [[Dedup.PpJoinIndex]] frames (df table, prefix posting lists,
+    * rarity-keyed sets) written once per ingest epoch and every screen
+    * served from the stored tables. Built with the default
+    * `materialize = true`: the three frames all derive from the set
+    * table, so the checkpoint keeps the three parquet writes from
+    * re-running the rarity window once each. */
+  private val storedPpJoinIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Dedup.PpJoinIndex]
+
+  private def storedPpJoinIndex(s: SparkSession, dir: String): Dedup.PpJoinIndex =
+    scratchLock.synchronized {
+      storedPpJoinIndexMemo.getOrElseUpdate((s, dir), {
+        val seen = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val root = scratchPath("graft_ppjoin_index", dir)
+        val built = Dedup.ppJoinIndex(seen, n = 5, threshold = 0.5)
+        built.dfTable.write.mode("overwrite").parquet(s"$root/df")
+        built.postings.write.mode("overwrite").parquet(s"$root/postings")
+        built.sets.write.mode("overwrite").parquet(s"$root/sets")
+        Dedup.PpJoinIndex(s.read.parquet(s"$root/df"),
+          s.read.parquet(s"$root/postings"), s.read.parquet(s"$root/sets"),
+          n = built.n, threshold = built.threshold, idCol = built.idCol)
       })
     }
 
@@ -817,6 +877,7 @@ object SparkEntry {
     timed("ivf_index") { builtIvfIndex(s, dir); () }
     timed("pq_codebook") { pqTrained(s, dir); () }
     timed("neardup_index_stored") { storedNearDupIndex(s, dir); () }
+    timed("ppjoin_index_stored") { storedPpJoinIndex(s, dir); () }
     timed("ivf_index_stored") { storedIvfIndex(s, dir); () }
     timed("dup_clusters") { builtClusters(s, dir).count(); () }
     timed("timetravel_store") { timeTravelStore(s, dir); () }
@@ -4351,43 +4412,24 @@ object SparkEntry {
       // already-ingested corpus (the other 80%) — the deterministic
       // leg of the incremental family (exact digests: byte-identical;
       // LSH banding: probabilistic; this: exact similarity, no recall
-      // knob). Screening is O(batch + collisions) against the corpus
-      // epoch's prefix-posting index; the oracle computes the FULL
-      // batch x corpus answer with no prefix logic, so a hash match
-      // proves the cross-set filter chain loses nothing.
+      // knob). The screen runs against the PERSISTED per-epoch prefix
+      // index (dfTable + posting rows + rarity-keyed sets, parquet
+      // round-tripped once per (session, dir)) — the build-once /
+      // screen-many contract the PpJoinIndex scaladoc prescribes, and
+      // the LSH leg's x_dedup_index_stored shape. O(batch +
+      // collisions): the corpus is touched only through its stored
+      // index tables. The oracle computes the FULL batch x corpus
+      // answer with no prefix logic, so a hash match proves the
+      // cross-set filter chain AND the storage layer lose nothing.
+      // (The one-shot build+screen path, Dedup.incrementalPpJoin, is
+      // spec-pinned against the brute-force cross join.)
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        Dedup.incrementalPpJoin(
-          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-          n = 5, threshold = 0.5)
+        val batch = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(5)) === 0)
+        Dedup.ppJoinAgainst(batch, storedPpJoinIndex(s, dir))
           .orderBy("new_id", "seen_id")
       },
-      Some(s"""WITH ft AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |toks AS (
-        |  SELECT DISTINCT doc_id,
-        |    (((((CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) % 2147483647) * 1000003
-        |      + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
-        |      + CAST(concat('0x', substr(md5(t[g.i + 2]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
-        |      + CAST(concat('0x', substr(md5(t[g.i + 3]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
-        |      + CAST(concat('0x', substr(md5(t[g.i + 4]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
-        |  WHERE g.i <= len(t) - 4),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS new_id, b.doc_id AS seen_id, COUNT(*) AS inter
-        |  FROM toks a JOIN toks b ON a.sh = b.sh
-        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-        |  GROUP BY 1, 2)
-        |SELECT new_id, seen_id, inter, sa.sz AS sz_new, sb.sz AS sz_seen,
-        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = new_id
-        |JOIN sizes sb ON sb.doc_id = seen_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-        |ORDER BY new_id, seen_id""".stripMargin)),
+      Some(incrementalPpjoinOracleSql)),
 
     ("x_graph_pagerank",
       // Fixed-point PageRank (3 iterations, d = 0.85) over the

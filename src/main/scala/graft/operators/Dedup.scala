@@ -138,9 +138,12 @@ object Dedup {
     * posting-list combinatorics (never a row self-join); verification
     * is ONE compiled [[graft.functions.SortedIntersectCount]] merge per
     * candidate over the key arrays. Shuffles carry ids, keys, and
-    * prefix tokens — never text. (`sh` < 2^31 by construction — the
-    * kernel reduces mod 2^31−1 — so the embedding is exact for df up to
-    * 2^32, far past any real corpus's doc count.)
+    * prefix tokens — never text. (`sh` < 2^32 by construction — n ≥ 2
+    * grams fold mod 2^31−1 and n = 1 emits the raw unsigned 32-bit
+    * token hash — so the 2^32 multiplier keeps the embedding injective
+    * and (df, sh)-lexicographic for df up to 2^31, far past any real
+    * corpus's per-shingle doc count. A 2^31 multiplier would collide
+    * (df, sh ≥ 2^31) with (df + 1, sh − 2^31) at n = 1.)
     *
     * Candidate pruning applies PPJoin's full filter set (Xiao et al.
     * §3), not just the prefix filter, BEFORE any key array ships:
@@ -182,7 +185,7 @@ object Dedup {
     val exploded = docs.select(col(idCol),
       explode(graft.functions.ShingleHashes(col(textCol), n, distinct = true)).as("sh"))
     val keyed = exploded.withColumn("r",
-      count(lit(1)).over(Window.partitionBy(col("sh"))) * lit(2147483648L) + col("sh"))
+      count(lit(1)).over(Window.partitionBy(col("sh"))) * lit(4294967296L) + col("sh"))
     // Each doc's set in rarity-key space, sorted ascending — rarest
     // first, which is simultaneously the prefix order AND the sorted
     // order the intersect kernel needs.
@@ -247,8 +250,9 @@ object Dedup {
   /** Build products for incremental EXACT-Jaccard screening
     * ([[ppJoinIndex]] / [[ppJoinAgainst]]): the corpus-epoch document
     * frequencies (the global rarity order new batches must sort
-    * under), the prefix-token posting lists, and the rarity-keyed
-    * document sets. `n` and `threshold` travel WITH the index so a
+    * under), the row-level prefix-token posting table (pt, id, sz, i),
+    * and the rarity-keyed document sets. `n` and `threshold` travel
+    * WITH the index so a
     * screen can never run under mismatched parameters (a shorter
     * build-time prefix than the screen assumes would silently drop
     * true pairs). All three frames are plain DataFrames — persist
@@ -262,38 +266,54 @@ object Dedup {
     * deterministic leg (exact digests catch byte-identical re-ingests,
     * LSH banding catches near-dups probabilistically; this screen is
     * exact: every batch↔corpus pair with Jaccard ≥ threshold, no
-    * recall knob). Build cost is one df aggregate + one df join over
-    * the corpus gram stream plus the set/posting aggregates — paid
-    * once per ingest epoch, like the LSH index.
+    * recall knob). df rides [[ppJoinPairs]]' count-over-partition
+    * window — ONE gram-stream exchange (a groupBy-df + join-back
+    * formulation shuffled the same stream twice) — and the standalone
+    * `dfTable` the screen needs is DECOMPOSED from the finished sets'
+    * composite keys (r = df·2³² + sh is invertible: shiftright 32 /
+    * mask 2³²−1), so the corpus text is scanned exactly once.
     *
-    * Unlike [[ppJoinPairs]]' intra-corpus postings, single-entry
-    * posting lists are KEPT: a batch doc may match the one corpus doc
-    * holding a prefix token. */
+    * `materialize = true` localCheckpoints the set table — the build's
+    * three products all derive from it, and an in-memory one-shot
+    * screen would otherwise recompute the rarity window per consumer;
+    * same opt-out contract as the sibling dedup operators. Parquet
+    * persistence makes the flag moot (the store IS the checkpoint).
+    *
+    * Unlike [[ppJoinPairs]]' intra-corpus postings, EVERY prefix
+    * token is kept — including ones held by a single corpus doc: a
+    * batch doc may match that one holder. */
   def ppJoinIndex(seen: DataFrame, n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): PpJoinIndex = {
+      idCol: String = "doc_id", textCol: String = "text",
+      materialize: Boolean = true): PpJoinIndex = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val exploded = seen.select(col(idCol),
       explode(graft.functions.ShingleHashes(col(textCol), n, distinct = true)).as("sh"))
-    // df as a first-class table (the screen needs it to order batch
-    // tokens under the corpus epoch's rarity), so the rarity key comes
-    // from a join rather than ppJoinPairs' window — two gram-stream
-    // exchanges instead of one, paid at build time only.
-    val dfTable = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val keyed = exploded.join(dfTable, "sh")
-      .withColumn("r", col("df") * lit(2147483648L) + col("sh"))
-    val sets = keyed.groupBy(col(idCol))
+    val keyed = exploded.withColumn("r",
+      count(lit(1)).over(Window.partitionBy(col("sh"))) * lit(4294967296L) + col("sh"))
+    val sets0 = keyed.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("r"))).as("rset"))
       .withColumn("sz", size(col("rset")))
+    val sets = if (materialize) sets0.localCheckpoint() else sets0
+    // distinct composite keys ARE the (sh, df) table — one sh maps to
+    // one df, so no re-aggregation is needed, only the bit split
+    val dfTable = sets.select(explode(col("rset")).as("rk")).distinct()
+      .select(col("rk").bitwiseAND(lit(4294967295L)).as("sh"),
+        shiftright(col("rk"), 32).as("df"))
+    // ROW-level posting table (pt, id, sz, i) — [[ppJoinPairs]] needs
+    // pt-grouped ARRAYS for its in-list pair combinatorics, but a
+    // batch-vs-corpus screen generates pairs by JOINING the two prefix
+    // streams on pt, so grouping would only add an exchange + array
+    // build here and an explode there. Rows also store/prune better:
+    // parquet RLE absorbs the repeated (id, sz), and a pt-range scan
+    // never deserializes a posting it doesn't touch.
+    val postings = sets
       .withColumn("plen",
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
-    val postings = sets
       .select(col(idCol), col("sz"),
         posexplode(slice(col("rset"), lit(1), col("plen"))))
-      .select(col(idCol), col("sz"), (col("pos") + 1).as("i"), col("col").as("pt"))
-      .groupBy(col("pt"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
-        col("sz").as("sz"), col("i").as("i")))).as("es"))
-    PpJoinIndex(dfTable, postings, sets.drop("plen"), n, threshold, idCol)
+      .select(col("col").as("pt"), col(idCol).as("id"), col("sz"),
+        (col("pos") + 1).as("i"))
+    PpJoinIndex(dfTable, postings, sets, n, threshold, idCol)
   }
 
   /** Screen a batch against a prebuilt [[PpJoinIndex]]: every
@@ -312,7 +332,16 @@ object Dedup {
     *
     * Output: (new_id, seen_id, inter, sz_new, sz_seen, jaccard);
     * same-id rows are excluded (a re-screened doc is not its own
-    * duplicate). */
+    * duplicate).
+    *
+    * Shuffle discipline for the corpus-dwarfs-batch regime this screen
+    * exists for: every BATCH-BOUNDED frame (prefix tokens, batch sets,
+    * surviving candidates) ships as a broadcast build side, so the
+    * corpus-scale tables — posting lists, stored sets — are STREAMED
+    * in place and never enter an exchange. The one shuffle join left
+    * is the rarity keying of the batch gram stream against `dfTable`
+    * (both sides hash on `sh`; at 100 TB the vocabulary is itself a
+    * big table, so that join must stay a shuffle). */
   def ppJoinAgainst(incoming: DataFrame, index: PpJoinIndex,
       textCol: String = "text"): DataFrame = {
     val idCol = index.idCol
@@ -320,7 +349,11 @@ object Dedup {
     val grams = incoming.select(col(idCol),
       explode(graft.functions.ShingleHashes(col(textCol), index.n, distinct = true)).as("sh"))
     val keyed = grams.join(index.dfTable, Seq("sh"), "left")
-      .withColumn("r", coalesce(col("df"), lit(0L)) * lit(2147483648L) + col("sh"))
+      .withColumn("r", coalesce(col("df"), lit(0L)) * lit(4294967296L) + col("sh"))
+    // bsets feeds two broadcast builds (prefix tokens, verify arrays);
+    // measured: recomputing the batch-side chain per consumer is
+    // cheaper than a checkpoint — the batch is the SMALL side by
+    // contract, so the duplicate work is bounded by the batch scan
     val bsets = keyed.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("r"))).as("__brset"))
       .withColumn("__bsz", size(col("__brset")))
@@ -330,12 +363,11 @@ object Dedup {
       .select(col(idCol).as("new_id"), col("__bsz"),
         posexplode(slice(col("__brset"), lit(1), col("__bplen"))))
       .select(col("new_id"), col("__bsz"), (col("pos") + 1).as("__bi"), col("col").as("pt"))
-    val rawPairs = bprefixes.join(index.postings, "pt")
-      .select(col("new_id"), col("__bsz"), col("__bi"), explode(col("es")).as("e"))
-      .select(col("new_id"), col("e.id").as("seen_id"),
-        col("__bsz").as("sz_new"), col("e.sz").as("sz_seen"),
-        (least(col("__bi"), col("e.i"))
-          + least(col("__bsz") - col("__bi"), col("e.sz") - col("e.i"))).as("ub"))
+    val rawPairs = index.postings.join(broadcast(bprefixes), "pt")
+      .select(col("new_id"), col("id").as("seen_id"),
+        col("__bsz").as("sz_new"), col("sz").as("sz_seen"),
+        (least(col("__bi"), col("i"))
+          + least(col("__bsz") - col("__bi"), col("sz") - col("i"))).as("ub"))
       .filter(col("new_id") =!= col("seen_id"))
     def jUb(x: Column): Column =
       x.cast("double") / (col("sz_new") + col("sz_seen") - x) >= threshold
@@ -344,9 +376,15 @@ object Dedup {
       .groupBy(col("new_id"), col("seen_id"), col("sz_new"), col("sz_seen"))
       .agg(min(col("ub")).as("__ub")) // pair dedup + tightest positional bound
       .filter(jUb(col("__ub")))
-    cands
-      .join(bsets.select(col(idCol).as("new_id"), col("__brset")), "new_id")
-      .join(index.sets.select(col(idCol).as("seen_id"), col("rset").as("__srset")), "seen_id")
+    val withBatchSets = cands
+      .join(broadcast(bsets.select(col(idCol).as("new_id"), col("__brset"))), "new_id")
+    // array_compact: a parquet round-trip reads rset back with nullable
+    // elements (list element nullability is not preserved); the stored
+    // arrays never actually hold nulls, and the compact restores the
+    // containsNull = false type the intersect kernel demands.
+    index.sets.select(col(idCol).as("seen_id"),
+        array_compact(col("rset")).as("__srset"))
+      .join(broadcast(withBatchSets), "seen_id")
       .withColumn("inter",
         graft.functions.SortedIntersectCount(col("__brset"), col("__srset")))
       .withColumn("jaccard",
@@ -361,8 +399,10 @@ object Dedup {
     * Real ingest loops build [[ppJoinIndex]] once per epoch. */
   def incrementalPpJoin(incoming: DataFrame, seen: DataFrame,
       n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    ppJoinAgainst(incoming, ppJoinIndex(seen, n, threshold, idCol, textCol), textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      materialize: Boolean = true): DataFrame =
+    ppJoinAgainst(incoming,
+      ppJoinIndex(seen, n, threshold, idCol, textCol, materialize), textCol)
 
   /** MinHash signatures (X2): for each doc, `numHashes` permutation
     * minima over its shingle hashes. Output: (id, i, sig).

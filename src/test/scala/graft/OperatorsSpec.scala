@@ -1216,6 +1216,29 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("new_id") === 102L && col("seen_id") === 101L)
       .select("jaccard").as[Double].collect().toSeq
     assert(hit == Seq(1.0))
+    val expect = Dedup.ppJoinAgainst(batch, idx)
+      .orderBy("new_id", "seen_id")
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+    // materialize=false (no checkpoint) is the same plan lazily
+    val lazyIdx = Dedup.ppJoinIndex(corpus, n = 1, threshold = 0.7,
+      materialize = false)
+    val lazyOut = Dedup.ppJoinAgainst(batch, lazyIdx)
+      .orderBy("new_id", "seen_id")
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+    assert(lazyOut == expect)
+    // the parquet round-trip (the per-epoch persistence the scaladoc
+    // prescribes) screens identically from the stored tables
+    val root = java.nio.file.Files.createTempDirectory("ppjoin_idx").toString
+    idx.dfTable.write.mode("overwrite").parquet(s"$root/df")
+    idx.postings.write.mode("overwrite").parquet(s"$root/postings")
+    idx.sets.write.mode("overwrite").parquet(s"$root/sets")
+    val stored = Dedup.PpJoinIndex(spark.read.parquet(s"$root/df"),
+      spark.read.parquet(s"$root/postings"), spark.read.parquet(s"$root/sets"),
+      n = 1, threshold = 0.7, idCol = "doc_id")
+    val storedOut = Dedup.ppJoinAgainst(batch, stored)
+      .orderBy("new_id", "seen_id")
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+    assert(storedOut == expect)
   }
 
   test("ppJoinPairs: length+positional filters lose no pair on a randomized corpus") {
