@@ -544,7 +544,12 @@ object Bench {
       // disjoint-token shards grow posting lists linearly, so the
       // candidate generator (the part the filters bound) is the term
       // under test
-      "x_dedup_ppjoin"))
+      "x_dedup_ppjoin",
+      // r13: the incremental exact screen at 10x corpus AND 10x batch
+      // (both sides of the doc_id % 5 split scale with the table).
+      // The stored index is rebuilt per dir in warmup, so the timed
+      // term is the screen itself — the O(batch + collisions) claim.
+      "x_dedup_incremental_ppjoin"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {

@@ -832,6 +832,7 @@ object SparkEntry {
     ivfIndexMemo.clear()
     clusterMemo.clear()
     storedNearDupIndexMemo.clear()
+    storedPpJoinIndexMemo.clear()
     storedIvfIndexMemo.clear()
     bm25Memo.clear()
     pqMemo.clear()
