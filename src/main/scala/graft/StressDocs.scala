@@ -128,6 +128,28 @@ object StressDocs {
       println(s"[stress-docs]   exact Jaccard>=0.9 pairs in slice: $pairs")
       assert(pairs > 0, "planted exact-dup pairs must surface")
     }
+    val ppIdx = timed("PPJoin epoch index build (df window + prefix postings, 99% corpus)") {
+      // same worst-case rarity profile as the slice stage: every body
+      // token df ~400 at 198k docs over the 50k vocab, so prefix
+      // postings are uniformly fat and the screen's length/positional
+      // filters do the work. Batch residue 1 (not 0): a %100==0 doc's
+      // seed is ≡0 mod 10, so its exact clone AND its +50000 body
+      // partner are both replay docs with different seeds — that split
+      // plants nothing. Residue-1 docs d < 20000 have their exact
+      // clone at id 10·d (which replays seed d) in the corpus.
+      val i = graft.operators.Dedup.ppJoinIndex(
+        corpus.filter(col("doc_id") % 100 =!= 1), n = 1, threshold = 0.9)
+      i.copy(dfTable = i.dfTable.localCheckpoint(),
+        postings = i.postings.localCheckpoint())
+    }
+    timed("incremental exact screen vs PREBUILT index (1% batch, per-batch marginal cost)") {
+      val out = graft.operators.Dedup.ppJoinAgainst(
+        corpus.filter(col("doc_id") % 100 === 1), ppIdx)
+      val exact = out.filter(col("jaccard") === 1.0).count()
+      val pairs = out.count()
+      println(s"[stress-docs]   exact Jaccard>=0.9 batch<->corpus pairs: $pairs ($exact at J=1.0; expect ~${docs / 1000} planted clones)")
+      assert(exact > 0, "planted batch->corpus exact clones must surface")
+    }
     timed("BM25 top-100 (3-term query over the full corpus)") {
       // query three body words guaranteed present by the modular vocab
       graft.operators.TextAnalysis.bm25TopK(corpus,

@@ -335,13 +335,14 @@ object Dedup {
     * duplicate).
     *
     * Shuffle discipline for the corpus-dwarfs-batch regime this screen
-    * exists for: every BATCH-BOUNDED frame (prefix tokens, batch sets,
-    * surviving candidates) ships as a broadcast build side, so the
-    * corpus-scale tables — posting lists, stored sets — are STREAMED
-    * in place and never enter an exchange. The one shuffle join left
-    * is the rarity keying of the batch gram stream against `dfTable`
-    * (both sides hash on `sh`; at 100 TB the vocabulary is itself a
-    * big table, so that join must stay a shuffle). */
+    * exists for: the PROVABLY batch-bounded frames — prefix tokens
+    * (batch × prefix length) and batch sets (one row per batch doc) —
+    * ship as broadcast build sides, so the posting table is STREAMED
+    * in place. The candidate table is O(collisions), not
+    * batch-bounded, so its verify join against the stored sets stays
+    * unhinted (broadcast when few survive, shuffle when many); the
+    * rarity keying of batch grams against `dfTable` likewise stays a
+    * shuffle join — at 100 TB the vocabulary is itself a big table. */
   def ppJoinAgainst(incoming: DataFrame, index: PpJoinIndex,
       textCol: String = "text"): DataFrame = {
     val idCol = index.idCol
@@ -376,15 +377,24 @@ object Dedup {
       .groupBy(col("new_id"), col("seen_id"), col("sz_new"), col("sz_seen"))
       .agg(min(col("ub")).as("__ub")) // pair dedup + tightest positional bound
       .filter(jUb(col("__ub")))
-    val withBatchSets = cands
-      .join(broadcast(bsets.select(col(idCol).as("new_id"), col("__brset"))), "new_id")
+    // The candidate table is O(collisions), NOT batch-bounded — at a
+    // hostile threshold/df profile (uniform frequencies, no rare
+    // tokens) it reaches batch × posting-list size, so it must never
+    // ride a broadcast (a 200k-doc stress at t = 0.9 produced 44M
+    // candidates and broke the driver collecting them). bsets IS
+    // batch-bounded (one row per batch doc) and broadcasts; the
+    // corpus-sets join stays unhinted so the planner (AQE at cluster
+    // scale) picks broadcast when the surviving candidates are few and
+    // a shuffle join when they are not.
+    //
     // array_compact: a parquet round-trip reads rset back with nullable
     // elements (list element nullability is not preserved); the stored
     // arrays never actually hold nulls, and the compact restores the
     // containsNull = false type the intersect kernel demands.
-    index.sets.select(col(idCol).as("seen_id"),
-        array_compact(col("rset")).as("__srset"))
-      .join(broadcast(withBatchSets), "seen_id")
+    cands
+      .join(broadcast(bsets.select(col(idCol).as("new_id"), col("__brset"))), "new_id")
+      .join(index.sets.select(col(idCol).as("seen_id"),
+        array_compact(col("rset")).as("__srset")), "seen_id")
       .withColumn("inter",
         graft.functions.SortedIntersectCount(col("__brset"), col("__srset")))
       .withColumn("jaccard",
