@@ -2723,6 +2723,27 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY shard, pos""".stripMargin)),
 
+    ("x_skew_profile",
+      // Key-distribution diagnosis before a shuffle: is user_id skewed,
+      // how hard (heaviest key's share of the rows), and the minimum
+      // salt fan-out that levels it. One exchange (the same shuffle the
+      // diagnosed join/agg would pay) + O(keys) aggregates; the top-5
+      // heavy-hitter mass rides a TakeOrdered, never a full sort.
+      (s, dir) => Skew.keyProfile(
+        Tables.events(s, dir).select("user_id", "event_id"),
+        keyCol = "user_id", k = 5),
+      Some("""WITH c AS (
+        |  SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+        |        MAX(cnt) AS max_cnt FROM c),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS topk_cnt
+        |      FROM (SELECT cnt FROM c ORDER BY cnt DESC, k ASC LIMIT 5))
+        |SELECT n_rows, n_keys, max_cnt,
+        |  round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS max_share,
+        |  topk_cnt,
+        |  CAST(ceil(max_cnt * n_keys * 1.0 / n_rows) AS BIGINT) AS salt_factor
+        |FROM g, t""".stripMargin)),
+
     ("x_corpus_report",
       // Dataset card: doc counts, char/token mass, and mean length per
       // (lang), (source), (lang, source), and overall in ONE cube pass

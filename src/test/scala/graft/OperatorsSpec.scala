@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Curation, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
 
 /** Unit specs for the extension operators (SURVEY.md §2.12) on
   * handcrafted inputs with known answers. */
@@ -1584,5 +1584,26 @@ class OperatorsSpec extends SparkSpec {
       Similarity.covarianceMatrix(one, dim = 2)
     }
     assert(eCov.getMessage.contains("at least 2 vectors"))
+  }
+
+  test("Skew.keyProfile: hand-computed profile on a planted-skew frame") {
+    // key 7: 12 rows; keys 1..4: 2 rows each — n=20, keys=5, mean 4
+    val rows = Seq.fill(12)(7L) ++ (1L to 4L).flatMap(k => Seq(k, k))
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "payload")
+    val p = Skew.keyProfile(df, "k", k = 2).head()
+    assert(p.getLong(0) == 20L)                  // n_rows
+    assert(p.getLong(1) == 5L)                   // n_keys
+    assert(p.getLong(2) == 12L)                  // max_cnt
+    assert(p.getDouble(3) == 0.6)                // max_share
+    assert(p.getLong(4) == 14L)                  // top-2 = 12 + first tied 2
+    assert(p.getLong(5) == 3L)                   // ceil(12 * 5 / 20)
+    // balanced frame → salt_factor 1, top-k capped at the key count
+    val bal = (1L to 4L).flatMap(k => Seq(k, k)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val b = Skew.keyProfile(bal, "k", k = 10).head()
+    assert(b.getLong(5) == 1L && b.getLong(4) == 8L)
+    // tie-break determinism: equally heavy keys pick ascending key order
+    // (pinned by the planted tie above: top-2 takes key 1, not 2..4)
   }
 }
