@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftFunctionRegistryBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 import graft.functions._
 
@@ -33,6 +33,14 @@ object GraftExtensions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an INTEGER literal, got $other")
+  }
+
+  private def doubleLit(e: Expression, fn: String, arg: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a numeric literal, got $other")
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
@@ -82,6 +90,18 @@ object GraftExtensions {
           SimHashFromGrams(grams, intLit(bits, "simhash_from_grams", "bits"))
         case other => throw new IllegalArgumentException(
           s"simhash_from_grams expects (grams, bits), got ${other.size} args")
+      }),
+    (FunctionIdentifier("holt_linear"),
+      info("holt_linear",
+        "holt_linear(values, alpha, beta) - Holt double-exponential smoothing " +
+          "fold over an ORDERED array<double>: struct(level, trend, forecast); " +
+          "null elements skipped, empty/all-null array yields null"),
+      (args: Seq[Expression]) => args match {
+        case Seq(values, a, b) =>
+          HoltLinear(values, doubleLit(a, "holt_linear", "alpha"),
+            doubleLit(b, "holt_linear", "beta"))
+        case other => throw new IllegalArgumentException(
+          s"holt_linear expects (values, alpha, beta), got ${other.size} args")
       }),
     (FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",

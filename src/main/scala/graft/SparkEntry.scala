@@ -4607,6 +4607,41 @@ object SparkEntry {
         |  CAST(abs(cs) > 250.0 AS INT) AS drifted
         |FROM c ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    ("x_ts_holt",
+      // Holt double-exponential smoothing per user (alpha=0.5,
+      // beta=0.25 — dyadic, so 1-beta hand-inlined as 0.75 in SQL is
+      // the kernel's exact double): final (level, trend) + one-step
+      // forecast of the recursive fold over the (ts, event_id)-ordered
+      // series. The oracle spells the SAME fold as a per-step
+      // recursive CTE — the form a SQL engine is forced into because
+      // each step feeds the next — while the Spark plan is one
+      // exchange + a compiled per-series kernel; bit-identical doubles
+      // prove the kernel IS the recurrence, not an approximation.
+      (s, dir) => TimeSeriesOps.holtLinear(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
+        alpha = 0.5, beta = 0.25)
+        .select(col("user_id"), round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("forecast"), 6).as("forecast"))
+        .orderBy("user_id"),
+      Some("""WITH RECURSIVE v AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, i, n, value AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM v WHERE i = 1
+        |  UNION ALL
+        |  SELECT v.user_id, v.i, r.n,
+        |    0.5 * v.value + 0.5 * (r.level + r.trend) AS level,
+        |    0.25 * ((0.5 * v.value + 0.5 * (r.level + r.trend)) - r.level)
+        |      + 0.75 * r.trend AS trend
+        |  FROM r JOIN v ON v.user_id = r.user_id AND v.i = r.i + 1)
+        |SELECT user_id, round(level, 6) AS level, round(trend, 6) AS trend,
+        |  round(level + trend, 6) AS forecast
+        |FROM r WHERE i = n ORDER BY user_id""".stripMargin)),
+
     ("rel_histogram",
       // Equi-width histogram of extended price (5000-wide bins): the
       // profile-report primitive. Bin arithmetic is one shared IEEE

@@ -556,6 +556,39 @@ object TimeSeriesOps {
         col("cusum").cast("double").as("cusum"), col("drifted"))
   }
 
+  /** Holt double-exponential smoothing per series: the final
+    * (level, trend) state and one-step forecast of the linear-trend
+    * exponential-smoothing fold over each key's (ts, id)-ordered
+    * values — the classic streaming-friendly trend tracker
+    * (level' = α·x + (1−α)(level+trend); Holt 1957).
+    *
+    * A recursive fold has no window form (each step feeds the next),
+    * so SQL engines spell it as a per-step recursive CTE; here it is
+    * ONE key-keyed exchange (sort_array over (ts, id, value) structs
+    * inside the aggregate — no window, so no second sort) and then a
+    * compiled [[graft.functions.HoltLinear]] kernel per series. Series
+    * are independent: the shape is embarrassingly parallel at any key
+    * cardinality, with per-series memory bounded by series length —
+    * the same bound a recursive CTE's working table pays, minus the
+    * per-step join. Null values are skipped (≡ pre-filtering).
+    *
+    * Use dyadic α/β (0.5, 0.25, …) when an external system must
+    * reproduce the doubles bit-exactly — see the kernel scaladoc. */
+  def holtLinear(events: DataFrame, alpha: Double, beta: Double,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value", idCol: String = "event_id"): DataFrame =
+    events
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol).as("t"), col(idCol).as("i"),
+          col(valueCol).cast("double").as("v")))).as("__o"))
+      .select(col(keyCol),
+        graft.functions.HoltLinear(
+          expr("transform(__o, e -> e.v)"), alpha, beta).as("__h"))
+      .select(col(keyCol),
+        col("__h.level").as("level"), col("__h.trend").as("trend"),
+        col("__h.forecast").as("forecast"))
+
   /** Per-key gap report: every pair of consecutive events further
     * apart than `minGapSec` — the data-completeness audit a feed SLA
     * runs (a resample would FILL these; first you have to find them).

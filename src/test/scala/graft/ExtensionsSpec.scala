@@ -38,6 +38,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq)
   }
 
+  test("SQL holt_linear matches the Column API; bad args rejected") {
+    registered
+    Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq.empty[Double]))
+      .toDF("id", "vals").createOrReplaceTempView("ext_series")
+    val sql = spark.sql(
+      "SELECT id, holt_linear(vals, 0.5, 0.25) AS h FROM ext_series ORDER BY id")
+      .collect()
+    val api = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq.empty[Double]))
+      .toDF("id", "vals")
+      .select(col("id"),
+        graft.functions.HoltLinear(col("vals"), 0.5, 0.25).as("h"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == api.toSeq)
+    assert(sql(0).getStruct(1).getDouble(0) == 2.3125) // hand-computed level
+    assert(sql(1).isNullAt(1)) // empty series -> null struct
+    val e = intercept[Exception] {
+      spark.sql("SELECT holt_linear(vals, 'x', 0.25) FROM ext_series").collect()
+    }
+    assert(e.getMessage.contains("alpha"))
+  }
+
   test("SQL text_stats and span_digests match the Column API") {
     registered
     docs.createOrReplaceTempView("ext_docs")
@@ -198,7 +219,7 @@ class ExtensionsSpec extends SparkSpec {
       Set("shingle_hashes", "minhash_from_grams", "simhash_from_grams",
         "sorted_intersect_count", "text_fingerprint", "float_vector_dot",
         "byte_vector_dot", "text_stats", "span_digests", "code_lut_sum",
-        "cdc_chunks", "morton_interleave", "token_hash_counts"))
+        "cdc_chunks", "morton_interleave", "token_hash_counts", "holt_linear"))
   }
 
   test("SQL morton_interleave matches the Column API and rejects bad args") {

@@ -464,4 +464,37 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .toDF("user_id", "ts", "value")
     assert(TimeSeriesOps.madOutliers(const).filter(col("is_outlier")).count() == 0)
   }
+
+  test("holtLinear: hand-computed fold, order from (ts, id), null skipping") {
+    // series 1, 2, 3 at alpha=0.5 beta=0.25:
+    //   x=2: level 1.5,    trend 0.125
+    //   x=3: level 2.3125, trend 0.296875  -> forecast 2.609375
+    // rows arrive ts-shuffled and carry a mid-series null (skipped);
+    // user 2 is a single point (level = x, trend 0); user 3 all-null.
+    val rows = Seq(
+      (1L, ts("2024-01-01T00:03:00Z"), 3L, Some(3.0)),
+      (1L, ts("2024-01-01T00:01:00Z"), 1L, Some(1.0)),
+      (1L, ts("2024-01-01T00:02:30Z"), 9L, None),
+      (1L, ts("2024-01-01T00:02:00Z"), 2L, Some(2.0)),
+      (2L, ts("2024-01-01T00:01:00Z"), 4L, Some(42.0)),
+      (3L, ts("2024-01-01T00:01:00Z"), 5L, None))
+      .toDF("user_id", "ts", "event_id", "value")
+      .withColumn("value", col("value").cast("double"))
+    val got = TimeSeriesOps.holtLinear(rows, alpha = 0.5, beta = 0.25)
+      .orderBy("user_id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, Some(2.3125), Some(0.296875), Some(2.609375)),
+      (2L, Some(42.0), Some(0.0), Some(42.0)),
+      (3L, None, None, None)))
+    // same-ts rows fall back to event_id order: [10 (id 1), 0 (id 2)]
+    // folds to level 5, trend -1.25 — the reverse order would not
+    val tie = Seq(
+      (1L, ts("2024-01-01T00:01:00Z"), 2L, 0.0),
+      (1L, ts("2024-01-01T00:01:00Z"), 1L, 10.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val t = TimeSeriesOps.holtLinear(tie, alpha = 0.5, beta = 0.25).head()
+    assert(t.getDouble(1) == 5.0 && t.getDouble(2) == -1.25)
+  }
 }
