@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming Holt double-exponential smoothing per key — the batch
+  * [[graft.operators.TimeSeriesOps.holtLinear]] fold as a stateful
+  * Update-mode operator.
+  *
+  * Order is the whole contract of a recursive fold, and a stream
+  * delivers disorder, so the per-key state splits in two:
+  *
+  *  - COMMITTED (level, trend): the fold over every event at or below
+  *    the event-time watermark, applied in (ts, event_id) order. The
+  *    watermark guarantees nothing earlier can still arrive, so the
+  *    committed fold equals the batch fold over that prefix and is
+  *    never reordered retroactively — replay-safe by construction.
+  *  - PENDING buffer: events above the watermark, kept sorted and
+  *    replayed ON TOP of the committed state for every emission — the
+  *    "if the stream ended now" answer. Its size is bounded by the
+  *    disorder the watermark tolerates (rate × delay), NOT by history:
+  *    the state an executor holds per key is O(watermark window).
+  *
+  * Every emission therefore equals batch `holtLinear` over all
+  * in-tolerance data seen so far (pinned by `StreamingSpec` across
+  * micro-batch slicings and cross-batch disorder); the recurrence is
+  * evaluated in the kernel's exact operation order, so the equality is
+  * bit-level. Late data beyond the watermark is dropped by Spark
+  * upstream, as for every watermarked operator.
+  */
+object StreamingHolt {
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  /** (tsUs, event_id, value) triples keep the pending buffer flat. */
+  case class HoltState(level: Double, trend: Double, seen: Boolean,
+      pending: List[(Long, Long, Double)])
+  case class HoltPoint(user_id: Long, n_pending: Int,
+      level: Double, trend: Double, forecast: Double)
+
+  private def us(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** One fold step — textually the [[graft.functions.HoltLinear]]
+    * recurrence (1−α / 1−β precomputed, same operation order), so the
+    * streaming answer is bit-identical to the kernel's. */
+  private def fold(level0: Double, trend0: Double, seen0: Boolean,
+      events: Iterator[Double], alpha: Double, beta: Double): (Double, Double, Boolean) = {
+    val oneMinusAlpha = 1.0 - alpha
+    val oneMinusBeta = 1.0 - beta
+    var level = level0; var trend = trend0; var seen = seen0
+    events.foreach { x =>
+      if (!seen) { level = x; trend = 0.0; seen = true }
+      else {
+        val next = alpha * x + oneMinusAlpha * (level + trend)
+        trend = beta * (next - level) + oneMinusBeta * trend
+        level = next
+      }
+    }
+    (level, trend, seen)
+  }
+
+  /** `stream` needs (user_id: long, ts: timestamp, event_id: long,
+    * value: double); rows with null value are skipped upstream of the
+    * fold (the kernel's null-skip semantics). */
+  def holt(stream: DataFrame, alpha: Double, beta: Double,
+      watermark: String): Dataset[HoltPoint] = {
+    import stream.sparkSession.implicits._
+    stream.selectExpr("user_id", "ts", "event_id", "value")
+      .filter("value IS NOT NULL")
+      .withWatermark("ts", watermark)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Ev], state: GroupState[HoltState]) =>
+          val prev = state.getOption.getOrElse(HoltState(0.0, 0.0, seen = false, Nil))
+          val buffer = (prev.pending ++ events.map(e => (us(e.ts), e.event_id, e.value)))
+            .sortBy(t => (t._1, t._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // commit the prefix the watermark has sealed; replay the rest.
+          // STRICTLY below: Spark admits rows AT the watermark, so a
+          // ts == wm row can still arrive and must be able to sort
+          // against its equal-ts peers by event_id before any of them
+          // is folded.
+          val (closed, open) = buffer.partition(_._1 < wmUs)
+          val (cl, ct, cs) =
+            fold(prev.level, prev.trend, prev.seen, closed.iterator.map(_._3), alpha, beta)
+          state.update(HoltState(cl, ct, cs, open))
+          val (l, t, s) = fold(cl, ct, cs, open.iterator.map(_._3), alpha, beta)
+          if (!s) Iterator.empty
+          else Iterator.single(HoltPoint(uid, open.size, l, t, l + t))
+      }
+  }
+}

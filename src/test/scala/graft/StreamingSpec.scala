@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{StreamingIngest, StreamingSessionize}
+import graft.streaming.{StreamingHolt, StreamingIngest, StreamingSessionize}
 
 /** Streaming ingest reuses the batch write pipeline and lands rows the
   * batch readers see identically. */
@@ -210,6 +210,52 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == Seq(
       (1L, 5.0, 9.0, 1.0, 7.0, 4L), // open=first by ts, close=last by ts
       (2L, 3.0, 3.0, 3.0, 3.0, 1L)))
+  }
+
+  test("streaming Holt equals the batch fold across slicings and cross-batch disorder") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = StreamingHolt.holt(
+      mem.toDF().toDF("user_id", "ts", "event_id", "value"),
+      alpha = 0.5, beta = 0.25, watermark = "1 hour")
+      .writeStream.format("memory").queryName("holt_s")
+      .outputMode(OutputMode.Update).start()
+    // batch 1 establishes a prefix; batch 2 arrives with IN-TOLERANCE
+    // disorder (02:30 lands after 03:00 was seen) plus a new key
+    val b1 = Seq(
+      (1L, ts("2024-01-01T01:00:00Z"), 1L, 1.0),
+      (1L, ts("2024-01-01T03:00:00Z"), 3L, 3.0))
+    val b2 = Seq(
+      (1L, ts("2024-01-01T02:30:00Z"), 2L, 2.0), // late but inside 1h tolerance
+      (1L, ts("2024-01-01T04:00:00Z"), 4L, 5.0),
+      (2L, ts("2024-01-01T01:00:00Z"), 5L, 42.0))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    // last emission per key = "if the stream ended now"
+    val streaming = spark.sql(
+      """SELECT user_id, level, trend, forecast FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY mono DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() AS mono FROM holt_s))
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    q.stop()
+    val batch = graft.operators.TimeSeriesOps.holtLinear(
+      (b1 ++ b2).toDF("user_id", "ts", "event_id", "value"),
+      alpha = 0.5, beta = 0.25)
+      .orderBy("user_id")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(streaming == batch,
+      "streaming Holt must be bit-identical to the batch fold")
+    // the committed/pending split really engaged: batch 1 ran at
+    // watermark 0 (everything pending, n=2); batch 2's watermark
+    // (03:00 − 1h = 02:00) sealed the 01:00 event and replayed the
+    // other three (n=3)
+    val pendings = spark.sql(
+      "SELECT n_pending FROM holt_s WHERE user_id = 1 ORDER BY n_pending")
+      .as[Int].collect().toSeq
+    assert(pendings == Seq(2, 3))
   }
 
   test("streaming dedup drops repeats across micro-batches within the watermark") {
