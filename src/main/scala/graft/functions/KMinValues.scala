@@ -77,6 +77,77 @@ case class KMinValues(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** The same KMV aggregation, but eval returns the SKETCH ITSELF — the
+  * sorted array of k smallest distinct hashes — instead of collapsing
+  * to the estimate. The array is what sketch ALGEBRA composes on:
+  * union = k smallest of the concatenated arrays, intersection via
+  * the Beyer et al. (SIGMOD'07) membership ratio — all expressible as
+  * plain codegen'd array functions downstream, so set-operation
+  * estimates between segments never rescan the data. State and
+  * shuffle bounds are identical to [[KMinValues]] (≤ k longs). */
+case class KMinSet(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KMinValues.Sketch]
+    with UnaryLike[Expression] {
+
+  require(k >= 2, "sketch size k must be >= 2")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: argument 'hash' must be bigint (use Portable.hash60), " +
+          s"got ${other.simpleString}")
+    }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_set"
+
+  override def createAggregationBuffer(): KMinValues.Sketch = new KMinValues.Sketch(k)
+
+  override def update(buffer: KMinValues.Sketch, input: InternalRow): KMinValues.Sketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KMinValues.Sketch, other: KMinValues.Sketch): KMinValues.Sketch = {
+    buffer.mergeIn(other)
+    buffer
+  }
+
+  override def eval(buffer: KMinValues.Sketch): Any = {
+    val out = new Array[Long](buffer.mins.size)
+    val it = buffer.mins.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buffer: KMinValues.Sketch): Array[Byte] = buffer.toBytes
+
+  override def deserialize(bytes: Array[Byte]): KMinValues.Sketch =
+    KMinValues.Sketch.fromBytes(bytes, k)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinSet =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinSet =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): KMinSet =
+    copy(child = newChild)
+}
+
+object KMinSet {
+  def apply(hash: Column, k: Int): Column =
+    GraftColumnBridge.toColumn(
+      KMinSet(GraftColumnBridge.toExpression(hash), k)
+        .toAggregateExpression())
+}
+
 object KMinValues {
 
   /** 2^60 — the size of [[Portable.hash60]]'s value space. */

@@ -388,6 +388,41 @@ class FunctionsKernelSpec extends SparkSpec {
     assert(back.mins == buf.mins && back.estimate == buf.estimate)
   }
 
+  test("KMinSet algebra: union/intersection/Jaccard estimates near truth; exact below k") {
+    import graft.functions.{KMinSet, KMinValues, Portable}
+    // planted overlap: A = u1..u3000, B = u2001..u5000 → |A∩B| = 1000,
+    // |A∪B| = 5000, J = 0.2
+    val rows = (1 to 3000).map(i => ("a", s"u$i")) ++
+      (2001 to 5000).map(i => ("b", s"u$i"))
+    val df = rows.toDF("seg", "id").repartition(13)
+    val k = 128
+    def algebra(frame: org.apache.spark.sql.DataFrame) = frame.agg(
+        KMinSet(when(col("seg") === "a", Portable.hash60(col("id"))), k).as("ma"),
+        KMinSet(when(col("seg") === "b", Portable.hash60(col("id"))), k).as("mb"))
+      .withColumn("mu", slice(array_sort(array_distinct(concat(col("ma"), col("mb")))), 1, k))
+      .withColumn("szu", size(col("mu")))
+      .withColumn("uest", when(col("szu") < k, col("szu").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(KMinValues.HashSpace) /
+          element_at(col("mu"), k).cast("double")))
+      .withColumn("c", size(array_intersect(array_intersect(col("mu"), col("ma")), col("mb"))))
+      .select(col("uest"),
+        (col("c").cast("double") / col("szu") * col("uest")).as("iest"),
+        (col("c").cast("double") / col("szu")).as("jest"))
+      .head()
+    val r = algebra(df)
+    assert(math.abs(r.getDouble(0) - 5000.0) / 5000.0 < 0.25, s"union ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 1000.0) / 1000.0 < 0.5, s"inter ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 0.2) < 0.1, s"jaccard ${r.getDouble(2)}")
+    // merge-order invariance: same algebra, different partitioning
+    val r2 = algebra(rows.toDF("seg", "id").repartition(3))
+    assert(r.getDouble(0) == r2.getDouble(0) && r.getDouble(1) == r2.getDouble(1))
+    // sub-k universe: every estimate is EXACT set arithmetic
+    val tiny = ((1 to 30).map(i => ("a", s"v$i")) ++
+      (21 to 50).map(i => ("b", s"v$i"))).toDF("seg", "id")
+    val t = algebra(tiny)
+    assert(t.getDouble(0) == 50.0 && t.getDouble(1) == 10.0 && t.getDouble(2) == 0.2)
+  }
+
   test("MisraGriesTopK summary: guarantees hold against exact counts") {
     import graft.functions.MisraGriesTopK
     // deterministic skewed stream: token frequency ∝ 1/rank
