@@ -368,6 +368,73 @@ object SparkEntry {
         |  )"""
   }
 
+  /** DuckDB replay of LTTB downsampling to k = 12 points per series —
+    * the left-to-right greedy selection has no window/aggregate form,
+    * so the oracle UNROLLS it: one chained (avg, argmax-QUALIFY) CTE
+    * pair per middle bucket, each step joining the previous step's
+    * pick. Geometry runs on exact-integer-valued doubles (epoch-µs x,
+    * 6dp micro-unit y, Long-exact bucket sums with one double
+    * division), so the area argmax is bit-identical to the
+    * [[graft.functions.LttbSelect]] kernel's. */
+  private lazy val lttbOracleSql: String = {
+    val k = 12
+    val kk = k - 2
+    val steps = (0 until kk).map { b =>
+      val avg =
+        if (b < kk - 1)
+          s"""a$b AS (
+          |  SELECT user_id, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS ax,
+          |         CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ay
+          |  FROM big
+          |  WHERE i >= 1 + ((${b + 1} * (n - 2)) // $kk)
+          |    AND i < 1 + ((${b + 2} * (n - 2)) // $kk)
+          |  GROUP BY user_id)"""
+        else
+          s"""a$b AS (
+          |  SELECT user_id, CAST(x AS DOUBLE) AS ax, CAST(y AS DOUBLE) AS ay
+          |  FROM big WHERE i = n - 1)"""
+      val pick =
+        s"""p$b AS (
+        |  SELECT c.user_id, c.x, c.id, c.y
+        |  FROM big c
+        |  JOIN s$b s ON c.user_id = s.user_id
+        |  JOIN a$b a ON c.user_id = a.user_id
+        |  WHERE c.i >= 1 + (($b * (c.n - 2)) // $kk)
+        |    AND c.i < 1 + ((${b + 1} * (c.n - 2)) // $kk)
+        |  QUALIFY row_number() OVER (PARTITION BY c.user_id
+        |    ORDER BY abs((s.px - a.ax) * (c.y - s.py)
+        |                 - (s.px - c.x) * (a.ay - s.py)) DESC, c.i ASC) = 1)"""
+      val next =
+        s"""s${b + 1} AS (
+        |  SELECT user_id, CAST(x AS DOUBLE) AS px, CAST(y AS DOUBLE) AS py
+        |  FROM p$b)"""
+      s"$avg,\n$pick,\n$next"
+    }.mkString(",\n")
+    val picks = (0 until kk)
+      .map(b => s"  UNION ALL SELECT user_id, x, id, y FROM p$b")
+      .mkString("\n")
+    s"""WITH v AS (
+    |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS x, event_id AS id,
+    |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y,
+    |    row_number() OVER (PARTITION BY user_id
+    |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) - 1 AS i,
+    |    COUNT(*) OVER (PARTITION BY user_id) AS n
+    |  FROM events),
+    |small AS (SELECT user_id, x, id, y FROM v WHERE n <= $k),
+    |big AS (SELECT * FROM v WHERE n > $k),
+    |s0 AS (SELECT user_id, CAST(x AS DOUBLE) AS px, CAST(y AS DOUBLE) AS py
+    |       FROM big WHERE i = 0),
+    |$steps,
+    |sel AS (
+    |  SELECT user_id, x, id, y FROM big WHERE i = 0
+    |$picks
+    |  UNION ALL SELECT user_id, x, id, y FROM big WHERE i = n - 1
+    |  UNION ALL SELECT user_id, x, id, y FROM small)
+    |SELECT user_id, x AS ts_us, id AS event_id,
+    |  CAST(y AS DOUBLE) / 1000000.0 AS value
+    |FROM sel ORDER BY user_id, ts_us, event_id""".stripMargin
+  }
+
   /** DuckDB replay of the incremental EXACT-Jaccard screen (batch =
     * doc_id % 5 == 0 against the other 80%) — the FULL batch x corpus
     * intersection with no prefix logic, shared by
@@ -4711,6 +4778,21 @@ object SparkEntry {
         |SELECT user_id, round(level, 6) AS level, round(trend, 6) AS trend,
         |  round(level + trend, 6) AS forecast
         |FROM r WHERE i = n ORDER BY user_id""".stripMargin)),
+
+    ("x_ts_lttb",
+      // LTTB display-grade downsampling: 12 shape-preserving points
+      // per user series (Steinarsson 2013). Like x_ts_holt, the greedy
+      // selection recursion has no SQL window form — the oracle
+      // unrolls one (bucket-average, argmax) CTE pair per bucket —
+      // while the Spark plan is one exchange + a compiled per-series
+      // kernel pass + explode. Exact-integer geometry (epoch-µs x,
+      // 6dp micro-unit y, Long bucket sums) makes the argmax
+      // bit-identical across engines.
+      (s, dir) => TimeSeriesOps.lttb(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
+        k = 12)
+        .orderBy("user_id", "ts_us", "event_id"),
+      Some(lttbOracleSql)),
 
     ("rel_histogram",
       // Equi-width histogram of extended price (5000-wide bins): the

@@ -589,6 +589,37 @@ object TimeSeriesOps {
         col("__h.level").as("level"), col("__h.trend").as("trend"),
         col("__h.forecast").as("forecast"))
 
+  /** LTTB display-grade downsampling per series: keep `k` points that
+    * preserve each key's visual shape (Steinarsson 2013 — the
+    * largest-triangle-three-buckets selection every dashboarding
+    * time-series engine ships). Like [[holtLinear]], the selection is
+    * a left-to-right greedy recursion (each bucket's pick depends on
+    * the previous pick), so it has no window form; the plan is ONE
+    * key-keyed exchange (sort_array inside the aggregate) and a
+    * compiled [[graft.functions.LttbSelect]] pass per series, then an
+    * explode back to rows. Values quantize to 6dp micro-units (the
+    * cusum decimal discipline) so the triangle geometry runs on
+    * exact-integer-valued doubles — bit-reproducible on any engine
+    * replaying the same formulas. Series with ≤ k points pass through
+    * unchanged.
+    *
+    * Output: (key, ts_us, id, value) — the selected points, value at
+    * 6dp; ts as epoch µs (the portable cross-engine form). */
+  def lttb(events: DataFrame, k: Int,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value", idCol: String = "event_id"): DataFrame =
+    events
+      .select(col(keyCol),
+        unix_micros(col(tsCol)).as("__x"), col(idCol).as("__i"),
+        (col(valueCol).cast("decimal(18,6)") * 1000000L).cast("long").as("__y"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__x"), col("__i"), col("__y"))))
+        .as("__pts"))
+      .select(col(keyCol),
+        explode(graft.functions.LttbSelect(col("__pts"), k)).as("__p"))
+      .select(col(keyCol), col("__p.__x").as("ts_us"), col("__p.__i").as(idCol),
+        (col("__p.__y").cast("double") / 1000000.0).as("value"))
+
   /** Per-key gap report: every pair of consecutive events further
     * apart than `minGapSec` — the data-completeness audit a feed SLA
     * runs (a resample would FILL these; first you have to find them).

@@ -497,4 +497,60 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val t = TimeSeriesOps.holtLinear(tie, alpha = 0.5, beta = 0.25).head()
     assert(t.getDouble(1) == 5.0 && t.getDouble(2) == -1.25)
   }
+
+  test("lttb: equals a reference implementation; n<=k passes through") {
+    // reference LTTB on (x, y) long pairs — the published algorithm,
+    // written independently of the kernel
+    def ref(pts: IndexedSeq[(Long, Long, Long)], k: Int): IndexedSeq[(Long, Long, Long)] = {
+      val n = pts.length
+      if (n <= k) return pts
+      val kk = k - 2; val m = n - 2
+      val out = IndexedSeq.newBuilder[(Long, Long, Long)]
+      out += pts.head
+      var prev = pts.head
+      for (b <- 0 until kk) {
+        val lo = 1 + (b.toLong * m / kk).toInt
+        val hi = 1 + ((b + 1).toLong * m / kk).toInt
+        val (ax, ay) =
+          if (b < kk - 1) {
+            val nlo = 1 + ((b + 1).toLong * m / kk).toInt
+            val nhi = 1 + ((b + 2).toLong * m / kk).toInt
+            val nb = pts.slice(nlo, nhi)
+            (nb.map(_._1).sum.toDouble / nb.size, nb.map(_._3).sum.toDouble / nb.size)
+          } else (pts.last._1.toDouble, pts.last._3.toDouble)
+        val cand = (lo until hi).maxBy { j =>
+          val p = pts(j)
+          (math.abs((prev._1 - ax) * (p._3 - prev._3)
+            - (prev._1 - p._1) * (ay - prev._3)), -j) // strict-max, earliest wins
+        }
+        prev = pts(cand)
+        out += prev
+      }
+      out += pts.last
+      out.result()
+    }
+    val rnd = new scala.util.Random(7)
+    val series = (0 until 137).map { i =>
+      (1L, new java.sql.Timestamp(1704067200000L + i * 60000L + rnd.nextInt(500)),
+        (i + 10).toLong, math.round(rnd.nextGaussian() * 1e6) / 1e3)
+    }
+    val df = rnd.shuffle(series).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeriesOps.lttb(df, k = 12)
+      .orderBy("ts_us", "event_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val pts = series.sortBy(p => (p._2.getTime, p._3)).map { p =>
+      (p._2.getTime * 1000L, p._3,
+        new java.math.BigDecimal(p._4).setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact)
+    }.toIndexedSeq
+    val expect = ref(pts, 12).map(p => (1L, p._1, p._2, p._3.toDouble / 1000000.0))
+      .sortBy(p => (p._2, p._3))
+    assert(got.size == 12 && got == expect)
+    // endpoints always survive
+    assert(got.head._2 == pts.head._1 && got.last._2 == pts.last._1)
+    // n <= k: identity (every point survives, values 6dp-quantized)
+    val tiny = series.take(8)
+    val tdf = tiny.toDF("user_id", "ts", "event_id", "value")
+    assert(TimeSeriesOps.lttb(tdf, k = 12).count() == 8)
+  }
 }
