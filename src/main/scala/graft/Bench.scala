@@ -550,7 +550,11 @@ object Bench {
       // (both sides of the doc_id % 5 split scale with the table).
       // The stored index is rebuilt per dir in warmup, so the timed
       // term is the screen itself — the O(batch + collisions) claim.
-      "x_dedup_incremental_ppjoin"))
+      "x_dedup_incremental_ppjoin",
+      // r13: the per-series fold kernels at 10x the series COUNT
+      // (disjoint user shards; per-series length unchanged) — the
+      // embarrassing-parallelism claim of the kernel-vs-CTE family
+      "x_ts_holt", "x_ts_lttb"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {
