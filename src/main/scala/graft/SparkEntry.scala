@@ -419,7 +419,7 @@ object SparkEntry {
     |    row_number() OVER (PARTITION BY user_id
     |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) - 1 AS i,
     |    COUNT(*) OVER (PARTITION BY user_id) AS n
-    |  FROM events),
+    |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
     |small AS (SELECT user_id, x, id, y FROM v WHERE n <= $k),
     |big AS (SELECT * FROM v WHERE n > $k),
     |s0 AS (SELECT user_id, CAST(x AS DOUBLE) AS px, CAST(y AS DOUBLE) AS py
@@ -4754,8 +4754,13 @@ object SparkEntry {
       // each step feeds the next — while the Spark plan is one
       // exchange + a compiled per-series kernel; bit-identical doubles
       // prove the kernel IS the recurrence, not an approximation.
+      // value IS NOT NULL on BOTH sides: the operator keeps an
+      // all-null series as a (key, null, null, null) row (null-skip
+      // semantics), but the oracle's pre-filter drops that key's rows
+      // entirely — filtering here keeps the two result SETS aligned
       (s, dir) => TimeSeriesOps.holtLinear(
-        Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "value")
+          .filter(col("value").isNotNull),
         alpha = 0.5, beta = 0.25)
         .select(col("user_id"), round(col("level"), 6).as("level"),
           round(col("trend"), 6).as("trend"),

@@ -22,9 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
   * (x, id) — x in epoch µs, y in 6dp micro-units (quantize via
   * `cast(value as decimal(18,6)) * 1e6`, the cusum discipline). ALL
   * geometry runs on exact-integer-valued doubles (x < 2⁵³, y < 2⁵³
-  * convert exactly; bucket-average sums accumulate in Long — exact —
-  * and take ONE double division), so an engine replaying the same
-  * formulas gets bit-identical areas and the same argmax. Scale in x
+  * convert exactly; bucket-average sums accumulate in Long with a
+  * BigInteger escape on overflow — epoch-µs sums overflow a signed
+  * 64-bit at ~5,400 points per bucket — then take ONE round-to-nearest
+  * conversion and ONE double division, matching an engine that sums in
+  * 128-bit), so a replayed formula gets bit-identical areas and the
+  * same argmax. Scale in x
   * or y shifts every area by a constant factor — argmax is
   * scale-invariant, so the µs/micro units never distort selection.
   *
@@ -70,6 +73,27 @@ object LttbSelect {
     GraftColumnBridge.toColumn(
       LttbSelect(GraftColumnBridge.toExpression(points), k))
 
+  /** Exact sum of arr[lo, hi) as a correctly-rounded double. The fast
+    * path is a plain Long accumulator; on overflow (epoch-µs sums
+    * cross 2⁶³ at ~5,400 points per bucket) the bucket re-sums in
+    * BigInteger, whose doubleValue is the same round-to-nearest an
+    * engine summing in 128-bit applies — so the escape changes
+    * nothing about cross-engine bit-equality. */
+  private def sumToDouble(arr: Array[Long], lo: Int, hi: Int): Double = {
+    var s = 0L
+    var j = lo
+    try {
+      while (j < hi) { s = Math.addExact(s, arr(j)); j += 1 }
+      s.toDouble
+    } catch {
+      case _: ArithmeticException =>
+        var b = java.math.BigInteger.ZERO
+        var m = lo
+        while (m < hi) { b = b.add(java.math.BigInteger.valueOf(arr(m))); m += 1 }
+        b.doubleValue
+    }
+  }
+
   def compute(points: ArrayData, k: Int): ArrayData = {
     val n = points.numElements()
     if (n <= k) return points.copy()
@@ -100,12 +124,9 @@ object LttbSelect {
       if (b < kk - 1) {
         val nlo = 1 + ((b + 1).toLong * m / kk).toInt
         val nhi = 1 + ((b + 2).toLong * m / kk).toInt
-        var sx = 0L; var sy = 0L
-        var j = nlo
-        while (j < nhi) { sx += xs(j); sy += ys(j); j += 1 }
         val cnt = (nhi - nlo).toDouble
-        ax = sx.toDouble / cnt
-        ay = sy.toDouble / cnt
+        ax = sumToDouble(xs, nlo, nhi) / cnt
+        ay = sumToDouble(ys, nlo, nhi) / cnt
       } else {
         ax = xs(n - 1).toDouble
         ay = ys(n - 1).toDouble

@@ -16,6 +16,19 @@ import graft.functions.Portable
   */
 object Dedup {
 
+  /** The (df, sh) composite rarity key: r = df·2³² + sh. ONE encoding
+    * shared by [[ppJoinPairs]], [[ppJoinIndex]] (which also DECODES it
+    * back into the stored df table), and [[ppJoinAgainst]] — a screen
+    * reads keys an index persisted in an earlier process, so the three
+    * sites must stay bit-compatible forever. sh < 2³² on every n (raw
+    * unsigned 32-bit token hashes at n = 1, mod 2³¹−1 folds above), so
+    * the encoding is injective and (df, sh)-lexicographic for df up to
+    * 2³¹. */
+  private val RarityKeyBase = 4294967296L // 2^32
+  private val RarityKeyShMask = 4294967295L // 2^32 - 1
+  private def rarityKey(df: Column, sh: Column): Column =
+    df * lit(RarityKeyBase) + sh
+
   /** Exact dedup (X1): one winner (minimum id) per md5(text). A single
     * partial+final hash aggregate — the map-side combine means the shuffle
     * carries one row per distinct digest per mapper.
@@ -185,7 +198,7 @@ object Dedup {
     val exploded = docs.select(col(idCol),
       explode(graft.functions.ShingleHashes(col(textCol), n, distinct = true)).as("sh"))
     val keyed = exploded.withColumn("r",
-      count(lit(1)).over(Window.partitionBy(col("sh"))) * lit(4294967296L) + col("sh"))
+      rarityKey(count(lit(1)).over(Window.partitionBy(col("sh"))), col("sh")))
     // Each doc's set in rarity-key space, sorted ascending — rarest
     // first, which is simultaneously the prefix order AND the sorted
     // order the intersect kernel needs.
@@ -289,7 +302,7 @@ object Dedup {
     val exploded = seen.select(col(idCol),
       explode(graft.functions.ShingleHashes(col(textCol), n, distinct = true)).as("sh"))
     val keyed = exploded.withColumn("r",
-      count(lit(1)).over(Window.partitionBy(col("sh"))) * lit(4294967296L) + col("sh"))
+      rarityKey(count(lit(1)).over(Window.partitionBy(col("sh"))), col("sh")))
     val sets0 = keyed.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("r"))).as("rset"))
       .withColumn("sz", size(col("rset")))
@@ -297,7 +310,7 @@ object Dedup {
     // distinct composite keys ARE the (sh, df) table — one sh maps to
     // one df, so no re-aggregation is needed, only the bit split
     val dfTable = sets.select(explode(col("rset")).as("rk")).distinct()
-      .select(col("rk").bitwiseAND(lit(4294967295L)).as("sh"),
+      .select(col("rk").bitwiseAND(lit(RarityKeyShMask)).as("sh"),
         shiftright(col("rk"), 32).as("df"))
     // ROW-level posting table (pt, id, sz, i) — [[ppJoinPairs]] needs
     // pt-grouped ARRAYS for its in-list pair combinatorics, but a
@@ -350,7 +363,7 @@ object Dedup {
     val grams = incoming.select(col(idCol),
       explode(graft.functions.ShingleHashes(col(textCol), index.n, distinct = true)).as("sh"))
     val keyed = grams.join(index.dfTable, Seq("sh"), "left")
-      .withColumn("r", coalesce(col("df"), lit(0L)) * lit(4294967296L) + col("sh"))
+      .withColumn("r", rarityKey(coalesce(col("df"), lit(0L)), col("sh")))
     // bsets feeds two broadcast builds (prefix tokens, verify arrays);
     // measured: recomputing the batch-side chain per consumer is
     // cheaper than a checkpoint — the batch is the SMALL side by

@@ -37,9 +37,12 @@ object Skew {
       sum(col("__cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"),
       max(col("__cnt")).as("max_cnt"))
-    // deterministic heavy-hitter pick: count DESC then key ASC, so two
-    // equally heavy keys can never swap between engines
-    val topk = counts.orderBy(col("__cnt").desc, col("__k").asc).limit(k)
+    // deterministic heavy-hitter pick: count DESC then key ASC with
+    // NULLS LAST — Spark's bare asc sorts nulls FIRST while SQL's
+    // default ASC sorts them LAST, so a null key tying at the k
+    // boundary would otherwise be included by one engine and excluded
+    // by the other
+    val topk = counts.orderBy(col("__cnt").desc, col("__k").asc_nulls_last).limit(k)
       .agg(sum(col("__cnt")).as("topk_cnt"))
     global.crossJoin(broadcast(topk))
       .select(col("n_rows"), col("n_keys"), col("max_cnt"),

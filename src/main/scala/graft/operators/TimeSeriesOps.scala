@@ -601,7 +601,9 @@ object TimeSeriesOps {
     * cusum decimal discipline) so the triangle geometry runs on
     * exact-integer-valued doubles — bit-reproducible on any engine
     * replaying the same formulas. Series with ≤ k points pass through
-    * unchanged.
+    * unchanged. Rows with null ts or null value are FILTERED before
+    * the selection (a null would otherwise read as a fabricated point
+    * at 0 — holtLinear's null-skip semantics, applied at row level).
     *
     * Output: (key, ts_us, id, value) — the selected points, value at
     * 6dp; ts as epoch µs (the portable cross-engine form). */
@@ -609,6 +611,7 @@ object TimeSeriesOps {
       keyCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value", idCol: String = "event_id"): DataFrame =
     events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol),
         unix_micros(col(tsCol)).as("__x"), col(idCol).as("__i"),
         (col(valueCol).cast("decimal(18,6)") * 1000000L).cast("long").as("__y"))

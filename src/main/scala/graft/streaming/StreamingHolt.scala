@@ -27,8 +27,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * in-tolerance data seen so far (pinned by `StreamingSpec` across
   * micro-batch slicings and cross-batch disorder); the recurrence is
   * evaluated in the kernel's exact operation order, so the equality is
-  * bit-level. Late data beyond the watermark is dropped by Spark
-  * upstream, as for every watermarked operator.
+  * bit-level. Data later than the watermark is dropped AT ENTRY by
+  * this operator itself: Spark's upstream late-row filter applies to
+  * flatMapGroupsWithState only under EventTimeTimeout, so under
+  * NoTimeout a too-late row would otherwise reach the function and be
+  * folded into the already-committed prefix OUT of order — permanent,
+  * silent state corruption. The explicit guard makes the drop
+  * deterministic and engine-version-proof.
   */
 object StreamingHolt {
 
@@ -76,9 +81,14 @@ object StreamingHolt {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, events: Iterator[Ev], state: GroupState[HoltState]) =>
           val prev = state.getOption.getOrElse(HoltState(0.0, 0.0, seen = false, Nil))
-          val buffer = (prev.pending ++ events.map(e => (us(e.ts), e.event_id, e.value)))
-            .sortBy(t => (t._1, t._2))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // drop rows already later than the watermark (see object doc:
+          // Spark's own late filter does not run under NoTimeout); the
+          // committed prefix covers everything below wm, so folding a
+          // late row would reorder it behind already-folded values
+          val buffer = (prev.pending ++ events.map(e => (us(e.ts), e.event_id, e.value))
+            .filter(_._1 >= wmUs))
+            .sortBy(t => (t._1, t._2))
           // commit the prefix the watermark has sealed; replay the rest.
           // STRICTLY below: Spark admits rows AT the watermark, so a
           // ts == wm row can still arrive and must be able to sort

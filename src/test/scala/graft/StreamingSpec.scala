@@ -228,10 +228,21 @@ class StreamingSpec extends SparkSpec {
     val b2 = Seq(
       (1L, ts("2024-01-01T02:30:00Z"), 2L, 2.0), // late but inside 1h tolerance
       (1L, ts("2024-01-01T04:00:00Z"), 4L, 5.0),
-      (2L, ts("2024-01-01T01:00:00Z"), 5L, 42.0))
+      // a NEW key is still subject to the GLOBAL watermark (02:00
+      // here): its first event must be in-tolerance or it is late
+      (2L, ts("2024-01-01T03:30:00Z"), 5L, 42.0))
     mem.addData(b1: _*)
     q.processAllAvailable()
     mem.addData(b2: _*)
+    q.processAllAvailable()
+    // a TOO-LATE row (00:30 < watermark 02:00) must be DROPPED, not
+    // folded behind the committed prefix — Spark's own late filter
+    // does not run for flatMapGroupsWithState under NoTimeout, so the
+    // operator guards at entry; a fresh 05:00 row rides along so the
+    // key emits again after the drop
+    mem.addData(
+      (1L, ts("2024-01-01T00:30:00Z"), 9L, 1000.0),
+      (1L, ts("2024-01-01T05:00:00Z"), 6L, 4.0))
     q.processAllAvailable()
     // last emission per key = "if the stream ended now"
     val streaming = spark.sql(
@@ -241,21 +252,28 @@ class StreamingSpec extends SparkSpec {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)
       .as[(Long, Double, Double, Double)].collect().toSeq
     q.stop()
+    // batch comparator: b1 ++ b2 ++ ONLY the in-tolerance row of b3 —
+    // the dropped 00:30 row must leave no trace
     val batch = graft.operators.TimeSeriesOps.holtLinear(
-      (b1 ++ b2).toDF("user_id", "ts", "event_id", "value"),
+      (b1 ++ b2 :+ ((1L, ts("2024-01-01T05:00:00Z"), 6L, 4.0)): Seq[(Long, java.sql.Timestamp, Long, Double)])
+        .toDF("user_id", "ts", "event_id", "value"),
       alpha = 0.5, beta = 0.25)
       .orderBy("user_id")
       .as[(Long, Double, Double, Double)].collect().toSeq
     assert(streaming == batch,
-      "streaming Holt must be bit-identical to the batch fold")
+      "streaming Holt must be bit-identical to the batch fold (late row dropped)")
     // the committed/pending split really engaged: batch 1 ran at
     // watermark 0 (everything pending, n=2); batch 2's watermark
     // (03:00 − 1h = 02:00) sealed the 01:00 event and replayed the
-    // other three (n=3)
+    // other three (n=3); batch 3's watermark (04:00 − 1h = 03:00)
+    // sealed 02:30 too, leaving 03:00 (at-watermark rows stay
+    // replayable), 04:00, 05:00 pending (n=3 again)
     val pendings = spark.sql(
-      "SELECT n_pending FROM holt_s WHERE user_id = 1 ORDER BY n_pending")
+      """SELECT n_pending FROM (
+        |  SELECT n_pending, monotonically_increasing_id() AS mono
+        |  FROM holt_s WHERE user_id = 1) ORDER BY mono""".stripMargin)
       .as[Int].collect().toSeq
-    assert(pendings == Seq(2, 3))
+    assert(pendings == Seq(2, 3, 3))
   }
 
   test("streaming dedup drops repeats across micro-batches within the watermark") {

@@ -552,5 +552,16 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val tiny = series.take(8)
     val tdf = tiny.toDF("user_id", "ts", "event_id", "value")
     assert(TimeSeriesOps.lttb(tdf, k = 12).count() == 8)
+    // null value / null ts rows are FILTERED, never fabricated as
+    // points at 0 — the selection over the rest is unchanged
+    val withNulls = df
+      .union(Seq((1L, new java.sql.Timestamp(1704067200000L + 999 * 60000L), 999L,
+        None: Option[Double])).toDF("user_id", "ts", "event_id", "value"))
+      .union(Seq((1L, null.asInstanceOf[java.sql.Timestamp], 998L,
+        Some(1.0): Option[Double])).toDF("user_id", "ts", "event_id", "value"))
+    val gotNulls = TimeSeriesOps.lttb(withNulls, k = 12)
+      .orderBy("ts_us", "event_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(gotNulls == got)
   }
 }
