@@ -4217,6 +4217,80 @@ object SparkEntry {
         |  round(CAST(c AS DOUBLE) / szu, 4) AS jaccard_est
         |FROM sz, est, cc""".stripMargin)),
 
+    ("x_sketch_kmv_anotb",
+      // The difference (A-not-B) leg of the KMV algebra: how many
+      // 'view' users never 'purchase' — "how much genuinely NEW data
+      // does this crawl/segment bring" — estimated from the sketches
+      // alone as |A| − |A∩B|, where |A| is A's own KMV estimate and
+      // the intersection rides the same membership-ratio path as
+      // x_sketch_kmv_setops. Both terms are deterministic given the
+      // hash, so the difference is oracle-checked value-for-value;
+      // sub-k degrades to exact set subtraction (sf0.001 pins it).
+      (s, dir) => {
+        val k = 32
+        val h = Tables.events(s, dir)
+          .filter(col("user_id").isNotNull &&
+            col("event_type").isin("view", "purchase"))
+          .select(col("event_type"),
+            Portable.hash60(col("user_id").cast("string")).as("__h"))
+        h.agg(
+          graft.functions.KMinSet(
+            when(col("event_type") === "view", col("__h")), k).as("__ma"),
+          graft.functions.KMinSet(
+            when(col("event_type") === "purchase", col("__h")), k).as("__mb"))
+          .withColumn("__sza", size(col("__ma")))
+          .withColumn("__aest",
+            when(col("__sza") < k, col("__sza").cast("double"))
+              .otherwise(lit((k - 1).toDouble) *
+                lit(graft.functions.KMinValues.HashSpace) /
+                element_at(col("__ma"), k).cast("double")))
+          .withColumn("__mu",
+            slice(array_sort(array_distinct(concat(col("__ma"), col("__mb")))),
+              1, k))
+          .withColumn("__szu", size(col("__mu")))
+          .withColumn("__uest",
+            when(col("__szu") < k, col("__szu").cast("double"))
+              .otherwise(lit((k - 1).toDouble) *
+                lit(graft.functions.KMinValues.HashSpace) /
+                element_at(col("__mu"), k).cast("double")))
+          .withColumn("__c", size(array_intersect(
+            array_intersect(col("__mu"), col("__ma")), col("__mb"))))
+          .withColumn("__iest",
+            col("__c").cast("double") / col("__szu") * col("__uest"))
+          .select(
+            col("__sza").as("n_a"),
+            round(col("__aest"), 4).as("a_est"),
+            round(col("__iest"), 4).as("inter_est"),
+            round(col("__aest") - col("__iest"), 4).as("anotb_est"))
+      },
+      Some("""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')),
+        |ma AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+        |       FROM h WHERE event_type = 'view') WHERE rn <= 32),
+        |mb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+        |       FROM h WHERE event_type = 'purchase') WHERE rn <= 32),
+        |mu AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+        |       FROM (SELECT DISTINCT hv
+        |             FROM (SELECT hv FROM ma UNION ALL SELECT hv FROM mb)))
+        |       WHERE rn <= 32),
+        |sa AS (SELECT COUNT(*) AS sza, MAX(hv) AS ktha FROM ma),
+        |st AS (SELECT COUNT(*) AS szu, MAX(hv) AS kth FROM mu),
+        |cc AS (SELECT COUNT(*) AS c FROM mu
+        |       WHERE hv IN (SELECT hv FROM ma) AND hv IN (SELECT hv FROM mb)),
+        |ests AS (
+        |  SELECT sza,
+        |    CASE WHEN sza < 32 THEN CAST(sza AS DOUBLE)
+        |      ELSE 31.0 * 1152921504606846976.0 / CAST(ktha AS DOUBLE) END AS aest,
+        |    CAST(c AS DOUBLE) / szu *
+        |      (CASE WHEN szu < 32 THEN CAST(szu AS DOUBLE)
+        |        ELSE 31.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END) AS iest
+        |  FROM sa, st, cc)
+        |SELECT sza AS n_a, round(aest, 4) AS a_est,
+        |  round(iest, 4) AS inter_est, round(aest - iest, 4) AS anotb_est
+        |FROM ests""".stripMargin)),
+
     // ----- rounds-3/4 operators, now oracle-declared (r4 verdict #2) -----
 
     ("x_pii_redact",

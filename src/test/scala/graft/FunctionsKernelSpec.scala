@@ -421,6 +421,24 @@ class FunctionsKernelSpec extends SparkSpec {
       (21 to 50).map(i => ("b", s"v$i"))).toDF("seg", "id")
     val t = algebra(tiny)
     assert(t.getDouble(0) == 50.0 && t.getDouble(1) == 10.0 && t.getDouble(2) == 0.2)
+    // A-not-B difference: |A| est − intersection est; planted truth
+    // |A \ B| = 2000 of |A| = 3000
+    val d = df.agg(
+        KMinSet(when(col("seg") === "a", Portable.hash60(col("id"))), k).as("ma"),
+        KMinSet(when(col("seg") === "b", Portable.hash60(col("id"))), k).as("mb"))
+      .withColumn("sza", size(col("ma")))
+      .withColumn("aest", when(col("sza") < k, col("sza").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(KMinValues.HashSpace) /
+          element_at(col("ma"), k).cast("double")))
+      .withColumn("mu", slice(array_sort(array_distinct(concat(col("ma"), col("mb")))), 1, k))
+      .withColumn("szu", size(col("mu")))
+      .withColumn("uest", when(col("szu") < k, col("szu").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(KMinValues.HashSpace) /
+          element_at(col("mu"), k).cast("double")))
+      .withColumn("c", size(array_intersect(array_intersect(col("mu"), col("ma")), col("mb"))))
+      .select((col("aest") - col("c").cast("double") / col("szu") * col("uest")).as("d"))
+      .head().getDouble(0)
+    assert(math.abs(d - 2000.0) / 2000.0 < 0.5, s"anotb $d vs 2000")
   }
 
   test("MisraGriesTopK summary: guarantees hold against exact counts") {
