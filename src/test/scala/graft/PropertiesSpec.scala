@@ -341,4 +341,47 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("HoltLinear kernel ≡ a naive Scala fold on randomized series (incl. nulls/extremes)") {
+    // the kernel is the single copy of the recurrence every face
+    // (query, streaming, SQL registration) leans on — pin it against
+    // an independently written fold over generated series with nulls,
+    // negatives, zeros, and magnitude extremes
+    val valGen = org.scalacheck.Gen.frequency(
+      6 -> org.scalacheck.Gen.choose(-1e6, 1e6),
+      1 -> org.scalacheck.Gen.const(0.0),
+      1 -> org.scalacheck.Gen.choose(-1e-9, 1e-9),
+      1 -> org.scalacheck.Gen.choose(-1e15, 1e15))
+    val seriesGen = for {
+      n <- org.scalacheck.Gen.choose(0, 60)
+      vs <- org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.option(valGen))
+    } yield vs
+    def naive(vs: Seq[Option[Double]], a: Double, b: Double): Option[(Double, Double, Double)] = {
+      val xs = vs.flatten
+      if (xs.isEmpty) None
+      else {
+        var level = xs.head; var trend = 0.0
+        xs.tail.foreach { x =>
+          val next = a * x + (1.0 - a) * (level + trend)
+          trend = b * (next - level) + (1.0 - b) * trend
+          level = next
+        }
+        Some((level, trend, level + trend))
+      }
+    }
+    for (seed <- 1L to 8L; (a, b) <- Seq((0.5, 0.25), (0.3, 0.1), (1.0, 0.0))) {
+      val vs = seriesGen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed))
+      val got = Seq(Tuple1(vs)).toDF("vals")
+        .select(graft.functions.HoltLinear(col("vals"), a, b).as("h"))
+        .select(col("h.level"), col("h.trend"), col("h.forecast"))
+        .collect().head
+      naive(vs, a, b) match {
+        case None => assert(got.isNullAt(0), s"seed=$seed: empty/all-null must be null")
+        case Some((l, t, f)) =>
+          assert(got.getDouble(0) == l && got.getDouble(1) == t && got.getDouble(2) == f,
+            s"seed=$seed a=$a b=$b: kernel ${got} != naive ($l, $t, $f)")
+      }
+    }
+  }
 }

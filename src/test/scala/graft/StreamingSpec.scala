@@ -90,6 +90,8 @@ class StreamingSpec extends SparkSpec {
       .agg(
         graft.functions.KMinValues(
           graft.functions.Portable.hash60(col("token")), 16).as("kmv"),
+        graft.functions.KMinSet(
+          graft.functions.Portable.hash60(col("token")), 16).as("kset"),
         graft.functions.MisraGriesTopK(col("token"), 4).as("mg"))
     val q = agg.writeStream.format("memory").queryName("sk")
       .outputMode(OutputMode.Complete).start()
@@ -99,18 +101,23 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData(batch2: _*)
     q.processAllAvailable()
-    val rows = spark.sql("SELECT grp, kmv, mg.n FROM sk ORDER BY grp")
-      .as[(String, Double, Long)].collect().toSeq
+    val rows = spark.sql("SELECT grp, kmv, kset, mg.n FROM sk ORDER BY grp")
+      .as[(String, Double, Seq[Long], Long)].collect().toSeq
     q.stop()
-    // batch reference over the same union of rows
+    // batch reference over the same union of rows — the streaming
+    // sketch VALUES (not just the estimate) must match: set-algebra
+    // consumers compose on the array, so merge-order invariance has
+    // to hold through the state store at array granularity
     val batchEst = (batch1 ++ batch2).toDF("grp", "token")
       .groupBy("grp")
       .agg(graft.functions.KMinValues(
-        graft.functions.Portable.hash60(col("token")), 16).as("kmv"))
-      .orderBy("grp").as[(String, Double)].collect().toSeq
-    assert(rows.map(r => (r._1, r._2)) == batchEst,
-      "streaming KMV must equal the batch estimate on the same data")
-    assert(rows.map(_._3) == Seq(101L, 3L), "MG n counts every processed row")
+        graft.functions.Portable.hash60(col("token")), 16).as("kmv"),
+        graft.functions.KMinSet(
+          graft.functions.Portable.hash60(col("token")), 16).as("kset"))
+      .orderBy("grp").as[(String, Double, Seq[Long])].collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)) == batchEst,
+      "streaming KMV estimate AND k-min array must equal batch on the same data")
+    assert(rows.map(_._4) == Seq(101L, 3L), "MG n counts every processed row")
   }
 
   test("streaming CMS matrix equals the batch matrix (order-invariant sum)") {
