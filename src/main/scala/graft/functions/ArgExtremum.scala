@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, If, IsNotNull, LessThan, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, FloatType}
 
 /** Generic flat-buffer argmin/argmax: the value of the row with the
   * extreme (ord1, ord2) key per group — `min_by`/`max_by` over a
@@ -32,6 +34,23 @@ case class ArgExtremum(ord1: Expression, ord2: Expression, value: Expression,
     max: Boolean) extends DeclarativeAggregate {
 
   override def children: Seq[Expression] = Seq(ord1, ord2, value)
+
+  /** The ordering contract above, ENFORCED at analysis: a double ord
+    * column was previously accepted silently and compared with the
+    * non-NaN-aware GreaterThan/LessThan, diverging from min_by/max_by's
+    * struct ordering on NaN keys. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val floating = Seq("ord1" -> ord1, "ord2" -> ord2).collectFirst {
+      case (n, e) if e.dataType == FloatType || e.dataType == DoubleType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: '$n' must not be floating-point (NaN ordering would " +
+            s"diverge from min_by/max_by struct ordering), got ${e.dataType.simpleString}")
+    }
+    floating.getOrElse(KernelTypeChecks.firstFailure(
+      TypeUtils.checkForOrderingExpr(ord1.dataType, s"$prettyName ord1"),
+      TypeUtils.checkForOrderingExpr(ord2.dataType, s"$prettyName ord2")))
+  }
+
   override def nullable: Boolean = true
   override def dataType: DataType = value.dataType
   override def prettyName: String = if (max) "arg_max_by2" else "arg_min_by2"

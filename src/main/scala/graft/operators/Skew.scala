@@ -48,7 +48,11 @@ object Skew {
       .select(col("n_rows"), col("n_keys"), col("max_cnt"),
         round(col("max_cnt").cast("double") / col("n_rows"), 6).as("max_share"),
         col("topk_cnt"),
-        ceil(col("max_cnt") * col("n_keys") / col("n_rows")).cast("long")
-          .as("salt_factor"))
+        // max_cnt * n_keys as a DOUBLE product: the Long multiply wraps
+        // silently past 2^63 under non-ANSI Spark at the cardinalities
+        // this operator targets (max_cnt ~1e9 × n_keys ~1e10), yielding
+        // a negative salt factor where the oracle would error instead
+        ceil(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"))
+          .cast("long").as("salt_factor"))
   }
 }

@@ -578,6 +578,11 @@ object TimeSeriesOps {
       keyCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value", idCol: String = "event_id"): DataFrame =
     events
+      // null-ts rows out BEFORE grouping (the lttb pattern): sort_array
+      // places null-ts structs FIRST while the oracle's ORDER BY ts is
+      // NULLS LAST, so keeping them would silently break the fold-order
+      // bit-equality claim on corpora with null timestamps
+      .filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(
         struct(col(tsCol).as("t"), col(idCol).as("i"),
@@ -614,7 +619,16 @@ object TimeSeriesOps {
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol),
         unix_micros(col(tsCol)).as("__x"), col(idCol).as("__i"),
-        (col(valueCol).cast("decimal(18,6)") * 1000000L).cast("long").as("__y"))
+        // try_cast, not cast: |value| >= 1e12 overflows decimal(18,6) —
+        // under ANSI a plain cast aborts the job, under non-ANSI it
+        // nulls AFTER the explicit null filter above and the kernel's
+        // getLong would read that null struct field as a fabricated
+        // point at y=0. try_cast nulls in BOTH modes, and the filter
+        // below drops it — the documented null-skip semantics extended
+        // to overflow. (The multiply and long cast cannot overflow once
+        // the decimal cast succeeded: |v·1e6| < 1e18 < 2^63.)
+        (col(valueCol).try_cast("decimal(18,6)") * 1000000L).cast("long").as("__y"))
+      .filter(col("__y").isNotNull)
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("__x"), col("__i"), col("__y"))))
         .as("__pts"))

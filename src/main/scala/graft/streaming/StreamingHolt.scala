@@ -81,20 +81,33 @@ object StreamingHolt {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, events: Iterator[Ev], state: GroupState[HoltState]) =>
           val prev = state.getOption.getOrElse(HoltState(0.0, 0.0, seen = false, Nil))
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // getCurrentWatermarkMs() reads 0 BEFORE any watermark is
+          // established (Spark initializes it at 0), which is
+          // indistinguishable from a genuine epoch-0 watermark — and a
+          // ts >= 0 'late' filter under the former silently dropped
+          // every pre-1970 (negative-epoch) row on every batch. Treat
+          // wm == 0 as "no watermark yet": nothing is provably late and
+          // nothing is sealed, so everything stays in the pending
+          // buffer (replayed each emission — the equality still holds;
+          // only the commit is deferred until wm > 0).
+          val wmMs = state.getCurrentWatermarkMs()
+          val hasWm = wmMs > 0L
+          val wmUs = wmMs * 1000L
           // drop rows already later than the watermark (see object doc:
           // Spark's own late filter does not run under NoTimeout); the
           // committed prefix covers everything below wm, so folding a
           // late row would reorder it behind already-folded values
           val buffer = (prev.pending ++ events.map(e => (us(e.ts), e.event_id, e.value))
-            .filter(_._1 >= wmUs))
+            .filter(t => !hasWm || t._1 >= wmUs))
             .sortBy(t => (t._1, t._2))
           // commit the prefix the watermark has sealed; replay the rest.
           // STRICTLY below: Spark admits rows AT the watermark, so a
           // ts == wm row can still arrive and must be able to sort
           // against its equal-ts peers by event_id before any of them
           // is folded.
-          val (closed, open) = buffer.partition(_._1 < wmUs)
+          val (closed, open) =
+            if (hasWm) buffer.partition(_._1 < wmUs)
+            else (Nil, buffer)
           val (cl, ct, cs) =
             fold(prev.level, prev.trend, prev.seen, closed.iterator.map(_._3), alpha, beta)
           state.update(HoltState(cl, ct, cs, open))

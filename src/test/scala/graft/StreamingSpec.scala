@@ -283,6 +283,45 @@ class StreamingSpec extends SparkSpec {
     assert(pendings == Seq(2, 3, 3))
   }
 
+  test("streaming Holt keeps pre-1970 rows before a watermark exists") {
+    // getCurrentWatermarkMs() reads 0 before any watermark is
+    // established; the late-row guard must not treat that 0 as a real
+    // epoch-0 watermark — it used to drop every negative-epoch row as
+    // 'late' on every batch, so such series silently never emitted
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = StreamingHolt.holt(
+      mem.toDF().toDF("user_id", "ts", "event_id", "value"),
+      alpha = 0.5, beta = 0.25, watermark = "1 hour")
+      .writeStream.format("memory").queryName("holt_neg")
+      .outputMode(OutputMode.Update).start()
+    val b1 = Seq(
+      (1L, ts("1969-12-30T01:00:00Z"), 1L, 1.0),
+      (1L, ts("1969-12-30T02:00:00Z"), 2L, 2.0))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    val firstEmit = spark.sql("SELECT count(*) FROM holt_neg").as[Long].head()
+    assert(firstEmit == 1L, "pre-1970 series must emit on its first batch")
+    // a post-1970 batch establishes a real watermark; the committed
+    // fold must still include the pre-1970 prefix in (ts, id) order
+    val b2 = Seq((1L, ts("2024-01-01T00:00:00Z"), 3L, 3.0))
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    val streaming = spark.sql(
+      """SELECT user_id, level, trend, forecast FROM (
+        |  SELECT *, row_number() OVER (ORDER BY mono DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() AS mono FROM holt_neg))
+        |WHERE rn = 1""".stripMargin)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    q.stop()
+    val batch = graft.operators.TimeSeriesOps.holtLinear(
+      (b1 ++ b2).toDF("user_id", "ts", "event_id", "value"),
+      alpha = 0.5, beta = 0.25)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(streaming == batch,
+      "streaming Holt over a pre-1970 prefix must equal the batch fold")
+  }
+
   test("streaming dedup drops repeats across micro-batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]

@@ -496,6 +496,17 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .toDF("user_id", "ts", "event_id", "value")
     val t = TimeSeriesOps.holtLinear(tie, alpha = 0.5, beta = 0.25).head()
     assert(t.getDouble(1) == 5.0 && t.getDouble(2) == -1.25)
+    // null-ts rows are filtered BEFORE grouping (the lttb pattern):
+    // sort_array would otherwise place them FIRST while the oracle's
+    // ORDER BY ts is NULLS LAST, silently breaking fold-order equality
+    val withNullTs = rows.union(Seq(
+      (1L, Option.empty[java.sql.Timestamp], 99L, Some(1e9)))
+      .toDF("user_id", "ts", "event_id", "value"))
+    val gotNullTs = TimeSeriesOps.holtLinear(withNullTs, alpha = 0.5, beta = 0.25)
+      .orderBy("user_id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(gotNullTs == got, "null-ts rows must not enter the fold")
   }
 
   test("lttb: equals a reference implementation; n<=k passes through") {
@@ -563,5 +574,27 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .orderBy("ts_us", "event_id")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(gotNulls == got)
+    // |value| >= 1e12 overflows the decimal(18,6) quantization to null
+    // AFTER the explicit null filter; it must be dropped like a null,
+    // never fabricated as a point at y=0
+    val withOverflow = df
+      .union(Seq((1L, new java.sql.Timestamp(1704067200000L + 998 * 60000L), 997L,
+        Some(1e13): Option[Double])).toDF("user_id", "ts", "event_id", "value"))
+    val gotOverflow = TimeSeriesOps.lttb(withOverflow, k = 12)
+      .orderBy("ts_us", "event_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(gotOverflow == got, "quantization overflow must drop, not fabricate y=0")
+  }
+
+  test("ohlc ArgExtremum rejects floating-point ordering columns at analysis") {
+    // the flat-buffer compare is not NaN-aware; a double ord column
+    // would silently diverge from min_by/max_by struct ordering
+    val df = Seq((1L, 2.0, 3.0)).toDF("k", "ord", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("k")
+        .agg(graft.functions.ArgExtremum.maxBy(col("v"), col("ord"), col("k")))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("floating"))
   }
 }
