@@ -240,6 +240,76 @@ object Bench {
     // fact. Timed probes now measure probes; builds report as builds.
     val (indexBuilds, indexBuildErrors) =
       SparkEntry.prewarmBuilds(spark, measuredDir)
+
+    // Per-job overhead floors, two calibrations (both min-of-5; they
+    // are themselves scheduling-noisy), measured BEFORE the timed
+    // sections because jobFloor also feeds the extended section's
+    // floor-zone sampling decision below:
+    //  - job_floor_sec: the MINIMAL job — 32 no-shuffle tasks, no
+    //    data. Every Spark job pays at least this, and under AQE every
+    //    stage submission is its own job, so (query's job count) ×
+    //    job_floor_sec is a per-query SCHEDULING LOWER BOUND — the
+    //    decomposition `floor_decomp` reports beside the DuckDB
+    //    ratios. DuckDB's in-process model pays ~none of it, and it
+    //    amortizes away at the 100 TB target.
+    //  - overhead_floor_sec: the historical 2-stage calibration
+    //    (32-way repartition + global agg — one shuffle exchange),
+    //    kept so BENCH_r* floors stay comparable across rounds. It is
+    //    HEAVIER than a light query's actual jobs, so it must not be
+    //    used per-query (r5 lesson: it over-excused 8 of 19 headline
+    //    queries whose whole wall time was below it).
+    val jobFloor = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(32000).foreach((_: java.lang.Long) => ())
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      (1 to 5).map(_ => once()).min
+    }
+    val overheadFloor = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(1000).repartition(32).groupBy().count().collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      (1 to 5).map(_ => once()).min
+    }
+
+    // SAME-EPOCH paired comparator (the r13 gate lesson): the anchor
+    // ratio divides this epoch's Spark walls by a many-run merged
+    // minimum, so it swings with co-tenant host load the code never
+    // sees (same-code official epochs read 1.71× and 2.38×). The
+    // paired phase re-times each query's oracle SQL with DuckDB
+    // (tools/paired_oracle.py — view setup shared with the anchor
+    // regen) INTERLEAVED between the Spark walls, so both engines
+    // inherit the same weather; `paired_ratio` reports beside the
+    // anchor ratio (which stays — cross-round comparability is its
+    // job). min-of-3 per query, the anchor's per-run discipline.
+    // Failures disable pairing and surface under aux_errors; the
+    // paired phase is evidence, never a gate on the run itself.
+    val pairedSamples = 3
+    val pairedErrors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pairedTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val pairedOracle: Option[PairedOracle] =
+      if (sys.env.get("SPARK_GRAFT_PAIRED").contains("0")) None
+      else PairedOracle.start() match {
+        case Left(err) => pairedErrors += s"paired: $err"; None
+        case Right(po) => po.open(measuredDir) match {
+          case Left(err) => pairedErrors += s"paired: $err"; po.close(); None
+          case Right(()) => Some(po)
+        }
+      }
+    val oracleSqls: Map[String, String] = SparkEntry.oracleSql
+    def pairQuery(name: String): Unit = pairedOracle.foreach { po =>
+      oracleSqls.get(name).foreach { sql =>
+        po.time(name, sql, pairedSamples) match {
+          case Right(s)  => pairedTimes(name) = s
+          case Left(err) => pairedErrors += s"paired $name: ${err.take(160)}"
+        }
+      }
+    }
     // A query that throws is recorded as an error (not a near-zero time):
     // it is excluded from the total and flagged, so a broken query can
     // never masquerade as a speedup.
@@ -294,7 +364,8 @@ object Bench {
     // the committed DuckDB anchor was measured under, and changing it
     // would move the gate number for protocol rather than code
     // reasons.
-    def run(names: Seq[String], quiesceEvery: Int = 0): Seq[(String, Either[String, Double])] = names.zipWithIndex.map { case (name, qi) =>
+    def run(names: Seq[String], quiesceEvery: Int = 0, pair: Boolean = false,
+        floorMin2: Boolean = false): Seq[(String, Either[String, Double])] = names.zipWithIndex.map { case (name, qi) =>
       if (quiesceEvery > 0 && qi > 0 && qi % quiesceEvery == 0) resetExecutorState()
       val fn = SparkEntry.queries(name)
       def once(): Either[String, Double] = {
@@ -310,7 +381,7 @@ object Bench {
       val first = once()
       drainBus()
       if (first.isRight) jobCounts(name) = jobCounter.get() - jobsBefore
-      name -> (first match {
+      val measured: Either[String, Double] = first match {
         case Right(t) if t > rerunFloorSec =>
           val retries = (1 to 4).map(_ => once()).collect { case Right(v) => v }
           val best5 = (t +: retries).min
@@ -324,6 +395,17 @@ object Bench {
             if (best5 > rerunFloorSec) Seq(once(), once()).collect { case Right(v) => v }
             else Nil
           Right((best5 +: more).min)
+        case Right(t) if floorMin2 && t < 5 * jobFloor =>
+          // FLOOR-ZONE trim (extended section only — the headline
+          // protocol is the one the committed anchor was measured
+          // under and stays untouched): a wall under 5× the measured
+          // per-job floor is pure scheduling cost with nothing left
+          // for a deeper minimum search to recover, so one retry
+          // (min-of-2, still covering the first-touch file-listing
+          // run) replaces two. At ~90 floor-zone queries × min-of-3
+          // this was ~30% of the section's ~400 runs — cleaner debt
+          // that competed with the late list positions' timed jobs.
+          Right(math.min(t, once().getOrElse(t)))
         case Right(t) =>
           // even sub-floor queries get two retries (min-of-3): the
           // first run pays first-touch file listing / footer reads on
@@ -337,7 +419,13 @@ object Bench {
           Right(math.min(t,
             math.min(once().getOrElse(t), once().getOrElse(t))))
         case other => other
-      })
+      }
+      // the paired DuckDB sample runs HERE — immediately after this
+      // query's Spark walls, while the JVM is idle — so both engines'
+      // samples interleave within seconds of each other and read the
+      // same host weather
+      if (pair && measured.isRight) pairQuery(name)
+      name -> measured
     }
     def toJson(rs: Seq[(String, Either[String, Double])]): String = rs.map {
       case (k, Right(v))  => JsonUtil.quote(k) + ":" + v
@@ -376,7 +464,7 @@ object Bench {
     }
     resetExecutorState()
     burn(headline)
-    val results = run(headline)
+    val results = run(headline, pair = true)
     resetExecutorState()
     burn(extended)
     // every 8 (was 16): the r12 rerun showed same-code extended
@@ -384,45 +472,14 @@ object Bench {
     // cadence (x_hybrid_rrf 0.285→0.566); halving the window halves
     // the broadcast/shuffle debt a timed query can inherit, at ~10×2 s
     // of UNtimed wall — outside every measured number
-    val extResults = run(extended, quiesceEvery = 8)
+    val extResults = run(extended, quiesceEvery = 8, pair = true, floorMin2 = true)
+    // pairing is a main-sections affair; the aux sections that follow
+    // time against their own in-section comparators
+    pairedOracle.foreach(_.close())
     val errors = (results ++ extResults).collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val extTotal = extResults.collect { case (_, Right(v)) => v }.sum
     val errJson = errors.map(JsonUtil.quote).mkString("[", ",", "]")
-
-    // Per-job overhead floors, two calibrations (both min-of-5; they
-    // are themselves scheduling-noisy):
-    //  - job_floor_sec: the MINIMAL job — 32 no-shuffle tasks, no
-    //    data. Every Spark job pays at least this, and under AQE every
-    //    stage submission is its own job, so (query's job count) ×
-    //    job_floor_sec is a per-query SCHEDULING LOWER BOUND — the
-    //    decomposition `floor_decomp` reports beside the DuckDB
-    //    ratios. DuckDB's in-process model pays ~none of it, and it
-    //    amortizes away at the 100 TB target.
-    //  - overhead_floor_sec: the historical 2-stage calibration
-    //    (32-way repartition + global agg — one shuffle exchange),
-    //    kept so BENCH_r* floors stay comparable across rounds. It is
-    //    HEAVIER than a light query's actual jobs, so it must not be
-    //    used per-query (r5 lesson: it over-excused 8 of 19 headline
-    //    queries whose whole wall time was below it).
-    val jobFloor = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(32000).foreach((_: java.lang.Long) => ())
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warm
-      (1 to 5).map(_ => once()).min
-    }
-    val overheadFloor = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(1000).repartition(32).groupBy().count().collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warm
-      (1 to 5).map(_ => once()).min
-    }
 
     // Auxiliary (scaling/baseline) failures: reported under their own
     // key — a failed evidence run must never fabricate a data point
@@ -433,6 +490,7 @@ object Bench {
     // a failed index prewarm is aux evidence, not a query failure
     auxErrors ++= indexBuildErrors.map("index_build " + _)
     auxErrors ++= ingestErrors
+    auxErrors ++= pairedErrors
     // A failed aux query yields no (name, time) entry at all.
     // Discipline (r5 lesson — the committed td_latest_changes 10× ratio
     // read 14.25 where an isolated rerun measured 1.12, pure full-bench
@@ -738,6 +796,35 @@ object Bench {
         s""""detail":"BENCH_DETAIL.json"}"""
     }.getOrElse("")
 
+    // Paired-comparator emission: per-section totals over the queries
+    // where BOTH engines timed successfully in THIS epoch, the per-query
+    // DuckDB seconds for the detail file, and the ratio that is the
+    // epoch-robust counterpart of the anchor's `spark_over_duckdb`.
+    def pairedStats(names: Seq[String]): Option[(Double, Double, Int)] = {
+      val both = names.flatMap(n =>
+        for { d <- pairedTimes.get(n); s <- largeTimes.get(n) } yield (s, d))
+      if (both.isEmpty || both.map(_._2).sum <= 0) None
+      else Some((both.map(_._1).sum, both.map(_._2).sum, both.size))
+    }
+    def pairedSectionJson(names: Seq[String]): String =
+      pairedStats(names).map { case (s, d, n) =>
+        s"""{"n":$n,"of":${names.size},"spark_sec":${fmt(s, 3)},""" +
+          s""""duckdb_sec":${fmt(d, 3)},"ratio":${fmt(s / d, 2)}}"""
+      }.getOrElse("null")
+    val pairedDetailJson =
+      if (pairedTimes.isEmpty) """{"enabled":false}"""
+      else s"""{"enabled":true,"samples":$pairedSamples,""" +
+        s""""headline":${pairedSectionJson(headline)},""" +
+        s""""extended":${pairedSectionJson(extended)},""" +
+        pairedTimes.map { case (k, v) => JsonUtil.quote(k) + ":" + fmt(v, 4) }
+          .mkString("\"queries\":{", ",", "}}")
+    val pairedCompact = pairedStats(headline).map { case (s, d, n) =>
+      s""","paired":{"headline_ratio":${fmt(s / d, 2)},"n":$n,"of":${headline.size}""" +
+        pairedStats(extended).map { case (es, ed, en) =>
+          s""","extended_ratio":${fmt(es / ed, 2)},"ext_n":$en""" }.getOrElse("") +
+        "}"
+    }.getOrElse("")
+
     val auxErrJson = auxErrors.distinct.map(JsonUtil.quote).mkString("[", ",", "]")
     // Per-query decomposition: jobs × job_floor is the part of each
     // wall time that is pure scheduling cost at this parallelism — a
@@ -770,6 +857,7 @@ object Bench {
         s""""total":${fmt(indexBuilds.map(_._2).sum, 3)}""")
         .mkString("\"index_build\":{", ",", "},") +
       s""""overhead_floor_sec":$overheadFloor,"job_floor_sec":$jobFloor,""" +
+      s""""paired_duckdb":$pairedDetailJson,""" +
       s""""floor_decomp":$floorDecompJson,""" +
       s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"""" +
       baselineRaw.map(b =>
@@ -812,7 +900,7 @@ object Bench {
       s""""ingest_sec":${fmt(measuredIngestSec, 2)},"rechunk":$rechunkMeasured,""" +
       rawCompanionTotal.map(t => s""""headline_raw_layout_sec":$t,""").getOrElse("") +
       s""""index_build_sec":${fmt(indexBuilds.map(_._2).sum, 3)},""" +
-      s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"$baselineSummary}""")
+      s""""errors":$errJson,"aux_errors":$auxErrJson,"sf":"$sfDir"$baselineSummary$pairedCompact}""")
     // pid-scoped ingest mirrors are per-run scratch — reclaim them
     mirrored.values
       .filter(_.contains("graft_ingest_")) // never touch a source dir
