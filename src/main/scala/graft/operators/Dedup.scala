@@ -209,22 +209,53 @@ object Dedup {
       .withColumn("plen",
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
     val docRanks = if (materialize) docRanks0.localCheckpoint() else docRanks0
+    // Prefix-token posting rows (pt, id, sz, i) — the SAME row shape
+    // [[ppJoinIndex]] persists, so the in-array pair combinatorics +
+    // verify path below is one shared helper for the one-shot join and
+    // the stored-index replay ([[ppJoinPairsFromIndex]]).
+    val postings = docRanks
+      .select(col(idCol), col("sz"),
+        posexplode(slice(col("rset"), lit(1), col("plen"))))
+      .select(col("col").as("pt"), col(idCol).as("id"), col("sz"),
+        (col("pos") + 1).as("i"))
+    val sets = docRanks.select(col(idCol).as("id"), col("rset"))
+    intraPairsFromPostings(postings, sets, threshold)
+  }
+
+  /** Intra-corpus PPJoin pair generation + verification from the
+    * row-level prefix-posting table and the rarity-keyed set table —
+    * the shared back half of [[ppJoinPairs]] (which derives both frames
+    * in-query) and [[ppJoinPairsFromIndex]] (which reads them from a
+    * persisted [[PpJoinIndex]]). `postings` needs (pt, id, sz, i);
+    * `sets` needs (id, rset). */
+  private def intraPairsFromPostings(postings: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    intraPairsFromPostingLists(ppJoinPostingLists(postings), sets, threshold)
+
+  /** pt-grouped posting lists (pt, es: sorted array of (id, sz, i)) —
+    * the form the intra-corpus pair generator consumes. One exchange
+    * (the pt groupBy); tokens held by a single doc are dropped (they
+    * can generate no pair). Persist this alongside a [[PpJoinIndex]]
+    * (the full-table epoch does) and [[ppJoinPairsFromIndex]] serves
+    * the self-join with ZERO set-preparation exchanges — pair-gen
+    * starts directly from the stored arrays. */
+  def ppJoinPostingLists(postings: DataFrame): DataFrame =
+    postings.groupBy(col("pt"))
+      .agg(sort_array(collect_list(struct(col("id").as("id"),
+        col("sz").as("sz"), col("i").as("i")))).as("es"))
+      .filter(size(col("es")) > 1)
+
+  private def intraPairsFromPostingLists(grouped: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
     // Prefix-token posting lists → in-array pair combinatorics (the
     // ngramJaccardPairs postings plan, over prefixes only). Entries
     // carry (id, sz, 1-based prefix position) so the length and
     // positional filters run on ids+ints, before any array ships.
-    val prefixes = docRanks
-      .select(col(idCol), col("sz"),
-        posexplode(slice(col("rset"), lit(1), col("plen"))))
-      .select(col(idCol), col("sz"), (col("pos") + 1).as("i"), col("col").as("pt"))
-    val postings = prefixes.groupBy(col("pt"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
-        col("sz").as("sz"), col("i").as("i")))).as("es"))
-      .filter(size(col("es")) > 1)
+    //
     // Per shared prefix token at positions (ia, ib): overlap ≤
     // min(ia, ib) + min(sz_a − ia, sz_b − ib) (both sets share one
     // global sort order). Emit the bound with each generated pair.
-    val rawPairs = postings.select(explode(expr(
+    val rawPairs = grouped.select(explode(expr(
         "flatten(transform(sequence(0, size(es) - 2), " +
           "i -> transform(slice(es, i + 2, size(es)), " +
           "e -> struct(es[i].id AS id_a, e.id AS id_b, " +
@@ -244,12 +275,17 @@ object Dedup {
     // Both sides fetch rsets from the IDENTICAL projection, so the two
     // broadcast subplans canonicalize equal and ReuseExchange ships ONE
     // broadcast build (measured: one fewer job per run; at cluster
-    // scale one fewer broadcast of the set table).
-    val sets = docRanks.select(col(idCol).as("__sid"), col("rset").as("__rset"))
+    // scale one fewer broadcast of the set table). array_compact: a
+    // parquet round-trip reads rset back with nullable elements; the
+    // stored arrays never hold nulls, and the compact restores the
+    // containsNull = false type the intersect kernel demands (a no-op
+    // for the in-query path, whose arrays are already non-null-typed).
+    val ssets = sets.select(col("id").as("__sid"),
+      array_compact(col("rset")).as("__rset"))
     cands
-      .join(sets, col("id_a") === col("__sid"))
+      .join(ssets, col("id_a") === col("__sid"))
       .withColumnRenamed("__rset", "__ra").drop("__sid")
-      .join(sets, col("id_b") === col("__sid"))
+      .join(ssets, col("id_b") === col("__sid"))
       .withColumnRenamed("__rset", "__rb").drop("__sid")
       .withColumn("inter",
         graft.functions.SortedIntersectCount(col("__ra"), col("__rb")))
@@ -258,6 +294,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
         round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Intra-corpus PPJoin served from a persisted [[PpJoinIndex]]:
+    * identical output to `ppJoinPairs(corpus, n, threshold)` for the
+    * corpus the index was built over (spec-pinned equality), with the
+    * set-preparation phase — text scan, shingle kernel, rarity window,
+    * per-doc set assembly — replaced by two parquet scans of the
+    * stored posting rows and set table. An ingest epoch that already
+    * maintains the index for incremental screening ([[ppJoinAgainst]])
+    * gets the full self-join for the cost of pair-gen + verify; at
+    * 100 TB this is the difference between re-deriving the rarity
+    * order over the whole corpus and reading back columnar int rows
+    * that prune to the prefix tokens.
+    *
+    * `postingLists`: pass the PERSISTED [[ppJoinPostingLists]] frame to
+    * skip even the pt groupBy — pair-gen then starts directly from the
+    * stored arrays (no set-prep exchange at all); omitted, the lists
+    * are grouped from the index's row-level postings in-query. */
+  def ppJoinPairsFromIndex(index: PpJoinIndex,
+      postingLists: Option[DataFrame] = None): DataFrame = {
+    val sets = index.sets.select(col(index.idCol).as("id"), col("rset"))
+    postingLists match {
+      case Some(pl) => intraPairsFromPostingLists(pl, sets, index.threshold)
+      case None     => intraPairsFromPostings(index.postings, sets, index.threshold)
+    }
   }
 
   /** Build products for incremental EXACT-Jaccard screening
@@ -362,6 +423,12 @@ object Dedup {
     val threshold = index.threshold
     val grams = incoming.select(col(idCol),
       explode(graft.functions.ShingleHashes(col(textCol), index.n, distinct = true)).as("sh"))
+    // Rarity keying stays a SHUFFLE join (r14 A/B kept it): a
+    // broadcast semi-join reduction (distinct batch tokens → stream
+    // dfTable → broadcast the slice back) reads one job heavier and no
+    // faster at the measured SF — the vocabulary shuffles quickly at
+    // any batch-bounded slice size, and at 100 TB the vocabulary is
+    // itself a big table the shuffle partitions across executors.
     val keyed = grams.join(index.dfTable, Seq("sh"), "left")
       .withColumn("r", rarityKey(coalesce(col("df"), lit(0L)), col("sh")))
     // bsets feeds two broadcast builds (prefix tokens, verify arrays);

@@ -1263,6 +1263,49 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ppJoinPairsFromIndex: stored-index replay equals the one-shot join") {
+    // the x_dedup_ppjoin serving path: pair-gen + verify from the
+    // persisted posting/set tables must reproduce ppJoinPairs exactly,
+    // including through a parquet round-trip (nullable-element arrays)
+    val rnd = new scala.util.Random(47)
+    val docs = ((0 until 40).map { i =>
+      val len = 4 + rnd.nextInt(12)
+      (i.toLong, (0 until len).map(_ => s"w${rnd.nextInt(14)}").mkString(" "))
+    } :+ ((100L, "w1 w2 w3 w4 w5")) :+ ((101L, "w1 w2 w3 w4 w5")))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.8)) {
+      val oneShot = Dedup.ppJoinPairs(docs, n = 1, threshold = t)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+      val idx = Dedup.ppJoinIndex(docs, n = 1, threshold = t)
+      val fromIdx = Dedup.ppJoinPairsFromIndex(idx)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+      assert(fromIdx == oneShot, s"threshold $t: in-memory index replay")
+      val root = java.nio.file.Files.createTempDirectory("ppjoin_full_idx").toString
+      idx.dfTable.write.mode("overwrite").parquet(s"$root/df")
+      idx.postings.write.mode("overwrite").parquet(s"$root/postings")
+      idx.sets.write.mode("overwrite").parquet(s"$root/sets")
+      val stored = Dedup.PpJoinIndex(spark.read.parquet(s"$root/df"),
+        spark.read.parquet(s"$root/postings"), spark.read.parquet(s"$root/sets"),
+        n = 1, threshold = t, idCol = "doc_id")
+      val storedOut = Dedup.ppJoinPairsFromIndex(stored)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+      assert(storedOut == oneShot, s"threshold $t: parquet round-trip replay")
+      // the persisted pt-grouped posting lists (the zero-set-prep
+      // serving path the bench query uses) replay identically too
+      Dedup.ppJoinPostingLists(idx.postings)
+        .write.mode("overwrite").parquet(s"$root/posting_lists")
+      val listsOut = Dedup.ppJoinPairsFromIndex(stored,
+          Some(spark.read.parquet(s"$root/posting_lists")))
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+      assert(listsOut == oneShot, s"threshold $t: stored posting-list replay")
+      assert(oneShot.exists(p => p._1 == 100L && p._2 == 101L && p._6 == 1.0))
+    }
+  }
+
   test("covarianceMatrix + pcaTopK: planted principal axis recovered") {
     // perfectly correlated 2-D signal inside 4-D: dims 0,1 carry 4t and
     // 0.5t; dims 2,3 are constant → rank-1 covariance, principal axis
