@@ -1733,7 +1733,11 @@ object SparkEntry {
       // decimal vs 0.252 s scaled). orders stays UNHINTED so the
       // planner picks broadcast from stats here and a shuffle join at
       // cluster scale; customer (15k rows, two columns) is always
-      // broadcast-safe.
+      // broadcast-safe. (r14 interleaved A/B rejected the pre-joined
+      // star shape — lineitem ⋈ broadcast(orders ⋈ customer): the
+      // planner has no stats for the dim JOIN RESULT, falls back to a
+      // shuffle of the 600k-row fact side, and reads 0.42 s vs 0.27 s;
+      // two cheap probes beat one stats-blind exchange.)
       (s, dir) => Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
@@ -2947,18 +2951,20 @@ object SparkEntry {
             min(col("approx_bpe_tokens")).as("approx_bpe_tokens"))
           .select("doc_id", "quality", "approx_bpe_tokens")
         // quality is a known [0,1] score — fixed thresholds skip the
-        // quantile-estimation scan, making the whole operator ONE job.
-        // materialize=Some(false): the input is deterministic (pure
-        // projection + digest window over parquet), and the digest
-        // exchange is REUSED across the two branches of the prefix-sum
-        // plan (ReuseExchange), so skipping the localCheckpoint removes
-        // a whole materialization job (r5: 0.727 s, 5.8× DuckDB, two of
-        // three jobs were the checkpoint). At 100 TB callers pass a
-        // persisted input anyway.
+        // quantile-estimation scan. materialize=Some(true), re-decided
+        // in r14: the r5-era claim that ReuseExchange shares the digest
+        // exchange across the prefix-sum branches no longer holds —
+        // column pruning drops doc_id from the offsets branch, the two
+        // digest exchanges stop canonicalizing equal, and the plan
+        // SCANS+PROFILES+DIGESTS the corpus twice (PLANS.md showed two
+        // Scan parquet nodes). One checkpoint job of the 4-column
+        // winner frame beats the second evaluation of the kernel chain
+        // (same-session A/B at sf0.1: 0.347 vs 0.425 s); at 100 TB
+        // callers pass a persisted input anyway.
         Curation.runningTotalByPriority(cand, "quality", "doc_id",
             "approx_bpe_tokens", "running_tokens",
             fixedThresholds = (1 to 19).map(_ * 0.05).toArray,
-            materialize = Some(false))
+            materialize = Some(true))
           .filter(col("running_tokens") <= 20000)
           .select("doc_id", "quality", "approx_bpe_tokens", "running_tokens")
           .orderBy(col("quality").desc, col("doc_id"))
