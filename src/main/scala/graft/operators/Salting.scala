@@ -25,6 +25,31 @@ object Salting {
   private def salt(df: DataFrame, buckets: Int): Column =
     pmod(xxhash64(df.columns.map(col): _*), lit(buckets))
 
+  /** Profile → plan: the salt fan-out [[Skew.keyProfile]] recommends
+    * (its `salt_factor` column — how many times the heaviest key
+    * exceeds the mean key), clamped to [1, maxBuckets]. The profile
+    * frame is ONE row by construction, so the head() is bounded. This
+    * is the diagnose-then-size step a 100 TB pipeline runs before a
+    * holistic aggregate on an unknown key: profile once (the same
+    * shuffle the aggregate would pay), then salt exactly as hard as
+    * the heaviest key demands — a balanced key distribution yields 1
+    * (no salting overhead), a 100× hot key yields 100. */
+  def bucketsFromProfile(profile: DataFrame, maxBuckets: Int = 4096): Int = {
+    require(maxBuckets >= 1, "maxBuckets must be >= 1")
+    val f = profile.select(col("salt_factor")).head().getLong(0)
+    math.min(maxBuckets.toLong, math.max(1L, f)).toInt
+  }
+
+  /** [[saltedCollectSet]] sized by a [[Skew.keyProfile]] row. */
+  def saltedCollectSetProfiled(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      profile: DataFrame, maxBuckets: Int = 4096): DataFrame =
+    saltedCollectSet(df, keyCols, valueCol, bucketsFromProfile(profile, maxBuckets))
+
+  /** [[saltedStats]] sized by a [[Skew.keyProfile]] row. */
+  def saltedStatsProfiled(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      profile: DataFrame, maxBuckets: Int = 4096): DataFrame =
+    saltedStats(df, keyCols, valueCol, bucketsFromProfile(profile, maxBuckets))
+
   /** Exact distinct values per key, salted: phase 1 collects per-bucket
     * distinct sets, phase 2 merges `buckets` small arrays per key. The
     * holistic-aggregate case where salting genuinely matters: unsalted,

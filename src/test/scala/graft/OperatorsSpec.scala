@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Curation, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, RangeJoin, Salting, Similarity, Skew, TextAnalysis}
 
 /** Unit specs for the extension operators (SURVEY.md §2.12) on
   * handcrafted inputs with known answers. */
@@ -1648,5 +1648,38 @@ class OperatorsSpec extends SparkSpec {
     assert(b.getLong(5) == 1L && b.getLong(4) == 8L)
     // tie-break determinism: equally heavy keys pick ascending key order
     // (pinned by the planted tie above: top-2 takes key 1, not 2..4)
+  }
+
+  test("Salting.bucketsFromProfile: profile-sized salting levels the hot key") {
+    // profile → plan: the planted-skew frame (key 7: 12 of 20 rows)
+    // recommends salt_factor 3; the profiled salted aggregate must (a)
+    // equal the plain GROUP BY bit-for-bit and (b) actually level the
+    // hot key's phase-1 groups below its unsalted row count
+    val rows = Seq.fill(12)(7L) ++ (1L to 4L).flatMap(k => Seq(k, k))
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i.toDouble) }
+      .toDF("k", "value")
+    val profile = Skew.keyProfile(df, "k")
+    assert(Salting.bucketsFromProfile(profile) == 3)
+    assert(Salting.bucketsFromProfile(profile, maxBuckets = 2) == 2, "clamped")
+    val salted = Salting.saltedStatsProfiled(df, Seq("k"), "value", profile)
+      .orderBy("k").collect().toSeq
+    val plain = df.groupBy("k").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy("k").collect().toSeq
+    assert(salted == plain, "profiled salted stats must equal the plain GROUP BY")
+    // leveling: no (key, salt) phase-1 group still holds the hot key's
+    // full 12 rows — the fan-out genuinely split it
+    val phase1Max = df.withColumn("_salt",
+        pmod(xxhash64(col("k"), col("value")), lit(3)))
+      .groupBy("k", "_salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(phase1Max < 12L, s"hot key must split across salts, max group $phase1Max")
+    // balanced input → factor 1: the profiled path degrades to the
+    // plain single-phase cost, no gratuitous fan-out
+    val bal = (1L to 4L).flatMap(k => Seq(k, k)).zipWithIndex
+      .map { case (k, i) => (k, i.toDouble) }.toDF("k", "value")
+    assert(Salting.bucketsFromProfile(Skew.keyProfile(bal, "k")) == 1)
   }
 }
