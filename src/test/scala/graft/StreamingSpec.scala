@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{StreamingHolt, StreamingIngest, StreamingSessionize}
+import graft.streaming.{StreamingHolt, StreamingIngest, StreamingLttb, StreamingSessionize}
 
 /** Streaming ingest reuses the batch write pipeline and lands rows the
   * batch readers see identically. */
@@ -281,6 +281,72 @@ class StreamingSpec extends SparkSpec {
         |  FROM holt_s WHERE user_id = 1) ORDER BY mono""".stripMargin)
       .as[Int].collect().toSeq
     assert(pendings == Seq(2, 3, 3))
+  }
+
+  test("streaming LTTB: sealed windows equal the batch selection bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = StreamingLttb.lttb(
+      mem.toDF().toDF("user_id", "ts", "event_id", "value"),
+      k = 5, windowSec = 3600L, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("lttb_s")
+      .outputMode(OutputMode.Update).start()
+    // window A = [00:00, 01:00); points arrive disordered across batches,
+    // values carry >6dp fractions so the HALF_UP quantization is live
+    val b1 = Seq(
+      (1L, ts("2024-01-01T00:05:00Z"), 1L, 1.0000004),
+      (1L, ts("2024-01-01T00:10:00Z"), 2L, 5.25),
+      (1L, ts("2024-01-01T00:20:00Z"), 3L, 2.0))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    // live (unsealed) emission exists and covers all 3 points (n <= k)
+    val live = spark.sql(
+      "SELECT n_raw, size(points) FROM lttb_s WHERE NOT closed AND window_start_us = 0 + " +
+        ts("2024-01-01T00:00:00Z").getTime * 1000L)
+      .as[(Int, Int)].collect().toSeq
+    assert(live == Seq((3, 3)))
+    val b2 = Seq(
+      (1L, ts("2024-01-01T00:15:00Z"), 4L, 8.1234565), // disordered, in tolerance
+      (1L, ts("2024-01-01T00:40:00Z"), 5L, 3.0),
+      (1L, ts("2024-01-01T00:50:00Z"), 6L, 9.5),
+      (1L, ts("2024-01-01T00:35:00Z"), 7L, 4.75),
+      (1L, ts("2024-01-01T00:45:00Z"), 8L, 0.5),
+      (1L, ts("2024-01-01T00:55:00Z"), 13L, 1.0e13), // decimal overflow: skipped like batch
+      (1L, ts("2024-01-01T01:10:00Z"), 9L, 7.0)) // window B
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    // watermark is now 00:40; this row is proven late and must vanish
+    mem.addData((1L, ts("2024-01-01T00:30:00Z"), 10L, 100.0),
+      (1L, ts("2024-01-01T02:45:00Z"), 11L, 1.5))
+    q.processAllAvailable()
+    // watermark 02:15 at this invocation: windows A and B seal
+    mem.addData((1L, ts("2024-01-01T03:30:00Z"), 12L, 2.0))
+    q.processAllAvailable()
+    val sealedPts = spark.sql(
+      """SELECT window_start_us, p.ts_us, p.event_id, p.value
+        |FROM lttb_s LATERAL VIEW explode(points) AS p WHERE closed
+        |ORDER BY window_start_us, p.ts_us, p.event_id""".stripMargin)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val sealedRaw = spark.sql(
+      "SELECT window_start_us, n_raw FROM lttb_s WHERE closed ORDER BY window_start_us")
+      .as[(Long, Int)].collect().toSeq
+    q.stop()
+    // exactly A (8 kept rows: overflow + late dropped) and B (1 row) sealed
+    val aStart = ts("2024-01-01T00:00:00Z").getTime * 1000L
+    val bStart = ts("2024-01-01T01:00:00Z").getTime * 1000L
+    assert(sealedRaw == Seq((aStart, 8), (bStart, 1)))
+    // batch comparator: TimeSeriesOps.lttb over window A's kept rows
+    val aRows = (b1 ++ b2.filter(r => r._2.getTime < ts("2024-01-01T01:00:00Z").getTime))
+    val batchA = graft.operators.TimeSeriesOps.lttb(
+      aRows.toDF("user_id", "ts", "event_id", "value"), k = 5)
+      .orderBy("ts_us", "event_id")
+      .select("ts_us", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(batchA.size == 5, "8 points > k, a real selection ran")
+    assert(sealedPts.filter(_._1 == aStart).map(p => (p._2, p._3, p._4)) == batchA,
+      "sealed streaming window must be bit-identical to the batch selection")
+    assert(sealedPts.filter(_._1 == bStart).map(p => (p._2, p._3, p._4)) ==
+      Seq((ts("2024-01-01T01:10:00Z").getTime * 1000L, 9L, 7.0)))
   }
 
   test("streaming Holt keeps pre-1970 rows before a watermark exists") {
