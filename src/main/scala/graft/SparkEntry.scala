@@ -4400,13 +4400,16 @@ object SparkEntry {
       (s, dir) => {
         val toks = Tables.documents(s, dir).select(col("doc_id"),
           size(filter(split(col("text"), " "), t => t =!= "")).as("n_tokens"))
-        // materialize=Some(false): the input is a deterministic pure
-        // projection (the x_pipeline_curate rationale — the bucket
-        // exchange is reused across the prefix-sum branches, so
-        // skipping the checkpoint removes a whole materialization job
-        // and leaves the quantile scan as the only extra action)
+        // materialize=Some(true), re-decided in r14 with the
+        // x_pipeline_curate finding: column pruning diverges the
+        // prefix-sum branches (the offsets branch drops columns the
+        // window branch keeps), ReuseExchange stops firing, and the
+        // token-split projection evaluated once per branch PLUS once
+        // for the quantile scan. One checkpoint of the 2-column token
+        // frame beats the re-evaluations (interleaved A/B at sf0.1:
+        // 0.402/0.419 vs 0.435/0.492 s min/med).
         Curation.packStats(toks, "doc_id", "n_tokens", packTokens = 2048L,
-            materialize = Some(false))
+            materialize = Some(true))
           .orderBy("pack_id")
       },
       Some("""WITH t AS (
