@@ -392,16 +392,27 @@ object TimeSeriesOps {
     val weeks = events
       .select(col(keyCol), date_trunc("week", col(tsCol)).as("__w"))
       .distinct()
-    val cohort = weeks.groupBy(col(keyCol)).agg(min(col("__w")).as("cohort_week"))
-    val sizes = cohort.groupBy(col("cohort_week"))
-      .agg(count(lit(1)).as("cohort_size"))
-    weeks.join(cohort, keyCol)
+    // cohort assignment as a whole-partition window min (ONE key
+    // exchange feeding every active week), and cohort_size read off
+    // the matrix itself: every user is active in their own cohort week
+    // by construction, so the offset-0 cell's n_active IS the cohort
+    // size — no cohort groupBy, no sizes aggregate, no join-backs (the
+    // r14 rework; the old two-groupBy + two-join plan computed
+    // bit-identical values over four exchanges, 1.5× the wall). The
+    // final window runs over the O(cohorts × offsets) matrix, not the
+    // data.
+    val cells = weeks
+      .withColumn("cohort_week",
+        min(col("__w")).over(Window.partitionBy(col(keyCol))))
       .withColumn("week_offset",
         (datediff(col("__w"), col("cohort_week")) / 7).cast("int"))
       .filter(col("week_offset") <= maxWeeks)
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_active"))
-      .join(sizes, "cohort_week")
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(Window.partitionBy(col("cohort_week"))))
       .withColumn("retention",
         round(col("n_active").cast("double") / col("cohort_size"), 4))
   }
@@ -667,26 +678,30 @@ object TimeSeriesOps {
     * on heavy-tailed feeds. Exact medians (`percentile`, the
     * rel_percentile discipline; swap in `approx_percentile` per the
     * keepTopQuantileApprox pattern for strata beyond one executor's
-    * sort budget). Two key-keyed aggregates + broadcast-joinable
-    * per-key stats frames; the flag compares against
-    * `nMads · 1.4826 · MAD` (the normal-consistency constant) in
-    * shared IEEE arithmetic.
+    * sort budget). Both stats are 6dp-rounded BEFORE anything compares
+    * against them, so the flag's inputs are cross-engine-identical
+    * doubles; the flag compares against `nMads · 1.4826 · MAD` (the
+    * normal-consistency constant) in shared IEEE arithmetic.
+    *
+    * Plan shape (r14): both percentiles ride as whole-partition WINDOW
+    * aggregates over ONE key exchange — two stacked Window nodes on
+    * the same partitioning (the second consumes the first's median).
+    * The previous two-groupBy + two-join formulation paid four
+    * exchanges for bit-identical values (value-equality verified at
+    * two SFs; 3× the wall in an interleaved A/B). Each window
+    * partition is one key's rows — the same per-key memory bound the
+    * exact-percentile aggregate already implied.
     *
     * Output: every input row + (med, mad, is_outlier). */
   def madOutliers(events: DataFrame, nMads: Double = 5.0,
       keyCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
     require(nMads > 0.0, "nMads must be positive")
-    // both stats are 6dp-rounded BEFORE anything compares against them,
-    // so the flag's inputs are cross-engine-identical doubles (an
-    // unrounded interpolated percentile could differ in the last ulp
-    // and flip a boundary row)
-    val meds = events.groupBy(keyCol)
-      .agg(round(percentile(col(valueCol), lit(0.5)), 6).as("med"))
-    val withMed = events.join(meds, Seq(keyCol))
-    val mads = withMed.groupBy(keyCol)
-      .agg(round(percentile(abs(col(valueCol) - col("med")), lit(0.5)), 6).as("mad"))
-    withMed.join(mads, Seq(keyCol))
+    val w = Window.partitionBy(col(keyCol))
+    events
+      .withColumn("med", round(percentile(col(valueCol), lit(0.5)).over(w), 6))
+      .withColumn("mad",
+        round(percentile(abs(col(valueCol) - col("med")), lit(0.5)).over(w), 6))
       .withColumn("is_outlier",
         abs(col(valueCol) - col("med")) > lit(nMads) * lit(1.4826) * col("mad"))
       .select(col(keyCol), col(tsCol), col(valueCol),
