@@ -388,6 +388,55 @@ class StreamingSpec extends SparkSpec {
       "streaming Holt over a pre-1970 prefix must equal the batch fold")
   }
 
+  test("streaming Holt state survives a checkpoint restart (committed fold + pending + watermark)") {
+    import org.apache.spark.sql.types._
+    val inDir = java.nio.file.Files.createTempDirectory("holt_restart_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("holt_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("holt_restart_ck").toString
+    val sch = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    def start() = StreamingHolt.holt(
+        spark.readStream.schema(sch).parquet(inDir),
+        alpha = 0.5, beta = 0.25, watermark = "1 hour")
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingHolt.HoltPoint], id: Long) =>
+        df.toDF().withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(outDir)
+      }.start()
+    val b1 = Seq(
+      (1L, ts("2024-01-01T01:00:00Z"), 1L, 1.0),
+      (1L, ts("2024-01-01T03:00:00Z"), 3L, 3.0))
+    b1.toDF("user_id", "ts", "event_id", "value").write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // a SECOND query over the same checkpoint: the recovered watermark
+    // (03:00 − 1h = 02:00) must admit the 02:30 straggler and seal the
+    // 01:00 prefix; the recovered pending buffer must still hold the
+    // pre-restart events or the fold result diverges from batch
+    val b2 = Seq(
+      (1L, ts("2024-01-01T02:30:00Z"), 2L, 2.0),
+      (1L, ts("2024-01-01T04:00:00Z"), 4L, 5.0))
+    b2.toDF("user_id", "ts", "event_id", "value").write.mode("append").parquet(inDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val last = spark.read.parquet(outDir)
+      .orderBy(col("batch_id").desc).limit(1)
+      .select("n_pending", "level", "trend", "forecast")
+      .as[(Int, Double, Double, Double)].head()
+    val batch = graft.operators.TimeSeriesOps.holtLinear(
+      (b1 ++ b2).toDF("user_id", "ts", "event_id", "value"),
+      alpha = 0.5, beta = 0.25)
+      .select("level", "trend", "forecast")
+      .as[(Double, Double, Double)].head()
+    assert((last._2, last._3, last._4) == batch,
+      "post-restart emission must equal the batch fold over ALL events " +
+        "— both the committed prefix and the pending buffer recovered")
+    // the committed/pending split pins the WATERMARK recovery too: the
+    // recovered 02:00 watermark seals 01:00 (pending = 02:30, 03:00,
+    // 04:00 → 3); a reset-to-zero watermark would leave all 4 pending
+    assert(last._1 == 3, s"expected 3 pending after recovered-watermark commit, got ${last._1}")
+  }
+
   test("streaming dedup drops repeats across micro-batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
