@@ -927,11 +927,16 @@ object TextAnalysis {
         explode(toks(col(textCol))).as("token"))
     val tf = terms.groupBy(col("group"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val gdf = tf.groupBy("token")
-      .agg(count(lit(1)).as("groups_with"))
+      // groups_with as a whole-partition window count on the tf frame
+      // itself (one token exchange) instead of a groupBy(token) +
+      // join-back (which shuffled the vocab-sized tf table twice —
+      // the madOutliers r14 rework pattern; ~10% interleaved)
+      .withColumn("groups_with",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
     val ng = docs.filter(col(groupCol).isNotNull)
       .select(col(groupCol)).distinct().agg(count(lit(1)).as("__ng"))
-    val scored = tf.join(gdf, Seq("token"))
+    val scored = tf
       .crossJoin(broadcast(ng))
       .withColumn("ctfidf",
         round(col("tf") * (log((col("__ng") + 1.0) / (col("groups_with") + 1.0)) + 1.0), 6))
