@@ -565,10 +565,17 @@ object TextAnalysis {
     * lazy. */
   def tfIdf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val terms = docs.select(col(idCol), explode(toks(col(textCol))).as("token"))
+    // df as a whole-partition window count on the tf frame: tf is one
+    // row per (doc, token), so rows-per-token IS the distinct doc
+    // frequency — one token exchange instead of a count_distinct
+    // groupBy over the raw term stream plus a vocab join-back (the
+    // madOutliers r14 rework pattern; ~20% interleaved)
     val tf = terms.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy(col("token")).agg(count_distinct(col(idCol)).as("df"))
+      .withColumn("df",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
     val n = docs.agg(count(lit(1)).as("__n"))
-    tf.join(df, "token")
+    tf
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
