@@ -612,7 +612,11 @@ object Bench {
       // r13: the per-series fold kernels at 10x the series COUNT
       // (disjoint user shards; per-series length unchanged) — the
       // embarrassing-parallelism claim of the kernel-vs-CTE family
-      "x_ts_holt", "x_ts_lttb"))
+      "x_ts_holt", "x_ts_lttb",
+      // r14: the single-exchange window-percentile plan's scaling
+      // evidence — 10x disjoint user shards, per-series length
+      // unchanged, so the per-key exact-median claim is the term
+      "ts_mad"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {
