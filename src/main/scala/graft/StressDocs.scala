@@ -115,18 +115,35 @@ object StressDocs {
       val dups = graft.operators.Dedup.cdcChunkCensus(corpus).count()
       println(s"[stress-docs]   recurring chunk digests: $dups")
     }
-    timed("PPJoin exact set-similarity (prefix+length+positional filters, 50k-doc slice)") {
+    val ppSlice = corpus.filter(col("doc_id") < 50000)
+    val ppSlicePairs = timed("PPJoin exact set-similarity (prefix+length+positional filters, 50k-doc slice)") {
       // exact Jaccard >= 0.9 over 1-gram sets: the synthetic 50k-word
       // vocabulary over 100-token docs gives every body token df ~100
       // at this slice — the worst case for prefix filtering (no rare
       // tokens to hide behind), so this times the length/positional
       // filters under pressure rather than a friendly skew. The slice
       // holds the planted exact-dup clusters (J = 1.0 >= 0.9).
-      val slice = corpus.filter(col("doc_id") < 50000)
       val pairs = graft.operators.Dedup
-        .ppJoinPairs(slice, n = 1, threshold = 0.9).count()
+        .ppJoinPairs(ppSlice, n = 1, threshold = 0.9).count()
       println(s"[stress-docs]   exact Jaccard>=0.9 pairs in slice: $pairs")
       assert(pairs > 0, "planted exact-dup pairs must surface")
+      pairs
+    }
+    timed("PPJoin self-join replay from stored posting lists (50k-doc slice)") {
+      // the x_dedup_ppjoin serving path at 200x bench scale: build the
+      // slice's epoch index, group the posting lists, and replay the
+      // self-join from them — the pair count must equal the one-shot
+      // join's under the same worst-case uniform-df pressure (the
+      // storage path loses nothing at stress scale, not just at spec
+      // scale)
+      val idx = graft.operators.Dedup.ppJoinIndex(ppSlice, n = 1, threshold = 0.9)
+      val lists = graft.operators.Dedup.ppJoinPostingLists(idx.postings)
+        .localCheckpoint()
+      val pairs = graft.operators.Dedup
+        .ppJoinPairsFromIndex(idx, Some(lists)).count()
+      println(s"[stress-docs]   replayed pairs from stored lists: $pairs")
+      assert(pairs == ppSlicePairs,
+        s"index replay must equal the one-shot join ($pairs vs $ppSlicePairs)")
     }
     val ppIdx = timed("PPJoin epoch index build (df window + prefix postings, 99% corpus)") {
       // same worst-case rarity profile as the slice stage: every body
