@@ -388,6 +388,49 @@ class StreamingSpec extends SparkSpec {
       "streaming Holt over a pre-1970 prefix must equal the batch fold")
   }
 
+  test("streaming IVF serving: every micro-batch equals the batch probe on its query rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f), 1), (2L, Array(0.8f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f), 2), (4L, Array(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Similarity.cellCentroids(corpus)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int, Double, Int)]
+    val q = graft.streaming.StreamingSimilarity.serveIvf(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, cents, k = 3, nprobe = 1) {
+      (df, id) =>
+        got ++= df.orderBy("query_id", "rank")
+          .select("query_id", "cand_id", "cell", "score", "rank")
+          .collect().map(r => (id, r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getDouble(3), r.getInt(4)))
+        ()
+    }.start()
+    val b1 = Seq((100L, Array(1.0f, 0.0f)))
+    val b2 = Seq((101L, Array(0.0f, 1.0f)), (102L, Array(0.95f, 0.05f)))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // each micro-batch must equal the BATCH probe over its own rows
+    def batchProbe(rows: Seq[(Long, Array[Float])]): Seq[(Long, Long, Int, Double, Int)] =
+      graft.operators.Similarity.ivfProbeTopK(
+        corpus, rows.toDF("vec_id", "embedding"), cents, k = 3, nprobe = 1)
+        .orderBy("query_id", "rank")
+        .select("query_id", "cand_id", "cell", "score", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3), r.getInt(4))).toSeq
+    val nonEmptyBatches = got.map(_._1).distinct.sorted
+    assert(nonEmptyBatches.size == 2, s"two served micro-batches, got $nonEmptyBatches")
+    val Seq(id1, id2) = nonEmptyBatches.toSeq
+    assert(got.filter(_._1 == id1).map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq
+      == batchProbe(b1), "batch 1 must equal the batch probe")
+    assert(got.filter(_._1 == id2).map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq
+      == batchProbe(b2), "batch 2 must equal the batch probe")
+    // sanity: the x-axis query's cell-1 candidates rank by cosine
+    val q100 = got.filter(t => t._2 == 100L).sortBy(_._6).map(_._3)
+    assert(q100 == Seq(2L, 1L), "exactly the probed cell's candidates, cosine-ranked")
+  }
+
   test("streaming Holt state survives a checkpoint restart (committed fold + pending + watermark)") {
     import org.apache.spark.sql.types._
     val inDir = java.nio.file.Files.createTempDirectory("holt_restart_in").toString
