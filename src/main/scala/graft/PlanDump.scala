@@ -40,6 +40,48 @@ object PlanDump {
 
 /** Diagnostic: list every query whose executed plan contains a
   * SortAggregate (the struct-buffer hash-aggregation fallback). */
+/** Repeated-source sweep: flag every registered query whose EXECUTED
+  * plan scans the same parquet location more than once. A repeated
+  * scan is either a deliberate multi-pass (self-join, union of slices,
+  * two legs of a comparison query) or the silent
+  * pruning-breaks-ReuseExchange failure r14 found in
+  * `x_pipeline_curate` (column pruning tailors each consumer branch's
+  * projection, the exchanges stop canonicalizing equal, and a shared
+  * expensive input evaluates once per branch). The sweep can't tell
+  * intent apart — it prints (query, location, count) and the human
+  * adjudicates; the value is that NEW accidental double-scans surface
+  * as a diff against the committed expectations below instead of as a
+  * bench regression three rounds later. */
+object DoubleScanScan {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // executedPlan.toString renders scans as
+    // `Location: InMemoryFileIndex(1 paths)[file:/...]` (the formatted
+    // explain drops the paths-count parens — match both)
+    val loc = """Location: [^\[\]]*\[([^\],]+)""".r
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val counts = loc.findAllMatchIn(plan).map(_.group(1)).toSeq
+          .groupBy(identity).view.mapValues(_.size).toSeq
+          .filter(_._2 > 1).sortBy(_._1)
+        counts.foreach { case (l, n) =>
+          val short = l.split('/').takeRight(2).mkString("/")
+          println(s"MULTISCAN $name: $short x$n")
+        }
+      } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage.take(60)}") }
+    }
+    spark.stop()
+  }
+}
+
 object SortAggScan {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

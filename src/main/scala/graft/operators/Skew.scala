@@ -29,10 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  def keyProfile(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+  def keyProfile(df: DataFrame, keyCol: String, k: Int = 5,
+      materialize: Boolean = true): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val counts = df.groupBy(col(keyCol).as("__k"))
+    val counts0 = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("__cnt"))
+    // the counts frame feeds TWO branches (global stats, top-k mass)
+    // whose pruned projections differ, so ReuseExchange does NOT share
+    // the exchange and the "one exchange" claim silently became "the
+    // one exchange, twice" (the r14 pruning finding). The checkpoint
+    // is O(distinct keys) — the frame the profile exists to bound —
+    // and restores single-pass cost; `materialize = false` opts out
+    // for callers that pre-persist.
+    val counts = if (materialize) counts0.localCheckpoint() else counts0
     val global = counts.agg(
       sum(col("__cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"),

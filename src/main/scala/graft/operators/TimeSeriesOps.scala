@@ -540,10 +540,13 @@ object TimeSeriesOps {
     * is accumulation-order-immune, so it hash-matches across engines
     * (the movingStats discipline, applied to an unbounded frame).
     *
-    * Scale shape: ONE exchange on the key carries both the mean
-    * aggregate (via a self-join on the key — broadcast when the key
-    * table is small) and the ordered cumulative window. Ties on ts
-    * break by `idCol` for a total order.
+    * Scale shape (r14): ONE key exchange carries EVERYTHING — the mean
+    * rides as a whole-partition window aggregate (exact decimal sum /
+    * count, the same 6dp formula) stacked under the ordered cumulative
+    * window on the same partitioning. The previous mean-groupBy +
+    * join-back paid a second evaluation of the input scan and shuffle
+    * for bit-identical values (verified at two SFs; 2× the wall in an
+    * interleaved A/B). Ties on ts break by `idCol` for a total order.
     */
   def cusum(events: DataFrame, threshold: Double,
       keyCol: String = "user_id", tsCol: String = "ts",
@@ -551,14 +554,14 @@ object TimeSeriesOps {
     // Mean via exact decimal sum → ONE double division → 6dp round (the
     // movingStats oracle discipline; decimal-by-count division semantics
     // differ across engines, double division does not).
-    val means = events.groupBy(col(keyCol)).agg(
-      round(sum(col(valueCol).cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
-        .cast("decimal(18,6)").as("__mean"))
+    val wk = Window.partitionBy(col(keyCol))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
-      .join(means, keyCol)
+      .withColumn("__mean",
+        round(sum(col(valueCol).cast("decimal(18,6)")).over(wk).cast("double")
+          / count(lit(1)).over(wk), 6).cast("decimal(18,6)"))
       .withColumn("__dev",
         (col(valueCol).cast("decimal(18,6)") - col("__mean")).cast("decimal(28,6)"))
       .withColumn("cusum", sum(col("__dev")).over(w).cast("decimal(38,6)"))
