@@ -303,10 +303,17 @@ object Bench {
       }
     val oracleSqls: Map[String, String] = SparkEntry.oracleSql
     def pairQuery(name: String): Unit = pairedOracle.foreach { po =>
-      oracleSqls.get(name).foreach { sql =>
-        po.time(name, sql, pairedSamples) match {
-          case Right(s)  => pairedTimes(name) = s
-          case Left(err) => pairedErrors += s"paired $name: ${err.take(160)}"
+      // a dead transport answers Left for EVERY remaining query — one
+      // aux_errors entry per query would flood the driver's 2000-char
+      // tail capture, so a broken co-process reports once and the rest
+      // of the run silently proceeds unpaired (the per-section `n`/`of`
+      // counts in the artifact still show exactly where pairing ended)
+      if (po.failure.isEmpty) {
+        oracleSqls.get(name).foreach { sql =>
+          po.time(name, sql, pairedSamples) match {
+            case Right(s)  => pairedTimes(name) = s
+            case Left(err) => pairedErrors += s"paired $name: ${err.take(160)}"
+          }
         }
       }
     }
