@@ -384,4 +384,87 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- r14 window-plan reworks: the single-exchange window forms must
+  // equal the original groupBy-stats + join-back formulations on
+  // randomized frames (the one-off collect compares that justified the
+  // swaps, pinned permanently). Duplicate timestamps, exact ties, and
+  // repeated values are all in the generator's range.
+
+  private val eventGen = for {
+    uid <- Gen.choose(1L, 4L)
+    t <- Gen.choose(0, 5)
+    id <- Gen.choose(1L, 1000L)
+    v <- Gen.frequency(9 -> Gen.choose(-50.0, 50.0), 1 -> Gen.const(0.0))
+  } yield (uid, t, id, v)
+
+  private def eventFrame(seed: Long): DataFrame =
+    Gen.listOfN(60, eventGen).pureApply(Gen.Parameters.default, Seed(seed))
+      .map { case (u, t, id, v) => (u, ts(f"2024-02-01T0$t%01d:00:00Z"), id, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+
+  test("cusum window-mean formulation ≡ mean-groupBy + join-back") {
+    for (seed <- 1L to 6L) {
+      val df = eventFrame(seed)
+      val got = graft.operators.TimeSeriesOps.cusum(df, threshold = 10.0)
+        .orderBy("user_id", "ts", "event_id", "value").collect().toSeq
+      val means = df.groupBy(col("user_id")).agg(
+        round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .cast("decimal(18,6)").as("__mean"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ref = df.join(means, "user_id")
+        .withColumn("__dev",
+          (col("value").cast("decimal(18,6)") - col("__mean")).cast("decimal(28,6)"))
+        .withColumn("cusum", sum(col("__dev")).over(w).cast("decimal(38,6)"))
+        .withColumn("drifted", abs(col("cusum")) > lit(10.0))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          col("cusum").cast("double").as("cusum"), col("drifted"))
+        .orderBy("user_id", "ts", "event_id", "value").collect().toSeq
+      assert(got == ref, s"seed=$seed")
+    }
+  }
+
+  test("madOutliers window formulation ≡ percentile-groupBy + join-backs") {
+    for (seed <- 1L to 6L) {
+      val df = eventFrame(seed)
+      val got = graft.operators.TimeSeriesOps.madOutliers(df, nMads = 2.0)
+        .orderBy("user_id", "ts", "value").collect().toSeq
+      val meds = df.groupBy("user_id")
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+      val withMed = df.join(meds, Seq("user_id"))
+      val mads = withMed.groupBy("user_id")
+        .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 6).as("mad"))
+      val ref = withMed.join(mads, Seq("user_id"))
+        .withColumn("is_outlier",
+          abs(col("value") - col("med")) > lit(2.0) * lit(1.4826) * col("mad"))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("med"), col("mad"), col("is_outlier"))
+        .orderBy("user_id", "ts", "value").collect().toSeq
+      assert(got == ref, s"seed=$seed")
+    }
+  }
+
+  test("cohortRetention offset-0 cohort_size ≡ explicit cohort-sizes join") {
+    for (seed <- 1L to 6L) {
+      val df = eventFrame(seed)
+      val got = graft.operators.TimeSeriesOps.cohortRetention(df, maxWeeks = 3)
+        .orderBy("cohort_week", "week_offset").collect().toSeq
+      val weeks = df.select(col("user_id"), date_trunc("week", col("ts")).as("__w")).distinct()
+      val cohort = weeks.groupBy(col("user_id")).agg(min(col("__w")).as("cohort_week"))
+      val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+      val ref = weeks.join(cohort, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("__w"), col("cohort_week")) / 7).cast("int"))
+        .filter(col("week_offset") <= 3)
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort_week")
+        .withColumn("retention",
+          round(col("n_active").cast("double") / col("cohort_size"), 4))
+        .orderBy("cohort_week", "week_offset").collect().toSeq
+      assert(got == ref, s"seed=$seed")
+    }
+  }
 }
