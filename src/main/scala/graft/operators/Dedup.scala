@@ -311,7 +311,12 @@ object Dedup {
     * `postingLists`: pass the PERSISTED [[ppJoinPostingLists]] frame to
     * skip even the pt groupBy — pair-gen then starts directly from the
     * stored arrays (no set-prep exchange at all); omitted, the lists
-    * are grouped from the index's row-level postings in-query. */
+    * are grouped from the index's row-level postings in-query. The
+    * lists MUST be the grouping of THIS index's postings: a frame
+    * persisted from a different epoch or threshold silently changes
+    * which prefixes generate candidates (the same reason `n` and
+    * `threshold` travel inside [[PpJoinIndex]]) — persist them beside
+    * the index's own tables, as the epoch build does. */
   def ppJoinPairsFromIndex(index: PpJoinIndex,
       postingLists: Option[DataFrame] = None): DataFrame = {
     val sets = index.sets.select(col(index.idCol).as("id"), col("rset"))

@@ -36,8 +36,12 @@ object Salting {
     * (no salting overhead), a 100× hot key yields 100. */
   def bucketsFromProfile(profile: DataFrame, maxBuckets: Int = 4096): Int = {
     require(maxBuckets >= 1, "maxBuckets must be >= 1")
-    val f = profile.select(col("salt_factor")).head().getLong(0)
-    math.min(maxBuckets.toLong, math.max(1L, f)).toInt
+    val r = profile.select(col("salt_factor")).head()
+    // an EMPTY profiled input yields one all-null profile row (sums and
+    // maxima over nothing) — there is no skew to level, so the sane
+    // plan is factor 1, not a primitive-extraction NPE
+    if (r.isNullAt(0)) 1
+    else math.min(maxBuckets.toLong, math.max(1L, r.getLong(0))).toInt
   }
 
   /** [[saltedCollectSet]] sized by a [[Skew.keyProfile]] row. */

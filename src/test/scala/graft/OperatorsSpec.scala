@@ -1681,5 +1681,8 @@ class OperatorsSpec extends SparkSpec {
     val bal = (1L to 4L).flatMap(k => Seq(k, k)).zipWithIndex
       .map { case (k, i) => (k, i.toDouble) }.toDF("k", "value")
     assert(Salting.bucketsFromProfile(Skew.keyProfile(bal, "k")) == 1)
+    // EMPTY input → one all-null profile row → factor 1, not an NPE
+    val empty = Seq.empty[(Long, Double)].toDF("k", "value")
+    assert(Salting.bucketsFromProfile(Skew.keyProfile(empty, "k")) == 1)
   }
 }
