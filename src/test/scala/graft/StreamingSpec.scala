@@ -480,6 +480,63 @@ class StreamingSpec extends SparkSpec {
     assert(last._1 == 3, s"expected 3 pending after recovered-watermark commit, got ${last._1}")
   }
 
+  test("streaming LTTB window buffers survive a checkpoint restart") {
+    import org.apache.spark.sql.types._
+    val inDir = java.nio.file.Files.createTempDirectory("lttb_restart_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lttb_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lttb_restart_ck").toString
+    val sch = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    def start() = StreamingLttb.lttb(
+        spark.readStream.schema(sch).parquet(inDir),
+        k = 3, windowSec = 3600L, watermark = "30 minutes")
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingLttb.LttbWindow], id: Long) =>
+        df.toDF().withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(outDir)
+      }.start()
+    // window A = [00:00, 01:00) gets 4 points before the restart
+    val b1 = Seq(
+      (1L, ts("2024-01-01T00:05:00Z"), 1L, 1.0),
+      (1L, ts("2024-01-01T00:20:00Z"), 2L, 9.0),
+      (1L, ts("2024-01-01T00:35:00Z"), 3L, 2.0),
+      (1L, ts("2024-01-01T00:50:00Z"), 4L, 7.0))
+    b1.toDF("user_id", "ts", "event_id", "value").write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // a SECOND query over the same checkpoint: the later event seals A
+    // (recovered watermark advances past 01:00); the sealed selection
+    // must cover all 4 pre-restart points — lost buffers would leave a
+    // 0/absent window or a selection over nothing
+    // first post-restart batch advances the watermark (recovered wm is
+    // only 00:20 — b1's max minus tolerance); the second batch then
+    // runs AT wm 01:30 and seals A
+    val b2 = Seq((1L, ts("2024-01-01T02:00:00Z"), 5L, 3.0))
+    b2.toDF("user_id", "ts", "event_id", "value").write.mode("append").parquet(inDir)
+    val q2 = start(); q2.processAllAvailable()
+    Seq((1L, ts("2024-01-01T03:00:00Z"), 6L, 4.0))
+      .toDF("user_id", "ts", "event_id", "value").write.mode("append").parquet(inDir)
+    q2.processAllAvailable(); q2.stop()
+    val aStart = ts("2024-01-01T00:00:00Z").getTime * 1000L
+    val sealedA = spark.read.parquet(outDir)
+      .filter(col("closed") && col("window_start_us") === aStart)
+      .select("n_raw", "points")
+    assert(sealedA.count() == 1, "window A seals exactly once after the restart")
+    val row = sealedA.head()
+    assert(row.getInt(0) == 4, "all pre-restart points recovered from the checkpoint")
+    // bit-identity to batch over the recovered window
+    val batchA = graft.operators.TimeSeriesOps.lttb(
+      b1.toDF("user_id", "ts", "event_id", "value"), k = 3)
+      .orderBy("ts_us").select("ts_us", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSeq
+    val gotPts = spark.read.parquet(outDir)
+      .filter(col("closed") && col("window_start_us") === aStart)
+      .selectExpr("explode(points) AS p").select("p.ts_us", "p.event_id", "p.value")
+      .orderBy("ts_us").as[(Long, Long, Double)].collect().toSeq
+    assert(gotPts == batchA, "post-restart sealed selection equals the batch selection")
+  }
+
   test("streaming dedup drops repeats across micro-batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
