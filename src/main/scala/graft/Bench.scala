@@ -214,7 +214,11 @@ object Bench {
       "td_compact_read", "x_quality_gopher",
       // round-13 additions
       "x_dedup_incremental_ppjoin", "x_skew_profile", "x_ts_holt",
-      "x_sketch_kmv_setops", "x_ts_lttb", "x_sketch_kmv_anotb"))
+      "x_sketch_kmv_setops", "x_ts_lttb", "x_sketch_kmv_anotb",
+      // round-15 additions: x_dedup_ppjoin reverts to the one-shot
+      // r13 protocol (equal work across rounds); the stored-index
+      // serving face is timed under its own name
+      "x_dedup_ppjoin_stored", "td_meta_read_jdbc"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

@@ -435,6 +435,39 @@ object SparkEntry {
     |FROM sel ORDER BY user_id, ts_us, event_id""".stripMargin
   }
 
+  /** DuckDB replay of the INTRA-corpus EXACT-Jaccard self-join — the
+    * FULL all-pairs answer with no prefix logic, shared by
+    * `x_dedup_ppjoin` (one-shot build+join) and
+    * `x_dedup_ppjoin_stored` (pair-gen from the persisted prefix
+    * index): a hash match on the one-shot form proves the prefix/
+    * length/positional filter chain loses nothing; on the stored form
+    * it additionally proves the parquet round trip does. */
+  private lazy val fullPpjoinOracleSql: String =
+    s"""WITH ft AS (
+    |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    |  FROM documents),
+    |toks AS (
+    |  SELECT DISTINCT doc_id,
+    |    (((((CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) % 2147483647) * 1000003
+    |      + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+    |      + CAST(concat('0x', substr(md5(t[g.i + 2]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+    |      + CAST(concat('0x', substr(md5(t[g.i + 3]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
+    |      + CAST(concat('0x', substr(md5(t[g.i + 4]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
+    |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
+    |  WHERE g.i <= len(t) - 4),
+    |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+    |inter AS (
+    |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    |  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2)
+    |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+    |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    |FROM inter
+    |JOIN sizes sa ON sa.doc_id = id_a
+    |JOIN sizes sb ON sb.doc_id = id_b
+    |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    |ORDER BY id_a, id_b""".stripMargin
+
   /** DuckDB replay of the incremental EXACT-Jaccard screen (batch =
     * doc_id % 5 == 0 against the other 80%) — the FULL batch x corpus
     * intersection with no prefix logic, shared by
@@ -626,6 +659,78 @@ object SparkEntry {
         (idx, s.read.parquet(s"$root/posting_lists"))
       })
     }
+
+  /** Memoized LIVE-JDBC catalog per (session, data dir): the
+    * customer-derived series catalog INSERTed once into an embedded
+    * Derby table, so `td_meta_read_jdbc` exercises the reference's
+    * PG-engine meta path (timedb/read.py:73-180) end-to-end — the
+    * resolve goes through `spark.read.jdbc` with the addressing
+    * predicate pushed into the engine scan, not a DataFrame surrogate.
+    * The seed collect is catalog-sized by the same contract as
+    * [[graft.sources.MetaSource.resolve]] (timedb/read.py:128-130):
+    * engine catalogs are thousands of rows, not data-proportional.
+    * Returns the JDBC url of the seeded database. */
+  private val jdbcCatalogMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def jdbcCatalogUrl(s: SparkSession, dir: String): String =
+    scratchLock.synchronized {
+      jdbcCatalogMemo.getOrElseUpdate((s, dir), {
+        // pid-scoped like scratchPath: two JVMs benching the same dir
+        // must not share one in-memory engine (and cannot — Derby
+        // memory DBs are per-process — but the name discipline keeps
+        // the key story uniform)
+        val db = "graftmeta_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-" + java.lang.Integer.toHexString(dir.hashCode)
+        val url = s"jdbc:derby:memory:$db;create=true"
+        val rows = metaCatalogFrame(s, dir).collect()
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          // memo invalidation (scale-up rewrite) re-seeds into the same
+          // process-lived database: drop the previous epoch's table
+          // first (Derby has no IF EXISTS — a missing table just throws)
+          try st.execute("DROP TABLE meta")
+          catch { case _: java.sql.SQLException => () }
+          st.execute("CREATE TABLE meta (series_id BIGINT, " +
+            "path VARCHAR(128), retention VARCHAR(16))")
+          st.close()
+          val ps = conn.prepareStatement("INSERT INTO meta VALUES (?, ?, ?)")
+          rows.foreach { r =>
+            ps.setLong(1, r.getLong(0))
+            ps.setString(2, r.getString(1))
+            ps.setString(3, r.getString(2))
+            ps.addBatch()
+          }
+          ps.executeBatch()
+          ps.close()
+        } finally conn.close()
+        url
+      })
+    }
+
+  /** JDBC connection properties for the embedded Derby engine. */
+  private def derbyProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  /** The shared customer→catalog derivation: `customer` plays the
+    * engine catalog; paths form a mktsegment subtree, retention cycles
+    * through the four TTL classes. Consumed by `td_meta_read` (as a
+    * DataFrame catalog) and seeded into Derby for `td_meta_read_jdbc`
+    * (as a live engine table) — one derivation, two transports. */
+  private def metaCatalogFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey").as("series_id"),
+      concat(lit("root/"), col("c_mktsegment"), lit("/"),
+        col("c_custkey").cast("string")).as("path"),
+      when(pmod(col("c_custkey"), lit(4)) === 0, "short")
+        .when(pmod(col("c_custkey"), lit(4)) === 1, "medium")
+        .when(pmod(col("c_custkey"), lit(4)) === 2, "long")
+        .otherwise("forever").as("retention"))
 
   /** Memoized PARQUET-backed IVF index per (session, data dir): the
     * [[builtIvfIndex]] artifacts (centroid table + cell-assigned
@@ -941,6 +1046,7 @@ object SparkEntry {
     bucketedMemo.clear()
     compactedMemo.clear()
     copurchaseMemo.clear()
+    jdbcCatalogMemo.clear()
     // model broadcasts are memoized by content inside the kernel object;
     // a rewritten dir retrains, so the stale handles must be destroyed
     graft.functions.NbScores.invalidateModelMemo()
@@ -986,6 +1092,7 @@ object SparkEntry {
     timed("compacted_store") { compactedStore(s, dir); () }
     timed("bucketed_mirrors") { bucketedStore(s, dir); () }
     timed("zorder_mirror") { zMirroredStore(s, dir); () }
+    timed("jdbc_catalog_seed") { jdbcCatalogUrl(s, dir); () }
     (times.result(), errors.result())
   }
 
@@ -1616,13 +1723,7 @@ object SparkEntry {
       // literal lists (the scalar-subquery trick), then the normal latest
       // read — semantics of timedb/read.py:118-180.
       (s, dir) => {
-        val catalog = Tables.customer(s, dir).select(
-          col("c_custkey").as("series_id"),
-          concat(lit("root/"), col("c_mktsegment"), lit("/"), col("c_custkey").cast("string")).as("path"),
-          when(pmod(col("c_custkey"), lit(4)) === 0, "short")
-            .when(pmod(col("c_custkey"), lit(4)) === 1, "medium")
-            .when(pmod(col("c_custkey"), lit(4)) === 2, "long")
-            .otherwise("forever").as("retention"))
+        val catalog = metaCatalogFrame(s, dir)
         // plan-side resolve (resolvedCatalog): the id and retention
         // sets ride in as broadcast semi-joins that build WHILE the
         // series scan plans/runs, replacing the blocking driver collect
@@ -1637,6 +1738,47 @@ object SparkEntry {
         ReadShapes.latest(Tables.series(s, dir)
           .join(broadcast(resolved.select("series_id")), Seq("series_id"), "left_semi")
           .join(broadcast(resolved.select("retention")), Seq("retention"), "left_semi"))
+          .orderBy("series_id", "valid_time")
+      },
+      Some(s"""$svCte,
+        |meta AS (
+        |  SELECT c_custkey AS series_id,
+        |         concat('root/', c_mktsegment, '/', CAST(c_custkey AS VARCHAR)) AS path,
+        |         CASE c_custkey % 4 WHEN 0 THEN 'short' WHEN 1 THEN 'medium'
+        |                            WHEN 2 THEN 'long' ELSE 'forever' END AS retention
+        |  FROM customer),
+        |resolved AS (
+        |  SELECT * FROM meta
+        |  WHERE path = 'root/BUILDING' OR path LIKE 'root/BUILDING/%')
+        |SELECT series_id, valid_time, value FROM (
+        |  SELECT series_id, valid_time, value,
+        |         row_number() OVER (PARTITION BY series_id, valid_time
+        |                            ORDER BY knowledge_time DESC, change_time DESC, value DESC) AS rn
+        |  FROM sv
+        |  WHERE series_id IN (SELECT series_id FROM resolved)
+        |    AND retention IN (SELECT DISTINCT retention FROM resolved))
+        |WHERE rn = 1
+        |ORDER BY series_id, valid_time""".stripMargin)),
+
+    ("td_meta_read_jdbc",
+      // The SAME meta-scoped latest read, but the catalog is a LIVE
+      // JDBC engine table (embedded Derby seeded once per epoch from
+      // the identical customer derivation) — the end-to-end analog of
+      // the reference's PostgreSQL PgEngineMeta (timedb/read.py:73-180),
+      // where the catalog lives in an external engine and the
+      // addressing predicate must push into the engine scan. resolve()
+      // collects the catalog-sized match to literal isin lists (the
+      // scalar-subquery trick, timedb/read.py:176-179): a JDBC relation
+      // has no Spark-side statistics, so the plan-side semi-join path
+      // would not auto-broadcast — the literal splice keeps the read
+      // single-scan regardless. Oracle identical to `td_meta_read`
+      // because the transport must not change the answer.
+      (s, dir) => {
+        val (ids, rets) = graft.sources.MetaSource.jdbc(
+          s, jdbcCatalogUrl(s, dir), "meta", derbyProps,
+          rootPath = Some("root/BUILDING")).resolve()
+        ReadShapes.latest(Tables.series(s, dir)
+          .filter(col("series_id").isin(ids: _*) && col("retention").isin(rets: _*)))
           .orderBy("series_id", "valid_time")
       },
       Some(s"""$svCte,
@@ -4654,39 +4796,32 @@ object SparkEntry {
       // proves the filter loses nothing (the exactness theorem, checked
       // per-value). Complement to the probabilistic MinHash/LSH family.
       // 5-gram sets (vs the bigram LSH family) are the near-identical-doc
-      // grain where exact Jaccard earns its cost. Served from the
-      // PERSISTED full-table prefix index (pair-gen + verify only; the
-      // set-preparation phase is the epoch's stored build) — the
-      // one-shot Dedup.ppJoinPairs path is spec-pinned identical.
+      // grain where exact Jaccard earns its cost. ONE-SHOT build+join:
+      // set preparation, prefix indexing, pair-gen, and verify all
+      // inside the timed query — the r13 protocol, restored in r15 so
+      // the cross-round timeline for this name compares equal work.
+      // The stored-index serving path is its own query,
+      // `x_dedup_ppjoin_stored` (same oracle).
+      (s, dir) => Dedup.ppJoinPairs(Tables.documents(s, dir), n = 5, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(fullPpjoinOracleSql)),
+
+    ("x_dedup_ppjoin_stored",
+      // The SERVING face of the same exact-Jaccard self-join: pair-gen
+      // + verify from the PERSISTED full-table prefix index (df table,
+      // posting lists, rarity-keyed sets — parquet round-tripped once
+      // per epoch; the build is the bench's untimed
+      // `ppjoin_index_full_stored` line). Same oracle as the one-shot
+      // `x_dedup_ppjoin`, so a hash match proves the storage layer
+      // loses nothing on top of the filter-chain exactness theorem —
+      // the build-once/serve-many contract the PpJoinIndex scaladoc
+      // prescribes, mirroring the LSH leg's `x_dedup_index_stored`.
       (s, dir) => {
         val (idx, postingLists) = storedFullPpJoinIndex(s, dir)
         Dedup.ppJoinPairsFromIndex(idx, Some(postingLists))
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH ft AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |toks AS (
-        |  SELECT DISTINCT doc_id,
-        |    (((((CAST(concat('0x', substr(md5(t[g.i]), 1, 8)) AS BIGINT) % 2147483647) * 1000003
-        |      + CAST(concat('0x', substr(md5(t[g.i + 1]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
-        |      + CAST(concat('0x', substr(md5(t[g.i + 2]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
-        |      + CAST(concat('0x', substr(md5(t[g.i + 3]), 1, 8)) AS BIGINT)) % 2147483647 * 1000003
-        |      + CAST(concat('0x', substr(md5(t[g.i + 4]), 1, 8)) AS BIGINT)) % 2147483647 AS sh
-        |  FROM (SELECT *, unnest(generate_series(1, len(t))) AS i FROM ft) g
-        |  WHERE g.i <= len(t) - 4),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
-        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin)),
+      Some(fullPpjoinOracleSql)),
 
     ("x_dedup_incremental_ppjoin",
       // Incremental EXACT near-dup: which incoming docs (doc_id % 5 =
