@@ -34,8 +34,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * folded into the already-committed prefix OUT of order — permanent,
   * silent state corruption. The explicit guard makes the drop
   * deterministic and engine-version-proof.
+  *
+  * STATE-BOUND EXCEPTION (pre-1970 feeds): the O(watermark window)
+  * pending bound assumes the watermark ESTABLISHES. Spark clamps the
+  * global watermark at 0, so a feed whose event times are all
+  * negative-epoch never establishes one (`getCurrentWatermarkMs()`
+  * stays 0 = "no watermark yet"), nothing ever commits, and the
+  * pending buffer grows with history. `maxPending` bounds that
+  * regime: a key whose buffer would exceed it fails the query LOUDLY
+  * (IllegalStateException naming the key and the knob) instead of
+  * accumulating executor state until an OOM three days in. Feeds with
+  * any post-1970 traffic never approach the cap — their pending size
+  * is rate × watermark delay.
   */
 object StreamingHolt {
+
+  /** Default pending-buffer cap per key — far above any in-tolerance
+    * disorder (rate × delay) a real watermark leaves pending, so it
+    * only trips in the no-watermark regime the object doc describes. */
+  val DefaultMaxPending: Int = 1 << 20
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
   /** (tsUs, event_id, value) triples keep the pending buffer flat. */
@@ -70,7 +87,8 @@ object StreamingHolt {
     * value: double); rows with null value are skipped upstream of the
     * fold (the kernel's null-skip semantics). */
   def holt(stream: DataFrame, alpha: Double, beta: Double,
-      watermark: String): Dataset[HoltPoint] = {
+      watermark: String, maxPending: Int = DefaultMaxPending): Dataset[HoltPoint] = {
+    require(maxPending > 0, "maxPending must be positive")
     import stream.sparkSession.implicits._
     stream.selectExpr("user_id", "ts", "event_id", "value")
       .filter("value IS NOT NULL")
@@ -108,6 +126,12 @@ object StreamingHolt {
           val (closed, open) =
             if (hasWm) buffer.partition(_._1 < wmUs)
             else (Nil, buffer)
+          if (open.size > maxPending)
+            throw new IllegalStateException(
+              s"StreamingHolt: key $uid has ${open.size} pending events " +
+                s"(maxPending = $maxPending). The watermark has not advanced " +
+                "past them — for all-pre-1970 feeds it never establishes " +
+                "(see the object doc); shift event times or raise maxPending.")
           val (cl, ct, cs) =
             fold(prev.level, prev.trend, prev.seen, closed.iterator.map(_._3), alpha, beta)
           state.update(HoltState(cl, ct, cs, open))

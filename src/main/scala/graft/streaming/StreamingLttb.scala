@@ -37,13 +37,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * late filter does not run for flatMapGroupsWithState under
   * NoTimeout, and a watermark of 0 means "no watermark yet", not
   * "epoch 0 is sealed" — pre-1970 windows must survive their first
-  * batches. Like StreamingHolt's commit, sealing happens at the key's
-  * next invocation after the watermark passes (a key with no further
-  * traffic seals on its next event; eager sealing would need an
-  * event-time timeout, which this operator deliberately leaves to the
-  * caller's trigger policy).
+  * batches.
+  *
+  * QUIESCENT KEYS: by default (`flushQuiescent = false`) sealing
+  * happens at the key's next invocation after the watermark passes, so
+  * a key that stops receiving traffic never emits its final selection
+  * and its state is never dropped — consumers filtering on
+  * `closed = true` MUST NOT assume every window eventually seals under
+  * the default. `flushQuiescent = true` switches the operator to
+  * `GroupStateTimeout.EventTimeTimeout`: each key arms a timer at its
+  * earliest open window's end, so sealed selections flush (and their
+  * state drops) as the watermark passes, traffic or not. The trade-off
+  * is deliberate and documented rather than defaulted: under
+  * EventTimeTimeout Spark's OWN late filter runs upstream of the
+  * function (rows with ts < watermark are dropped by the engine, which
+  * matches this operator's entry guard — no semantic change there),
+  * but that engine filter compares against the 0-clamped watermark, so
+  * an all-pre-1970 feed loses every row. Default mode supports
+  * pre-1970 event times; flush mode requires post-1970 ones.
+  *
+  * STATE-BOUND EXCEPTION (pre-1970 feeds, default mode): the
+  * O(open windows × rate) buffer bound assumes the watermark
+  * establishes; Spark clamps it at 0, so an all-negative-epoch feed
+  * never seals a window and every key's buffers grow with history.
+  * `maxBuffered` bounds that regime loudly — a key whose total
+  * buffered points would exceed it throws (naming the key and the
+  * knob) instead of accumulating state forever, exactly like
+  * [[StreamingHolt]]'s `maxPending`.
   */
 object StreamingLttb {
+
+  /** Default cap on buffered points per key across its open windows —
+    * far above (watermark tolerance / window) × rate for any feed with
+    * a live watermark; trips only in the no-watermark regime. */
+  val DefaultMaxBuffered: Int = 1 << 20
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
   /** (windowStartUs → buffered (tsUs, event_id, yMicro) points). */
@@ -86,10 +113,15 @@ object StreamingLttb {
     * value: double); null ts / null value rows are filtered upstream of
     * the buffer (the batch operator's row-level null-skip). */
   def lttb(stream: DataFrame, k: Int, windowSec: Long,
-      watermark: String): Dataset[LttbWindow] = {
+      watermark: String, maxBuffered: Int = DefaultMaxBuffered,
+      flushQuiescent: Boolean = false): Dataset[LttbWindow] = {
     require(k >= 3, "lttb target size k must be >= 3")
     require(windowSec >= 1, "windowSec must be >= 1")
+    require(maxBuffered > 0, "maxBuffered must be positive")
     val winUs = windowSec * 1000000L
+    val timeout =
+      if (flushQuiescent) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     import stream.sparkSession.implicits._
     stream.selectExpr("user_id", "ts", "event_id", "value")
       .filter("ts IS NOT NULL AND value IS NOT NULL")
@@ -97,7 +129,7 @@ object StreamingLttb {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LttbState, LttbWindow](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeout) {
         (uid: Long, events: Iterator[Ev], state: GroupState[LttbState]) =>
           val prev = state.getOption.getOrElse(LttbState(Map.empty))
           // watermark-0 = "not yet established" (the StreamingHolt
@@ -115,7 +147,25 @@ object StreamingLttb {
             m.updated(w, m.getOrElse(w, Vector.empty) :+ p)
           }
           val (closed, open) = merged.partition { case (w, _) => hasWm && w + winUs <= wmUs }
-          if (open.isEmpty) state.remove() else state.update(LttbState(open))
+          val buffered = open.valuesIterator.map(_.size).sum
+          if (buffered > maxBuffered)
+            throw new IllegalStateException(
+              s"StreamingLttb: key $uid holds $buffered buffered points " +
+                s"across ${open.size} open windows (maxBuffered = $maxBuffered). " +
+                "The watermark has not sealed them — for all-pre-1970 feeds it " +
+                "never establishes (see the object doc); shift event times or " +
+                "raise maxBuffered.")
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(LttbState(open))
+            // arm the flush timer at the earliest open window's end so
+            // a quiescent key still seals when the watermark passes it
+            // (strictly beyond the current watermark, as Spark requires)
+            if (flushQuiescent) {
+              val fireMs = open.keysIterator.map(w => (w + winUs) / 1000L + 1L).min
+              state.setTimeoutTimestamp(math.max(fireMs, wmMs + 1L))
+            }
+          }
           val sealedOut = closed.toSeq.sortBy(_._1).iterator.map { case (w, pts) =>
             LttbWindow(uid, w, closed = true, pts.size, select(pts, k))
           }

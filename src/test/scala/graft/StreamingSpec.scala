@@ -803,4 +803,166 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(got == Seq((1L, ts("2024-03-02T10:00:00Z"), ts("2024-03-02T10:05:00Z"))))
   }
+
+  test("Holt/LTTB buffer caps trip loudly in the no-watermark (pre-1970) regime") {
+    // an all-negative-epoch feed never establishes a watermark, so the
+    // pending/window buffers grow with history — the caps must fail the
+    // query with a named key and knob instead of accumulating forever
+    implicit val sqlCtx = spark.sqlContext
+    val memH = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val qh = StreamingHolt.holt(
+      memH.toDF().toDF("user_id", "ts", "event_id", "value"),
+      alpha = 0.5, beta = 0.25, watermark = "1 hour", maxPending = 2)
+      .writeStream.format("memory").queryName("holt_cap")
+      .outputMode(OutputMode.Update).start()
+    memH.addData(
+      (1L, ts("1969-12-30T01:00:00Z"), 1L, 1.0),
+      (1L, ts("1969-12-30T02:00:00Z"), 2L, 2.0),
+      (1L, ts("1969-12-30T03:00:00Z"), 3L, 3.0))
+    val eh = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qh.processAllAvailable()
+    }
+    assert(eh.getMessage.contains("maxPending"),
+      s"cap failure must name the knob, got: ${eh.getMessage.take(200)}")
+    val memL = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val ql = StreamingLttb.lttb(
+      memL.toDF().toDF("user_id", "ts", "event_id", "value"),
+      k = 3, windowSec = 3600L, watermark = "30 minutes", maxBuffered = 2)
+      .writeStream.format("memory").queryName("lttb_cap")
+      .outputMode(OutputMode.Update).start()
+    memL.addData(
+      (1L, ts("1969-12-30T01:00:00Z"), 1L, 1.0),
+      (1L, ts("1969-12-30T01:10:00Z"), 2L, 2.0),
+      (1L, ts("1969-12-30T01:20:00Z"), 3L, 3.0))
+    val el = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ql.processAllAvailable()
+    }
+    assert(el.getMessage.contains("maxBuffered"),
+      s"cap failure must name the knob, got: ${el.getMessage.take(200)}")
+  }
+
+  test("streaming LTTB flushQuiescent seals a quiet key's window via event-time timeout") {
+    // default mode: a key with no further traffic never emits its final
+    // selection; flushQuiescent arms EventTimeTimeout so the watermark
+    // alone seals it — key 1 sends nothing after batch 1, and OTHER
+    // keys' traffic must still flush its closed window
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = StreamingLttb.lttb(
+      mem.toDF().toDF("user_id", "ts", "event_id", "value"),
+      k = 3, windowSec = 3600L, watermark = "30 minutes", flushQuiescent = true)
+      .writeStream.format("memory").queryName("lttb_flush")
+      .outputMode(OutputMode.Update).start()
+    val b1 = Seq(
+      (1L, ts("2024-01-01T00:05:00Z"), 1L, 1.0),
+      (1L, ts("2024-01-01T00:20:00Z"), 2L, 9.0),
+      (1L, ts("2024-01-01T00:35:00Z"), 3L, 2.0),
+      (1L, ts("2024-01-01T00:50:00Z"), 4L, 7.0))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    // key 2's traffic advances the watermark past window A's end
+    // (02:00 − 30m = 01:30 > 01:00); the follow-up batch evaluates
+    // key 1's timer
+    mem.addData((2L, ts("2024-01-01T02:00:00Z"), 5L, 1.0))
+    q.processAllAvailable()
+    mem.addData((2L, ts("2024-01-01T02:05:00Z"), 6L, 1.0))
+    q.processAllAvailable()
+    val aStart = ts("2024-01-01T00:00:00Z").getTime * 1000L
+    val sealedW = spark.sql(
+      s"SELECT n_raw, points FROM lttb_flush WHERE closed AND user_id = 1 " +
+        s"AND window_start_us = $aStart")
+    assert(sealedW.count() == 1,
+      "the quiet key's window must seal exactly once via the timeout")
+    assert(sealedW.head().getInt(0) == 4)
+    q.stop()
+    // the timeout-flushed selection is the batch selection
+    val batchA = graft.operators.TimeSeriesOps.lttb(
+      b1.toDF("user_id", "ts", "event_id", "value"), k = 3)
+      .orderBy("ts_us").select("ts_us", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSeq
+    val gotPts = spark.sql(
+      s"SELECT explode(points) AS p FROM lttb_flush WHERE closed AND user_id = 1 " +
+        s"AND window_start_us = $aStart")
+      .select("p.ts_us", "p.event_id", "p.value")
+      .orderBy("ts_us").as[(Long, Long, Double)].collect().toSeq
+    assert(gotPts == batchA,
+      "timeout-flushed selection must equal the batch selection")
+  }
+
+  test("streaming sessionize open-session state survives a checkpoint restart") {
+    import org.apache.spark.sql.types._
+    val inDir = java.nio.file.Files.createTempDirectory("sess_restart_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sess_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_restart_ck").toString
+    val sch = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def start() = StreamingSessionize.sessions(
+        spark.readStream.schema(sch).parquet(inDir), gapSec = 1800, watermark = "1 hour")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append).start()
+    // two events of ONE session arrive pre-restart; the session is
+    // still open (watermark far below end + gap) when the query stops
+    val b1 = Seq(
+      (1L, ts("2024-03-01T00:00:00Z"), 1.0),
+      (1L, ts("2024-03-01T00:10:00Z"), 2.0))
+    b1.toDF("user_id", "ts", "value").write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // post-restart traffic (another key) advances the watermark past
+    // the open session's end + gap; the recovered state must seal as
+    // ONE session holding BOTH pre-restart events — lost state would
+    // emit nothing or a one-event fragment
+    Seq((2L, ts("2024-03-01T05:00:00Z"), 9.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(inDir)
+    val q2 = start(); q2.processAllAvailable()
+    Seq((2L, ts("2024-03-01T05:05:00Z"), 1.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(inDir)
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir).filter(col("user_id") === 1L)
+      .select("n_events", "sum_value").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 3.0)),
+      s"recovered open session must seal with both pre-restart events, got $got")
+  }
+
+  test("streaming IVF serving resumes from its checkpoint without re-serving batches") {
+    import org.apache.spark.sql.types._
+    val inDir = java.nio.file.Files.createTempDirectory("ivf_restart_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_restart_ck").toString
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f), 1), (2L, Array(0.8f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f), 2), (4L, Array(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Similarity.cellCentroids(corpus)
+    val sch = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val served = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Int)]
+    def start(tag: String) = graft.streaming.StreamingSimilarity.serveIvf(
+        spark.readStream.schema(sch).parquet(inDir), corpus, cents, k = 3, nprobe = 1) {
+        (df, _) =>
+          served ++= df.select("query_id", "cand_id", "rank").collect()
+            .map(r => (tag, r.getLong(0), r.getLong(1), r.getInt(2)))
+          ()
+      }.option("checkpointLocation", ckpt).start()
+    Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(inDir)
+    val q1 = start("q1"); q1.processAllAvailable(); q1.stop()
+    assert(served.count(_._1 == "q1") > 0, "pre-restart batch served")
+    // a SECOND query over the same checkpoint: the committed offset must
+    // hold — only the NEW query row is served (stateless serving's
+    // restart contract is exactly-once source progress, not state)
+    val b2 = Seq((101L, Array(0.0f, 1.0f)))
+    b2.toDF("vec_id", "embedding").write.mode("append").parquet(inDir)
+    val q2 = start("q2"); q2.processAllAvailable(); q2.stop()
+    val q2Queries = served.filter(_._1 == "q2").map(_._2).distinct
+    assert(q2Queries == Seq(101L),
+      s"post-restart must serve only the new batch, served $q2Queries")
+    // and the served answer equals the batch probe over the new rows
+    val batch2 = graft.operators.Similarity.ivfProbeTopK(
+        corpus, b2.toDF("vec_id", "embedding"), cents, k = 3, nprobe = 1)
+      .orderBy("rank").select("query_id", "cand_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(served.filter(_._1 == "q2").map(t => (t._2, t._3, t._4))
+      .sortBy(_._3).toSeq == batch2)
+  }
 }
