@@ -3085,13 +3085,26 @@ object SparkEntry {
         // paid three per-partition sorts). The quality gate moves
         // BEFORE the exchange: duplicates share text, so gating first
         // drops the same winners while shrinking the shuffle.
+        // unhex: 16-byte BINARY digest keys through the winner
+        // exchange, not 32-char hex strings — same grouping (the hex
+        // form is a bijection of the bytes), ~25% off the composed
+        // wall (r15 interleaved A/B: 0.255 vs 0.344 min-of-9). The
+        // digest never surfaces, so the oracle is untouched.
         val cand = TextAnalysis.withProfile(
-            docs.withColumn("__digest", md5(col("text").cast("binary"))))
+            docs.withColumn("__digest", unhex(md5(col("text").cast("binary")))))
           .filter(col("quality") >= 0.5)
           .groupBy("__digest")
           .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"),
             min(col("approx_bpe_tokens")).as("approx_bpe_tokens"))
           .select("doc_id", "quality", "approx_bpe_tokens")
+          // partition sizing, not semantics: the gated winner frame at
+          // this SF is ~5k rows / 4 columns, so the prefix-sum stages
+          // should not spawn 8 map tasks over crumbs (r15 interleaved
+          // A/B: 0.264 vs 0.301 min-of-9). A 100 TB caller keeps the
+          // natural partitioning — its winner frame is corpus-sized —
+          // or lets AQE coalesce post-shuffle partitions; the bench
+          // session runs AQE off, so the query sizes its own frame.
+          .coalesce(1)
         // quality is a known [0,1] score — fixed thresholds skip the
         // quantile-estimation scan. materialize=Some(true), re-decided
         // in r14: the r5-era claim that ReuseExchange shares the digest
@@ -5492,4 +5505,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Plan-variant candidates for [[AbBench]] interleaved A/Bs ONLY —
+    * never part of [[queries]], so Verify/Bench/the driver cannot see
+    * them. Keep losers out: a variant either wins its A/B and replaces
+    * the registry formulation, or is deleted; anything left here is an
+    * experiment in flight. (r15 adjudicated: literal-splice meta
+    * resolve and the hinted pre-joined dim broadcast both LOST to the
+    * registry formulations; unhex digest keys and the winner-frame
+    * coalesce WON and were promoted into x_pipeline_curate.) */
+  def devQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }
