@@ -53,6 +53,27 @@ object PlanDump {
   * as a diff against the committed expectations below instead of as a
   * bench regression three rounds later. */
 object DoubleScanScan {
+
+  /** The committed adjudication: every (query, source-basename, count)
+    * triple in this file has a human-reviewed by-design rationale (the
+    * categories in PLANS.md's sweep section). The sweep DIFFS against
+    * it and exits nonzero on novel hits, so a new accidental double
+    * scan fails a check instead of surfacing as a bench regression
+    * rounds later. Lines: `query<TAB>source<TAB>count`; `#` comments. */
+  val AllowlistPath = "tools/double_scan_allowlist.txt"
+
+  /** Stable location key. Plain table files key on their basename
+    * (unique within a query's universe). Pid-scoped scratch stores key
+    * on their KIND prefix (`graft_<kind>_<pid>/…`): the tail of a long
+    * path is what the plan renderer truncates with `…`, and the
+    * sanitized-data-dir component varies per sweep dir, so only the
+    * prefix is reproducible — all of one store's subtables therefore
+    * collapse into a single `scratch:<kind>` count. */
+  private def normLoc(path: String): String =
+    "graft_([A-Za-z_]+?)_[0-9]+".r.findFirstMatchIn(path)
+      .map("scratch:" + _.group(1))
+      .getOrElse(path.split('/').last.stripSuffix("..."))
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -66,19 +87,154 @@ object DoubleScanScan {
     // `Location: InMemoryFileIndex(1 paths)[file:/...]` (the formatted
     // explain drops the paths-count parens — match both)
     val loc = """Location: [^\[\]]*\[([^\],]+)""".r
+    val hits = Seq.newBuilder[(String, String, Int)]
+    var errs = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        val counts = loc.findAllMatchIn(plan).map(_.group(1)).toSeq
+        // double-scan detection on RAW locations (two different
+        // subtables scanned once each is not a double scan); the
+        // allowlist key then normalizes, merging a store's repeated
+        // subtable scans into one summed count
+        loc.findAllMatchIn(plan).map(_.group(1)).toSeq
           .groupBy(identity).view.mapValues(_.size).toSeq
-          .filter(_._2 > 1).sortBy(_._1)
-        counts.foreach { case (l, n) =>
-          val short = l.split('/').takeRight(2).mkString("/")
-          println(s"MULTISCAN $name: $short x$n")
-        }
-      } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage.take(60)}") }
+          .filter(_._2 > 1)
+          .groupBy { case (l, _) => normLoc(l) }.view
+          .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+          .foreach { case (k, n) =>
+            hits += ((name, k, n))
+            println(s"MULTISCAN $name: $k x$n")
+          }
+      } catch {
+        case e: Throwable => errs += 1; println(s"ERR $name: ${e.getMessage.take(60)}")
+      }
     }
     spark.stop()
+    val got = hits.result().toSet
+    val allowed: Set[(String, String, Int)] = {
+      val f = new java.io.File(AllowlistPath)
+      if (!f.isFile) Set.empty
+      else scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val p = l.split('\t'); (p(0), p(1), p(2).toInt)
+        }.toSet
+    }
+    val novel = (got -- allowed).toSeq.sorted
+    val stale = (allowed -- got).toSeq.sorted
+    novel.foreach { case (q, s, n) => println(s"NOVEL $q: $s x$n — adjudicate and either fix the plan or add to $AllowlistPath with a PLANS.md rationale") }
+    stale.foreach { case (q, s, n) => println(s"STALE $q: $s x$n — no longer scans twice; prune from $AllowlistPath") }
+    println(s"double-scan sweep: ${got.size} hits, ${novel.size} novel, ${stale.size} stale, $errs errors")
+    if (novel.nonEmpty || errs > 0) sys.exit(1)
+  }
+}
+
+/** Job-budget sweep: count the Spark jobs each registered query
+  * submits (one `count()` action, bench protocol, builds prewarmed and
+  * excluded) and DIFF against the committed per-query budgets. A
+  * query's wall in the floor zone is jobs × job_floor by construction,
+  * so the budget pins the floor_decomp adjudication: the 40×-ratio
+  * outliers (`x_lsh_plan`, `x_quality_gate_approx`, …) are accepted
+  * BECAUSE their job counts are what they are — if a count grows, the
+  * acceptance is void and this sweep fails instead of the ratio being
+  * re-litigated from scratch next round.
+  *
+  * Budgets are recorded at the default dir (sf0.01, raw layout, AQE
+  * off — deterministic job counts); run with the same dir to compare.
+  * Exit 1 on: a query exceeding its budget, a query missing a budget,
+  * or errors. A query UNDER budget prints a note — update the file.
+  * File: `query<TAB>jobs`; `#` comments. */
+object JobBudgetScan {
+
+  val BudgetPath = "tools/job_budget.txt"
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
+      .config("spark.sql.files.openCostInBytes", "1048576")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
+    def drainBus(): Unit =
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+    // memoized index/store builds run OUTSIDE the counted region — the
+    // bench charges them to index_build, so the budget must too
+    SparkEntry.prewarmBuilds(spark, dir)
+    // first pass un-counted: first-touch file listings submit their own
+    // jobs on some sources, and codegen/jit warmup does not change job
+    // counts but keeps the pass cheap
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, dir).count()
+      catch { case _: Throwable => () }
+    }
+    val budgets: Map[String, Int] = {
+      val f = new java.io.File(BudgetPath)
+      if (!f.isFile) Map.empty
+      else scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l => val p = l.split('\t'); p(0) -> p(1).toInt }.toMap
+    }
+    var over = 0; var missing = 0; var under = 0; var errs = 0
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    names.foreach { n =>
+      try {
+        drainBus()
+        val before = jobCounter.get()
+        SparkEntry.queries(n)(spark, dir).count()
+        drainBus()
+        val jobs = jobCounter.get() - before
+        counts(n) = jobs
+        budgets.get(n) match {
+          case None =>
+            missing += 1
+            println(s"MISSING $n: $jobs jobs — adjudicate and add to $BudgetPath")
+          case Some(b) if jobs > b =>
+            over += 1
+            println(s"OVER $n: $jobs jobs > budget $b — the floor_decomp acceptance is void; fix the plan or re-adjudicate")
+          case Some(b) if jobs < b =>
+            under += 1
+            println(s"UNDER $n: $jobs jobs < budget $b — tighten $BudgetPath")
+          case _ => ()
+        }
+      } catch {
+        case e: Throwable => errs += 1
+          println(s"ERR $n: ${String.valueOf(e.getMessage).take(60)}")
+      }
+    }
+    val stale = (budgets.keySet -- names).toSeq.sorted
+    stale.foreach(n => println(s"STALE $n: budgeted but not registered; prune from $BudgetPath"))
+    println(s"job-budget sweep: ${counts.size} queries, $over over, " +
+      s"$missing missing, $under under, ${stale.size} stale, $errs errors")
+    // regenerate helper: `runMain graft.JobBudgetScan <dir> --write`
+    // rewrites the budget file from this run's counts (review the diff)
+    if (args.contains("--write")) {
+      val w = new java.io.PrintWriter(BudgetPath, "UTF-8")
+      try {
+        w.println("# Per-query Spark job budgets (JobBudgetScan, sf0.01 raw layout,")
+        w.println("# AQE off, builds prewarmed). jobs x job_floor is the scheduling")
+        w.println("# lower bound floor_decomp reports; these counts are the accepted")
+        w.println("# decomposition behind PLANS.md's floor-zone ratio adjudications.")
+        counts.foreach { case (n, j) => w.println(s"$n\t$j") }
+      } finally w.close()
+      println(s"wrote ${counts.size} budgets to $BudgetPath")
+    }
+    spark.stop()
+    if ((over > 0 || missing > 0 || errs > 0 || stale.nonEmpty) && !args.contains("--write"))
+      sys.exit(1)
   }
 }
 
