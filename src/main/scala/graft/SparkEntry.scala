@@ -4524,8 +4524,15 @@ object SparkEntry {
       // 2048-token context windows — the distributed prefix sum under a
       // single-partition-window-free plan (Curation scaladoc).
       (s, dir) => {
+        // repartition(1): partition sizing for the ~5k-row/2-col token
+        // frame (the curate coalesce rationale — the prefix-sum stages
+        // should not spawn map tasks over crumbs; repartition beats
+        // coalesce here because it keeps the tokenize scan parallel,
+        // r15 A/B on the stats twin: 0.247 vs 0.281 vs 0.334). A
+        // 100 TB caller keeps the natural partitioning.
         val toks = Tables.documents(s, dir).select(col("doc_id"),
           size(filter(split(col("text"), " "), t => t =!= "")).as("n_tokens"))
+          .repartition(1)
         Curation.packSequences(toks, "doc_id", "n_tokens", packTokens = 2048L)
           .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
             col("token_start"), col("pack_id"), col("pack_offset"))
@@ -4553,8 +4560,11 @@ object SparkEntry {
       // (fill = 2048 everywhere but the final window; boundary-crossing
       // docs are the loss-masking special case).
       (s, dir) => {
+        // repartition(1): see x_pack_sequences — r15 A/B here read
+        // 0.247 (repartition) vs 0.281 (coalesce) vs 0.334 (none).
         val toks = Tables.documents(s, dir).select(col("doc_id"),
           size(filter(split(col("text"), " "), t => t =!= "")).as("n_tokens"))
+          .repartition(1)
         // materialize=Some(true), re-decided in r14 with the
         // x_pipeline_curate finding: column pruning diverges the
         // prefix-sum branches (the offsets branch drops columns the
