@@ -315,56 +315,65 @@ object TextAnalysis {
       requireUniqueIds: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, "k must be >= 1")
-    // Doc length rides the ROW, not a join: dl is the size of the
-    // doc's own token array — computable in the scan projection — and
-    // it is functionally dependent on the doc id, so carrying it
-    // through the tf group key costs nothing. This deletes the two
-    // corpus-scale structures of the naive formulation: the full
-    // token-stream explode → groupBy(id) exchange (the widest exchange
-    // in the query — the whole corpus token stream at 100 TB) and the
-    // doc-keyed dl join-back. What remains shuffles only (doc, term)
-    // pairs MATCHING the query terms. (N, avgdl) become one scan-side
-    // aggregate with no exchange underneath; df stays an aggregate
-    // broadcast (a token-partitioned window over tf would put every
-    // doc matching one common term in a single partition — the exact
-    // skew the broadcast formulation avoids).
-    val withDl = docs
+    // Query terms are LITERALS, so per-term tf is a scan-side array
+    // fold (`size(filter(toks, _ == term))`), one column per term —
+    // no token-stream explode anywhere in the plan. This deletes the
+    // remaining corpus-scale structure of the r13 formulation: the
+    // Generate + (doc, matching-term) exchange + the separate df
+    // branch. df/N/avgdl all ride ONE global aggregate over the tf
+    // projection (a 1-row broadcast), scoring is a projection over the
+    // docs that match any term, and the only exchanges left are that
+    // 1-row build, the tiny per-id merge of the matched docs, and the
+    // driver-merged top-k — at 100 TB the corpus is scanned, never
+    // re-keyed. (A token-partitioned df window would put every doc
+    // matching one common term in a single partition — the exact skew
+    // the aggregate formulation avoids.)
+    val qTerms = queryTerms.distinct
+    def tfCol(i: Int) = col(s"__tf$i")
+    val withTf = docs
       .select(col(idCol), toks(col(textCol)).as("__toks"))
-      .withColumn("__dl", size(col("__toks")).cast("long"))
+      .select(Seq(col(idCol), size(col("__toks")).cast("long").as("__dl")) ++
+        qTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"__tf$i")
+        }: _*)
     // The uniqueness guard rides THIS aggregate (input prunes to
     // (id, dl) — the token arrays never reach it), so enforcement
     // costs zero extra jobs and zero extra scans.
     val statsAggs = Seq(
       sum(when(col("__dl") > 0, lit(1L)).otherwise(lit(0L))).as("__n"),
       avg(when(col("__dl") > 0, col("__dl"))).as("__avgdl")) ++
+      qTerms.indices.map(i =>
+        sum(when(tfCol(i) > 0, lit(1L)).otherwise(lit(0L))).as(s"__df$i")) ++
       (if (requireUniqueIds)
         Seq(count(lit(1)).as("__rows"), count_distinct(col(idCol)).as("__ids"))
       else
         Seq(max(lit(0L)).as("__rows"), max(lit(0L)).as("__ids")))
-    val stats = withDl.agg(statsAggs.head, statsAggs.tail: _*)
-    val tf = withDl
-      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__tok"))
-      .filter(col("__tok").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("__dl"), col("__tok")).agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
-    val idf = round(log(
-      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)), 8)
-    val contrib = round(
-      idf * col("__tf") * lit(k1 + 1.0) /
-        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 8)
-    tf
-      .join(broadcast(dfreq), "__tok")
+    val stats = withTf.agg(statsAggs.head, statsAggs.tail: _*)
+    def idf(i: Int) = round(log(
+      (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)) + lit(1.0)), 8)
+    def contrib(i: Int) = round(
+      idf(i) * tfCol(i) * lit(k1 + 1.0) /
+        (tfCol(i) + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 8)
+    // decimal-round BEFORE the double cast: the sum is an EXACT
+    // decimal of 8dp terms, so 6dp half-way cases are common and the
+    // double's binary round would diverge from the oracle's decimal
+    // HALF_UP (the pqAdcOracleCtes rounding class). Rows with the same
+    // id merge by SUMMING their per-row contributions (the r13
+    // formulation's behavior for the opted-out duplicate-id case).
+    withTf
+      .filter(qTerms.indices.map(i => tfCol(i) > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
-      .withColumn("__contrib", contrib)
       // __rows/__ids are 1-row broadcast constants: grouping by them
       // changes no group and keeps the guard alive through the agg
       .groupBy(col(idCol), col("__rows"), col("__ids"))
-      .agg(count(lit(1)).as("matched_terms"),
-        // decimal-round BEFORE the double cast: the sum is an EXACT
-        // decimal of 8dp terms, so 6dp half-way cases are common and
-        // the double's binary round would diverge from the oracle's
-        // decimal HALF_UP (the pqAdcOracleCtes rounding class)
-        round(sum(col("__contrib").cast("decimal(28,10)")), 6)
+      .agg(
+        sum(qTerms.indices.map(i =>
+          when(tfCol(i) > 0, lit(1L)).otherwise(lit(0L))).reduce(_ + _)).as("matched_terms"),
+        // a zero tf zeroes its contrib exactly (numerator 0, 8dp
+        // round of 0 is 0), so absent terms add decimal zero — no
+        // per-term null handling needed
+        round(sum(qTerms.indices.map(i => contrib(i).cast("decimal(28,10)"))
+          .reduce(_ + _)), 6)
           .cast("double").as("bm25"))
       // the guard is a runtime aggregate output, so the optimizer can
       // never constant-fold the raise_error branch away; when ids are
