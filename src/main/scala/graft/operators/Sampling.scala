@@ -263,9 +263,6 @@ object Sampling {
       tau: Double, budget: Long): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     require(budget >= 1, "budget must be >= 1")
-    val counts = df.filter(col(stratumCol).isNotNull)
-      .groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
-      .withColumn("__w", round(pow(col("n_docs").cast("double"), lit(tau)), 8))
     // The weight total is a whole-frame window over the CATALOG-sized
     // counts frame (the derived-constant single-group key below), not
     // a separate 1-row aggregate: the agg formulation planned its own
@@ -276,10 +273,20 @@ object Sampling {
     // non-nullable count, so the Curation trick (`x * 0`) would be
     // constant-folded here (the multiply-by-zero rule fires exactly
     // when the column is non-nullable), emptying the partition spec.
-    // Every single-group window in this method shares this key, so
-    // they all stack on ONE exchange.
+    // The key is MATERIALIZED once as `__one` and every window below
+    // partitions by that same attribute: the r14 form re-derived
+    // pmod(n_docs, 1) inside each Window spec, each got its own
+    // projected attribute, the partitionings stopped looking equal,
+    // and the planner inserted FOUR exchanges (each with its own
+    // sort + codegen stage) into a frame of |strata| rows — one
+    // exchange is enough when the attribute is shared.
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+      .select(col(stratumCol), col("n_docs"),
+        round(pow(col("n_docs").cast("double"), lit(tau)), 8).as("__w"),
+        pmod(col("n_docs"), lit(1L)).as("__one"))
     val wTot = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(col("n_docs"), lit(1L)))
+      .partitionBy(col("__one"))
     val quotas = counts
       .withColumn("__tw", sum(col("__w").cast("decimal(28,8)")).over(wTot))
       // share divides in DOUBLE (a true-double quantity: its half-way
@@ -305,7 +312,7 @@ object Sampling {
     // short of the budget (a shortfall > strata escapes the +1 pass) —
     // under-allocation is the safe side and stays documented.
     val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(col("n_docs"), lit(1L)))
+      .partitionBy(col("__one"))
     val wRk = wAll.orderBy(col("__rem").desc, col(stratumCol))
     val wRun = wRk.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)
