@@ -19,15 +19,24 @@ object Bench {
   // PQ encoding / decimal covariance), so scan parallelism is worth
   // more than file-count overhead (measured best of {1,4,8,16,32} on
   // the dedup/text set and {1,8,16} on the vector set).
-  val chunkDivisors: Map[String, Long] = Map("documents" -> 625L, "embeddings" -> 250L)
-  // Fact-table file cap, env-overridable for layout A/Bs. 16 looked
-  // promising on ISOLATED scans (lineitem scan 0.096 s at 32 files vs
-  // 0.071 at 16; scaled-long agg 0.152 vs 0.112) but a paired
-  // one-JVM A/B over the 14 fact-headline queries measured only
-  // 1.730 → 1.696 s (2%): these queries' walls live in the
-  // 8-partition shuffle/agg stages, not the scan stage, so the task-
-  // launch saving mostly vanishes in composition. Kept at 32 — the
-  // deeper decode parallelism matters on the 10× scale-up tables.
+  // r15: lineitem/orders join the divisor family — a VOLUME-SCALED
+  // chunk count (rows/75k ⇒ 8 lineitem chunks at sf0.1, the full
+  // 32-cap by the 10× scale-up sizes) instead of a flat 32 at every
+  // volume. The r14 factCap A/B read only 2% composed on a quiet box,
+  // but a full cap-8 epoch (BENCH_DETAIL_r15_b) read the fact queries
+  // 10-30% faster (rel_agg 0.129→0.090, rel_join_agg 0.245→0.201)
+  // with the in-epoch DuckDB unchanged, and a loaded-box in-session
+  // LayoutAb read 2.3× — 32 concurrent decode tasks over 0.3 MB
+  // crumbs pay contention the work can't amortize. The divisor form
+  // keeps the deep decode parallelism where it matters (the 10×
+  // tables bind the 32-cap again; events/documents/embeddings are
+  // untouched, so the kernel families and the scale-up set keep
+  // their adjudicated layouts).
+  val chunkDivisors: Map[String, Long] = Map(
+    "documents" -> 625L, "embeddings" -> 250L,
+    "lineitem" -> 75000L, "orders" -> 75000L)
+  // Fact-table file cap for the REMAINING tables, env-overridable for
+  // layout A/Bs (SPARK_GRAFT_FACT_CAP).
   private val factCap: Long =
     sys.env.getOrElse("SPARK_GRAFT_FACT_CAP", "32").toLong
   def chunkPolicy(table: String, rows: Long): Int =
