@@ -467,4 +467,55 @@ class PropertiesSpec extends SparkSpec {
       assert(got == ref, s"seed=$seed")
     }
   }
+
+  // ---- r15 bm25 rework: the zero-explode fold formulation (per-term
+  // tf as scan-side array folds) must equal the r13 explode +
+  // (doc, matching-term)-exchange formulation on randomized corpora —
+  // repeated terms, absent terms, empty docs, and shared vocab all in
+  // the generator's range.
+
+  private val bmDocGen = for {
+    id <- Gen.choose(1L, 500L)
+    n <- Gen.choose(0, 12)
+    toks <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "pad", "x"))
+  } yield (id, toks.mkString(" "))
+
+  test("bm25TopK fold formulation ≡ the explode formulation (randomized corpora)") {
+    val k1 = 1.2; val b = 0.75
+    val queryTerms = Seq("beta", "gamma", "x")
+    for (seed <- 1L to 6L) {
+      val docs = Gen.listOfN(30, bmDocGen).pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case ((_, t), i) => (i.toLong, t) } // unique ids
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis
+        .bm25TopK(docs, queryTerms, k = 50, requireUniqueIds = false)
+        .orderBy("doc_id").collect().toSeq
+      // the r13 reference formulation, verbatim
+      val withDl = docs
+        .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("__toks"))
+        .withColumn("__dl", size(col("__toks")).cast("long"))
+      val stats = withDl.agg(
+        sum(when(col("__dl") > 0, lit(1L)).otherwise(lit(0L))).as("__n"),
+        avg(when(col("__dl") > 0, col("__dl"))).as("__avgdl"))
+      val tf = withDl
+        .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("__tok"))
+        .filter(col("__tok").isin(queryTerms: _*))
+        .groupBy(col("doc_id"), col("__dl"), col("__tok")).agg(count(lit(1)).as("__tf"))
+      val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+      val idf = round(log(
+        (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)), 8)
+      val contrib = round(
+        idf * col("__tf") * lit(k1 + 1.0) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 8)
+      val ref = tf.join(broadcast(dfreq), "__tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("__contrib", contrib)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("matched_terms"),
+          round(sum(col("__contrib").cast("decimal(28,10)")), 6)
+            .cast("double").as("bm25"))
+        .orderBy("doc_id").collect().toSeq
+      assert(got == ref, s"seed=$seed\ngot=$got\nref=$ref")
+    }
+  }
 }
