@@ -226,8 +226,11 @@ object Bench {
       "x_sketch_kmv_setops", "x_ts_lttb", "x_sketch_kmv_anotb",
       // round-15 additions: x_dedup_ppjoin reverts to the one-shot
       // r13 protocol (equal work across rounds); the stored-index
-      // serving face is timed under its own name
-      "x_dedup_ppjoin_stored", "td_meta_read_jdbc"))
+      // serving face is timed under its own name; the image family is
+      // a REAL JDK codec loop (PNG encode+decode per asset), so its
+      // walls carry genuine per-row codec work by design
+      "x_dedup_ppjoin_stored", "td_meta_read_jdbc",
+      "x_image_decode", "x_image_dhash", "x_image_neardup"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

@@ -435,6 +435,53 @@ object SparkEntry {
     |FROM sel ORDER BY user_id, ts_us, event_id""".stripMargin
   }
 
+  /** DuckDB replay of the deterministic 32×32 RGB test pattern
+    * ([[graft.operators.Multimodal.pixelR]] and siblings) — the
+    * codec-free ground truth for the REAL PNG encode→decode loop:
+    * the image queries' oracles compute pixel statistics from this
+    * formula directly, so a hash match proves the lossless round trip. */
+  private lazy val imagePixelCtes: String =
+    s"""px AS (
+    |  SELECT d.doc_id AS asset_id, x.x, y.y
+    |  FROM documents d, generate_series(0, 31) x(x), generate_series(0, 31) y(y)),
+    |rgb AS (
+    |  SELECT asset_id, x, y,
+    |    ((asset_id // 2) * 7 + x * 13 + y * 31 + x * y
+    |      + CASE WHEN asset_id % 2 = 1 AND x < 4 AND y < 4 THEN 41 ELSE 0 END) % 256 AS r,
+    |    ((asset_id // 2) * 11 + x * 3 + y * 17 + 2 * x * y) % 256 AS g,
+    |    ((asset_id // 2) * 5 + x * 19 + y * 23 + 3 * x * y) % 256 AS b
+    |  FROM px)""".stripMargin
+
+  /** [[imagePixelCtes]] extended with the dHash replay: integer gray,
+    * 9×8 integer box-average cells, horizontal-adjacent bits, the
+    * 64-bit hash as two non-negative 32-bit halves — operation-for-
+    * operation the [[graft.operators.Multimodal.imageDHash]] math. */
+  private lazy val imageDHashCtes: String =
+    s"""$imagePixelCtes,
+    |gray AS (
+    |  SELECT asset_id, x, y, (299 * r + 587 * g + 114 * b) // 1000 AS gy,
+    |         y // 4 AS cj
+    |  FROM rgb),
+    |cellx(ci, x0, x1) AS (
+    |  SELECT i, i * 32 // 9, (i + 1) * 32 // 9 FROM generate_series(0, 8) t(i)),
+    |avgs AS (
+    |  SELECT asset_id, c.ci, gray.cj, SUM(gy) // COUNT(*) AS cavg
+    |  FROM gray JOIN cellx c ON gray.x >= c.x0 AND gray.x < c.x1
+    |  GROUP BY 1, 2, 3),
+    |bits AS (
+    |  SELECT a.asset_id, a.ci AS i, a.cj AS j,
+    |         CASE WHEN a.cavg < b.cavg THEN 1 ELSE 0 END AS bit
+    |  FROM avgs a JOIN avgs b
+    |    ON b.asset_id = a.asset_id AND b.cj = a.cj AND b.ci = a.ci + 1
+    |  WHERE a.ci < 8),
+    |dh AS (
+    |  SELECT asset_id,
+    |    CAST(SUM(CASE WHEN j < 4
+    |      THEN bit * (CAST(1 AS BIGINT) << ((j % 4) * 8 + i)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+    |    CAST(SUM(CASE WHEN j >= 4
+    |      THEN bit * (CAST(1 AS BIGINT) << ((j % 4) * 8 + i)) ELSE 0 END) AS BIGINT) AS dhash_lo
+    |  FROM bits GROUP BY 1)""".stripMargin
+
   /** DuckDB replay of the INTRA-corpus EXACT-Jaccard self-join — the
     * FULL all-pairs answer with no prefix logic, shared by
     * `x_dedup_ppjoin` (one-shot build+join) and
@@ -3554,6 +3601,65 @@ object SparkEntry {
         |FROM chars
         |GROUP BY asset_id, j
         |ORDER BY asset_id, j""".stripMargin)),
+
+    ("x_image_decode",
+      // REAL image codec loop (r15): render each asset's deterministic
+      // 32×32 RGB test pattern, ENCODE through the JDK's PNG writer,
+      // DECODE with javax.imageio, and emit exact integer channel sums.
+      // PNG is lossless, so the oracle recomputes the sums from the
+      // pixel FORMULA with no codec anywhere — a hash match proves the
+      // encode→decode round trip is bit-exact end-to-end. The pipeline
+      // shape (binary column in, mapPartitions batch decode, columnar
+      // stats out) is the mapInPandas contract with a live codec.
+      (s, dir) => Multimodal.decodeImageFeatures(
+        Multimodal.renderPng(Tables.documents(s, dir).select("doc_id"), 32, 32,
+          idCol = "doc_id"))
+        .orderBy("asset_id"),
+      Some(s"""WITH $imagePixelCtes
+        |SELECT asset_id, 32 AS width, 32 AS height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM rgb GROUP BY 1
+        |ORDER BY asset_id""".stripMargin)),
+
+    ("x_image_dhash",
+      // dHash perceptual fingerprint over DECODED pixels: integer gray,
+      // integer box-average onto a 9×8 grid, one bit per horizontally
+      // adjacent cell pair, returned as two non-negative 32-bit halves.
+      // Every step is integer division on decoded values, so the oracle
+      // replays gray → cells → bits from the pixel formula and the hash
+      // match pins the codec loop AND the hash math bit-for-bit.
+      (s, dir) => Multimodal.imageDHash(
+        Multimodal.renderPng(Tables.documents(s, dir).select("doc_id"), 32, 32,
+          idCol = "doc_id"))
+        .orderBy("asset_id"),
+      Some(s"""WITH $imageDHashCtes
+        |SELECT asset_id, dhash_hi, dhash_lo FROM dh
+        |ORDER BY asset_id""".stripMargin)),
+
+    ("x_image_neardup",
+      // Image near-dup end to end: PNG render → decode → dHash →
+      // pigeonhole Hamming screen (8 byte-bands over the 64-bit hash,
+      // popcount verify ≤ 4). The render plants sibling pairs (asset
+      // 2q/2q+1 differ by a 4×4 corner perturbation), and the oracle
+      // computes the FULL all-pairs Hamming answer from the pixel
+      // formula — a hash match proves the banding loses nothing at
+      // this radius (8 bands pigeonhole ≤ 7 flipped bits).
+      (s, dir) => Dedup.hammingNearDup64(
+        Multimodal.imageDHash(
+          Multimodal.renderPng(Tables.documents(s, dir).select("doc_id"), 32, 32,
+            idCol = "doc_id")),
+        maxHamming = 4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $imageDHashCtes
+        |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS hamming
+        |FROM dh a JOIN dh b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     ("rel_rollup",
       // Hierarchical totals in one pass: ROLLUP emits (flag, status),

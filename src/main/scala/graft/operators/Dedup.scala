@@ -1067,6 +1067,51 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
+  /** Pigeonhole Hamming near-dup over an EXISTING 64-bit fingerprint
+    * (two non-negative 32-bit halves — the portable split
+    * [[graft.operators.Multimodal.imageDHash]] and any
+    * engine-interchange format use): 8 byte-bands (4 per half), pairs
+    * generated by (band, byte) equi-join buckets, popcount verify. A
+    * pair within `maxHamming` ≤ 7 flipped bits touches ≤ 7 of the 8
+    * bands, so it shares at least one and is guaranteed a candidate —
+    * the [[simHashNearDup]] recall argument on a caller-supplied
+    * fingerprint instead of a text-derived one. Same capped-bucket
+    * discipline; the pair space is never materialized beyond bucket
+    * co-occupants.
+    */
+  def hammingNearDup64(fps: DataFrame, maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket,
+      idCol: String = "asset_id", hiCol: String = "dhash_hi",
+      loCol: String = "dhash_lo"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "maxHamming must be in [0, 7] — 8 byte-bands pigeonhole up to 7 flipped bits")
+    require(maxBucket > 1, "maxBucket must be > 1")
+    val base = fps.select(col(idCol), col(hiCol).cast("long").as("__hi"),
+        col(loCol).cast("long").as("__lo"))
+      .filter(col("__hi").isNotNull && col("__lo").isNotNull)
+    val banded = base.select(col(idCol), col("__hi"), col("__lo"),
+        explode(expr(
+          "transform(sequence(0, 7), b -> struct(b AS band, " +
+            "CASE WHEN b < 4 THEN shiftright(__hi, b * 8) % 256 " +
+            "ELSE shiftright(__lo, (b - 4) * 8) % 256 END AS key))")).as("bk"))
+      .select(col(idCol), col("__hi"), col("__lo"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col(idCol), col("__hi"), col("__lo")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        s"flatten(transform(sequence(0, size(ids) - 2), " +
+          s"i -> transform(slice(ids, i + 2, size(ids)), " +
+          s"j -> struct(ids[i].$idCol AS id_a, ids[i].__hi AS hi_a, ids[i].__lo AS lo_a, " +
+          s"j.$idCol AS id_b, j.__hi AS hi_b, j.__lo AS lo_b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        (expr("cast(bit_count(p.hi_a ^ p.hi_b) as int)")
+          + expr("cast(bit_count(p.lo_a ^ p.lo_b) as int)")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Benchmark DECONTAMINATION scores — the fraction of each training
     * doc's distinct n-gram shingles that also appear in a benchmark/eval
     * corpus. Standard pre-training hygiene: docs overlapping an eval set

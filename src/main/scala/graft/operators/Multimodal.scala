@@ -8,15 +8,183 @@ import org.apache.spark.sql.types._
   * opaque `BinaryType` columns alongside a typed metadata struct, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The media libraries (image/audio codecs) are not in this environment,
-  * so the *decode kernels are deterministic stubs* — clearly marked below
-  * — while everything Spark-side is real and tested: the schema, the
-  * binary column handling, partition-preserving `mapPartitions` batch
-  * shape (the Scala analog of `mapInPandas`: one iterator per partition,
-  * amortizing per-batch model/codec setup), and the relational plumbing
-  * around it.
+  * Two decode tiers:
+  *
+  *  - REAL image codec path (r15): the JDK ships `javax.imageio`
+  *    (PNG/JPEG/BMP), so [[renderPng]] / [[decodeImageFeatures]] /
+  *    [[imageDHash]] run an actual encode→decode loop — PNG is
+  *    lossless, so decoded pixel statistics of a deterministically
+  *    rendered image are engine-independent facts a SQL oracle can
+  *    recompute from the pixel formula without any codec: a hash match
+  *    proves the whole codec round trip end-to-end.
+  *  - STUB tier for formats whose codecs are genuinely absent here
+  *    (audio/video): deterministic fakes, clearly marked below, with
+  *    the Spark-side plumbing (schema, binary columns,
+  *    partition-preserving `mapPartitions` batch shape — the Scala
+  *    analog of `mapInPandas`) real and tested.
   */
 object Multimodal {
+
+  /** Deterministic RGB test pattern: the pixel value formula shared by
+    * the renderer and the SQL oracle. Asset 2q and 2q+1 render the
+    * SAME base image (keyed by q = id div 2) except a small red
+    * perturbation in the 4×4 corner of the odd sibling — the planted
+    * near-duplicate structure the dHash pipeline must recover. All
+    * integer math, all non-negative. */
+  def pixelR(a: Long, x: Int, y: Int): Int =
+    (((a / 2) * 7 + x * 13 + y * 31 + x * y
+      + (if (a % 2 == 1 && x < 4 && y < 4) 41 else 0)) % 256).toInt
+  def pixelG(a: Long, x: Int, y: Int): Int =
+    (((a / 2) * 11 + x * 3 + y * 17 + 2 * x * y) % 256).toInt
+  def pixelB(a: Long, x: Int, y: Int): Int =
+    (((a / 2) * 5 + x * 19 + y * 23 + 3 * x * y) % 256).toInt
+
+  /** REAL codec path, encode half: render each asset id's deterministic
+    * test pattern and ENCODE it through the JDK's PNG writer — the
+    * payload bytes in the output are genuine PNG. mapPartitions so the
+    * (stateless here, model-sized in general) codec setup is per-batch,
+    * not per-row. */
+  def renderPng(ids: DataFrame, w: Int = 32, h: Int = 32,
+      idCol: String = "asset_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (pixelR(a, x, y) << 16) | (pixelG(a, x, y) << 8) | pixelB(a, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row(a, out.toByteArray, Row("image/png", w, h, 1))
+      }
+    }(enc)
+  }
+
+  /** REAL codec path, decode half: `javax.imageio` decodes the payload
+    * and the features are EXACT integer channel sums — PNG is lossless,
+    * so on [[renderPng]] output these equal the pixel-formula sums a
+    * SQL oracle computes with no codec at all. Null/undecodable
+    * payloads yield a null feature row rather than killing the stage
+    * (codec errors are data errors at 100 TB, not job errors). */
+  def decodeImageFeatures(assets: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select("asset_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("media")
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) Row(a, null, null, null, null, null)
+        else {
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          Row(a, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }
+    }(enc)
+  }
+
+  /** Difference hash (dHash) over DECODED pixels — the standard cheap
+    * perceptual image fingerprint: integer grayscale, integer
+    * box-average onto a (hw+1)×hh grid, one bit per horizontally
+    * adjacent cell pair. Everything is integer division on decoded
+    * values, so the 64-bit hash (returned as two non-negative 32-bit
+    * halves — portable to engines whose BIGINT shifts reject bit 63)
+    * is an exact, SQL-replicable function of the pixels: the oracle
+    * recomputes it from the render formula and a hash match pins the
+    * codec loop AND the hash math. Near-dup images differ in a few
+    * bits; see [[graft.operators.Dedup.hammingNearDup64]]. */
+  def imageDHash(assets: DataFrame, hw: Int = 8, hh: Int = 8): DataFrame = {
+    require(hw >= 1 && hh >= 1 && hw * hh == 64, "dHash grid must yield 64 bits")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("dhash_hi", LongType),
+      StructField("dhash_lo", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select("asset_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getLong(0)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+          catch { case _: Exception => null }
+        if (img == null) Row(a, null, null)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          // (hw+1) x hh integer box-average grid of the gray image
+          val cols = hw + 1
+          val avg = Array.ofDim[Long](cols, hh)
+          var ci = 0
+          while (ci < cols) {
+            val x0 = ci * w / cols; val x1 = (ci + 1) * w / cols
+            var cj = 0
+            while (cj < hh) {
+              val y0 = cj * h / hh; val y1 = (cj + 1) * h / hh
+              var s = 0L; var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val p = img.getRGB(x, y)
+                  s += (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF)
+                    + 114L * (p & 0xFF)) / 1000L
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              avg(ci)(cj) = if (n == 0) 0L else s / n
+              cj += 1
+            }
+            ci += 1
+          }
+          var hi = 0L; var lo = 0L
+          var j = 0
+          while (j < hh) {
+            var i = 0
+            while (i < hw) {
+              if (avg(i)(j) < avg(i + 1)(j)) {
+                val bit = 1L << ((j % (hh / 2)) * hw + i)
+                if (j < hh / 2) hi |= bit else lo |= bit
+              }
+              i += 1
+            }
+            j += 1
+          }
+          Row(a, hi, lo)
+        }
+      }
+    }(enc)
+  }
 
   /** Typed metadata carried next to the opaque payload. */
   val metaSchema: StructType = StructType(Seq(

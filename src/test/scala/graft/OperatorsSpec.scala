@@ -1685,4 +1685,65 @@ class OperatorsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Double)].toDF("k", "value")
     assert(Salting.bucketsFromProfile(Skew.keyProfile(empty, "k")) == 1)
   }
+
+  test("hammingNearDup64 ≡ brute-force all-pairs popcount on random fingerprints") {
+    // 8 byte-bands pigeonhole up to 7 flipped bits, so every pair at
+    // hamming <= maxHamming must surface — seeded random 32-bit halves
+    // plus planted low-distance pairs (clones and 1-3 bit flips)
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 60L).map(i => (i, rnd.nextInt().toLong & 0xFFFFFFFFL,
+      rnd.nextInt().toLong & 0xFFFFFFFFL))
+    val planted = Seq(
+      (100L, base(0)._2, base(0)._3),                     // clone of 0
+      (101L, base(1)._2 ^ 1L, base(1)._3),                // 1 bit off 1
+      (102L, base(2)._2, base(2)._3 ^ 0x80000001L & 0xFFFFFFFFL), // 2 bits off 2
+      (103L, base(3)._2 ^ 6L, base(3)._3 ^ 16L))          // 3 bits off 3
+    val fps = (base ++ planted).toDF("asset_id", "dhash_hi", "dhash_lo")
+    for (maxH <- Seq(0, 3, 7)) {
+      val got = graft.operators.Dedup.hammingNearDup64(fps, maxHamming = maxH)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Int)].collect().toSeq
+      val rows = (base ++ planted)
+      val brute = for {
+        a <- rows; b <- rows if a._1 < b._1
+        h = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+        if h <= maxH
+      } yield (a._1, b._1, h)
+      assert(got == brute.sortBy(p => (p._1, p._2)), s"maxHamming=$maxH")
+    }
+    // null halves (undecodable images) are skipped, not joined
+    val withNull = fps.union(Seq((200L, null.asInstanceOf[java.lang.Long],
+      null.asInstanceOf[java.lang.Long])).toDF("asset_id", "dhash_hi", "dhash_lo"))
+    assert(!graft.operators.Dedup.hammingNearDup64(withNull, maxHamming = 7)
+      .filter(col("id_a") === 200L || col("id_b") === 200L).collect().nonEmpty)
+    // radius beyond the pigeonhole guarantee is rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingNearDup64(fps, maxHamming = 8)
+    }
+  }
+
+  test("image codec loop: render→PNG→decode→dHash recovers planted sibling near-dups") {
+    val ids = (0L until 20L).toDF("asset_id")
+    val assets = graft.operators.Multimodal.renderPng(ids)
+    // decoded channel sums equal the pixel formula (PNG is lossless)
+    val feats = graft.operators.Multimodal.decodeImageFeatures(assets)
+      .orderBy("asset_id")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSeq
+    val expect = (0L until 20L).map { a =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until 32; x <- 0 until 32) {
+        sr += graft.operators.Multimodal.pixelR(a, x, y)
+        sg += graft.operators.Multimodal.pixelG(a, x, y)
+        sb += graft.operators.Multimodal.pixelB(a, x, y)
+      }
+      (a, 32, 32, sr, sg, sb)
+    }
+    assert(feats == expect, "decoded sums must equal the formula sums bit-for-bit")
+    // every planted sibling pair (2q, 2q+1) surfaces as a near-dup
+    val pairs = graft.operators.Dedup.hammingNearDup64(
+      graft.operators.Multimodal.imageDHash(assets), maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSeq
+    val siblings = pairs.filter(p => p._2 == p._1 + 1 && p._1 % 2 == 0)
+    assert(siblings.size == 10, s"all 10 sibling pairs must surface, got $pairs")
+  }
 }
