@@ -230,7 +230,8 @@ object Bench {
       // a REAL JDK codec loop (PNG encode+decode per asset), so its
       // walls carry genuine per-row codec work by design
       "x_dedup_ppjoin_stored", "td_meta_read_jdbc",
-      "x_image_decode", "x_image_dhash", "x_image_neardup"))
+      "x_image_decode", "x_image_dhash", "x_image_neardup",
+      "x_audio_decode"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

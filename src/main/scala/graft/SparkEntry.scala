@@ -3661,6 +3661,38 @@ object SparkEntry {
         |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 4
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    ("x_audio_decode",
+      // REAL audio codec loop: synthesize each asset's deterministic
+      // 16-bit PCM signal, ENCODE through the JDK's WAV writer
+      // (javax.sound.sampled), DECODE it back, and emit exact integer
+      // signal statistics (Σ|s|, max |s|, zero crossings). PCM-in-WAV
+      // is lossless, so the oracle recomputes the stats from the
+      // sample FORMULA with no codec — the audio twin of
+      // x_image_decode's round-trip proof.
+      (s, dir) => Multimodal.decodeAudioFeatures(
+        Multimodal.renderWav(Tables.documents(s, dir).select("doc_id"),
+          nSamples = 2048, idCol = "doc_id"))
+        .orderBy("asset_id"),
+      Some("""WITH sm AS (
+        |  SELECT d.doc_id AS asset_id, t.t,
+        |    ((d.doc_id // 2) * 37 + t.t * 113 + (t.t * t.t % 97) * 5
+        |      + CASE WHEN d.doc_id % 2 = 1 AND t.t < 16 THEN 257 ELSE 0 END) % 65536
+        |      - 32768 AS s
+        |  FROM documents d, generate_series(0, 2047) t(t)),
+        |flags AS (
+        |  SELECT asset_id, t, s,
+        |    CASE WHEN t > 0 AND (s < 0) <>
+        |      (lag(s) OVER (PARTITION BY asset_id ORDER BY t) < 0)
+        |    THEN 1 ELSE 0 END AS zc
+        |  FROM sm)
+        |SELECT asset_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(abs(s)) AS BIGINT) AS max_abs,
+        |  CAST(SUM(zc) AS BIGINT) AS zero_crossings
+        |FROM flags GROUP BY 1
+        |ORDER BY asset_id""".stripMargin)),
+
     ("rel_rollup",
       // Hierarchical totals in one pass: ROLLUP emits (flag, status),
       // (flag, ALL), (ALL, ALL) grouping sets from a single shuffle —

@@ -186,6 +186,96 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic 16-bit PCM test signal: the sample formula shared by
+    * the WAV renderer and the SQL oracle. Integer math into the full
+    * signed-16 range; the quadratic-residue term breaks periodicity so
+    * zero crossings and amplitude stats vary per asset. */
+  def pcmSample(a: Long, t: Int): Int =
+    ((((a / 2) * 37 + t.toLong * 113 + (t.toLong * t % 97) * 5
+      + (if (a % 2 == 1 && t < 16) 257 else 0)) % 65536) - 32768).toInt
+
+  /** REAL audio codec path, encode half: synthesize each asset's
+    * deterministic PCM signal and ENCODE through the JDK's WAV writer
+    * (`javax.sound.sampled` — 16-bit signed little-endian mono).
+    * PCM-in-WAV is lossless, so decoded sample statistics are
+    * engine-independent facts of the formula. */
+  def renderWav(ids: DataFrame, nSamples: Int = 2048, sampleRate: Float = 8000f,
+      idCol: String = "asset_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      rows.map { r =>
+        val a = r.getLong(0)
+        val pcm = new Array[Byte](nSamples * 2)
+        var t = 0
+        while (t < nSamples) {
+          val s = pcmSample(a, t)
+          pcm(2 * t) = (s & 0xFF).toByte
+          pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+          t += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Row(a, out.toByteArray, Row("audio/wav", nSamples, 1, 1))
+      }
+    }(enc)
+  }
+
+  /** REAL audio codec path, decode half: `AudioSystem` parses the WAV
+    * container and the features are exact integer signal statistics —
+    * sample count, Σ|s|, max |s|, and zero crossings (sign flips
+    * between consecutive samples, sign(s) = s < 0). On [[renderWav]]
+    * output these equal the formula statistics a SQL oracle computes
+    * with no codec. Undecodable payloads yield a null row. */
+  def decodeAudioFeatures(assets: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_abs", LongType),
+      StructField("max_abs", LongType),
+      StructField("zero_crossings", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select("asset_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getLong(0)
+        val parsed =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+            val bytes = ais.readAllBytes()
+            val f = ais.getFormat
+            if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian) null
+            else bytes
+          } catch { case _: Exception => null }
+        if (parsed == null) Row(a, null, null, null, null)
+        else {
+          val n = parsed.length / 2
+          var sumAbs = 0L; var maxAbs = 0L; var zc = 0L
+          var prevNeg = false
+          var t = 0
+          while (t < n) {
+            val s = ((parsed(2 * t) & 0xFF) | (parsed(2 * t + 1) << 8)).toShort.toInt
+            val abs = math.abs(s.toLong)
+            sumAbs += abs
+            if (abs > maxAbs) maxAbs = abs
+            val neg = s < 0
+            if (t > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            t += 1
+          }
+          Row(a, n.toLong, sumAbs, maxAbs, zc)
+        }
+      }
+    }(enc)
+  }
+
   /** Typed metadata carried next to the opaque payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),

@@ -1746,4 +1746,18 @@ class OperatorsSpec extends SparkSpec {
     val siblings = pairs.filter(p => p._2 == p._1 + 1 && p._1 % 2 == 0)
     assert(siblings.size == 10, s"all 10 sibling pairs must surface, got $pairs")
   }
+
+  test("audio codec loop: PCM→WAV→decode stats equal the formula (lossless)") {
+    val ids = (0L until 12L).toDF("asset_id")
+    val got = graft.operators.Multimodal.decodeAudioFeatures(
+      graft.operators.Multimodal.renderWav(ids, nSamples = 256))
+      .orderBy("asset_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val expect = (0L until 12L).map { a =>
+      val s = (0 until 256).map(graft.operators.Multimodal.pcmSample(a, _))
+      val zc = (1 until 256).count(t => (s(t) < 0) != (s(t - 1) < 0)).toLong
+      (a, 256L, s.map(v => math.abs(v.toLong)).sum, s.map(v => math.abs(v.toLong)).max, zc)
+    }
+    assert(got == expect, "decoded WAV stats must equal the formula bit-for-bit")
+  }
 }
