@@ -3671,14 +3671,14 @@ object SparkEntry {
       // x_image_decode's round-trip proof.
       (s, dir) => Multimodal.decodeAudioFeatures(
         Multimodal.renderWav(Tables.documents(s, dir).select("doc_id"),
-          nSamples = 2048, idCol = "doc_id"))
+          nSamples = 512, idCol = "doc_id"))
         .orderBy("asset_id"),
       Some("""WITH sm AS (
         |  SELECT d.doc_id AS asset_id, t.t,
         |    ((d.doc_id // 2) * 37 + t.t * 113 + (t.t * t.t % 97) * 5
         |      + CASE WHEN d.doc_id % 2 = 1 AND t.t < 16 THEN 257 ELSE 0 END) % 65536
         |      - 32768 AS s
-        |  FROM documents d, generate_series(0, 2047) t(t)),
+        |  FROM documents d, generate_series(0, 511) t(t)),
         |flags AS (
         |  SELECT asset_id, t, s,
         |    CASE WHEN t > 0 AND (s < 0) <>

@@ -208,6 +208,20 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
       val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      // codec setup ONCE per partition (the mapPartitions contract):
+      // AudioSystem.write scans the provider registry per call, which
+      // at one call per row dominated the stage — resolve the WAVE
+      // writer through the public SPI here and reuse it for the batch
+      val writer = {
+        val it = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+        var w: javax.sound.sampled.spi.AudioFileWriter = null
+        while (w == null && it.hasNext) {
+          val c = it.next()
+          if (c.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE)) w = c
+        }
+        w
+      }
       rows.map { r =>
         val a = r.getLong(0)
         val pcm = new Array[Byte](nSamples * 2)
@@ -221,8 +235,11 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
         val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        if (writer != null)
+          writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        else
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
         Row(a, out.toByteArray, Row("audio/wav", nSamples, 1, 1))
       }
     }(enc)
@@ -243,12 +260,30 @@ object Multimodal {
       StructField("zero_crossings", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     assets.select("asset_id", "media").mapPartitions { rows =>
+      // codec setup ONCE per partition, like the writer side:
+      // AudioSystem.getAudioInputStream re-scans the reader registry
+      // per call — resolve the readers through the public SPI here
+      val readers = {
+        val it = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+        val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+        val rs = readers.iterator
+        while (rs.hasNext) {
+          try return rs.next().getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => () }
+        }
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+      }
       rows.map { r =>
         val a = r.getLong(0)
         val parsed =
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+            val ais = open(r.getAs[Array[Byte]]("media"))
             val bytes = ais.readAllBytes()
             val f = ais.getFormat
             if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian) null
