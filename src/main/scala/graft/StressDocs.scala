@@ -233,6 +233,36 @@ object StressDocs {
       val touched = stats.filter(col("hi") >= qlo && col("lo") <= qhi).count()
       println(s"[stress-docs]   10% n_chars band touches $touched of $total files")
     }
+    // REAL codec loop at stress scale: the image family's 100 TB story
+    // is per-asset codec work that parallelizes embarrassingly — the
+    // encode+decode+dHash chain is projection-shaped (mapPartitions,
+    // zero shuffle), so wall scales with assets/cores. Planted sibling
+    // structure (2q/2q+1) exactly as in the bench queries.
+    val imgAssets = math.min(docs / 2, 100000L)
+    timed(s"image codec loop ($imgAssets PNGs: render→encode→decode→dHash)") {
+      val dh = graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.renderPng(
+          spark.range(imgAssets).select(col("id").as("asset_id"))))
+        .localCheckpoint()
+      val n = dh.count()
+      assert(n == imgAssets, s"every asset must decode, got $n")
+      val nd = timed(s"  dHash hamming near-dup over ${imgAssets / 5} assets (8 byte-bands)") {
+        graft.operators.Dedup.hammingNearDup64(
+          dh.filter(col("asset_id") < imgAssets / 5), maxHamming = 4)
+          .localCheckpoint()
+      }
+      val sib = nd.filter(col("id_b") === col("id_a") + 1 && pmod(col("id_a"), lit(2)) === 0)
+        .count()
+      println(s"[stress-docs]   sibling near-dups found: $sib of ${imgAssets / 10} planted")
+      assert(sib == imgAssets / 10, "every planted sibling pair must surface")
+    }
+    timed(s"audio codec loop ($imgAssets WAVs: synth→encode→decode→stats)") {
+      val feats = graft.operators.Multimodal.decodeAudioFeatures(
+        graft.operators.Multimodal.renderWav(
+          spark.range(imgAssets).select(col("id").as("asset_id")), nSamples = 512))
+      val bad = feats.filter(col("n_samples").isNull || col("n_samples") =!= 512L).count()
+      assert(bad == 0, s"every WAV must decode to 512 samples, $bad failed")
+    }
     spark.stop()
   }
 }
