@@ -231,7 +231,7 @@ object Bench {
       // walls carry genuine per-row codec work by design
       "x_dedup_ppjoin_stored", "td_meta_read_jdbc",
       "x_image_decode", "x_image_dhash", "x_image_neardup",
-      "x_audio_decode"))
+      "x_audio_decode", "x_image_incremental"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

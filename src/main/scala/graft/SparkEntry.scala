@@ -3661,6 +3661,34 @@ object SparkEntry {
         |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 4
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    ("x_image_incremental",
+      // Incremental image-dedup ingest screen: which incoming images
+      // (asset_id % 5 = 0, the batch) are within Hamming 4 of the
+      // already-ingested 80% — dHash both sides through the REAL codec
+      // loop, then the cross-set 8-byte-band screen (seen-side bucket
+      // cap, O(batch + collisions)). The oracle computes the FULL
+      // batch × corpus Hamming answer from the pixel formula, so a
+      // hash match proves the codec loop AND the cross-set banding
+      // lose nothing at this radius.
+      (s, dir) => {
+        val dh = Multimodal.imageDHash(
+          Multimodal.renderPng(Tables.documents(s, dir).select("doc_id"), 32, 32,
+            idCol = "doc_id"))
+        Dedup.hammingScreen64(
+          dh.filter(pmod(col("asset_id"), lit(5)) === 0),
+          dh.filter(pmod(col("asset_id"), lit(5)) =!= 0), maxHamming = 4)
+          .orderBy("new_id", "seen_id")
+      },
+      Some(s"""WITH $imageDHashCtes
+        |SELECT n.asset_id AS new_id, s.asset_id AS seen_id,
+        |  CAST(bit_count(xor(n.dhash_hi, s.dhash_hi))
+        |     + bit_count(xor(n.dhash_lo, s.dhash_lo)) AS INT) AS hamming
+        |FROM dh n JOIN dh s
+        |  ON n.asset_id % 5 = 0 AND s.asset_id % 5 <> 0
+        |WHERE bit_count(xor(n.dhash_hi, s.dhash_hi))
+        |    + bit_count(xor(n.dhash_lo, s.dhash_lo)) <= 4
+        |ORDER BY new_id, seen_id""".stripMargin)),
+
     ("x_audio_decode",
       // REAL audio codec loop: synthesize each asset's deterministic
       // 16-bit PCM signal, ENCODE through the JDK's WAV writer

@@ -1112,6 +1112,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental twin of [[hammingNearDup64]]: which incoming
+    * fingerprints are within `maxHamming` bits of an already-ingested
+    * corpus fingerprint — the image-dedup ingest screen (batch vs
+    * stored dHash index), O(batch + collisions) like the LSH/PpJoin
+    * incremental legs: the corpus is touched only through its banded
+    * index rows, the batch side is the small side by contract, and the
+    * `maxBucket` cap applies to the SEEN side's buckets (the posting-
+    * list convention — a degenerate hot byte never explodes the join).
+    * Same 8-byte-band pigeonhole recall guarantee for radius ≤ 7. */
+  def hammingScreen64(incoming: DataFrame, seen: DataFrame, maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket,
+      idCol: String = "asset_id", hiCol: String = "dhash_hi",
+      loCol: String = "dhash_lo", materialize: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "maxHamming must be in [0, 7] — 8 byte-bands pigeonhole up to 7 flipped bits")
+    require(maxBucket > 1, "maxBucket must be > 1")
+    def bandify(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(hiCol).cast("long").as(s"__hi_$id"),
+          col(loCol).cast("long").as(s"__lo_$id"))
+        .filter(col(s"__hi_$id").isNotNull && col(s"__lo_$id").isNotNull)
+        .select(col(id), col(s"__hi_$id"), col(s"__lo_$id"),
+          explode(expr(
+            s"transform(sequence(0, 7), b -> struct(b AS band, " +
+              s"CASE WHEN b < 4 THEN shiftright(__hi_$id, b * 8) % 256 " +
+              s"ELSE shiftright(__lo_$id, (b - 4) * 8) % 256 END AS key))")).as("bk"))
+        .select(col(id), col(s"__hi_$id"), col(s"__lo_$id"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    // the seen side feeds TWO consumers (the bucket-cap aggregate and
+    // the screen join), and column pruning diverges the branches so
+    // the (possibly codec-backed) upstream chain would evaluate twice
+    // — the x_pipeline_curate ReuseExchange lesson. Materialize the
+    // banded index once by default; real ingest loops pass a stored
+    // per-epoch index (already parquet-backed) with materialize=false.
+    val seenBanded0 = bandify(seen, "seen_id")
+    val seenBanded = if (materialize) seenBanded0.localCheckpoint() else seenBanded0
+    // seen-side bucket cap BEFORE the join (the incremental-LSH
+    // seencap shape): hot buckets are dropped, deterministically
+    val cap = seenBanded.groupBy("band", "key")
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
+      .select("band", "key")
+    bandify(incoming, "new_id")
+      .join(seenBanded.join(cap, Seq("band", "key"), "left_semi"), Seq("band", "key"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .select(col("new_id"), col("seen_id"),
+        (expr("cast(bit_count(__hi_new_id ^ __hi_seen_id) as int)")
+          + expr("cast(bit_count(__lo_new_id ^ __lo_seen_id) as int)")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Benchmark DECONTAMINATION scores — the fraction of each training
     * doc's distinct n-gram shingles that also appear in a benchmark/eval
     * corpus. Standard pre-training hygiene: docs overlapping an eval set

@@ -1747,6 +1747,34 @@ class OperatorsSpec extends SparkSpec {
     assert(siblings.size == 10, s"all 10 sibling pairs must surface, got $pairs")
   }
 
+  test("hammingScreen64 ≡ brute-force batch × corpus popcount (seen-side cap honored)") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 50L).map(i => (i, rnd.nextInt().toLong & 0xFFFFFFFFL,
+      rnd.nextInt().toLong & 0xFFFFFFFFL))
+    val batch = Seq(
+      (100L, corpus(4)._2, corpus(4)._3),          // clone of corpus 4
+      (101L, corpus(9)._2 ^ 3L, corpus(9)._3),     // 2 bits off corpus 9
+      (102L, rnd.nextInt().toLong & 0xFFFFFFFFL, rnd.nextInt().toLong & 0xFFFFFFFFL))
+    val got = graft.operators.Dedup.hammingScreen64(
+      batch.toDF("asset_id", "dhash_hi", "dhash_lo"),
+      corpus.toDF("asset_id", "dhash_hi", "dhash_lo"), maxHamming = 5)
+      .orderBy("new_id", "seen_id").as[(Long, Long, Int)].collect().toSeq
+    val brute = for {
+      b <- batch; c <- corpus
+      h = java.lang.Long.bitCount(b._2 ^ c._2) + java.lang.Long.bitCount(b._3 ^ c._3)
+      if h <= 5
+    } yield (b._1, c._1, h)
+    assert(got == brute.sortBy(x => (x._1, x._2)))
+    // the SEEN-side bucket cap drops hot buckets deterministically: a
+    // corpus where every fingerprint is identical exceeds maxBucket=2
+    // in every band, so nothing screens — capped, not exploded
+    val hot = (0L until 10L).map(i => (i, 7L, 7L))
+    assert(graft.operators.Dedup.hammingScreen64(
+      Seq((99L, 7L, 7L)).toDF("asset_id", "dhash_hi", "dhash_lo"),
+      hot.toDF("asset_id", "dhash_hi", "dhash_lo"),
+      maxHamming = 0, maxBucket = 2).count() == 0)
+  }
+
   test("audio codec loop: PCM→WAV→decode stats equal the formula (lossless)") {
     val ids = (0L until 12L).toDF("asset_id")
     val got = graft.operators.Multimodal.decodeAudioFeatures(

@@ -924,6 +924,46 @@ class StreamingSpec extends SparkSpec {
       s"recovered open session must seal with both pre-restart events, got $got")
   }
 
+  test("streaming image-dedup screening against a prebuilt dHash epoch index") {
+    // the image twin of the LSH ingest screen: the corpus dHash index
+    // is a BATCH table built once per epoch; each micro-batch of
+    // incoming assets renders/decodes/hashes and screens against it in
+    // foreachBatch — per-batch answers equal the batch operator's
+    implicit val sqlCtx = spark.sqlContext
+    val corpusIdx = graft.operators.Multimodal.imageDHash(
+      graft.operators.Multimodal.renderPng(
+        (0L until 20L).filter(_ % 5 != 0).toDF("asset_id"))).localCheckpoint()
+    val mem = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = mem.toDF().toDF("asset_id").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.operators.Dedup.hammingScreen64(
+          graft.operators.Multimodal.imageDHash(
+            graft.operators.Multimodal.renderPng(batch)), corpusIdx, maxHamming = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        ()
+    }.start()
+    mem.addData(0L, 5L, 10L)
+    q.processAllAvailable()
+    mem.addData(15L)
+    q.processAllAvailable()
+    q.stop()
+    // every batch asset 5q with sibling 5q+1... sibling of asset a is
+    // a±1 within the same q-pair: 0↔1, 10↔11 — both siblings are in
+    // the corpus (1, 11); 5's sibling is 4, 15's is 14, also corpus
+    val sib = got.filter { case (n, s, _) => s == n + 1 || s == n - 1 }
+      .map(t => (t._1, t._2)).toSet
+    assert(Set((0L, 1L), (10L, 11L), (5L, 4L), (15L, 14L)).subsetOf(sib),
+      s"planted siblings must screen out, got $got")
+    // per-batch equality with the batch operator over the same assets
+    val batchAll = graft.operators.Dedup.hammingScreen64(
+      graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.renderPng(Seq(0L, 5L, 10L, 15L).toDF("asset_id"))),
+      corpusIdx, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.toSet == batchAll)
+  }
+
   test("streaming IVF serving resumes from its checkpoint without re-serving batches") {
     import org.apache.spark.sql.types._
     val inDir = java.nio.file.Files.createTempDirectory("ivf_restart_in").toString
