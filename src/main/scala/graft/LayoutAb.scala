@@ -36,6 +36,15 @@ object LayoutAb {
     spark.sparkContext.setLogLevel("WARN")
 
     val pid = ProcessHandle.current().pid()
+    // divisor-pinned tables get a VOLUME-scaled chunk count on every
+    // side of a cap A/B (Bench.chunkDivisors wins over the cap), so a
+    // cap sweep that only moves these tables is a no-op by design —
+    // say so up front instead of letting it read as a null result
+    if (Bench.chunkDivisors.nonEmpty)
+      println(s"[layout-ab] divisor-pinned (cap-INVARIANT) tables: " +
+        Bench.chunkDivisors.toSeq.sortBy(_._1)
+          .map { case (t, d) => s"$t(rows/$d)" }.mkString(", ") +
+        " — caps A/B only the remaining tables")
     val dirs = caps.map { cap =>
       val dst = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_layoutab_${cap}_$pid")

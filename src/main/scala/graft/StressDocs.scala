@@ -246,9 +246,18 @@ object StressDocs {
         .localCheckpoint()
       val n = dh.count()
       assert(n == imgAssets, s"every asset must decode, got $n")
-      val nd = timed(s"  dHash hamming near-dup over ${imgAssets / 5} assets (8 byte-bands)") {
+      // explicit maxBucket ≥ slice: the pixel formula is periodic in
+      // (id/2) mod 256, so this slice holds ~39 exact copies of each of
+      // ~512 distinct dHashes and skewed band bytes DO exceed the
+      // default 1000 cap (simulated at 20k assets: 15 buckets up to
+      // 2340 rows). Uncapped, the sibling assert tests RECALL — the
+      // pigeonhole guarantee — not bucket-cap luck; total pair work
+      // stays ~40M popcounts at this scale.
+      val ndSlice = imgAssets / 5
+      val nd = timed(s"  dHash hamming near-dup over $ndSlice assets (8 byte-bands)") {
         graft.operators.Dedup.hammingNearDup64(
-          dh.filter(col("asset_id") < imgAssets / 5), maxHamming = 4)
+          dh.filter(col("asset_id") < ndSlice), maxHamming = 4,
+          maxBucket = (ndSlice + 1).toInt)
           .localCheckpoint()
       }
       val sib = nd.filter(col("id_b") === col("id_a") + 1 && pmod(col("id_a"), lit(2)) === 0)

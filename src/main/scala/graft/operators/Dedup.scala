@@ -760,12 +760,15 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       seenDigestCol: String = "digest"): DataFrame = {
     require(expectedDigests > 0, "expectedDigests must be positive")
-    val bloom = seen.stat.bloomFilter(col(seenDigestCol), expectedDigests, fpp)
-    val bloomBc = incoming.sparkSession.sparkContext.broadcast(bloom)
-    val maybeSeen = udf((digest: String) => bloomBc.value.mightContainString(digest))
+    // build + probe through the paired codegen helper — the probe is
+    // Spark's own BloomFilterMightContain expression, so the split
+    // stays inside whole-stage codegen (no per-row Scala udf)
+    val bloom = graft.functions.BloomProbe.build(
+      seen, col(seenDigestCol), expectedDigests, fpp)
     val digested = incoming.withColumn("digest", md5(col(textCol).cast("binary")))
-    val definitelyNew = digested.filter(!maybeSeen(col("digest")))
-    val verified = digested.filter(maybeSeen(col("digest")))
+    val maybeSeen = graft.functions.BloomProbe.mightContain(bloom, col("digest"))
+    val definitelyNew = digested.filter(!maybeSeen)
+    val verified = digested.filter(maybeSeen)
       .join(seen.select(col(seenDigestCol).as("digest")), Seq("digest"), "left_anti")
     definitelyNew.unionByName(verified)
   }

@@ -125,7 +125,13 @@ object Multimodal {
     * codec loop AND the hash math. Near-dup images differ in a few
     * bits; see [[graft.operators.Dedup.hammingNearDup64]]. */
   def imageDHash(assets: DataFrame, hw: Int = 8, hh: Int = 8): DataFrame = {
-    require(hw >= 1 && hh >= 1 && hw * hh == 64, "dHash grid must yield 64 bits")
+    // hh must be EVEN: the packing below splits rows at hh/2 into the
+    // hi/lo 32-bit halves (bit index (j % (hh/2))*hw + i), so an odd
+    // hh — e.g. the otherwise-64-bit grid hw=64,hh=1 — would divide by
+    // zero / pack unevenly. Even hh with hw*hh == 64 gives exactly
+    // 32 bits per half.
+    require(hw >= 1 && hh >= 2 && hh % 2 == 0 && hw * hh == 64,
+      "dHash grid must pack 64 bits into two 32-bit halves: hw*hh == 64 with even hh")
     val schema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("dhash_hi", LongType),

@@ -357,9 +357,16 @@ object TextAnalysis {
     // decimal-round BEFORE the double cast: the sum is an EXACT
     // decimal of 8dp terms, so 6dp half-way cases are common and the
     // double's binary round would diverge from the oracle's decimal
-    // HALF_UP (the pqAdcOracleCtes rounding class). Rows with the same
-    // id merge by SUMMING their per-row contributions (the r13
-    // formulation's behavior for the opted-out duplicate-id case).
+    // HALF_UP (the pqAdcOracleCtes rounding class). Duplicate-id
+    // semantics (the opted-out requireUniqueIds=false path): rows with
+    // the same id sum their PER-ROW saturated contributions, and each
+    // matching row counts toward df. That DIFFERS from the r13 explode
+    // formulation, which merged duplicate (id, dl, term) rows into one
+    // tf before the nonlinear saturation (contrib(2·tf) != 2·contrib(tf))
+    // and counted the merged group once in df — which is exactly why
+    // requireUniqueIds=true is the default and the guard raises on
+    // duplicates. The per-row-sum semantics for opted-out callers is
+    // pinned by PropertiesSpec's duplicate-id case.
     withTf
       .filter(qTerms.indices.map(i => tfCol(i) > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))

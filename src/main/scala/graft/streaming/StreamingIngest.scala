@@ -152,11 +152,12 @@ object StreamingIngest {
             case Some(idx) => bloomExpectedDigests match {
               case None => winners.join(idx, Seq("digest"), "left_anti")
               case Some(n) =>
-                val bf = idx.stat.bloomFilter(col("digest"), n, 0.01)
-                val bc = spark.sparkContext.broadcast(bf)
-                val maybeSeen = udf((d: String) => bc.value.mightContainString(d))
-                winners.filter(!maybeSeen(col("digest")))
-                  .unionByName(winners.filter(maybeSeen(col("digest")))
+                // paired codegen build/probe (BloomFilterMightContain),
+                // same route-then-verify exactness as the batch leg
+                val bf = graft.functions.BloomProbe.build(idx, col("digest"), n, 0.01)
+                val maybeSeen = graft.functions.BloomProbe.mightContain(bf, col("digest"))
+                winners.filter(!maybeSeen)
+                  .unionByName(winners.filter(maybeSeen)
                     .join(idx, Seq("digest"), "left_anti"))
             }
           }

@@ -334,4 +334,26 @@ class PlanSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(plan).size >= 1, plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("Bloom route prefilter is the codegen might_contain, not a udf") {
+    import spark.implicits._
+    val seen = graft.operators.Dedup.exact(
+      Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text"))
+      .select("digest")
+    // parquet-backed batch side: a local relation would let Catalyst
+    // constant-fold the digest+probe projection into the LocalTableScan
+    // and the pin would read an empty plan
+    val incoming = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val plan = planOf(graft.operators.Dedup.incrementalNewBloom(
+      incoming, seen, expectedDigests = 100))
+    // the probe is Spark's own BloomFilterMightContain expression
+    // (pretty-printed might_contain) — a codegen Predicate, so the
+    // route filter rides the scan as a DataFilter; a Scala udf would
+    // surface as an opaque UDF(...) filter instead (and the AQE plan
+    // here prints pre-final, so WholeStageCodegen spans aren't shown)
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.contains("DataFilters: [NOT might_contain"), plan)
+  }
 }

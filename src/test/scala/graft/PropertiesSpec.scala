@@ -518,4 +518,68 @@ class PropertiesSpec extends SparkSpec {
       assert(got == ref, s"seed=$seed\ngot=$got\nref=$ref")
     }
   }
+
+  // ---- duplicate-id semantics (requireUniqueIds = false): rows with
+  // the same id sum their PER-ROW saturated contributions and each
+  // matching row counts toward df — pinned here against a pure-Scala
+  // replay of the fold math, plus an explicit divergence check against
+  // the merged-tf formulation (r13 merged duplicate (id, dl, term)
+  // rows into one tf BEFORE the nonlinear saturation, so the two
+  // disagree by construction; uniqueness is the default contract and
+  // this is the documented opted-out behavior).
+
+  test("bm25TopK duplicate ids: per-row contributions sum (diverges from merged-tf)") {
+    val k1 = 1.2; val b = 0.75
+    val terms = Seq("beta", "gamma")
+    // every row has dl = 2 so avgdl is exactly 2.0 in ANY double
+    // summation order — the replay below must match IEEE-for-IEEE
+    val rows = Seq(
+      (1L, "beta beta"), (1L, "beta gamma"), (2L, "beta pad"),
+      (3L, "pad pad"), (4L, "gamma gamma"))
+    val docs = rows.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bm25TopK(docs, terms, k = 50, requireUniqueIds = false)
+      .orderBy("doc_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    val HalfUp = BigDecimal.RoundingMode.HALF_UP
+    def round8(x: Double) = BigDecimal(x).setScale(8, HalfUp).toDouble
+    def dec10(x: Double) = BigDecimal(x).setScale(10, HalfUp)
+    val toksOf = rows.map { case (id, t) => (id, t.split(" ").filter(_.nonEmpty).toSeq) }
+    val n = toksOf.count(_._2.nonEmpty).toLong
+    val avgdl = 2.0
+    def tf(ts: Seq[String], term: String) = ts.count(_ == term).toLong
+    def contrib(idfV: Double, tfv: Long, dl: Long): Double =
+      round8(((idfV * tfv) * (k1 + 1.0)) /
+        (tfv + (k1 * ((1.0 - b) + ((b * dl) / avgdl)))))
+
+    // fold semantics: df counts ROWS with tf > 0
+    val df = terms.map(t => t -> toksOf.count { case (_, ts) => tf(ts, t) > 0 }.toLong).toMap
+    def idf(t: String) = round8(math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0))
+    val expected = toksOf.filter { case (_, ts) => terms.exists(t => tf(ts, t) > 0) }
+      .groupBy(_._1).toSeq.map { case (id, rs) =>
+        val matched = rs.map { case (_, ts) => terms.count(t => tf(ts, t) > 0).toLong }.sum
+        val sumDec = rs.flatMap { case (_, ts) =>
+          terms.map(t => dec10(contrib(idf(t), tf(ts, t), ts.size.toLong))) }.sum
+        (id, matched, sumDec.setScale(6, HalfUp).toDouble)
+      }.sortBy(_._1)
+    assert(got == expected, s"fold duplicate-id semantics\ngot=$got\nexpected=$expected")
+
+    // merged-tf formulation on the same corpus: id 1's (dl=2) rows
+    // merge to tf(beta)=3, tf(gamma)=1 and df counts merged groups
+    val groups = toksOf.filter(_._2.nonEmpty)
+      .groupBy { case (id, ts) => (id, ts.size.toLong) }
+      .map { case ((id, dl), rs) =>
+        (id, dl, terms.map(t => t -> rs.map { case (_, ts) => tf(ts, t) }.sum).toMap) }
+      .toSeq
+    val dfM = terms.map(t => t -> groups.count(_._3(t) > 0).toLong).toMap
+    def idfM(t: String) = round8(math.log((n - dfM(t) + 0.5) / (dfM(t) + 0.5) + 1.0))
+    val merged1 = groups.find(_._1 == 1L).get
+    val merged1Score = terms.map(t =>
+        dec10(contrib(idfM(t), merged1._3(t), merged1._2)))
+      .sum.setScale(6, HalfUp).toDouble
+    val fold1Score = expected.find(_._1 == 1L).get._3
+    assert(fold1Score != merged1Score,
+      s"corpus chosen to diverge: fold=$fold1Score merged=$merged1Score")
+  }
 }
