@@ -964,6 +964,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == batchAll)
   }
 
+  test("streaming image screen restarts from its checkpoint: the epoch-index face carries no cross-batch state") {
+    // restart proof for the image-dedup screen, completing the set the
+    // other five streaming families have. The proof differs in KIND:
+    // the face holds NO cross-batch streaming state to recover — the
+    // corpus dHash index is a per-epoch BATCH table (parquet), and
+    // hammingScreen64 is a pure function of (batch, index) — so the
+    // only recovered state is the source offset log, and replay
+    // idempotence comes from the batch-id-partitioned dynamic
+    // overwrite (the dedupIngest sink convention). Restarting mid-
+    // stream must neither lose nor duplicate screen rows.
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_imgscreen_restart").toString
+    val inDir = s"$dir/in"; new java.io.File(inDir).mkdirs()
+    // epoch index: stored once, read per batch (materialize=false —
+    // parquet IS the materialization)
+    graft.operators.Multimodal.imageDHash(
+      graft.operators.Multimodal.renderPng(
+        (0L until 20L).filter(_ % 5 != 0).toDF("asset_id")))
+      .write.parquet(s"$dir/index")
+    val sch = StructType(Seq(StructField("asset_id", LongType)))
+    def start() = spark.readStream.schema(sch).parquet(inDir)
+      .writeStream.option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.hammingScreen64(
+              graft.operators.Multimodal.imageDHash(
+                graft.operators.Multimodal.renderPng(batch)),
+              batch.sparkSession.read.parquet(s"$dir/index"),
+              maxHamming = 4, materialize = false)
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$dir/out")
+        }
+        ()
+      }.start()
+    Seq(0L, 5L).toDF("asset_id").write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    Seq(10L, 15L).toDF("asset_id").write.mode("append").parquet(inDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("new_id", "seen_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    // across the restart: all four batch assets screened exactly once
+    val batchAll = graft.operators.Dedup.hammingScreen64(
+      graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.renderPng(Seq(0L, 5L, 10L, 15L).toDF("asset_id"))),
+      spark.read.parquet(s"$dir/index"), maxHamming = 4, materialize = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got.sorted == batchAll.sorted,
+      s"restart must neither lose nor duplicate screen rows\ngot=${got.sorted}\nexp=${batchAll.sorted}")
+  }
+
   test("streaming IVF serving resumes from its checkpoint without re-serving batches") {
     import org.apache.spark.sql.types._
     val inDir = java.nio.file.Files.createTempDirectory("ivf_restart_in").toString
