@@ -2284,26 +2284,37 @@ object SparkEntry {
       // no DataFrame API anywhere in the data path.
       (s, dir) => {
         GraftExtensions.register(s)
+        // r16 rework: candidate generation is the Column path's shape —
+        // ONE (band, band_key) aggregate into sorted posting lists, pairs
+        // exploded IN-ARRAY (ids sorted, i < j ⇒ id_a < id_b) — instead
+        // of the r15 banded⋈ok⋈banded self-join. CTEs inline in Spark, so
+        // the self-join re-derived the shingle+signature kernels per
+        // branch: 5 documents scans (banded ×2, ok, sets ×2) drop to 3
+        // (buckets, sets ×2 — the two verify joins are the same join-back
+        // the Column path does against its checkpointed per-doc frame).
+        // The WHERE also stops re-calling minhash_from_grams: the kernel
+        // is null iff the gram array is empty, which `size(s) > 0` tests
+        // without a second signature pass.
         s.sql(s"""
           |WITH perdoc AS (
           |  SELECT doc_id, s, minhash_from_grams(s, 16) AS sigs
           |  FROM (SELECT doc_id, shingle_hashes(text, 2, true) AS s
           |        FROM parquet.`$dir/documents.parquet`)
-          |  WHERE minhash_from_grams(s, 16) IS NOT NULL),
-          |banded AS (
-          |  SELECT doc_id,
-          |         array_join(transform(slice(sigs, band * 2 + 1, 2),
-          |                    x -> CAST(x AS STRING)), ',') AS band_key, band
-          |  FROM perdoc LATERAL VIEW explode(sequence(0, 7)) t AS band),
-          |ok AS (
-          |  SELECT band, band_key FROM banded
-          |  GROUP BY band, band_key HAVING COUNT(*) BETWEEN 2 AND 1000),
+          |  WHERE s IS NOT NULL AND size(s) > 0),
+          |buckets AS (
+          |  SELECT sort_array(collect_list(doc_id)) AS ids
+          |  FROM (SELECT doc_id,
+          |               array_join(transform(slice(sigs, band * 2 + 1, 2),
+          |                          x -> CAST(x AS STRING)), ',') AS band_key, band
+          |        FROM perdoc LATERAL VIEW explode(sequence(0, 7)) t AS band)
+          |  GROUP BY band, band_key
+          |  HAVING COUNT(*) BETWEEN 2 AND 1000),
           |cand AS (
-          |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-          |  FROM banded l
-          |  JOIN ok ON ok.band = l.band AND ok.band_key = l.band_key
-          |  JOIN banded r
-          |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+          |  SELECT DISTINCT p.id_a, p.id_b
+          |  FROM buckets
+          |  LATERAL VIEW explode(flatten(transform(sequence(0, size(ids) - 2),
+          |    i -> transform(slice(ids, i + 2, size(ids)),
+          |         j -> struct(ids[i] AS id_a, j AS id_b))))) t AS p),
           |sets AS (SELECT doc_id, s, CAST(size(s) AS BIGINT) AS sz FROM perdoc),
           |scored AS (
           |  SELECT id_a, id_b, sorted_intersect_count(a.s, b.s) AS inter,
