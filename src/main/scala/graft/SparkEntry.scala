@@ -5700,6 +5700,10 @@ object SparkEntry {
     * experiment in flight. (r15 adjudicated: literal-splice meta
     * resolve and the hinted pre-joined dim broadcast both LOST to the
     * registry formulations; unhex digest keys and the winner-frame
-    * coalesce WON and were promoted into x_pipeline_curate.) */
+    * coalesce WON and were promoted into x_pipeline_curate. r16
+    * adjudicated: importanceWeights single-collect fold beat the r15
+    * split-stats shape 0.282/0.324 vs 0.343/0.386 min/med interleaved,
+    * and fold+localCheckpoint(counts) beat the bare fold 0.234/0.260
+    * vs 0.281/0.314 — both promoted; the split shape deleted.) */
   def devQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }
