@@ -446,10 +446,13 @@ object SparkEntry {
     |  FROM documents d, generate_series(0, 31) x(x), generate_series(0, 31) y(y)),
     |rgb AS (
     |  SELECT asset_id, x, y,
-    |    ((asset_id // 2) * 7 + x * 13 + y * 31 + x * y
+    |    ((asset_id // 2 % 999983) * 2654435761 % 999983 % 256
+    |      + x * 13 + y * 31 + x * y
     |      + CASE WHEN asset_id % 2 = 1 AND x < 4 AND y < 4 THEN 41 ELSE 0 END) % 256 AS r,
-    |    ((asset_id // 2) * 11 + x * 3 + y * 17 + 2 * x * y) % 256 AS g,
-    |    ((asset_id // 2) * 5 + x * 19 + y * 23 + 3 * x * y) % 256 AS b
+    |    ((asset_id // 2 % 999979) * 2246822519 % 999979 % 256
+    |      + x * 3 + y * 17 + 2 * x * y) % 256 AS g,
+    |    ((asset_id // 2 % 999961) * 3266489917 % 999961 % 256
+    |      + x * 19 + y * 23 + 3 * x * y) % 256 AS b
     |  FROM px)""".stripMargin
 
   /** [[imagePixelCtes]] extended with the dHash replay: integer gray,

@@ -246,13 +246,12 @@ object StressDocs {
         .localCheckpoint()
       val n = dh.count()
       assert(n == imgAssets, s"every asset must decode, got $n")
-      // explicit maxBucket ≥ slice: the pixel formula is periodic in
-      // (id/2) mod 256, so this slice holds ~39 exact copies of each of
-      // ~512 distinct dHashes and skewed band bytes DO exceed the
-      // default 1000 cap (simulated at 20k assets: 15 buckets up to
-      // 2340 rows). Uncapped, the sibling assert tests RECALL — the
-      // pigeonhole guarantee — not bucket-cap luck; total pair work
-      // stays ~40M popcounts at this scale.
+      // explicit maxBucket ≥ slice, kept from the r15 fix: the pixel
+      // formula's hash-mixed offsets (r16) make base images effectively
+      // unique so band buckets are small again, but an uncapped screen
+      // keeps this assert a pure RECALL test — the pigeonhole
+      // guarantee — independent of the render formula's duplicate
+      // density.
       val ndSlice = imgAssets / 5
       val nd = timed(s"  dHash hamming near-dup over $ndSlice assets (8 byte-bands)") {
         graft.operators.Dedup.hammingNearDup64(

@@ -30,14 +30,27 @@ object Multimodal {
     * SAME base image (keyed by q = id div 2) except a small red
     * perturbation in the 4×4 corner of the odd sibling — the planted
     * near-duplicate structure the dHash pipeline must recover. All
-    * integer math, all non-negative. */
+    * integer math, all non-negative.
+    *
+    * The per-channel base offset is a hash-like mix of q (multiply by a
+    * large odd constant modulo a channel-specific prime, then mod 256)
+    * rather than the r15 linear `q * c % 256`: the linear form made
+    * base images PERIODIC in q mod 256, so a corpus of N assets held
+    * N/512 exact copies of every image and the near-dup pair space grew
+    * quadratically with N — a synthetic-duplicate artifact, not
+    * operator workload. With the mixed offsets the three channels
+    * collide together with probability ~256^-3 per pair (birthday:
+    * ~0.2 accidental duplicate base pairs at 5k assets, ~19 at 50k), so
+    * planted sibling pairs — and therefore near-dup output — grow
+    * LINEARLY in corpus size, which is what the 10× scale-up protocol
+    * needs to compare volumes rather than duplicate densities. */
   def pixelR(a: Long, x: Int, y: Int): Int =
-    (((a / 2) * 7 + x * 13 + y * 31 + x * y
+    (((a / 2 % 999983L) * 2654435761L % 999983L % 256 + x * 13 + y * 31 + x * y
       + (if (a % 2 == 1 && x < 4 && y < 4) 41 else 0)) % 256).toInt
   def pixelG(a: Long, x: Int, y: Int): Int =
-    (((a / 2) * 11 + x * 3 + y * 17 + 2 * x * y) % 256).toInt
+    (((a / 2 % 999979L) * 2246822519L % 999979L % 256 + x * 3 + y * 17 + 2 * x * y) % 256).toInt
   def pixelB(a: Long, x: Int, y: Int): Int =
-    (((a / 2) * 5 + x * 19 + y * 23 + 3 * x * y) % 256).toInt
+    (((a / 2 % 999961L) * 3266489917L % 999961L % 256 + x * 19 + y * 23 + 3 * x * y) % 256).toInt
 
   /** REAL codec path, encode half: render each asset id's deterministic
     * test pattern and ENCODE it through the JDK's PNG writer — the
