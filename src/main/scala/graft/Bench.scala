@@ -231,7 +231,12 @@ object Bench {
       // walls carry genuine per-row codec work by design
       "x_dedup_ppjoin_stored", "td_meta_read_jdbc",
       "x_image_decode", "x_image_dhash", "x_image_neardup",
-      "x_audio_decode", "x_image_incremental"))
+      "x_audio_decode", "x_image_incremental",
+      // round-16 additions: the video tier of the codec family — a
+      // REAL animated-GIF multi-frame round trip, plus the stride-2
+      // frame-sampling face (random-access read(i), skipped frames
+      // never decoded)
+      "x_video_decode", "x_video_sample"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,
@@ -878,7 +883,8 @@ object Bench {
     // work by design and cannot mark a plan weakness. Exempt entries
     // are still printed with their ratios — excluded, not hidden.
     val weakExempt = Set("x_image_decode", "x_image_dhash",
-      "x_image_neardup", "x_image_incremental", "x_audio_decode")
+      "x_image_neardup", "x_image_incremental", "x_audio_decode",
+      "x_video_decode", "x_video_sample")
     val weakEntries = (headline ++ extended).distinct.flatMap { n =>
       for { s <- largeTimes.get(n); d <- pairedTimes.get(n)
             if s >= 0.4 && d > 0 && s / d > 2.0 }

@@ -485,6 +485,19 @@ object SparkEntry {
     |      THEN bit * (CAST(1 AS BIGINT) << ((j % 4) * 8 + i)) ELSE 0 END) AS BIGINT) AS dhash_lo
     |  FROM bits GROUP BY 1)""".stripMargin
 
+  /** DuckDB replay of the deterministic 8-frame 16×16 grayscale video
+    * pattern ([[graft.operators.Multimodal.framePixel]]) — the
+    * codec-free ground truth for the REAL animated-GIF encode→decode
+    * loop: GIF is lossless over 8-bit grayscale, so per-frame stats
+    * recomputed from this formula match the decoded frames bit-exactly. */
+  private lazy val videoPixelCte: String =
+    s"""vpx AS (
+    |  SELECT d.doc_id AS asset_id, f.f, x.x, y.y,
+    |    (((d.doc_id % 999959) * 1099087573 + f.f * 7919) % 999959 % 256
+    |      + x.x * 13 + y.y * 31 + x.x * y.y) % 256 AS g
+    |  FROM documents d, generate_series(0, 7) f(f),
+    |       generate_series(0, 15) x(x), generate_series(0, 15) y(y))""".stripMargin
+
   /** DuckDB replay of the INTRA-corpus EXACT-Jaccard self-join — the
     * FULL all-pairs answer with no prefix logic, shared by
     * `x_dedup_ppjoin` (one-shot build+join) and
@@ -3734,6 +3747,46 @@ object SparkEntry {
         |  CAST(SUM(zc) AS BIGINT) AS zero_crossings
         |FROM flags GROUP BY 1
         |ORDER BY asset_id""".stripMargin)),
+
+    ("x_video_decode",
+      // REAL video-container codec loop (r16): render each asset's
+      // deterministic 8-frame 16×16 grayscale animation, ENCODE it as
+      // ONE animated GIF through the JDK's sequence writer, DECODE all
+      // frames back, and emit exact per-frame integer statistics.
+      // GIF's LZW+palette coding is lossless for 8-bit grayscale, so
+      // the oracle recomputes the stats from the frame-pixel FORMULA
+      // with no codec anywhere — a hash match proves the multi-frame
+      // container round trip end-to-end (the video twin of
+      // x_image_decode / x_audio_decode).
+      (s, dir) => Multimodal.decodeVideoFeatures(
+        Multimodal.renderGif(Tables.documents(s, dir).select("doc_id"),
+          16, 16, nFrames = 8, idCol = "doc_id"))
+        .orderBy("asset_id", "frame_no"),
+      Some(s"""WITH $videoPixelCte
+        |SELECT asset_id, CAST(f AS INT) AS frame_no,
+        |  16 AS width, 16 AS height,
+        |  CAST(SUM(g) AS BIGINT) AS sum_gray, CAST(MAX(g) AS INT) AS max_gray
+        |FROM vpx GROUP BY asset_id, f
+        |ORDER BY asset_id, frame_no""".stripMargin)),
+
+    ("x_video_sample",
+      // Frame SAMPLING on the real container: decode only every 2nd
+      // frame via the GIF reader's random-access read(i) — skipped
+      // frames are never decoded, the work-skipping contract frame
+      // sampling exists for at 100 TB. The oracle filters the same
+      // frame numbers out of the formula replay, so a hash match
+      // proves the sampled decode touches exactly the right frames.
+      (s, dir) => Multimodal.decodeVideoFeatures(
+        Multimodal.renderGif(Tables.documents(s, dir).select("doc_id"),
+          16, 16, nFrames = 8, idCol = "doc_id"), stride = 2)
+        .orderBy("asset_id", "frame_no"),
+      Some(s"""WITH $videoPixelCte
+        |SELECT asset_id, CAST(f AS INT) AS frame_no,
+        |  16 AS width, 16 AS height,
+        |  CAST(SUM(g) AS BIGINT) AS sum_gray, CAST(MAX(g) AS INT) AS max_gray
+        |FROM vpx WHERE f % 2 = 0
+        |GROUP BY asset_id, f
+        |ORDER BY asset_id, frame_no""".stripMargin)),
 
     ("rel_rollup",
       // Hierarchical totals in one pass: ROLLUP emits (flag, status),

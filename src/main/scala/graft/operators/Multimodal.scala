@@ -330,6 +330,136 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic grayscale video test pattern: the frame pixel
+    * formula shared by the GIF renderer and the SQL oracle. The
+    * per-(asset, frame) base offset is the same hash-mix family as
+    * [[pixelR]] (multiply by a large odd constant modulo a prime, then
+    * mod 256) with a frame term, so frames evolve within an asset and
+    * assets are effectively unique across a corpus. All integer math,
+    * all non-negative, values in 0..255 — exactly one GIF palette. */
+  def framePixel(a: Long, f: Int, x: Int, y: Int): Int =
+    ((((a % 999959L) * 1099087573L + f * 7919L) % 999959L % 256
+      + x * 13 + y * 31 + x * y) % 256).toInt
+
+  /** REAL video-container codec path, encode half: render each asset's
+    * deterministic multi-frame grayscale animation and ENCODE it
+    * through the JDK's GIF writer as ONE animated-GIF payload
+    * (`ImageWriter.writeToSequence`). GIF's LZW coding is lossless and
+    * its palette holds 256 entries — an 8-bit grayscale frame maps
+    * bijectively onto the palette — so the decoded frames are
+    * bit-exact: per-frame statistics are engine-independent facts of
+    * [[framePixel]] that a SQL oracle recomputes with no codec. The
+    * GIF ImageWriterSpi is resolved ONCE per partition (the same
+    * provider-registry-rescan hoist as the WAV path); writer instances
+    * are per row because an ImageWriter holds mutable output state. */
+  def renderGif(ids: DataFrame, w: Int = 16, h: Int = 16, nFrames: Int = 8,
+      idCol: String = "asset_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      val spi = {
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+        if (it.hasNext) it.next().getOriginatingProvider else null
+      }
+      rows.map { r =>
+        val a = r.getLong(0)
+        val out = new java.io.ByteArrayOutputStream()
+        val writer =
+          if (spi != null) spi.createWriterInstance()
+          else javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, framePixel(a, f, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally {
+          writer.dispose()
+          ios.close()
+        }
+        Row(a, out.toByteArray, Row("image/gif", w, h, nFrames))
+      }
+    }(enc)
+  }
+
+  /** REAL video-container codec path, decode half: the JDK's GIF reader
+    * parses the animated payload; `read(i)` is random-access per frame,
+    * so `stride > 1` is TRUE frame sampling — skipped frames are never
+    * decoded (the frames here are full replacements, not deltas), which
+    * is the work-skipping contract a 100 TB video pipeline needs.
+    * Features are exact integer per-frame statistics (Σ gray, max gray)
+    * read through the palette, so on [[renderGif]] output they equal
+    * the [[framePixel]] sums a SQL oracle computes codec-free.
+    * Undecodable payloads yield one null row (data errors, not job
+    * errors). The GIF ImageReaderSpi is resolved once per partition. */
+  def decodeVideoFeatures(assets: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_gray", LongType),
+      StructField("max_gray", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select("asset_id", "media").mapPartitions { rows =>
+      val spi = {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        if (it.hasNext) it.next().getOriginatingProvider else null
+      }
+      rows.flatMap { r =>
+        val a = r.getLong(0)
+        val reader =
+          if (spi != null) spi.createReaderInstance()
+          else javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n by stride).map { f =>
+            val img = reader.read(f)
+            var sum = 0L
+            var max = 0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val g = img.getRGB(x, y) & 0xFF
+                sum += g
+                if (g > max) max = g
+                x += 1
+              }
+              y += 1
+            }
+            Row(a, f, img.getWidth, img.getHeight, sum, max)
+          }
+        } catch {
+          case _: Exception => Seq(Row(a, null, null, null, null, null))
+        } finally reader.dispose()
+      }
+    }(enc)
+  }
+
   /** Typed metadata carried next to the opaque payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),

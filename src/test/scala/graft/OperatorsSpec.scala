@@ -1775,6 +1775,37 @@ class OperatorsSpec extends SparkSpec {
       maxHamming = 0, maxBucket = 2).count() == 0)
   }
 
+  test("video codec loop: frames→animated GIF→decode stats equal the formula; stride samples") {
+    val ids = (0L until 10L).toDF("asset_id")
+    val assets = graft.operators.Multimodal.renderGif(ids, 16, 16, nFrames = 6)
+    // one payload per asset, genuinely multi-frame GIF (header + n_frames)
+    val metas = assets.select("asset_id", "media", "meta.n_frames")
+      .as[(Long, Array[Byte], Int)].collect().toSeq
+    assert(metas.size == 10)
+    metas.foreach { case (a, bytes, nf) =>
+      assert(bytes.take(6).map(_.toChar).mkString == "GIF89a" ||
+        bytes.take(6).map(_.toChar).mkString == "GIF87a", s"asset $a: not a GIF payload")
+      assert(nf == 6)
+    }
+    def expect(stride: Int): Seq[(Long, Int, Int, Int, Long, Int)] =
+      for (a <- 0L until 10L; f <- 0 until 6 by stride) yield {
+        val gs = for (y <- 0 until 16; x <- 0 until 16)
+          yield graft.operators.Multimodal.framePixel(a, f, x, y)
+        (a, f, 16, 16, gs.map(_.toLong).sum, gs.max)
+      }
+    // full decode: GIF is lossless over 8-bit grayscale, so per-frame
+    // stats equal the formula bit-for-bit
+    val full = graft.operators.Multimodal.decodeVideoFeatures(assets)
+      .orderBy("asset_id", "frame_no")
+      .as[(Long, Int, Int, Int, Long, Int)].collect().toSeq
+    assert(full == expect(1), "decoded GIF frame stats must equal the formula")
+    // stride-2 sampling decodes EXACTLY frames 0,2,4 (random-access read)
+    val sampled = graft.operators.Multimodal.decodeVideoFeatures(assets, stride = 2)
+      .orderBy("asset_id", "frame_no")
+      .as[(Long, Int, Int, Int, Long, Int)].collect().toSeq
+    assert(sampled == expect(2), "stride sampling must touch exactly frames 0,2,4")
+  }
+
   test("audio codec loop: PCM→WAV→decode stats equal the formula (lossless)") {
     val ids = (0L until 12L).toDF("asset_id")
     val got = graft.operators.Multimodal.decodeAudioFeatures(
