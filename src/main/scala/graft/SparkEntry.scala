@@ -3493,14 +3493,14 @@ object SparkEntry {
       // for query-driven corpus slicing. ln and each contribution
       // round to 8dp, the per-doc sum runs in DECIMAL, the score
       // rounds to 6dp — the lm-score determinism discipline.
-      // requireUniqueIds=false: doc_id is the documents table's
-      // primary key (driver-generated, pre-validated), so the
-      // duplicate-id guard's corpus-distinct count would buy nothing
-      // here — library callers on unvalidated corpora keep the
-      // default-on guard (spec-pinned raise)
+      // default-on uniqueness guard (r16): it rides the collected
+      // stats aggregate (no extra corpus pass) and unlocks the
+      // exchange-free serving plan — with ids enforced unique, one row
+      // IS one document, so scoring is a pure projection over the
+      // checkpointed counts frame and the only exchange left is the
+      // TakeOrdered driver merge
       (s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir),
-        queryTerms = Seq("hash", "join", "scan"), k = 10,
-        requireUniqueIds = false)
+        queryTerms = Seq("hash", "join", "scan"), k = 10)
         .orderBy(col("bm25").desc, col("doc_id")),
       Some("""WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok

@@ -288,31 +288,37 @@ object TextAnalysis {
     * DECIMAL (order-invariant), and the final score rounds to 6dp —
     * bit-identical across engines and partitionings.
     *
-    * Scale shape: tf is one filtered aggregate over the token stream
-    * (the `isin` filter prunes it to query terms BEFORE the shuffle),
-    * with the doc length carried through the group key (it is a
-    * projection of the row, so no doc-keyed length join and no
-    * unfiltered token-stream exchange exist anywhere in the plan); df
-    * and the (N, avgdl) stats are term- and 1-row-sized broadcast
-    * frames; the top-k is `orderBy.limit` → TakeOrdered. `N`/`avgdl`
-    * count documents with at least one token (token-free docs can
-    * never match).
+    * Scale shape (r16): the tokenize + per-term-fold kernel runs
+    * EXACTLY ONCE — the (id, dl, tf*) counts frame `localCheckpoint`s
+    * (the same materialize contract as [[importanceWeights]] /
+    * minHashLshVerified; column pruning otherwise diverges the stats
+    * and scoring consumers and re-evaluates the kernel per branch).
+    * The 1-row corpus stats (N, avgdl, per-term df) are COLLECTED and
+    * folded into the scoring projection as literals, so every idf is
+    * constant-folded by the engine's own log/round and the crossJoin
+    * disappears. With unique ids (the default, enforced) each document
+    * is one row, so scoring is a pure PROJECTION over the checkpointed
+    * counts — no per-id exchange exists — and the top-k is
+    * `orderBy.limit` → TakeOrdered. `N`/`avgdl` count documents with
+    * at least one token (token-free docs can never match). Eager like
+    * the other checkpointing operators: calling this runs the kernel
+    * and stats jobs immediately.
     *
     * Contract: `idCol` identifies one document per ROW — ENFORCED by
-    * default: a `count_distinct(id)`-vs-`count(*)` guard fused into
-    * the existing corpus stats aggregate (no extra Spark job; the
-    * 1-row stats frame is already broadcast into the scoring path)
-    * raises on the first emitted row when the corpus holds duplicate
-    * ids, instead of silently merging per-row scores into a non-BM25
-    * number. If your corpus splits documents across rows, concatenate
-    * first; if ids are pre-validated upstream, pass
-    * `requireUniqueIds = false` to skip the distinct-count (its
-    * shuffle carries one small row per distinct id — bounded, but not
-    * free at corpus scale). */
+    * default: a `count_distinct(id)`-vs-`count(*)` guard rides the
+    * collected stats aggregate (no extra pass over the corpus) and
+    * raises AT THE CALL when the corpus holds duplicate ids, instead
+    * of silently merging per-row scores into a non-BM25 number. If
+    * your corpus splits documents across rows, concatenate first; if
+    * ids are pre-validated upstream, pass `requireUniqueIds = false`
+    * to skip the distinct-count (its shuffle carries one small row per
+    * distinct id — bounded, but not free at corpus scale); that path
+    * keeps the per-id merge aggregate. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text",
-      requireUniqueIds: Boolean = true): DataFrame = {
+      requireUniqueIds: Boolean = true,
+      materialize: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, "k must be >= 1")
     // Query terms are LITERALS, so per-term tf is a scan-side array
@@ -330,15 +336,29 @@ object TextAnalysis {
     // the aggregate formulation avoids.)
     val qTerms = queryTerms.distinct
     def tfCol(i: Int) = col(s"__tf$i")
-    val withTf = docs
-      .select(col(idCol), toks(col(textCol)).as("__toks"))
-      .select(Seq(col(idCol), size(col("__toks")).cast("long").as("__dl")) ++
-        qTerms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"__tf$i")
-        }: _*)
-    // The uniqueness guard rides THIS aggregate (input prunes to
-    // (id, dl) — the token arrays never reach it), so enforcement
-    // costs zero extra jobs and zero extra scans.
+    // ONE kernel pass, ONE byte scan: dl and every per-term tf come
+    // from the [[graft.functions.TermCounts]] codegen kernel (terms
+    // are literals), replacing the r15 split() materialization + q
+    // interpreted filter() walks per row. The raw [dl, tf*] array
+    // checkpoints BEFORE it is unpacked, so the stats and scoring
+    // consumers read materialized longs — the kernel cannot be
+    // re-inlined per consumer (the importanceWeights/dsir lesson:
+    // column pruning diverges multi-consumer branches and breaks
+    // exchange reuse).
+    // `materialize = false` (the usual contract) skips the checkpoint
+    // for corpora where a second kernel scan is cheaper than a
+    // materialization — the stats and serving passes then each run the
+    // kernel (a documented double scan of the text column).
+    val tc0 = docs.select(col(idCol),
+      graft.functions.TermCounts(col(textCol), qTerms).as("__tc"))
+    val tc = if (materialize) tc0.localCheckpoint() else tc0
+    val counts = tc
+      .select(Seq(col(idCol), element_at(col("__tc"), 1).as("__dl")) ++
+        qTerms.indices.map(i =>
+          element_at(col("__tc"), i + 2).as(s"__tf$i")): _*)
+    // The uniqueness guard rides THIS one collected aggregate, so
+    // enforcement costs zero extra passes over the corpus and raises
+    // at the call — before any scoring work runs.
     val statsAggs = Seq(
       sum(when(col("__dl") > 0, lit(1L)).otherwise(lit(0L))).as("__n"),
       avg(when(col("__dl") > 0, col("__dl"))).as("__avgdl")) ++
@@ -346,57 +366,67 @@ object TextAnalysis {
         sum(when(tfCol(i) > 0, lit(1L)).otherwise(lit(0L))).as(s"__df$i")) ++
       (if (requireUniqueIds)
         Seq(count(lit(1)).as("__rows"), count_distinct(col(idCol)).as("__ids"))
-      else
-        Seq(max(lit(0L)).as("__rows"), max(lit(0L)).as("__ids")))
-    val stats = withTf.agg(statsAggs.head, statsAggs.tail: _*)
+      else Seq.empty)
+    val st = counts.agg(statsAggs.head, statsAggs.tail: _*).head()
+    if (requireUniqueIds) {
+      val rows = st.getLong(2 + qTerms.size)
+      val ids = st.getLong(3 + qTerms.size)
+      if (rows != ids) throw new IllegalArgumentException(
+        s"bm25TopK: duplicate values in id column '$idCol' (${rows - ids} " +
+          "extra rows) — one document per row is required; concatenate " +
+          "split documents first or pass requireUniqueIds = false if ids " +
+          "are pre-validated")
+    }
+    val nV = if (st.isNullAt(0)) 0L else st.getLong(0)
+    // token-free corpus: no row has tf > 0, the filter below empties
+    // the result whatever avgdl is — 1.0 keeps the expressions non-null
+    val avgdlV = if (st.isNullAt(1)) 1.0 else st.getDouble(1)
+    def dfV(i: Int): Long = if (st.isNullAt(2 + i)) 0L else st.getLong(2 + i)
+    // stats are LITERALS, so each idf constant-folds at optimization
+    // time through the engine's OWN log/round eval (bit-identical to
+    // the former broadcast-join evaluation of the same expression)
     def idf(i: Int) = round(log(
-      (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)) + lit(1.0)), 8)
+      (lit(nV) - lit(dfV(i)) + lit(0.5)) / (lit(dfV(i)) + lit(0.5)) + lit(1.0)), 8)
     def contrib(i: Int) = round(
       idf(i) * tfCol(i) * lit(k1 + 1.0) /
-        (tfCol(i) + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 8)
+        (tfCol(i) + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdlV))), 8)
     // decimal-round BEFORE the double cast: the sum is an EXACT
     // decimal of 8dp terms, so 6dp half-way cases are common and the
     // double's binary round would diverge from the oracle's decimal
-    // HALF_UP (the pqAdcOracleCtes rounding class). Duplicate-id
-    // semantics (the opted-out requireUniqueIds=false path): rows with
-    // the same id sum their PER-ROW saturated contributions, and each
-    // matching row counts toward df. That DIFFERS from the r13 explode
-    // formulation, which merged duplicate (id, dl, term) rows into one
-    // tf before the nonlinear saturation (contrib(2·tf) != 2·contrib(tf))
-    // and counted the merged group once in df — which is exactly why
-    // requireUniqueIds=true is the default and the guard raises on
-    // duplicates. The per-row-sum semantics for opted-out callers is
-    // pinned by PropertiesSpec's duplicate-id case.
-    withTf
-      .filter(qTerms.indices.map(i => tfCol(i) > 0).reduce(_ || _))
-      .crossJoin(broadcast(stats))
-      // __rows/__ids are 1-row broadcast constants: grouping by them
-      // changes no group and keeps the guard alive through the agg
-      .groupBy(col(idCol), col("__rows"), col("__ids"))
-      .agg(
-        sum(qTerms.indices.map(i =>
-          when(tfCol(i) > 0, lit(1L)).otherwise(lit(0L))).reduce(_ + _)).as("matched_terms"),
-        // a zero tf zeroes its contrib exactly (numerator 0, 8dp
-        // round of 0 is 0), so absent terms add decimal zero — no
-        // per-term null handling needed
-        round(sum(qTerms.indices.map(i => contrib(i).cast("decimal(28,10)"))
-          .reduce(_ + _)), 6)
-          .cast("double").as("bm25"))
-      // the guard is a runtime aggregate output, so the optimizer can
-      // never constant-fold the raise_error branch away; when ids are
-      // unique it costs one long comparison per emitted row
-      .select(col(idCol), col("matched_terms"),
-        when(col("__ids") === col("__rows"), col("bm25"))
-          .otherwise(raise_error(concat(
-            lit(s"bm25TopK: duplicate values in id column '$idCol' ("),
-            (col("__rows") - col("__ids")).cast("string"),
-            lit(" extra rows) — one document per row is required; " +
-              "concatenate split documents first or pass " +
-              "requireUniqueIds = false if ids are pre-validated"))))
-          .as("bm25"))
-      .orderBy(col("bm25").desc, col(idCol))
-      .limit(k)
+    // HALF_UP (the pqAdcOracleCtes rounding class). A zero tf zeroes
+    // its contrib exactly (numerator 0, 8dp round of 0 is 0), so
+    // absent terms add decimal zero — no per-term null handling.
+    val matchedCol = qTerms.indices.map(i =>
+      when(tfCol(i) > 0, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val anyMatch = qTerms.indices.map(i => tfCol(i) > 0).reduce(_ || _)
+    val scored =
+      if (requireUniqueIds)
+        // ids are unique (just enforced): one row IS one document, so
+        // scoring is a pure projection — no per-id exchange exists
+        counts.filter(anyMatch).select(
+          col(idCol),
+          matchedCol.as("matched_terms"),
+          round(qTerms.indices.map(i => contrib(i).cast("decimal(28,10)"))
+            .reduce(_ + _), 6).cast("double").as("bm25"))
+      else
+        // opted-out duplicate-id path: rows with the same id sum their
+        // PER-ROW saturated contributions, and each matching row counts
+        // toward df. That DIFFERS from the r13 explode formulation,
+        // which merged duplicate (id, dl, term) rows into one tf before
+        // the nonlinear saturation (contrib(2·tf) != 2·contrib(tf)) and
+        // counted the merged group once in df — which is exactly why
+        // requireUniqueIds=true is the default. The per-row-sum
+        // semantics is pinned by PropertiesSpec's duplicate-id case.
+        counts.filter(anyMatch)
+          .groupBy(col(idCol))
+          .agg(
+            sum(matchedCol).as("matched_terms"),
+            round(sum(qTerms.indices.map(i => contrib(i).cast("decimal(28,10)"))
+              .reduce(_ + _)), 6)
+              .cast("double").as("bm25"))
+    scored.orderBy(col("bm25").desc, col(idCol)).limit(k)
   }
+
 
   /** Related-document BM25: for each query DOCUMENT (by id), the top-k
     * most lexically similar corpus documents — the query's own distinct

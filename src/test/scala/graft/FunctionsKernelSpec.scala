@@ -218,6 +218,36 @@ class FunctionsKernelSpec extends SparkSpec {
       stats.getInt(3), stats.getInt(4)) == (18, 5, 2, 3, 6))
   }
 
+  test("TermCounts matches the split/filter per-term formulation") {
+    val terms = Seq("the", "beta", "ünïcödé")
+    val docs = (corpus ++ Seq(
+      (20L, "the the beta  beta the"),          // double space, repeats
+      (21L, ""),                                 // empty text
+      (22L, "ünïcödé beta ünïcödéx the-"),      // multibyte + near-misses
+      (23L, " leading the trailing "))).toDF("doc_id", "text")
+    val t = filter(split(col("text"), " "), x => x =!= "")
+    val reference = docs.select(Seq(col("doc_id"),
+      size(t).cast("long").as("dl")) ++
+      terms.zipWithIndex.map { case (w, i) =>
+        size(filter(t, x => x === lit(w))).cast("long").as(s"tf$i")
+      }: _*)
+    val kernel = docs.select(col("doc_id"),
+      graft.functions.TermCounts(col("text"), terms).as("tc"))
+      .select(Seq(col("doc_id"), element_at(col("tc"), 1).as("dl")) ++
+        terms.indices.map(i => element_at(col("tc"), i + 2).as(s"tf$i")): _*)
+    assert(kernel.orderBy("doc_id").collect().toSeq ==
+      reference.orderBy("doc_id").collect().toSeq)
+    // null text propagates, like the split formulation
+    val nullRow = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(graft.functions.TermCounts(col("text"), terms).as("tc")).head()
+    assert(nullRow.isNullAt(0))
+    // interpreted eval agrees with the codegen path
+    val arr = graft.functions.TermCounts.compute(
+      UTF8String.fromString("beta the  beta x"),
+      graft.functions.TextStats.toStopBytes(terms))
+    assert(arr.toLongArray().toSeq == Seq(4L, 1L, 2L, 0L))
+  }
+
   test("GopherStats signals match an independent primitive formulation on randomized text") {
     // Independent reimplementation of every gopherRules signal from
     // split/regexp/array primitives, over a seeded random corpus that

@@ -304,22 +304,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
-  test("bm25TopK never explodes or exchanges the token stream at all") {
+  test("bm25TopK serves as a pure projection + TakeOrdered (no exchange, no join)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val plan = planOf(graft.operators.TextAnalysis.bm25TopK(
-      docs, Seq("the", "model", "data"), k = 5))
-    // r15 formulation: per-term tf is a scan-side array fold (query
-    // terms are literals), so the token stream is NEVER exploded and
-    // never keyed — the r13 plan's Generate + (doc, matching-term)
-    // exchange and the separate df branch are gone; df/N/avgdl ride
-    // one 1-row aggregate broadcast. At 100 TB the corpus is scanned,
-    // never re-keyed.
+    // the kernel pin: the counts frame the operator checkpoints is ONE
+    // term_counts projection (a single byte scan per row) — zero
+    // token-stream explode, zero split() materialization. Same
+    // construction, inspectable pre-checkpoint.
+    val qTerms = Seq("the", "model", "data")
+    val countsPlan = planOf(docs.select(col("doc_id"),
+      graft.functions.TermCounts(col("text"), qTerms).as("__tc")))
+    assert(!countsPlan.contains("Generate explode"), countsPlan)
+    assert(!countsPlan.contains("split("), countsPlan)
+    assert(countsPlan.contains("term_counts"), countsPlan)
+    // r16 serving plan: stats are collected and folded in as literals
+    // (idf constant-folds), ids are enforced unique so scoring is a
+    // projection over the checkpointed counts — no exchange, no join,
+    // no explode anywhere; the top-k is the TakeOrdered driver merge.
+    // At 100 TB the corpus token kernel runs ONCE (the checkpoint),
+    // never re-keyed, never re-scanned per consumer.
+    val plan = planOf(graft.operators.TextAnalysis.bm25TopK(docs, qTerms, k = 5))
     assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Generate explode"), plan)
-    // doc length and per-term tf are scan-side projections of the
-    // doc's own token array
-    assert(plan.contains("size(__toks"), plan)
-    assert(plan.contains("size(filter(__toks"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // duplicate ids raise AT THE CALL (the guard rides the collected
+    // stats aggregate, before any scoring work)
+    import spark.implicits._
+    val dup = Seq((1L, "the model"), (1L, "the data"), (2L, "pad"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.bm25TopK(dup, qTerms, k = 5)
+    }
+    assert(e.getMessage.contains("duplicate values in id column"), e.getMessage)
   }
 
   test("temperatureSample joins the budget table broadcast into one window pass") {
