@@ -190,6 +190,22 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"text_stats expects (text[, stopword STRING literals...]), got $other")
       }),
+    (FunctionIdentifier("term_counts"),
+      info("term_counts",
+        "term_counts(text, terms...) - single-pass array<long> [dl, tf_0, ..., tf_{q-1}]: " +
+          "token count plus per-literal-term term frequencies (tokens split on single space)"),
+      (args: Seq[Expression]) => args match {
+        case text +: terms if terms.nonEmpty && terms.forall {
+            case Literal(s, t) => s != null && t == org.apache.spark.sql.types.StringType
+            case _ => false
+          } =>
+          TermCounts(text, terms.map {
+            case Literal(s, _) => s.toString
+            case _ => throw new IllegalStateException("unreachable")
+          })
+        case other => throw new IllegalArgumentException(
+          s"term_counts expects (text, term STRING literals...), got $other")
+      }),
     (FunctionIdentifier("span_digests"),
       info("span_digests",
         "span_digests(text, spanTokens[, withText]) - array of struct(span_no, [span_text,] " +

@@ -82,6 +82,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("text_stats"))
   }
 
+  test("SQL term_counts matches the Column API; terms must be literals") {
+    registered
+    docs.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT doc_id, term_counts(text, 'the', 'data') AS tc
+        |FROM ext_docs ORDER BY doc_id""".stripMargin).collect()
+    val api = docs.select(col("doc_id"),
+      graft.functions.TermCounts(col("text"), Seq("the", "data")).as("tc"))
+      .orderBy("doc_id").collect()
+    assert(sql.toSeq == api.toSeq)
+    val e = intercept[Exception] {
+      spark.sql("SELECT term_counts(text, text) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("term_counts"))
+  }
+
   test("SQL cdc_chunks matches the Column API; cardinality args must be literals") {
     registered
     docs.createOrReplaceTempView("ext_docs")
@@ -218,8 +234,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("shingle_hashes", "minhash_from_grams", "simhash_from_grams",
         "sorted_intersect_count", "text_fingerprint", "float_vector_dot",
-        "byte_vector_dot", "text_stats", "span_digests", "code_lut_sum",
-        "cdc_chunks", "morton_interleave", "token_hash_counts", "holt_linear"))
+        "byte_vector_dot", "text_stats", "term_counts", "span_digests",
+        "code_lut_sum", "cdc_chunks", "morton_interleave",
+        "token_hash_counts", "holt_linear"))
   }
 
   test("SQL morton_interleave matches the Column API and rejects bad args") {
