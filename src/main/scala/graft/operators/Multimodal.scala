@@ -52,11 +52,30 @@ object Multimodal {
   def pixelB(a: Long, x: Int, y: Int): Int =
     (((a / 2 % 999961L) * 3266489917L % 999961L % 256 + x * 19 + y * 23 + 3 * x * y) % 256).toInt
 
+  /** Image codec plumbing resolved ONCE per partition (r16): the
+    * `ImageIO` static entry points (`write`, `read`,
+    * `createImageInput/OutputStream`) each re-scan the IIORegistry per
+    * CALL — at one call per ROW the registry scans dominated the codec
+    * stages (the same per-call provider cost the WAV path hoisted in
+    * r15). Providers resolve here once; per-row reader/writer INSTANCES
+    * stay per row (they hold mutable stream state and cost one
+    * constructor), and streams wrap the byte arrays directly
+    * (`MemoryCacheImageInput/OutputStream`) with no registry visit. */
+  private def writerSpiFor(format: String): javax.imageio.spi.ImageWriterSpi = {
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+    if (it.hasNext) it.next().getOriginatingProvider else null
+  }
+  private def readerSpiFor(format: String): javax.imageio.spi.ImageReaderSpi = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName(format)
+    if (it.hasNext) it.next().getOriginatingProvider else null
+  }
+
   /** REAL codec path, encode half: render each asset id's deterministic
     * test pattern and ENCODE it through the JDK's PNG writer — the
     * payload bytes in the output are genuine PNG. mapPartitions so the
-    * (stateless here, model-sized in general) codec setup is per-batch,
-    * not per-row. */
+    * codec setup (the PNG writer provider) is per-batch, not per-row;
+    * pixels land via ONE bulk setRGB per image (identical stored
+    * values to the per-pixel calls — same ColorModel path). */
   def renderPng(ids: DataFrame, w: Int = 32, h: Int = 32,
       idCol: String = "asset_id"): DataFrame = {
     val schema = StructType(Seq(
@@ -65,6 +84,8 @@ object Multimodal {
       StructField("meta", metaSchema)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     ids.select(col(idCol).cast("long").as("asset_id")).mapPartitions { rows =>
+      val spi = writerSpiFor("png")
+      val px = new Array[Int](w * h)
       rows.map { r =>
         val a = r.getLong(0)
         val img = new java.awt.image.BufferedImage(
@@ -73,14 +94,25 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y,
-              (pixelR(a, x, y) << 16) | (pixelG(a, x, y) << 8) | pixelB(a, x, y))
+            px(y * w + x) =
+              (pixelR(a, x, y) << 16) | (pixelG(a, x, y) << 8) | pixelB(a, x, y)
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w)
         val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", out)
+        if (spi != null) {
+          val writer = spi.createWriterInstance()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+          try {
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), null)
+          } finally {
+            writer.dispose()
+            ios.close()
+          }
+        } else javax.imageio.ImageIO.write(img, "png", out)
         Row(a, out.toByteArray, Row("image/png", w, h, 1))
       }
     }(enc)
@@ -102,30 +134,50 @@ object Multimodal {
       StructField("sum_b", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     assets.select("asset_id", "media").mapPartitions { rows =>
+      val spi = readerSpiFor("png")
       rows.map { r =>
         val a = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]]("media")
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+        val img = decodeImage(r.getAs[Array[Byte]]("media"), spi)
         if (img == null) Row(a, null, null, null, null, null)
         else {
+          val w = img.getWidth; val h = img.getHeight
+          // ONE bulk getRGB per image: same per-pixel values as the
+          // per-call form (same ColorModel conversion), none of the
+          // per-call overhead
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            i += 1
           }
-          Row(a, img.getWidth, img.getHeight, sr, sg, sb)
+          Row(a, w, h, sr, sg, sb)
         }
       }
     }(enc)
   }
+
+  /** Decode one payload through a hoisted reader provider (falling back
+    * to the registry-scanning `ImageIO.read` only when the provider was
+    * absent); undecodable payloads yield null — data errors, not job
+    * errors. */
+  private def decodeImage(bytes: Array[Byte],
+      spi: javax.imageio.spi.ImageReaderSpi): java.awt.image.BufferedImage =
+    try {
+      if (spi != null) {
+        val reader = spi.createReaderInstance()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis)
+          reader.read(0)
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      } else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    } catch { case _: Exception => null }
 
   /** Difference hash (dHash) over DECODED pixels — the standard cheap
     * perceptual image fingerprint: integer grayscale, integer
@@ -151,15 +203,14 @@ object Multimodal {
       StructField("dhash_lo", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     assets.select("asset_id", "media").mapPartitions { rows =>
+      val spi = readerSpiFor("png")
       rows.map { r =>
         val a = r.getLong(0)
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
-          catch { case _: Exception => null }
+        val img = decodeImage(r.getAs[Array[Byte]]("media"), spi)
         if (img == null) Row(a, null, null)
         else {
           val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           // (hw+1) x hh integer box-average grid of the gray image
           val cols = hw + 1
           val avg = Array.ofDim[Long](cols, hh)
@@ -174,7 +225,7 @@ object Multimodal {
               while (y < y1) {
                 var x = x0
                 while (x < x1) {
-                  val p = img.getRGB(x, y)
+                  val p = px(y * w + x)
                   s += (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF)
                     + 114L * (p & 0xFF)) / 1000L
                   n += 1; x += 1
@@ -370,7 +421,9 @@ object Multimodal {
         val writer =
           if (spi != null) spi.createWriterInstance()
           else javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        // direct stream wrapper — ImageIO.createImageOutputStream
+        // re-scans the IIORegistry per call
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
         try {
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
@@ -378,12 +431,16 @@ object Multimodal {
           while (f < nFrames) {
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val raster = img.getRaster
+            // TYPE_BYTE_GRAY stores one byte per pixel row-major: fill
+            // the backing array directly (same stored samples as
+            // per-pixel setSample, none of the per-call overhead)
+            val data = img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                raster.setSample(x, y, 0, framePixel(a, f, x, y))
+                data(y * w + x) = framePixel(a, f, x, y).toByte
                 x += 1
               }
               y += 1
@@ -432,26 +489,29 @@ object Multimodal {
           if (spi != null) spi.createReaderInstance()
           else javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          // direct stream wrapper — ImageIO.createImageInputStream
+          // re-scans the IIORegistry per call
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
           reader.setInput(iis)
           val n = reader.getNumImages(true)
           (0 until n by stride).map { f =>
             val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            // ONE bulk getRGB per frame: identical per-pixel values
+            // (same palette/ColorModel conversion), none of the
+            // per-call overhead
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var sum = 0L
             var max = 0
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val g = img.getRGB(x, y) & 0xFF
-                sum += g
-                if (g > max) max = g
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val g = px(i) & 0xFF
+              sum += g
+              if (g > max) max = g
+              i += 1
             }
-            Row(a, f, img.getWidth, img.getHeight, sum, max)
+            Row(a, f, w, h, sum, max)
           }
         } catch {
           case _: Exception => Seq(Row(a, null, null, null, null, null))
