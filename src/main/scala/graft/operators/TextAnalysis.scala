@@ -289,15 +289,17 @@ object TextAnalysis {
     * bit-identical across engines and partitionings.
     *
     * Scale shape (r16): the tokenize + per-term-fold kernel runs
-    * EXACTLY ONCE — the (id, dl, tf*) counts frame `localCheckpoint`s
-    * (the same materialize contract as [[importanceWeights]] /
-    * minHashLshVerified; column pruning otherwise diverges the stats
-    * and scoring consumers and re-evaluates the kernel per branch).
+    * EXACTLY ONCE — the (id, dl, tf*) counts frame is cached and the
+    * stats-collect action materializes it as it runs (the same
+    * materialize contract as [[importanceWeights]] /
+    * minHashLshVerified, one job cheaper than a checkpoint; column
+    * pruning otherwise diverges the stats and scoring consumers and
+    * re-evaluates the kernel per branch).
     * The 1-row corpus stats (N, avgdl, per-term df) are COLLECTED and
     * folded into the scoring projection as literals, so every idf is
     * constant-folded by the engine's own log/round and the crossJoin
     * disappears. With unique ids (the default, enforced) each document
-    * is one row, so scoring is a pure PROJECTION over the checkpointed
+    * is one row, so scoring is a pure PROJECTION over the cached
     * counts — no per-id exchange exists — and the top-k is
     * `orderBy.limit` → TakeOrdered. `N`/`avgdl` count documents with
     * at least one token (token-free docs can never match). Eager like
@@ -340,18 +342,23 @@ object TextAnalysis {
     // from the [[graft.functions.TermCounts]] codegen kernel (terms
     // are literals), replacing the r15 split() materialization + q
     // interpreted filter() walks per row. The raw [dl, tf*] array
-    // checkpoints BEFORE it is unpacked, so the stats and scoring
+    // materializes BEFORE it is unpacked, so the stats and scoring
     // consumers read materialized longs — the kernel cannot be
     // re-inlined per consumer (the importanceWeights/dsir lesson:
     // column pruning diverges multi-consumer branches and breaks
     // exchange reuse).
-    // `materialize = false` (the usual contract) skips the checkpoint
-    // for corpora where a second kernel scan is cheaper than a
-    // materialization — the stats and serving passes then each run the
-    // kernel (a documented double scan of the text column).
+    // `materialize = true` uses cache(), not localCheckpoint: the
+    // stats-collect job below is ALREADY an action over the counts
+    // frame, so it materializes the cache as it runs — one job fewer
+    // than checkpoint-then-aggregate, with the same
+    // kernel-runs-exactly-once guarantee (serving reads the
+    // InMemoryRelation). `materialize = false` skips it for corpora
+    // where a second kernel scan is cheaper than a materialization —
+    // the stats and serving passes then each run the kernel (a
+    // documented double scan of the text column).
     val tc0 = docs.select(col(idCol),
       graft.functions.TermCounts(col(textCol), qTerms).as("__tc"))
-    val tc = if (materialize) tc0.localCheckpoint() else tc0
+    val tc = if (materialize) tc0.cache() else tc0
     val counts = tc
       .select(Seq(col(idCol), element_at(col("__tc"), 1).as("__dl")) ++
         qTerms.indices.map(i =>
