@@ -467,7 +467,16 @@ object Multimodal {
     * read through the palette, so on [[renderGif]] output they equal
     * the [[framePixel]] sums a SQL oracle computes codec-free.
     * Undecodable payloads yield one null row (data errors, not job
-    * errors). The GIF ImageReaderSpi is resolved once per partition. */
+    * errors). The GIF ImageReaderSpi is resolved once per partition.
+    *
+    * Frame count comes from the `meta.n_frames` column when the input
+    * carries the [[metaSchema]] struct — this is exactly what the
+    * typed-metadata contract is FOR: `ImageReader.getNumImages(true)`
+    * must scan the whole byte sequence just to count frames, which
+    * defeats the point of sampling. Inputs without the meta column (or
+    * with a null count) fall back to the counting scan, and a lying
+    * count surfaces as a null row (the `read(f)` failure path), never
+    * a wrong number. */
   def decodeVideoFeatures(assets: DataFrame, stride: Int = 1): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val schema = StructType(Seq(
@@ -478,7 +487,18 @@ object Multimodal {
       StructField("sum_gray", LongType),
       StructField("max_gray", IntegerType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    assets.select("asset_id", "media").mapPartitions { rows =>
+    val hasMeta = assets.schema.fieldNames.contains("meta") &&
+      assets.schema("meta").dataType.isInstanceOf[StructType] &&
+      assets.schema("meta").dataType.asInstanceOf[StructType]
+        .fieldNames.contains("n_frames")
+    val in =
+      if (hasMeta)
+        assets.select(col("asset_id"), col("media"),
+          col("meta.n_frames").cast("int").as("__nf"))
+      else
+        assets.select(col("asset_id"), col("media"),
+          lit(null).cast("int").as("__nf"))
+    in.mapPartitions { rows =>
       val spi = {
         val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
         if (it.hasNext) it.next().getOriginatingProvider else null
@@ -494,7 +514,7 @@ object Multimodal {
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
           reader.setInput(iis)
-          val n = reader.getNumImages(true)
+          val n = if (!r.isNullAt(2)) r.getInt(2) else reader.getNumImages(true)
           (0 until n by stride).map { f =>
             val img = reader.read(f)
             val w = img.getWidth; val h = img.getHeight

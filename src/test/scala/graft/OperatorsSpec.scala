@@ -1804,6 +1804,13 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("asset_id", "frame_no")
       .as[(Long, Int, Int, Int, Long, Int)].collect().toSeq
     assert(sampled == expect(2), "stride sampling must touch exactly frames 0,2,4")
+    // inputs WITHOUT the meta column fall back to the counting scan
+    // (getNumImages) and decode the same frames
+    val noMeta = graft.operators.Multimodal.decodeVideoFeatures(
+      assets.select("asset_id", "media"))
+      .orderBy("asset_id", "frame_no")
+      .as[(Long, Int, Int, Int, Long, Int)].collect().toSeq
+    assert(noMeta == expect(1), "meta-less input must use the counting-scan fallback")
   }
 
   test("audio codec loop: PCM→WAV→decode stats equal the formula (lossless)") {
