@@ -35,6 +35,9 @@ case class TermCounts(child: Expression, terms: Seq[String])
     extends UnaryExpression {
 
   require(terms.nonEmpty, "terms must be non-empty")
+  // fail at construction, matching the SQL registration's literal
+  // check — a null term would otherwise NPE later in toStopBytes
+  require(terms.forall(_ != null), "terms must not contain null")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     KernelTypeChecks.expectString(prettyName, "text", child)

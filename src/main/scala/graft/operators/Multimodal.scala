@@ -354,10 +354,12 @@ object Multimodal {
         val parsed =
           try {
             val ais = open(r.getAs[Array[Byte]]("media"))
-            val bytes = ais.readAllBytes()
-            val f = ais.getFormat
-            if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian) null
-            else bytes
+            try {
+              val bytes = ais.readAllBytes()
+              val f = ais.getFormat
+              if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian) null
+              else bytes
+            } finally ais.close() // stream-hygiene parity with the image/video decoders
           } catch { case _: Exception => null }
         if (parsed == null) Row(a, null, null, null, null)
         else {
@@ -474,9 +476,14 @@ object Multimodal {
     * typed-metadata contract is FOR: `ImageReader.getNumImages(true)`
     * must scan the whole byte sequence just to count frames, which
     * defeats the point of sampling. Inputs without the meta column (or
-    * with a null count) fall back to the counting scan, and a lying
-    * count surfaces as a null row (the `read(f)` failure path), never
-    * a wrong number. */
+    * with a null count) fall back to the counting scan. Metadata
+    * trust is one-sided: an OVER-counting `n_frames` surfaces as a
+    * null row (the `read(f)` failure path), but an UNDER-count
+    * silently truncates — trailing frames are simply never requested,
+    * which is indistinguishable from deliberate sampling. Treat
+    * `n_frames` as authoritative only from a trusted ingest (e.g.
+    * [[renderGif]] output); pass a meta-less frame or null count to
+    * force the counting scan otherwise. */
   def decodeVideoFeatures(assets: DataFrame, stride: Int = 1): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val schema = StructType(Seq(
@@ -505,13 +512,19 @@ object Multimodal {
       }
       rows.flatMap { r =>
         val a = r.getLong(0)
-        val reader =
-          if (spi != null) spi.createReaderInstance()
-          else javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        // reader construction INSIDE the try: the registry-scan
+        // fallback's .next() throws NoSuchElementException when no GIF
+        // reader exists at all, and that must surface as the per-row
+        // null data-error row, not escape and kill the stage
+        var reader: javax.imageio.ImageReader = null
+        var iis: javax.imageio.stream.MemoryCacheImageInputStream = null
         try {
+          reader =
+            if (spi != null) spi.createReaderInstance()
+            else javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
           // direct stream wrapper — ImageIO.createImageInputStream
           // re-scans the IIORegistry per call
-          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
           reader.setInput(iis)
           val n = if (!r.isNullAt(2)) r.getInt(2) else reader.getNumImages(true)
@@ -535,7 +548,13 @@ object Multimodal {
           }
         } catch {
           case _: Exception => Seq(Row(a, null, null, null, null, null))
-        } finally reader.dispose()
+        } finally {
+          if (reader != null) reader.dispose()
+          // the stream's memory cache is released by close(), not by
+          // reader.dispose() — leaving it to GC pins the cache
+          // (ADVICE r16)
+          if (iis != null) iis.close()
+        }
       }
     }(enc)
   }

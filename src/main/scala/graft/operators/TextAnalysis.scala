@@ -288,18 +288,20 @@ object TextAnalysis {
     * DECIMAL (order-invariant), and the final score rounds to 6dp —
     * bit-identical across engines and partitionings.
     *
-    * Scale shape (r16): the tokenize + per-term-fold kernel runs
-    * EXACTLY ONCE — the (id, dl, tf*) counts frame is cached and the
-    * stats-collect action materializes it as it runs (the same
-    * materialize contract as [[importanceWeights]] /
-    * minHashLshVerified, one job cheaper than a checkpoint; column
-    * pruning otherwise diverges the stats and scoring consumers and
-    * re-evaluates the kernel per branch).
+    * Scale shape (r16, storage fixed r17): the tokenize +
+    * per-term-fold kernel runs EXACTLY ONCE — the (id, dl, tf*) counts
+    * frame is LAZILY localCheckpointed and the stats-collect action
+    * materializes the blocks as it runs (the same materialize contract
+    * as [[importanceWeights]] / minHashLshVerified, one job cheaper
+    * than an eager checkpoint; column pruning otherwise diverges the
+    * stats and scoring consumers and re-evaluates the kernel per
+    * branch). The blocks are GC-reclaimed once the returned frame is
+    * unreferenced — no per-call CacheManager pinning (ADVICE r16).
     * The 1-row corpus stats (N, avgdl, per-term df) are COLLECTED and
     * folded into the scoring projection as literals, so every idf is
     * constant-folded by the engine's own log/round and the crossJoin
     * disappears. With unique ids (the default, enforced) each document
-    * is one row, so scoring is a pure PROJECTION over the cached
+    * is one row, so scoring is a pure PROJECTION over the materialized
     * counts — no per-id exchange exists — and the top-k is
     * `orderBy.limit` → TakeOrdered. `N`/`avgdl` count documents with
     * at least one token (token-free docs can never match). Eager like
@@ -347,18 +349,24 @@ object TextAnalysis {
     // re-inlined per consumer (the importanceWeights/dsir lesson:
     // column pruning diverges multi-consumer branches and breaks
     // exchange reuse).
-    // `materialize = true` uses cache(), not localCheckpoint: the
-    // stats-collect job below is ALREADY an action over the counts
-    // frame, so it materializes the cache as it runs — one job fewer
-    // than checkpoint-then-aggregate, with the same
-    // kernel-runs-exactly-once guarantee (serving reads the
-    // InMemoryRelation). `materialize = false` skips it for corpora
-    // where a second kernel scan is cheaper than a materialization —
-    // the stats and serving passes then each run the kernel (a
-    // documented double scan of the text column).
+    // `materialize = true` uses a LAZY localCheckpoint, not cache():
+    // the stats-collect job below is ALREADY an action over the counts
+    // frame, so it materializes the checkpoint blocks as it runs — one
+    // job fewer than eager-checkpoint-then-aggregate, with the same
+    // kernel-runs-exactly-once guarantee (serving reads the blocks).
+    // Unlike cache(), whose InMemoryRelation stays pinned in the
+    // session CacheManager for the session's lifetime (one orphaned
+    // entry PER distinct (docs, queryTerms) call — ADVICE r16), local
+    // checkpoint blocks are lineage-tracked and GC-reclaimed by the
+    // ContextCleaner once the returned frame is unreferenced; the
+    // duplicate-id raise path below likewise leaves nothing pinned.
+    // `materialize = false` skips it for corpora where a second kernel
+    // scan is cheaper than a materialization — the stats and serving
+    // passes then each run the kernel (a documented double scan of the
+    // text column).
     val tc0 = docs.select(col(idCol),
       graft.functions.TermCounts(col(textCol), qTerms).as("__tc"))
-    val tc = if (materialize) tc0.cache() else tc0
+    val tc = if (materialize) tc0.localCheckpoint(false) else tc0
     val counts = tc
       .select(Seq(col(idCol), element_at(col("__tc"), 1).as("__dl")) ++
         qTerms.indices.map(i =>
