@@ -236,7 +236,12 @@ object Bench {
       // REAL animated-GIF multi-frame round trip, plus the stride-2
       // frame-sampling face (random-access read(i), skipped frames
       // never decoded)
-      "x_video_decode", "x_video_sample"))
+      "x_video_decode", "x_video_sample",
+      // round-17 additions: the video near-dup tier — temporal-mean
+      // dHash fingerprint over sampled decoded frames, and the banded
+      // Hamming near-dup screen over it (the image tier's stack on
+      // the video modality)
+      "x_video_dhash", "x_video_neardup"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,
@@ -657,7 +662,14 @@ object Bench {
       // compared duplicate densities, not volumes). Both read only
       // documents.doc_id, so the 10× id-shifted shards are exactly 10×
       // the codec work.
-      "x_image_neardup", "x_audio_decode"))
+      "x_image_neardup", "x_audio_decode",
+      // r17: the video pair's 10× evidence (verdict #8). Both are
+      // pure partition-local codec chains over documents.doc_id (zero
+      // shuffle), so like x_audio_decode their ratios read CPU
+      // amortization — and x_video_sample's stride-2 random-access
+      // decode should show the frame work-skip as a lower wall than
+      // the full decode at every volume.
+      "x_video_decode", "x_video_sample"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {
@@ -884,7 +896,8 @@ object Bench {
     // are still printed with their ratios — excluded, not hidden.
     val weakExempt = Set("x_image_decode", "x_image_dhash",
       "x_image_neardup", "x_image_incremental", "x_audio_decode",
-      "x_video_decode", "x_video_sample")
+      "x_video_decode", "x_video_sample", "x_video_dhash",
+      "x_video_neardup")
     val weakEntries = (headline ++ extended).distinct.flatMap { n =>
       for { s <- largeTimes.get(n); d <- pairedTimes.get(n)
             if s >= 0.4 && d > 0 && s / d > 2.0 }

@@ -491,12 +491,51 @@ object SparkEntry {
     * loop: GIF is lossless over 8-bit grayscale, so per-frame stats
     * recomputed from this formula match the decoded frames bit-exactly. */
   private lazy val videoPixelCte: String =
-    s"""vpx AS (
-    |  SELECT d.doc_id AS asset_id, f.f, x.x, y.y,
-    |    (((d.doc_id % 999959) * 1099087573 + f.f * 7919) % 999959 % 256
-    |      + x.x * 13 + y.y * 31 + x.x * y.y) % 256 AS g
-    |  FROM documents d, generate_series(0, 7) f(f),
-    |       generate_series(0, 15) x(x), generate_series(0, 15) y(y))""".stripMargin
+    s"""vmix AS (
+    |  SELECT d.doc_id AS asset_id, f.f,
+    |    ((d.doc_id // 2 % 999959) * 1099087573 + f.f * 7919) % 999959
+    |      * 2654435761 % 999959 AS mix
+    |  FROM documents d, generate_series(0, 7) f(f)),
+    |vpx AS (
+    |  SELECT asset_id, f, x.x, y.y,
+    |    (mix % 256
+    |      + x.x * (13 + mix // 256 % 16) + y.y * (31 + mix // 4096 % 16)
+    |      + x.x * y.y
+    |      + CASE WHEN asset_id % 2 = 1 AND x.x < 4 AND y.y < 4
+    |             THEN 41 ELSE 0 END) % 256 AS g
+    |  FROM vmix, generate_series(0, 15) x(x), generate_series(0, 15) y(y))""".stripMargin
+
+  /** [[videoPixelCte]] extended with the temporal-mean dHash replay
+    * ([[graft.operators.Multimodal.videoDHash]] at stride 2): per-pixel
+    * gray SUM over the sampled frames, 9×8 integer box-average cells on
+    * the summed plane, horizontal-adjacent bits, the 64-bit hash as two
+    * non-negative 32-bit halves — operation-for-operation the Spark
+    * kernel's math, so a value match pins the multi-frame codec loop
+    * AND the fold. */
+  private lazy val videoDHashCtes: String =
+    s"""$videoPixelCte,
+    |vsum AS (
+    |  SELECT asset_id, x, y, SUM(g) AS sg, y // 2 AS cj
+    |  FROM vpx WHERE f % 2 = 0 GROUP BY 1, 2, 3),
+    |vcellx(ci, x0, x1) AS (
+    |  SELECT i, i * 16 // 9, (i + 1) * 16 // 9 FROM generate_series(0, 8) t(i)),
+    |vavgs AS (
+    |  SELECT asset_id, c.ci, vsum.cj, SUM(sg) // COUNT(*) AS cavg
+    |  FROM vsum JOIN vcellx c ON vsum.x >= c.x0 AND vsum.x < c.x1
+    |  GROUP BY 1, 2, 3),
+    |vbits AS (
+    |  SELECT a.asset_id, a.ci AS i, a.cj AS j,
+    |         CASE WHEN a.cavg < b.cavg THEN 1 ELSE 0 END AS bit
+    |  FROM vavgs a JOIN vavgs b
+    |    ON b.asset_id = a.asset_id AND b.cj = a.cj AND b.ci = a.ci + 1
+    |  WHERE a.ci < 8),
+    |vdh AS (
+    |  SELECT asset_id,
+    |    CAST(SUM(CASE WHEN j < 4
+    |      THEN bit * (CAST(1 AS BIGINT) << ((j % 4) * 8 + i)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+    |    CAST(SUM(CASE WHEN j >= 4
+    |      THEN bit * (CAST(1 AS BIGINT) << ((j % 4) * 8 + i)) ELSE 0 END) AS BIGINT) AS dhash_lo
+    |  FROM vbits GROUP BY 1)""".stripMargin
 
   /** DuckDB replay of the INTRA-corpus EXACT-Jaccard self-join — the
     * FULL all-pairs answer with no prefix logic, shared by
@@ -3787,6 +3826,55 @@ object SparkEntry {
         |FROM vpx WHERE f % 2 = 0
         |GROUP BY asset_id, f
         |ORDER BY asset_id, frame_no""".stripMargin)),
+
+    ("x_video_dhash",
+      // 64-bit perceptual VIDEO fingerprint through the real container
+      // codec (r17): decode every 2nd frame of the animated GIF
+      // (random-access read(i) — skipped frames never decoded),
+      // accumulate the per-pixel integer gray SUM, and difference-hash
+      // the summed plane on the standard 9×8 grid. Every step is
+      // integer math on losslessly decoded values, so the oracle
+      // replays pixels → frame-sum → cells → bits from the render
+      // formula and the hash match pins the multi-frame codec loop AND
+      // the temporal fold bit-for-bit — the video twin of
+      // x_image_dhash.
+      (s, dir) => Multimodal.videoDHash(
+        Multimodal.renderGif(Tables.documents(s, dir).select("doc_id"),
+          16, 16, nFrames = 8, idCol = "doc_id"), stride = 2)
+        .orderBy("asset_id"),
+      Some(s"""WITH $videoDHashCtes
+        |SELECT asset_id, dhash_hi, dhash_lo FROM vdh
+        |ORDER BY asset_id""".stripMargin)),
+
+    ("x_video_neardup",
+      // Video near-dup end to end: GIF render → sampled decode →
+      // temporal-mean dHash → pigeonhole Hamming screen (8 byte-bands
+      // over the 64-bit fingerprint, popcount verify ≤ 4) — the video
+      // modality running the image tier's near-dup stack unchanged.
+      // The render plants sibling pairs (asset 2q/2q+1 differ by a
+      // 4×4 corner perturbation in every frame), and the oracle
+      // computes the FULL all-pairs Hamming answer from the frame
+      // formula — a hash match proves the banding loses nothing at
+      // this radius (8 bands pigeonhole ≤ 7 flipped bits). Radius 4
+      // matches the image tier and reads the planted structure
+      // cleanly: measured at sf0.01, siblings sit at Hamming 0-5
+      // (248/250 within 4) while the nearest UNRELATED pair sits at 5
+      // — so the output is sibling pairs, linear in corpus size, with
+      // the quadratic accident term at zero.
+      (s, dir) => Dedup.hammingNearDup64(
+        Multimodal.videoDHash(
+          Multimodal.renderGif(Tables.documents(s, dir).select("doc_id"),
+            16, 16, nFrames = 8, idCol = "doc_id"), stride = 2),
+        maxHamming = 4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $videoDHashCtes
+        |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS hamming
+        |FROM vdh a JOIN vdh b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     ("rel_rollup",
       // Hierarchical totals in one pass: ROLLUP emits (flag, status),

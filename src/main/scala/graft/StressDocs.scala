@@ -271,6 +271,38 @@ object StressDocs {
       val bad = feats.filter(col("n_samples").isNull || col("n_samples") =!= 512L).count()
       assert(bad == 0, s"every WAV must decode to 512 samples, $bad failed")
     }
+    // Video near-dup tier at stress scale (r17): multi-frame GIF
+    // render → stride-2 sampled decode → temporal-mean dHash → banded
+    // Hamming screen. Same projection shape as the image loop (the
+    // only shuffle is the near-dup banding), 8 frames per asset so the
+    // per-asset codec work is ~8× an image's — scale the asset count
+    // down accordingly.
+    val vidAssets = math.min(docs / 8, 25000L)
+    timed(s"video codec loop ($vidAssets 8-frame GIFs: render→encode→sampled decode→dHash)") {
+      val dh = graft.operators.Multimodal.videoDHash(
+        graft.operators.Multimodal.renderGif(
+          spark.range(vidAssets).select(col("id").as("asset_id"))), stride = 2)
+        .localCheckpoint()
+      val n = dh.filter(col("dhash_hi").isNotNull).count()
+      assert(n == vidAssets, s"every asset must decode and fingerprint, got $n")
+      val ndSlice = vidAssets / 5
+      val nd = timed(s"  video hamming near-dup over $ndSlice assets (8 byte-bands)") {
+        graft.operators.Dedup.hammingNearDup64(
+          dh.filter(col("asset_id") < ndSlice), maxHamming = 6,
+          maxBucket = (ndSlice + 1).toInt)
+          .localCheckpoint()
+      }
+      val sib = nd.filter(col("id_b") === col("id_a") + 1 && pmod(col("id_a"), lit(2)) === 0)
+        .count()
+      val planted = ndSlice / 2
+      println(s"[stress-docs]   sibling near-dups found: $sib of $planted planted")
+      // radius 6 vs the measured sibling distribution (0–5 at sf0.01):
+      // the 4×4 corner perturbation on 16×16 frames can reach 6 bits in
+      // the tail, so assert high-but-not-exact recall — the uncapped
+      // screen keeps this a pure pigeonhole-recall test either way
+      assert(sib >= planted * 97 / 100,
+        s"video sibling recall too low: $sib of $planted")
+    }
     spark.stop()
   }
 }

@@ -211,49 +211,69 @@ object Multimodal {
         else {
           val w = img.getWidth; val h = img.getHeight
           val px = img.getRGB(0, 0, w, h, null, 0, w)
-          // (hw+1) x hh integer box-average grid of the gray image
-          val cols = hw + 1
-          val avg = Array.ofDim[Long](cols, hh)
-          var ci = 0
-          while (ci < cols) {
-            val x0 = ci * w / cols; val x1 = (ci + 1) * w / cols
-            var cj = 0
-            while (cj < hh) {
-              val y0 = cj * h / hh; val y1 = (cj + 1) * h / hh
-              var s = 0L; var n = 0L
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) {
-                  val p = px(y * w + x)
-                  s += (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF)
-                    + 114L * (p & 0xFF)) / 1000L
-                  n += 1; x += 1
-                }
-                y += 1
-              }
-              avg(ci)(cj) = if (n == 0) 0L else s / n
-              cj += 1
-            }
-            ci += 1
+          // integer grayscale plane, then the shared grid/bit math
+          val gray = new Array[Long](px.length)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            gray(i) = (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF)
+              + 114L * (p & 0xFF)) / 1000L
+            i += 1
           }
-          var hi = 0L; var lo = 0L
-          var j = 0
-          while (j < hh) {
-            var i = 0
-            while (i < hw) {
-              if (avg(i)(j) < avg(i + 1)(j)) {
-                val bit = 1L << ((j % (hh / 2)) * hw + i)
-                if (j < hh / 2) hi |= bit else lo |= bit
-              }
-              i += 1
-            }
-            j += 1
-          }
+          val (hi, lo) = dhash64(gray, w, h, hw, hh)
           Row(a, hi, lo)
         }
       }
     }(enc)
+  }
+
+  /** Shared dHash grid/bit math over a per-pixel integer intensity
+    * plane: integer box-average onto a (hw+1)×hh grid, one bit per
+    * horizontally adjacent cell pair, packed as two non-negative
+    * 32-bit halves (bit `(j % (hh/2))*hw + i`, rows below hh/2 in the
+    * hi half). The plane may hold per-image gray ([[imageDHash]]) or
+    * MULTI-FRAME gray sums ([[videoDHash]]) — dHash only compares cell
+    * averages, so any per-pixel integer accumulation keeps every step
+    * exact integer math a SQL oracle replays verbatim. */
+  private def dhash64(vals: Array[Long], w: Int, h: Int,
+      hw: Int, hh: Int): (Long, Long) = {
+    val cols = hw + 1
+    val avg = Array.ofDim[Long](cols, hh)
+    var ci = 0
+    while (ci < cols) {
+      val x0 = ci * w / cols; val x1 = (ci + 1) * w / cols
+      var cj = 0
+      while (cj < hh) {
+        val y0 = cj * h / hh; val y1 = (cj + 1) * h / hh
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            s += vals(y * w + x)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        avg(ci)(cj) = if (n == 0) 0L else s / n
+        cj += 1
+      }
+      ci += 1
+    }
+    var hi = 0L; var lo = 0L
+    var j = 0
+    while (j < hh) {
+      var i = 0
+      while (i < hw) {
+        if (avg(i)(j) < avg(i + 1)(j)) {
+          val bit = 1L << ((j % (hh / 2)) * hw + i)
+          if (j < hh / 2) hi |= bit else lo |= bit
+        }
+        i += 1
+      }
+      j += 1
+    }
+    (hi, lo)
   }
 
   /** Deterministic 16-bit PCM test signal: the sample formula shared by
@@ -384,15 +404,39 @@ object Multimodal {
   }
 
   /** Deterministic grayscale video test pattern: the frame pixel
-    * formula shared by the GIF renderer and the SQL oracle. The
-    * per-(asset, frame) base offset is the same hash-mix family as
-    * [[pixelR]] (multiply by a large odd constant modulo a prime, then
-    * mod 256) with a frame term, so frames evolve within an asset and
-    * assets are effectively unique across a corpus. All integer math,
+    * formula shared by the GIF renderer and the SQL oracle. Asset 2q
+    * and 2q+1 render the SAME animation (keyed by q = id div 2) except
+    * a small perturbation in the 4×4 corner of every frame of the odd
+    * sibling — the planted near-duplicate structure the video
+    * fingerprint pipeline ([[videoDHash]]) must recover, mirroring
+    * [[pixelR]]'s image siblings.
+    *
+    * The per-(q, frame) mix hash-mixes AFTER the frame term folds in
+    * (multiply by a large odd constant modulo a prime, THEN reduce):
+    * the r16 form mixed q first and only added `f * 7919` afterwards,
+    * which made the base `≡ (m + 239·f) mod 256` for the ~94% of
+    * assets whose inner sum stays below the prime — the whole 8-frame
+    * animation was determined by one byte of m, so a 5k-asset corpus
+    * held only ~256 distinct videos. The mixed value feeds THREE
+    * independent bytes/nibbles: a constant offset AND two per-asset
+    * GRADIENT coefficients on the x/y terms. The gradients matter for
+    * the fingerprint tier: with a constant offset alone, two unrelated
+    * assets' frames differ by a per-frame constant, which difference
+    * hashing cancels by construction (only mod-256 wrap boundaries
+    * distinguished them — measured: 0.26% of ALL pairs landed within
+    * Hamming 6, a quadratically growing accident rate). Per-asset
+    * gradients change adjacent-cell differences directly, so unrelated
+    * fingerprints decorrelate structurally and near-dup output grows
+    * LINEARLY with corpus size (sibling pairs only) — the video analog
+    * of the image formula's r16 de-periodization. All integer math,
     * all non-negative, values in 0..255 — exactly one GIF palette. */
-  def framePixel(a: Long, f: Int, x: Int, y: Int): Int =
-    ((((a % 999959L) * 1099087573L + f * 7919L) % 999959L % 256
-      + x * 13 + y * 31 + x * y) % 256).toInt
+  def framePixel(a: Long, f: Int, x: Int, y: Int): Int = {
+    val mix = ((a / 2 % 999959L) * 1099087573L + f * 7919L) % 999959L *
+      2654435761L % 999959L
+    ((mix % 256
+      + x * (13 + mix / 256 % 16) + y * (31 + mix / 4096 % 16) + x * y
+      + (if (a % 2 == 1 && x < 4 && y < 4) 41 else 0)) % 256).toInt
+  }
 
   /** REAL video-container codec path, encode half: render each asset's
     * deterministic multi-frame grayscale animation and ENCODE it
@@ -553,6 +597,99 @@ object Multimodal {
           // the stream's memory cache is released by close(), not by
           // reader.dispose() — leaving it to GC pins the cache
           // (ADVICE r16)
+          if (iis != null) iis.close()
+        }
+      }
+    }(enc)
+  }
+
+  /** 64-bit perceptual VIDEO fingerprint through the real container
+    * codec: decode every `stride`-th frame of the animated-GIF payload
+    * (random-access `read(i)` — skipped frames are never decoded, the
+    * same work-skipping contract as [[decodeVideoFeatures]]),
+    * accumulate the per-pixel integer gray SUM across the sampled
+    * frames, and difference-hash the summed plane on the standard
+    * 9×8 grid ([[imageDHash]]'s math, shared via the `dhash64`
+    * helper). Temporal-mean hashing is the classic cheap video
+    * fingerprint: a small per-frame perturbation moves a few summed
+    * cells, so near-duplicate VIDEOS (e.g. [[framePixel]]'s planted
+    * 2q/2q+1 siblings) land within a few Hamming bits and feed
+    * [[graft.operators.Dedup.hammingNearDup64]] /
+    * [[graft.operators.Dedup.hammingScreen64]] unchanged — the video
+    * modality gets the image tier's whole near-dup stack for the cost
+    * of one fingerprint column.
+    *
+    * Every step is integer math on losslessly decoded values (gray
+    * sums, integer box averages, one comparison bit per adjacent cell
+    * pair), so the hash is an exact SQL-replicable function of the
+    * frame pixels — the oracle recomputes it from the render formula
+    * and a hash match pins the multi-frame codec loop AND the fold.
+    * Frame count comes from `meta.n_frames` exactly as in
+    * [[decodeVideoFeatures]] (same trust contract); undecodable
+    * payloads, frame-size mismatches, and zero sampled frames yield a
+    * null fingerprint row — data errors, not job errors. */
+  def videoDHash(assets: DataFrame, stride: Int = 1,
+      hw: Int = 8, hh: Int = 8): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(hw >= 1 && hh >= 2 && hh % 2 == 0 && hw * hh == 64,
+      "dHash grid must pack 64 bits into two 32-bit halves: hw*hh == 64 with even hh")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("dhash_hi", LongType),
+      StructField("dhash_lo", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val hasMeta = assets.schema.fieldNames.contains("meta") &&
+      assets.schema("meta").dataType.isInstanceOf[StructType] &&
+      assets.schema("meta").dataType.asInstanceOf[StructType]
+        .fieldNames.contains("n_frames")
+    val in =
+      if (hasMeta)
+        assets.select(col("asset_id"), col("media"),
+          col("meta.n_frames").cast("int").as("__nf"))
+      else
+        assets.select(col("asset_id"), col("media"),
+          lit(null).cast("int").as("__nf"))
+    in.mapPartitions { rows =>
+      val spi = {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        if (it.hasNext) it.next().getOriginatingProvider else null
+      }
+      rows.map { r =>
+        val a = r.getLong(0)
+        var reader: javax.imageio.ImageReader = null
+        var iis: javax.imageio.stream.MemoryCacheImageInputStream = null
+        try {
+          reader =
+            if (spi != null) spi.createReaderInstance()
+            else javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+          reader.setInput(iis)
+          val n = if (!r.isNullAt(2)) r.getInt(2) else reader.getNumImages(true)
+          var sum: Array[Long] = null
+          var w = 0; var h = 0
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            if (sum == null) {
+              w = img.getWidth; h = img.getHeight
+              sum = new Array[Long](w * h)
+            } else require(img.getWidth == w && img.getHeight == h,
+              "frame size mismatch")
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var i = 0
+            while (i < px.length) { sum(i) += px(i) & 0xFF; i += 1 }
+            f += stride
+          }
+          if (sum == null) Row(a, null, null)
+          else {
+            val (hi, lo) = dhash64(sum, w, h, hw, hh)
+            Row(a, hi, lo)
+          }
+        } catch {
+          case _: Exception => Row(a, null, null)
+        } finally {
+          if (reader != null) reader.dispose()
           if (iis != null) iis.close()
         }
       }

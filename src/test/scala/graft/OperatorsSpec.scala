@@ -1813,6 +1813,50 @@ class OperatorsSpec extends SparkSpec {
     assert(noMeta == expect(1), "meta-less input must use the counting-scan fallback")
   }
 
+  test("video fingerprint: temporal-mean dHash equals the formula replay; siblings surface") {
+    val ids = (0L until 20L).toDF("asset_id")
+    val assets = graft.operators.Multimodal.renderGif(ids, 16, 16, nFrames = 8)
+    // independent reference: formula pixels → stride-2 gray sums →
+    // 9×8 integer box-average grid → adjacent-cell bits, re-derived
+    // here without touching the library's helper
+    def refHash(a: Long): (Long, Long) = {
+      val sum = Array.ofDim[Long](16 * 16)
+      for (f <- 0 until 8 by 2; y <- 0 until 16; x <- 0 until 16)
+        sum(y * 16 + x) += graft.operators.Multimodal.framePixel(a, f, x, y)
+      val avg = Array.ofDim[Long](9, 8)
+      for (ci <- 0 until 9; cj <- 0 until 8) {
+        val (x0, x1) = (ci * 16 / 9, (ci + 1) * 16 / 9)
+        val (y0, y1) = (cj * 2, cj * 2 + 2)
+        val cells = for (y <- y0 until y1; x <- x0 until x1) yield sum(y * 16 + x)
+        avg(ci)(cj) = cells.sum / cells.size
+      }
+      var hi = 0L; var lo = 0L
+      for (j <- 0 until 8; i <- 0 until 8; if avg(i)(j) < avg(i + 1)(j)) {
+        val bit = 1L << ((j % 4) * 8 + i)
+        if (j < 4) hi |= bit else lo |= bit
+      }
+      (hi, lo)
+    }
+    val got = graft.operators.Multimodal.videoDHash(assets, stride = 2)
+      .orderBy("asset_id").as[(Long, Long, Long)].collect().toSeq
+    val expect = (0L until 20L).map(a => { val (hi, lo) = refHash(a); (a, hi, lo) })
+    assert(got == expect, "video fingerprint must equal the formula replay bit-for-bit")
+    // both halves are non-negative 32-bit values (the portable split)
+    got.foreach { case (a, hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32), s"asset $a") }
+    // every planted sibling pair (2q, 2q+1) surfaces through the
+    // banded Hamming screen at the bench radius
+    val pairs = graft.operators.Dedup.hammingNearDup64(
+      graft.operators.Multimodal.videoDHash(assets, stride = 2), maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSeq
+    val siblings = pairs.filter(p => p._2 == p._1 + 1 && p._1 % 2 == 0)
+    assert(siblings.size == 10, s"all 10 sibling pairs must surface, got $pairs")
+    // undecodable payloads fingerprint to a null row, not a job error
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("asset_id", "media")
+    val nulls = graft.operators.Multimodal.videoDHash(junk).collect()
+    assert(nulls.length == 1 && nulls(0).isNullAt(1) && nulls(0).isNullAt(2))
+  }
+
   test("audio codec loop: PCM→WAV→decode stats equal the formula (lossless)") {
     val ids = (0L until 12L).toDF("asset_id")
     val got = graft.operators.Multimodal.decodeAudioFeatures(
