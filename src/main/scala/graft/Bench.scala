@@ -117,6 +117,21 @@ object Bench {
     // raw-layout measurement. The mirror path is pid-scoped so
     // concurrent bench JVMs never race on a shared tmp dir.
     val rechunkOn = !sys.env.get("SPARK_GRAFT_RECHUNK").contains("0")
+    // In-epoch load provenance (r16 verdict #3): /proc/loadavg sampled
+    // at run start and again at artifact emission, plus the core
+    // count, emitted as a `load` block beside `weak` in BOTH artifact
+    // lines. An anchor excursion on byte-identical code is then
+    // machine-attributable to host weather from the artifact itself
+    // (r16's all-loaded epochs had to be reconstructed from job floors
+    // and sbt walls after the fact). The 1-minute figure is the
+    // co-tenant signal; the job/overhead floors remain the Spark-level
+    // corroboration.
+    def loadAvg(): Seq[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Nil }
+    val loadStart = loadAvg()
+
     // Ingest cost PER SOURCE DIR: one mirrorOf serves the measured dir,
     // the 10x-down scaling dir, and the mid-run 10x scale-up dir, and a
     // single accumulated total overstated the measured dir's ingest
@@ -956,6 +971,11 @@ object Bench {
       else s""","family_over":${familyOver.map(JsonUtil.quote).mkString("[", ",", "]")},""" +
         s""""unbudgeted":${unbudgeted.map(JsonUtil.quote).mkString("[", ",", "]")}"""
 
+    val loadJson = {
+      def arr(v: Seq[Double]) = v.map(x => fmt(x, 2)).mkString("[", ",", "]")
+      s"""{"cpus":${Runtime.getRuntime.availableProcessors()},""" +
+        s""""start":${arr(loadStart)},"end":${arr(loadAvg())}}"""
+    }
     val auxErrJson = auxErrors.distinct.map(JsonUtil.quote).mkString("[", ",", "]")
     // Per-query decomposition: jobs × job_floor is the part of each
     // wall time that is pure scheduling cost at this parallelism — a
@@ -988,6 +1008,7 @@ object Bench {
         s""""total":${fmt(indexBuilds.map(_._2).sum, 3)}""")
         .mkString("\"index_build\":{", ",", "},") +
       s""""overhead_floor_sec":$overheadFloor,"job_floor_sec":$jobFloor,""" +
+      s""""load":$loadJson,""" +
       s""""paired_duckdb":$pairedDetailJson$weakCompact,""" +
       s""""family_budget":$familyJson$familyCompact,""" +
       s""""floor_decomp":$floorDecompJson,""" +
@@ -1031,7 +1052,7 @@ object Bench {
     // keeps it inside the driver's tail capture no matter how long the
     // query map grows. The anchor ratio stays (in baselineSummary) for
     // cross-round comparability. See BASELINE.md "Gate proposal".
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec"$pairedCompact$weakCompact$familyCompact,"queries":${compactTimes(results)},""" +
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec"$pairedCompact$weakCompact,"load":$loadJson$familyCompact,"queries":${compactTimes(results)},""" +
       s""""extended_total":${f3(extTotal)},"extended_count":${extResults.size},""" +
       s""""scaling_ratio_10x_down":${ratioMap(scalingJson, "ratio")},""" +
       s""""scale_up_ratio_10x":${ratioMap(scaleUpJson, "ratio_vs_1x")},""" +

@@ -102,9 +102,12 @@ object ScaleUpAb {
     SparkEntry.prewarmBuilds(spark, m1)
     SparkEntry.prewarmBuilds(spark, m10)
 
+    // devQueries join the lookup (AbBench parity): stage probes need
+    // the same isolated 10× adjudication as registry queries
+    val lookup = SparkEntry.queries ++ SparkEntry.devQueries
     def once(n: String, d: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, d).count()
+      lookup(n)(spark, d).count()
       (System.nanoTime() - t0) / 1e9
     }
     // warm both sides (codegen, listings)

@@ -719,7 +719,14 @@ object SparkEntry {
     scratchLock.synchronized {
       storedPpJoinIndexMemo.getOrElseUpdate((s, dir), {
         val seen = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
-        buildStoredPpJoinIndex(s, seen, scratchPath("graft_ppjoin_index", dir))
+        // co-locate at load (r17): one epoch-charged shuffle per joined
+        // index table replaces a per-screen corpus shuffle/broadcast —
+        // see Dedup.colocatePpJoinIndex. Scoped to the INCREMENTAL
+        // index: the intra self-join epoch (storedFullPpJoinIndex)
+        // never joins dfTable and its set joins are deliberately
+        // broadcast-shaped.
+        Dedup.colocatePpJoinIndex(
+          buildStoredPpJoinIndex(s, seen, scratchPath("graft_ppjoin_index", dir)))
       })
     }
 
@@ -5849,5 +5856,25 @@ object SparkEntry {
     * split-stats shape 0.282/0.324 vs 0.343/0.386 min/med interleaved,
     * and fold+localCheckpoint(counts) beat the bare fold 0.234/0.260
     * vs 0.281/0.314 — both promoted; the split shape deleted.) */
-  def devQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+  def devQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // r17 ppjoin stage-decomposition PROBES (not plan variants): the
+    // AbBench/ScaleUpAb instruments behind the BASELINE.md weak-set
+    // and scale-up adjudications of the ppjoin family — kept so the
+    // next round can re-run the same decomposition
+    "dev_pp_setprep" -> ((s, dir) =>
+      graft.operators.Dedup.ppJoinSetPrepProbe(Tables.documents(s, dir),
+        n = 5, threshold = 0.5)),
+    "dev_pp_pairgen" -> ((s, dir) =>
+      graft.operators.Dedup.ppJoinPairGenProbe(Tables.documents(s, dir),
+        n = 5, threshold = 0.5)),
+    // r17 verdict #2: stage decomposition of the incremental screen
+    // for the 10x scale-up adjudication
+    "dev_ppa_keyed" -> ((s, dir) =>
+      graft.operators.Dedup.ppJoinAgainstKeyedProbe(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0),
+        storedPpJoinIndex(s, dir))),
+    "dev_ppa_cands" -> ((s, dir) =>
+      graft.operators.Dedup.ppJoinAgainstCandsProbe(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0),
+        storedPpJoinIndex(s, dir))))
 }

@@ -184,8 +184,12 @@ object Dedup {
     *
     * `materialize = false` skips the set-preparation localCheckpoint
     * (which otherwise cuts the rarity-window recompute for the three
-    * docRanks consumers but costs one materialization job) — the same
-    * opt-out contract as the sibling dedup operators. */
+    * docRanks consumers) — the same opt-out contract as the sibling
+    * dedup operators. r17: the checkpoint is LAZY — the first consumer
+    * job (the verify phase's set broadcast build) materializes the
+    * blocks as it runs, so single-evaluation costs no dedicated job
+    * (the bm25/importanceWeights fold discipline; one fewer job floor
+    * on the weak-set offender). */
   def ppJoinPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       materialize: Boolean = true): DataFrame = {
@@ -208,7 +212,8 @@ object Dedup {
       .withColumn("sz", size(col("rset")))
       .withColumn("plen",
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
-    val docRanks = if (materialize) docRanks0.localCheckpoint() else docRanks0
+    val docRanks =
+      if (materialize) docRanks0.localCheckpoint(false) else docRanks0
     // Prefix-token posting rows (pt, id, sz, i) — the SAME row shape
     // [[ppJoinIndex]] persists, so the in-array pair combinatorics +
     // verify path below is one shared helper for the one-shot join and
@@ -220,6 +225,50 @@ object Dedup {
         (col("pos") + 1).as("i"))
     val sets = docRanks.select(col(idCol).as("id"), col("rset"))
     intraPairsFromPostings(postings, sets, threshold)
+  }
+
+  /** Dev probe (AbBench decomposition only): the set-preparation phase
+    * of [[ppJoinPairs]] alone — explode, rarity window, per-doc set
+    * assembly — with no checkpoint. */
+  private[graft] def ppJoinSetPrepProbe(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes(col("text"), n, distinct = true)).as("sh"))
+    val keyed = exploded.withColumn("r",
+      rarityKey(count(lit(1)).over(Window.partitionBy(col("sh"))), col("sh")))
+    keyed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("r"))).as("rset"))
+      .withColumn("sz", size(col("rset")))
+  }
+
+  /** Dev probe: set-prep + posting explode + in-array pair generation
+    * + length/positional filters — everything in [[ppJoinPairs]] up to
+    * (but excluding) the verify joins. */
+  private[graft] def ppJoinPairGenProbe(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val docRanks = ppJoinSetPrepProbe(docs, n, threshold)
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+    val postings = docRanks
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("rset"), lit(1), col("plen"))))
+      .select(col("col").as("pt"), col("doc_id").as("id"), col("sz"),
+        (col("pos") + 1).as("i"))
+    val grouped = ppJoinPostingLists(postings)
+    val rawPairs = grouped.select(explode(expr(
+        "flatten(transform(sequence(0, size(es) - 2), " +
+          "i -> transform(slice(es, i + 2, size(es)), " +
+          "e -> struct(es[i].id AS id_a, e.id AS id_b, " +
+          "es[i].sz AS sz_a, e.sz AS sz_b, " +
+          "least(es[i].i, e.i) + least(es[i].sz - es[i].i, e.sz - e.i) AS ub))))"
+      )).as("p")).select(col("p.*"))
+    def jUb(x: Column): Column =
+      x.cast("double") / (col("sz_a") + col("sz_b") - x) >= threshold
+    rawPairs
+      .filter(jUb(least(col("sz_a"), col("sz_b"))))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(min(col("ub")).as("__ub"))
+      .filter(jUb(col("__ub")))
   }
 
   /** Intra-corpus PPJoin pair generation + verification from the
@@ -235,12 +284,28 @@ object Dedup {
   /** pt-grouped posting lists (pt, es: sorted array of (id, sz, i)) —
     * the form the intra-corpus pair generator consumes. One exchange
     * (the pt groupBy); tokens held by a single doc are dropped (they
-    * can generate no pair). Persist this alongside a [[PpJoinIndex]]
-    * (the full-table epoch does) and [[ppJoinPairsFromIndex]] serves
-    * the self-join with ZERO set-preparation exchanges — pair-gen
-    * starts directly from the stored arrays. */
+    * can generate no pair). The drop happens in TWO layers: the
+    * composite posting key embeds the GLOBAL document frequency
+    * (pt = df·2³² + sh), so rows with df = 1 — the vast majority of a
+    * near-unique shingle space's prefix stream (~94% of posting rows
+    * on the bench corpus) — are pruned BEFORE the exchange by a pure
+    * scan-side comparison, and the post-group `size > 1` filter
+    * handles the necessary-not-sufficient remainder (a df ≥ 2 token
+    * whose second holder carries it OUTSIDE its prefix still groups
+    * alone). Measured on the r17 interleaved A/B the full one-shot
+    * read ~8% faster min/med — modest at 5k docs where scheduling
+    * floors dominate, but the exchange now carries only
+    * potentially-pairing postings (15k rows instead of 250k on the
+    * bench corpus), which is the term that matters at 100 TB where
+    * the prefix stream is data-scale. Persist this alongside a
+    * [[PpJoinIndex]] (the full-table epoch does) and
+    * [[ppJoinPairsFromIndex]] serves the self-join with ZERO
+    * set-preparation exchanges — pair-gen starts directly from the
+    * stored arrays. */
   def ppJoinPostingLists(postings: DataFrame): DataFrame =
-    postings.groupBy(col("pt"))
+    postings
+      .filter(col("pt") >= lit(2L * RarityKeyBase))
+      .groupBy(col("pt"))
       .agg(sort_array(collect_list(struct(col("id").as("id"),
         col("sz").as("sz"), col("i").as("i")))).as("es"))
       .filter(size(col("es")) > 1)
@@ -395,6 +460,32 @@ object Dedup {
     PpJoinIndex(dfTable, postings, sets, n, threshold, idCol)
   }
 
+  /** Co-locate a LOADED [[PpJoinIndex]] for serve-many screening: the
+    * two index tables that [[ppJoinAgainst]] joins on — the df/rarity
+    * vocabulary (keyed by sh) and the rarity-keyed sets (keyed by id)
+    * — are repartitioned on their join keys, sorted within partitions,
+    * and localCheckpointed, so EVERY subsequent screen's joins find
+    * the corpus side already distributed and ordered: only the
+    * batch-bounded side exchanges, and the sort-merge join needs no
+    * corpus-side sort. Without this, each screen either broadcasts the
+    * sets (fine while they fit) or re-shuffles the whole corpus-scale
+    * table per batch — the exact O(corpus)-per-batch term the
+    * stored-index contract exists to avoid; measured on the 10×
+    * ScaleUpAb corpus the static planner flips the verify join from
+    * broadcast to a full sets shuffle at the size threshold and the
+    * screen's scale-up ratio jumps accordingly. One shuffle per EPOCH
+    * here (charged to index build, like the parquet round trip)
+    * replaces one shuffle per BATCH. This is the session-lifetime
+    * analog of storing the index tables BUCKETED by their join keys —
+    * which is the right physical layout for them at the 100 TB
+    * target, where an index outlives any session. */
+  def colocatePpJoinIndex(index: PpJoinIndex): PpJoinIndex =
+    index.copy(
+      dfTable = index.dfTable.repartition(col("sh"))
+        .sortWithinPartitions("sh").localCheckpoint(),
+      sets = index.sets.repartition(col(index.idCol))
+        .sortWithinPartitions(index.idCol).localCheckpoint())
+
   /** Screen a batch against a prebuilt [[PpJoinIndex]]: every
     * (new_id, seen_id) pair with EXACT n-gram-set Jaccard ≥ the
     * index's threshold, O(batch + collisions) — the corpus is touched
@@ -437,9 +528,13 @@ object Dedup {
     val keyed = grams.join(index.dfTable, Seq("sh"), "left")
       .withColumn("r", rarityKey(coalesce(col("df"), lit(0L)), col("sh")))
     // bsets feeds two broadcast builds (prefix tokens, verify arrays);
-    // measured: recomputing the batch-side chain per consumer is
-    // cheaper than a checkpoint — the batch is the SMALL side by
-    // contract, so the duplicate work is bounded by the batch scan
+    // measured (r14, re-adjudicated r17 on the co-located shape):
+    // recomputing the batch-side chain per consumer is cheaper than a
+    // checkpoint — the batch is the SMALL side by contract, so the
+    // duplicate work is bounded by the batch scan (r17 interleaved:
+    // a lazy bsets checkpoint tied at 1x and read 3.50 vs 2.55 on the
+    // 10x ScaleUpAb ratio — materializing 10x batch arrays costs more
+    // than re-running the gram kernel chain).
     val bsets = keyed.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("r"))).as("__brset"))
       .withColumn("__bsz", size(col("__brset")))
@@ -487,6 +582,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("seen_id"), col("inter"),
         col("sz_new"), col("sz_seen"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Dev probe (ScaleUpAb decomposition): [[ppJoinAgainst]]'s rarity
+    * keying stage alone — batch grams left-joined to the stored df
+    * table. */
+  private[graft] def ppJoinAgainstKeyedProbe(incoming: DataFrame,
+      index: PpJoinIndex, textCol: String = "text"): DataFrame = {
+    val grams = incoming.select(col(index.idCol),
+      explode(graft.functions.ShingleHashes(col(textCol), index.n,
+        distinct = true)).as("sh"))
+    grams.join(index.dfTable, Seq("sh"), "left")
+      .withColumn("r", rarityKey(coalesce(col("df"), lit(0L)), col("sh")))
+  }
+
+  /** Dev probe: [[ppJoinAgainst]] up to (but excluding) the verify
+    * joins — keying, batch prefix build, the postings⋈prefix pair
+    * generator, and the length/positional candidate filters. */
+  private[graft] def ppJoinAgainstCandsProbe(incoming: DataFrame,
+      index: PpJoinIndex, textCol: String = "text"): DataFrame = {
+    val idCol = index.idCol
+    val threshold = index.threshold
+    val keyed = ppJoinAgainstKeyedProbe(incoming, index, textCol)
+    val bsets = keyed.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("r"))).as("__brset"))
+      .withColumn("__bsz", size(col("__brset")))
+      .withColumn("__bplen",
+        (col("__bsz") - ceil(lit(threshold) * col("__bsz")) + 1).cast("int"))
+    val bprefixes = bsets
+      .select(col(idCol).as("new_id"), col("__bsz"),
+        posexplode(slice(col("__brset"), lit(1), col("__bplen"))))
+      .select(col("new_id"), col("__bsz"), (col("pos") + 1).as("__bi"), col("col").as("pt"))
+    val rawPairs = index.postings.join(broadcast(bprefixes), "pt")
+      .select(col("new_id"), col("id").as("seen_id"),
+        col("__bsz").as("sz_new"), col("sz").as("sz_seen"),
+        (least(col("__bi"), col("i"))
+          + least(col("__bsz") - col("__bi"), col("sz") - col("i"))).as("ub"))
+      .filter(col("new_id") =!= col("seen_id"))
+    def jUb(x: Column): Column =
+      x.cast("double") / (col("sz_new") + col("sz_seen") - x) >= threshold
+    rawPairs
+      .filter(jUb(least(col("sz_new"), col("sz_seen"))))
+      .groupBy(col("new_id"), col("seen_id"), col("sz_new"), col("sz_seen"))
+      .agg(min(col("ub")).as("__ub"))
+      .filter(jUb(col("__ub")))
   }
 
   /** One-shot convenience: build the index from `seen` and screen

@@ -1239,6 +1239,13 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("new_id", "seen_id")
       .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
     assert(storedOut == expect)
+    // the co-located load form (r17: join-key repartition + in-partition
+    // sort + checkpoint, so per-screen joins never exchange the corpus
+    // side) screens identically again
+    val colocatedOut = Dedup.ppJoinAgainst(batch, Dedup.colocatePpJoinIndex(stored))
+      .orderBy("new_id", "seen_id")
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSeq
+    assert(colocatedOut == expect)
   }
 
   test("ppJoinPairs: length+positional filters lose no pair on a randomized corpus") {
