@@ -985,6 +985,17 @@ object TextAnalysis {
     * a group-count-bounded idf table, and a WindowGroupLimit top-k per
     * group — no doc-sized frame survives the first aggregate.
     *
+    * The group-count term `ng` stays an IN-PLAN 1-row broadcast
+    * (distinct → agg → crossJoin) deliberately — r17 A/B'd both
+    * alternatives and kept this: a driver-collected literal
+    * SERIALIZES the ng job before the main action (0.429 vs 0.387
+    * min interleaved — the broadcast build overlaps the main job's
+    * early stages under static planning), and a groups_with-style
+    * derivation from the tf frame would either recompute the token
+    * chain or pay a checkpoint. The ng branch costs ~0.14 s of the
+    * query's 0.39 s at sf0.1 — see BASELINE.md "r17 ctfidf
+    * decomposition" for why the remainder is fixed-cost, not plan.
+    *
     * Output: (group, token, tf, groups_with, ctfidf, rank ≤ topK),
     * rank deterministic via (score desc, token asc). */
   def classTfIdf(docs: DataFrame, groupCol: String, topK: Int = 10,
