@@ -256,7 +256,7 @@ object Bench {
       // dHash fingerprint over sampled decoded frames, and the banded
       // Hamming near-dup screen over it (the image tier's stack on
       // the video modality)
-      "x_video_dhash", "x_video_neardup"))
+      "x_video_dhash", "x_video_neardup", "x_video_incremental"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,
@@ -912,7 +912,7 @@ object Bench {
     val weakExempt = Set("x_image_decode", "x_image_dhash",
       "x_image_neardup", "x_image_incremental", "x_audio_decode",
       "x_video_decode", "x_video_sample", "x_video_dhash",
-      "x_video_neardup")
+      "x_video_neardup", "x_video_incremental")
     val weakEntries = (headline ++ extended).distinct.flatMap { n =>
       for { s <- largeTimes.get(n); d <- pairedTimes.get(n)
             if s >= 0.4 && d > 0 && s / d > 2.0 }

@@ -3883,6 +3883,37 @@ object SparkEntry {
         |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 4
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    ("x_video_incremental",
+      // Incremental video-dedup ingest screen — the video modality
+      // completing the image tier's LAST face (r17): which incoming
+      // videos (asset_id % 5 = 0, the batch) are within Hamming 4 of
+      // the already-ingested 80%, fingerprinting both sides through
+      // the REAL multi-frame codec loop and screening with the same
+      // cross-set 8-byte-band pigeonhole (seen-side bucket cap,
+      // O(batch + collisions)) the image screen uses — zero new
+      // operator code, pure composition. The oracle computes the FULL
+      // batch × corpus Hamming answer from the frame formula, so a
+      // hash match proves the codec loop, the temporal fold, AND the
+      // cross-set banding lose nothing at this radius.
+      (s, dir) => {
+        val dh = Multimodal.videoDHash(
+          Multimodal.renderGif(Tables.documents(s, dir).select("doc_id"),
+            16, 16, nFrames = 8, idCol = "doc_id"), stride = 2)
+        Dedup.hammingScreen64(
+          dh.filter(pmod(col("asset_id"), lit(5)) === 0),
+          dh.filter(pmod(col("asset_id"), lit(5)) =!= 0), maxHamming = 4)
+          .orderBy("new_id", "seen_id")
+      },
+      Some(s"""WITH $videoDHashCtes
+        |SELECT n.asset_id AS new_id, s.asset_id AS seen_id,
+        |  CAST(bit_count(xor(n.dhash_hi, s.dhash_hi))
+        |     + bit_count(xor(n.dhash_lo, s.dhash_lo)) AS INT) AS hamming
+        |FROM vdh n JOIN vdh s
+        |  ON n.asset_id % 5 = 0 AND s.asset_id % 5 <> 0
+        |WHERE bit_count(xor(n.dhash_hi, s.dhash_hi))
+        |    + bit_count(xor(n.dhash_lo, s.dhash_lo)) <= 4
+        |ORDER BY new_id, seen_id""".stripMargin)),
+
     ("rel_rollup",
       // Hierarchical totals in one pass: ROLLUP emits (flag, status),
       // (flag, ALL), (ALL, ALL) grouping sets from a single shuffle —
