@@ -3744,12 +3744,18 @@ object SparkEntry {
       // hash match proves the codec loop AND the cross-set banding
       // lose nothing at this radius.
       (s, dir) => {
-        val dh = Multimodal.imageDHash(
-          Multimodal.renderPng(Tables.documents(s, dir).select("doc_id"), 32, 32,
+        // split the IDS before the codec chain: a filter cannot push
+        // through mapPartitions, so filtering the fingerprint frame
+        // rendered+decoded the WHOLE corpus once per side — 2x the
+        // codec work (r17 fix; wall-neutral at sf0.1 where per-asset
+        // codec CPU is small, but the halving is the term that
+        // matters at real asset sizes)
+        def dh(pred: Column => Column) = Multimodal.imageDHash(
+          Multimodal.renderPng(Tables.documents(s, dir).select("doc_id")
+            .filter(pred(pmod(col("doc_id"), lit(5)))), 32, 32,
             idCol = "doc_id"))
         Dedup.hammingScreen64(
-          dh.filter(pmod(col("asset_id"), lit(5)) === 0),
-          dh.filter(pmod(col("asset_id"), lit(5)) =!= 0), maxHamming = 4)
+          dh(_ === 0), dh(_ =!= 0), maxHamming = 4)
           .orderBy("new_id", "seen_id")
       },
       Some(s"""WITH $imageDHashCtes
@@ -3896,12 +3902,14 @@ object SparkEntry {
       // hash match proves the codec loop, the temporal fold, AND the
       // cross-set banding lose nothing at this radius.
       (s, dir) => {
-        val dh = Multimodal.videoDHash(
-          Multimodal.renderGif(Tables.documents(s, dir).select("doc_id"),
+        // ids split BEFORE the codec chain — the image screen's
+        // mapPartitions pushdown lesson (see x_image_incremental)
+        def dh(pred: Column => Column) = Multimodal.videoDHash(
+          Multimodal.renderGif(Tables.documents(s, dir).select("doc_id")
+            .filter(pred(pmod(col("doc_id"), lit(5)))),
             16, 16, nFrames = 8, idCol = "doc_id"), stride = 2)
         Dedup.hammingScreen64(
-          dh.filter(pmod(col("asset_id"), lit(5)) === 0),
-          dh.filter(pmod(col("asset_id"), lit(5)) =!= 0), maxHamming = 4)
+          dh(_ === 0), dh(_ =!= 0), maxHamming = 4)
           .orderBy("new_id", "seen_id")
       },
       Some(s"""WITH $videoDHashCtes
