@@ -373,4 +373,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("UDF"), plan)
     assert(plan.contains("DataFilters: [NOT might_contain"), plan)
   }
+
+  test("co-located ppjoin index removes corpus-side exchanges from the screen") {
+    // r17: colocatePpJoinIndex repartitions+sorts the df vocabulary on
+    // sh and the sets on id at load, so EVERY screen's joins find the
+    // corpus side pre-distributed and pre-sorted — the per-screen plan
+    // must carry strictly fewer shuffle exchanges than the same screen
+    // over the plain index (the removed ones are exactly the
+    // corpus-side re-distributions; at the broadcast-threshold
+    // boundary the static planner otherwise re-shuffles the WHOLE
+    // sets table per batch — the O(corpus)-per-batch term the 10×
+    // ScaleUpAb exposed). Comparative count, not absolute: batch-side
+    // exchange structure may churn with Spark versions.
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (0 until 6 + rnd.nextInt(8)).map(_ => s"w${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val idx = graft.operators.Dedup.ppJoinIndex(corpus, n = 1, threshold = 0.5)
+    def exchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    val plain = exchanges(planOf(
+      graft.operators.Dedup.ppJoinAgainst(batch, idx)))
+    val colocated = exchanges(planOf(graft.operators.Dedup.ppJoinAgainst(
+      batch, graft.operators.Dedup.colocatePpJoinIndex(idx))))
+    assert(colocated < plain,
+      s"co-located screen must shuffle less: $colocated vs $plain exchanges")
+  }
 }
