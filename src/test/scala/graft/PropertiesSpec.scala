@@ -582,4 +582,47 @@ class PropertiesSpec extends SparkSpec {
     assert(fold1Score != merged1Score,
       s"corpus chosen to diverge: fold=$fold1Score merged=$merged1Score")
   }
+
+  test("videoDHash ≡ independent replay across grids and strides (randomized)") {
+    import spark.implicits._
+    // every legal 64-bit grid × stride 1..3, pinned against a from-
+    // scratch replay (formula pixels → sampled gray sums → integer
+    // box cells → adjacent bits → two 32-bit halves) — generalizes
+    // the OperatorsSpec 9×8/stride-2 pin to the whole packing space
+    val ids = (0L until 12L).toDF("asset_id")
+    val assets = graft.operators.Multimodal.renderGif(ids, 16, 16, nFrames = 7)
+    def ref(a: Long, stride: Int, hw: Int, hh: Int): (Long, Long) = {
+      val sum = Array.ofDim[Long](16 * 16)
+      for (f <- 0 until 7 by stride; y <- 0 until 16; x <- 0 until 16)
+        sum(y * 16 + x) += graft.operators.Multimodal.framePixel(a, f, x, y)
+      val cols = hw + 1
+      val avg = Array.ofDim[Long](cols, hh)
+      for (ci <- 0 until cols; cj <- 0 until hh) {
+        val (x0, x1) = (ci * 16 / cols, (ci + 1) * 16 / cols)
+        val (y0, y1) = (cj * 16 / hh, (cj + 1) * 16 / hh)
+        val cells = for (y <- y0 until y1; x <- x0 until x1) yield sum(y * 16 + x)
+        avg(ci)(cj) = if (cells.isEmpty) 0L else cells.sum / cells.size
+      }
+      var hi = 0L; var lo = 0L
+      for (j <- 0 until hh; i <- 0 until hw; if avg(i)(j) < avg(i + 1)(j)) {
+        val bit = 1L << ((j % (hh / 2)) * hw + i)
+        if (j < hh / 2) hi |= bit else lo |= bit
+      }
+      (hi, lo)
+    }
+    for ((hw, hh) <- Seq((8, 8), (16, 4), (4, 16), (32, 2)); stride <- 1 to 3) {
+      val got = graft.operators.Multimodal.videoDHash(assets, stride, hw, hh)
+        .orderBy("asset_id").as[(Long, Long, Long)].collect().toSeq
+      val expect = (0L until 12L).map { a =>
+        val (hi, lo) = ref(a, stride, hw, hh); (a, hi, lo) }
+      assert(got == expect, s"grid ${hw}x$hh stride $stride")
+    }
+    // illegal grids reject loudly: odd hh, wrong bit total
+    intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.videoDHash(assets, 1, 64, 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.videoDHash(assets, 1, 8, 4)
+    }
+  }
 }
