@@ -964,6 +964,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == batchAll)
   }
 
+  test("streaming video-dedup screening against a prebuilt fingerprint epoch index") {
+    // the video twin of the image screen face (r17): the corpus
+    // temporal-mean dHash index is a BATCH table built once per
+    // epoch; each micro-batch of incoming video assets renders,
+    // sample-decodes, fingerprints, and screens against it in
+    // foreachBatch — per-batch answers equal the batch operator's.
+    // Restart behavior is the image face's proof verbatim (the screen
+    // is a pure function of (batch, index); no cross-batch state).
+    implicit val sqlCtx = spark.sqlContext
+    val corpusIdx = graft.operators.Multimodal.videoDHash(
+      graft.operators.Multimodal.renderGif(
+        (0L until 20L).filter(_ % 5 != 0).toDF("asset_id")), stride = 2)
+      .localCheckpoint()
+    val mem = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = mem.toDF().toDF("asset_id").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.operators.Dedup.hammingScreen64(
+          graft.operators.Multimodal.videoDHash(
+            graft.operators.Multimodal.renderGif(batch), stride = 2),
+          corpusIdx, maxHamming = 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        ()
+    }.start()
+    mem.addData(0L, 5L, 10L)
+    q.processAllAvailable()
+    mem.addData(15L)
+    q.processAllAvailable()
+    q.stop()
+    // planted animation siblings (2q/2q+1): 0↔1, 10↔11, 5↔4, 15↔14 —
+    // every batch asset's sibling sits in the corpus
+    val sib = got.filter { case (n, s, _) => s == n + 1 || s == n - 1 }
+      .map(t => (t._1, t._2)).toSet
+    assert(Set((0L, 1L), (10L, 11L), (5L, 4L), (15L, 14L)).subsetOf(sib),
+      s"planted siblings must screen out, got $got")
+    val batchAll = graft.operators.Dedup.hammingScreen64(
+      graft.operators.Multimodal.videoDHash(
+        graft.operators.Multimodal.renderGif(
+          Seq(0L, 5L, 10L, 15L).toDF("asset_id")), stride = 2),
+      corpusIdx, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.toSet == batchAll)
+  }
+
   test("streaming image screen restarts from its checkpoint: the epoch-index face carries no cross-batch state") {
     // restart proof for the image-dedup screen, completing the set the
     // other five streaming families have. The proof differs in KIND:
