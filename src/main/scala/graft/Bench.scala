@@ -127,9 +127,11 @@ object Bench {
     // co-tenant signal; the job/overhead floors remain the Spark-level
     // corroboration.
     def loadAvg(): Seq[Double] =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split("\\s+").take(3).toSeq.map(_.toDouble)
-      catch { case _: Throwable => Nil }
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        (try src.mkString finally src.close()).trim
+          .split("\\s+").take(3).toSeq.map(_.toDouble)
+      } catch { case _: Throwable => Nil }
     val loadStart = loadAvg()
 
     // Ingest cost PER SOURCE DIR: one mirrorOf serves the measured dir,

@@ -3719,11 +3719,15 @@ object SparkEntry {
       // computes the FULL all-pairs Hamming answer from the pixel
       // formula — a hash match proves the banding loses nothing at
       // this radius (8 bands pigeonhole ≤ 7 flipped bits).
+      // maxBucket effectively UNCAPPED (ADVICE r17): the DuckDB oracle
+      // computes the full all-pairs Hamming answer, so the paired query
+      // must not silently drop hot-bucket pairs at larger SFs —
+      // production screens keep the DefaultMaxBucket cost bound.
       (s, dir) => Dedup.hammingNearDup64(
         Multimodal.imageDHash(
           Multimodal.renderPng(Tables.documents(s, dir).select("doc_id"), 32, 32,
             idCol = "doc_id")),
-        maxHamming = 4)
+        maxHamming = 4, maxBucket = Int.MaxValue)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH $imageDHashCtes
         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
@@ -3754,8 +3758,9 @@ object SparkEntry {
           Multimodal.renderPng(Tables.documents(s, dir).select("doc_id")
             .filter(pred(pmod(col("doc_id"), lit(5)))), 32, 32,
             idCol = "doc_id"))
+        // uncapped for the same oracle-pairing reason as x_image_neardup
         Dedup.hammingScreen64(
-          dh(_ === 0), dh(_ =!= 0), maxHamming = 4)
+          dh(_ === 0), dh(_ =!= 0), maxHamming = 4, maxBucket = Int.MaxValue)
           .orderBy("new_id", "seen_id")
       },
       Some(s"""WITH $imageDHashCtes
@@ -3874,11 +3879,13 @@ object SparkEntry {
       // (248/250 within 4) while the nearest UNRELATED pair sits at 5
       // — so the output is sibling pairs, linear in corpus size, with
       // the quadratic accident term at zero.
+      // maxBucket effectively UNCAPPED (ADVICE r17): the oracle is the
+      // full all-pairs answer — see x_image_neardup.
       (s, dir) => Dedup.hammingNearDup64(
         Multimodal.videoDHash(
           Multimodal.renderGif(Tables.documents(s, dir).select("doc_id"),
             16, 16, nFrames = 8, idCol = "doc_id"), stride = 2),
-        maxHamming = 4)
+        maxHamming = 4, maxBucket = Int.MaxValue)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH $videoDHashCtes
         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
@@ -3908,8 +3915,9 @@ object SparkEntry {
           Multimodal.renderGif(Tables.documents(s, dir).select("doc_id")
             .filter(pred(pmod(col("doc_id"), lit(5)))),
             16, 16, nFrames = 8, idCol = "doc_id"), stride = 2)
+        // uncapped for the same oracle-pairing reason as x_image_neardup
         Dedup.hammingScreen64(
-          dh(_ === 0), dh(_ =!= 0), maxHamming = 4)
+          dh(_ === 0), dh(_ =!= 0), maxHamming = 4, maxBucket = Int.MaxValue)
           .orderBy("new_id", "seen_id")
       },
       Some(s"""WITH $videoDHashCtes

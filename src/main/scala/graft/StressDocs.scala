@@ -252,11 +252,13 @@ object StressDocs {
       // keeps this assert a pure RECALL test — the pigeonhole
       // guarantee — independent of the render formula's duplicate
       // density.
+      // clamp: hammingNearDup64 requires maxBucket > 1, and at tiny
+      // asset counts ndSlice + 1 can be <= 1 (ADVICE r17)
       val ndSlice = imgAssets / 5
       val nd = timed(s"  dHash hamming near-dup over $ndSlice assets (8 byte-bands)") {
         graft.operators.Dedup.hammingNearDup64(
           dh.filter(col("asset_id") < ndSlice), maxHamming = 4,
-          maxBucket = (ndSlice + 1).toInt)
+          maxBucket = math.max(2, (ndSlice + 1).toInt))
           .localCheckpoint()
       }
       val sib = nd.filter(col("id_b") === col("id_a") + 1 && pmod(col("id_a"), lit(2)) === 0)
@@ -289,7 +291,7 @@ object StressDocs {
       val nd = timed(s"  video hamming near-dup over $ndSlice assets (8 byte-bands)") {
         graft.operators.Dedup.hammingNearDup64(
           dh.filter(col("asset_id") < ndSlice), maxHamming = 6,
-          maxBucket = (ndSlice + 1).toInt)
+          maxBucket = math.max(2, (ndSlice + 1).toInt))
           .localCheckpoint()
       }
       val sib = nd.filter(col("id_b") === col("id_a") + 1 && pmod(col("id_a"), lit(2)) === 0)

@@ -619,8 +619,9 @@ object Multimodal {
     * modality gets the image tier's whole near-dup stack for the cost
     * of one fingerprint column.
     *
-    * Every step is integer math on losslessly decoded values (gray
-    * sums, integer box averages, one comparison bit per adjacent cell
+    * Every step is integer math on losslessly decoded values
+    * ([[imageDHash]]'s 299/587/114 integer luma summed across frames,
+    * integer box averages, one comparison bit per adjacent cell
     * pair), so the hash is an exact SQL-replicable function of the
     * frame pixels — the oracle recomputes it from the render formula
     * and a hash match pins the multi-frame codec loop AND the fold.
@@ -677,8 +678,18 @@ object Multimodal {
             } else require(img.getWidth == w && img.getHeight == h,
               "frame size mismatch")
             val px = img.getRGB(0, 0, w, h, null, 0, w)
+            // same 299/587/114 integer luma as [[imageDHash]] — exact
+            // identity on grayscale frames (r=g=b ⇒ 1000v/1000 = v, so
+            // the grayscale-GIF oracle replay is unchanged), and the
+            // correct intensity for color input (ADVICE r17: the old
+            // `& 0xFF` read the blue channel only)
             var i = 0
-            while (i < px.length) { sum(i) += px(i) & 0xFF; i += 1 }
+            while (i < px.length) {
+              val p = px(i)
+              sum(i) += (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF)
+                + 114L * (p & 0xFF)) / 1000L
+              i += 1
+            }
             f += stride
           }
           if (sum == null) Row(a, null, null)
