@@ -670,6 +670,14 @@ object SparkEntry {
         "-" + java.lang.Integer.toHexString(dir.hashCode)).getPath
   }
 
+  /** Catalog-safe table-name twin of [[scratchPath]] for the bucketed
+    * epoch stores: the session catalog is flat, so the data-dir key
+    * that the path encodes must ride the NAME (full sanitized dir +
+    * hashCode hex — same collision argument as the path). */
+  private def scratchTableName(kind: String, dir: String): String =
+    s"${kind}_${dir.replaceAll("[^A-Za-z0-9_]", "_")}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   // pid-scoped scratch roots would otherwise accumulate one artifact
   // set per JVM run (the pre-pid fixed paths were overwritten in
   // place, bounding disk; the pid suffix unbounded it) — a shutdown
@@ -719,14 +727,19 @@ object SparkEntry {
     scratchLock.synchronized {
       storedPpJoinIndexMemo.getOrElseUpdate((s, dir), {
         val seen = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
-        // co-locate at load (r17): one epoch-charged shuffle per joined
-        // index table replaces a per-screen corpus shuffle/broadcast —
-        // see Dedup.colocatePpJoinIndex. Scoped to the INCREMENTAL
-        // index: the intra self-join epoch (storedFullPpJoinIndex)
-        // never joins dfTable and its set joins are deliberately
-        // broadcast-shaped.
-        Dedup.colocatePpJoinIndex(
-          buildStoredPpJoinIndex(s, seen, scratchPath("graft_ppjoin_index", dir)))
+        // BUCKETED epoch store (r18, upgrading r17's session-lifetime
+        // colocatePpJoinIndex): the two joined index tables are written
+        // bucketBy their join keys, so every screen — in THIS session
+        // and any future one reading the same store — finds the corpus
+        // side pre-distributed and pre-sorted from the parquet scan
+        // itself. Scoped to the INCREMENTAL index: the intra self-join
+        // epoch (storedFullPpJoinIndex) never joins dfTable and its
+        // set joins are deliberately broadcast-shaped.
+        val built = Dedup.ppJoinIndex(seen, n = 5, threshold = 0.5)
+        Dedup.storePpJoinIndexBucketed(built,
+          tablePrefix = scratchTableName("graft_ppjoin_idx", dir),
+          path = scratchPath("graft_ppjoin_index", dir))
+        Dedup.loadPpJoinIndexBucketed(s, scratchTableName("graft_ppjoin_idx", dir))
       })
     }
 

@@ -486,6 +486,75 @@ object Dedup {
       sets = index.sets.repartition(col(index.idCol))
         .sortWithinPartitions(index.idCol).localCheckpoint())
 
+  /** Persist a [[PpJoinIndex]] as BUCKETED parquet tables — the
+    * store-durable form of [[colocatePpJoinIndex]]: the two tables
+    * [[ppJoinAgainst]] joins on are written `bucketBy` their join keys
+    * (df/rarity vocabulary by `sh`, rarity-keyed sets by id), so a
+    * LOADED index's scans expose `HashPartitioning` to the planner and
+    * every screen in every FUTURE session finds the corpus side
+    * already distributed and sorted — zero corpus-side exchanges, paid
+    * once at the epoch write instead of once per session (the
+    * localCheckpoint co-location dies with its JVM; a 100 TB index
+    * outlives any session). The row-level postings stay unbucketed:
+    * their only consumer streams them against a broadcast prefix
+    * build, so a clustering would buy nothing.
+    *
+    * One file per bucket: each table is repartitioned on its bucket
+    * key with the bucket count before the write — `bucketBy`'s
+    * partition-id expression is the same murmur3-pmod, so every write
+    * task holds exactly one bucket and the reader keeps the file-level
+    * sort (multi-file buckets forfeit `sortBy`'s outputOrdering).
+    *
+    * `n`/`threshold`/`idCol` travel WITH the store as a one-row meta
+    * table, preserving the case class's mismatched-parameter guarantee
+    * across sessions. Tables land in the session catalog under
+    * `<tablePrefix>_{df,sets,postings,meta}` with data under `path`;
+    * [[loadPpJoinIndexBucketed]] reconstructs the index from the
+    * catalog names alone. */
+  def storePpJoinIndexBucketed(index: PpJoinIndex, tablePrefix: String,
+      path: String, nBuckets: Int = 32): Unit = {
+    require(tablePrefix.matches("[A-Za-z0-9_]+"),
+      s"unsafe table prefix: $tablePrefix")
+    require(nBuckets > 0, "nBuckets must be positive")
+    import org.apache.spark.sql.SaveMode
+    val spark = index.sets.sparkSession
+    index.dfTable.repartition(nBuckets, col("sh"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/df")
+      .bucketBy(nBuckets, "sh").sortBy("sh")
+      .saveAsTable(s"${tablePrefix}_df")
+    index.sets.repartition(nBuckets, col(index.idCol))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/sets")
+      .bucketBy(nBuckets, index.idCol).sortBy(index.idCol)
+      .saveAsTable(s"${tablePrefix}_sets")
+    index.postings
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/postings")
+      .saveAsTable(s"${tablePrefix}_postings")
+    spark.createDataFrame(Seq((index.n, index.threshold, index.idCol)))
+      .toDF("n", "threshold", "id_col")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/meta")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Reconstruct a [[PpJoinIndex]] from [[storePpJoinIndexBucketed]]'s
+    * catalog tables. The df and sets frames come back as bucketed
+    * scans — [[ppJoinAgainst]] over the result plans with NO
+    * corpus-side Exchange (PlanSpec-pinned), the stored-index analog
+    * of the co-located screen. */
+  def loadPpJoinIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): PpJoinIndex = {
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    PpJoinIndex(
+      dfTable = spark.table(s"${tablePrefix}_df"),
+      postings = spark.table(s"${tablePrefix}_postings"),
+      sets = spark.table(s"${tablePrefix}_sets"),
+      n = meta.getInt(0), threshold = meta.getDouble(1),
+      idCol = meta.getString(2))
+  }
+
   /** Screen a batch against a prebuilt [[PpJoinIndex]]: every
     * (new_id, seen_id) pair with EXACT n-gram-set Jaccard ≥ the
     * index's threshold, O(batch + collisions) — the corpus is touched

@@ -401,4 +401,42 @@ class PlanSpec extends SparkSpec {
     assert(colocated < plain,
       s"co-located screen must shuffle less: $colocated vs $plain exchanges")
   }
+
+  test("BUCKETED stored ppjoin index serves the screen with no corpus-side exchange") {
+    // r18: storePpJoinIndexBucketed writes the df vocabulary bucketBy sh
+    // and the sets bucketBy id — the store-durable form of the r17
+    // co-location. A screen over the LOADED index must (a) engage the
+    // bucketed scans (the planner sees HashPartitioning from the files
+    // themselves), (b) shuffle strictly less than the same screen over
+    // the plain in-memory index (the removed exchanges are exactly the
+    // corpus-side re-distributions), and (c) return the identical
+    // answer across the parquet + catalog round trip.
+    val rnd = new scala.util.Random(12)
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (0 until 6 + rnd.nextInt(8)).map(_ => s"w${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val idx = graft.operators.Dedup.ppJoinIndex(corpus, n = 1, threshold = 0.5)
+    val root = java.nio.file.Files.createTempDirectory("ppjoin_bt").toString
+    graft.operators.Dedup.storePpJoinIndexBucketed(idx, "ppjoin_bt_test", root,
+      nBuckets = 4)
+    val loaded = graft.operators.Dedup.loadPpJoinIndexBucketed(spark, "ppjoin_bt_test")
+    // params travel with the store
+    assert(loaded.n == 1 && loaded.threshold == 0.5 && loaded.idCol == "doc_id")
+    val screen = graft.operators.Dedup.ppJoinAgainst(batch, loaded)
+    val bucketedPlan = planOf(screen)
+    assert(bucketedPlan.contains("SelectedBucketsCount"),
+      s"stored screen must read bucketed scans:\n$bucketedPlan")
+    def exchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    val plain = exchanges(planOf(graft.operators.Dedup.ppJoinAgainst(batch, idx)))
+    assert(exchanges(bucketedPlan) < plain,
+      s"bucketed-stored screen must shuffle less: ${exchanges(bucketedPlan)} vs $plain")
+    val expect = graft.operators.Dedup.ppJoinAgainst(batch, idx)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    val got = screen.orderBy("new_id", "seen_id").collect().toSeq
+    assert(got == expect, s"round-trip answer changed: $got vs $expect")
+    assert(got.nonEmpty, "degenerate pin: the screen found no pairs")
+  }
 }
