@@ -1060,6 +1060,69 @@ class StreamingSpec extends SparkSpec {
       s"restart must neither lose nor duplicate screen rows\ngot=${got.sorted}\nexp=${batchAll.sorted}")
   }
 
+  test("streaming exact-Jaccard ppjoin screening restarts from its checkpoint over the bucketed epoch index") {
+    // the exact-Jaccard leg joins the screen-face set (exact digest,
+    // Bloom, LSH, image/video Hamming all have one): the corpus
+    // PpJoinIndex is a per-epoch BATCH store — here the r18 BUCKETED
+    // parquet layout, loaded once and served exchange-free on the
+    // corpus side — and each micro-batch screens against it in
+    // foreachBatch. Like the image face, the proof differs in KIND
+    // from the stateful families: ppJoinAgainst is a pure function of
+    // (batch, index) with NO cross-batch driver state, so the only
+    // recovered state is the source offset log, and replay idempotence
+    // comes from the batch-id-partitioned dynamic overwrite sink.
+    // Restarting mid-stream must neither lose nor duplicate pairs.
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppjoin_stream").toString
+    val inDir = s"$dir/in"; new java.io.File(inDir).mkdirs()
+    val rnd = new scala.util.Random(13)
+    val corpusDocs = (0 until 60).map { i =>
+      (i.toLong, (0 until 6 + rnd.nextInt(8)).map(_ => s"w${rnd.nextInt(30)}").mkString(" "))
+    }
+    val idx0 = graft.operators.Dedup.ppJoinIndex(
+      corpusDocs.toDF("doc_id", "text"), n = 1, threshold = 0.5)
+    graft.operators.Dedup.storePpJoinIndexBucketed(
+      idx0, "ppjoin_stream_idx", s"$dir/idx", nBuckets = 4)
+    val index = graft.operators.Dedup.loadPpJoinIndexBucketed(spark, "ppjoin_stream_idx")
+    // each incoming doc is a near-copy of one corpus doc (one word
+    // appended): Jaccard = |t| / (|t| + 1) >= 6/7, a guaranteed pair
+    def probe(i: Long) = (1000L + i, corpusDocs(i.toInt)._2 + " extra")
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def start() = spark.readStream.schema(sch).parquet(inDir)
+      .writeStream.option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.ppJoinAgainst(batch, index)
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$dir/out")
+        }
+        ()
+      }.start()
+    Seq(probe(0), probe(7)).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    Seq(probe(12), probe(23)).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val cols = Seq("new_id", "seen_id", "inter", "sz_new", "sz_seen", "jaccard")
+    val got = spark.read.parquet(s"$dir/out")
+      .select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    // across the restart: every batch doc screened exactly once, and
+    // the union equals the batch operator over all four probes
+    val batchAll = graft.operators.Dedup.ppJoinAgainst(
+        Seq(probe(0), probe(7), probe(12), probe(23)).toDF("doc_id", "text"), index)
+      .select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    assert(got == batchAll,
+      s"restart must neither lose nor duplicate pairs\ngot=$got\nexp=$batchAll")
+    // the planted near-copies all surface
+    val pairs = spark.read.parquet(s"$dir/out")
+      .select("new_id", "seen_id").as[(Long, Long)].collect().toSet
+    assert(Seq(0L, 7L, 12L, 23L).map(i => (1000L + i, i)).toSet.subsetOf(pairs),
+      s"planted near-copies must screen out, got $pairs")
+  }
+
   test("streaming IVF serving resumes from its checkpoint without re-serving batches") {
     import org.apache.spark.sql.types._
     val inDir = java.nio.file.Files.createTempDirectory("ivf_restart_in").toString
