@@ -686,7 +686,18 @@ object Bench {
       // amortization — and x_video_sample's stride-2 random-access
       // decode should show the frame work-skip as a lower wall than
       // the full decode at every volume.
-      "x_video_decode", "x_video_sample"))
+      "x_video_decode", "x_video_sample",
+      // r18: the video near-dup trio (verdict #5) — fingerprint is a
+      // pure partition-local codec chain (CPU amortization, like the
+      // decode pair); the screens add the banded Hamming join, whose
+      // pair space grows linearly because the hash-mixed render makes
+      // base fingerprints effectively unique (the image-pair argument)
+      "x_video_dhash", "x_video_neardup", "x_video_incremental",
+      // r18: the PARQUET-STORED IVF serve path (verdict #6) — probe
+      // frame is query-bounded and broadcast-HINTED (cannot flip to a
+      // corpus shuffle); scoring grows with probed-cell depth, linear
+      // in corpus under the fixed-centroid 10× embeddings shards
+      "x_ann_index_stored"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {
@@ -723,6 +734,20 @@ object Bench {
               regexp_replace(col("text"), "(\\S+)", s"s${i}x$$1")))
           .reduce(_ union _)
           .write.mode("overwrite").parquet(s"$upDir/documents.parquet")
+        // 10× embeddings (r18): ten id-shifted shards, vectors and
+        // labels unchanged — with a FIXED centroid count more corpus
+        // means DEEPER cells, which is exactly how an IVF index grows
+        // at scale, so probed-cell scoring work grows linearly by
+        // construction (the analog of the documents shards' disjoint
+        // token spaces: linear workload, no densification artifact —
+        // probe sets and per-pair scoring are untouched by the copy).
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val vOff = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+          .head().getAs[Number](0).longValue() + 1L
+        (0 until 10).map(i => emb
+            .withColumn("vec_id", col("vec_id") + lit(i * vOff)))
+          .reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$upDir/embeddings.parquet")
         // The table memo pins file listings per (session, dir, table) and
         // SparkEntry's build memos pin checkpointed index/cluster frames;
         // the scale-up dir was just (re)written, so nothing cached from an

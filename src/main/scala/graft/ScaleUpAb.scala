@@ -70,6 +70,14 @@ object ScaleUpAb {
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"s${i}x$$1")))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$upDir/documents.parquet")
+    // 10× embeddings (r18): id-shifted shards, vectors/labels unchanged
+    // — fixed centroid count ⇒ 10× deeper cells, the linear IVF-serve
+    // workload (see Bench's scale_up builder for the full rationale)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vOff = emb.agg(max("vec_id")).head().getAs[Number](0).longValue() + 1L
+    (0 until 10).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * vOff)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$upDir/embeddings.parquet")
     Tables.invalidate()
     SparkEntry.invalidateBuildMemos()
 

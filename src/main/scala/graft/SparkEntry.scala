@@ -5936,5 +5936,23 @@ object SparkEntry {
     "dev_ppa_cands" -> ((s, dir) =>
       graft.operators.Dedup.ppJoinAgainstCandsProbe(
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0),
-        storedPpJoinIndex(s, dir))))
+        storedPpJoinIndex(s, dir))),
+    // r18 verdict #6: stage decomposition of the PARQUET-STORED IVF
+    // serve path (x_ann_index_stored) for the 10x scale-up
+    // adjudication — probe-frame build (query-bounded, must be
+    // volume-flat) vs cell scoring (volume-bound, linear in probed
+    // cell depth; the broadcast is HINTED so corpus growth cannot
+    // flip the corpus side into a shuffle)
+    "dev_ivfs_probeq" -> ((s, dir) => {
+      val (cent, _) = storedIvfIndex(s, dir)
+      graft.operators.Similarity.ivfProbeQProbe(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 8), cent, nprobe = 2)
+    }),
+    "dev_ivfs_scored" -> ((s, dir) => {
+      val (cent, corpus) = storedIvfIndex(s, dir)
+      graft.operators.Similarity.ivfScoredProbe(corpus,
+        graft.operators.Similarity.ivfProbeQProbe(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 8), cent, nprobe = 2),
+        cellCol = "cell")
+    }))
 }

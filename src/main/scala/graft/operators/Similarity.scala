@@ -136,6 +136,26 @@ object Similarity {
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding", cellCol: String = "label"): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val scored = ivfScoredProbe(corpus,
+      ivfProbeQProbe(queries, centroids, nprobe, idCol, vecCol), idCol, vecCol, cellCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cell"), col("score"), col("rank"))
+  }
+
+  /** Dev probe (ScaleUpAb decomposition, [[ivfProbeTopK]] stage 1):
+    * the fused (query_id, cell, qv) probe frame — each query's `nprobe`
+    * nearest trained centroids joined back to its vector. Probe list
+    * and query vector fuse into ONE broadcast frame before the corpus
+    * join (the ivfPqTopK probeLut pattern): queries × nprobe rows —
+    * broadcast-sized by construction — and shipping it once removes a
+    * whole broadcast build plus the second probe-side join from the
+    * hot path. Query-bounded: its wall must be volume-FLAT at 10×. */
+  private[graft] def ivfProbeQProbe(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc_nulls_last, col("cell").asc)
     val probes = centroidScores(queries, centroids, idCol, vecCol)
@@ -144,23 +164,23 @@ object Similarity {
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    // probe list and query vector fuse into ONE broadcast frame before
-    // the corpus join (the ivfPqTopK probeLut pattern): (query_id,
-    // cell, qv) is queries × nprobe rows — broadcast-sized by
-    // construction — and shipping it once removes a whole broadcast
-    // build plus the second probe-side join from the hot path.
-    val probeQ = probes.join(q, "query_id")
+    probes.join(q, "query_id")
+  }
+
+  /** Dev probe ([[ivfProbeTopK]] stage 2): probed cells' vectors scored
+    * against the broadcast probe frame — everything up to (but
+    * excluding) the per-query top-k window. The corpus side STREAMS
+    * against the pinned broadcast (the hint, not the planner's size
+    * estimate, decides — so corpus growth can never flip this join to
+    * a corpus shuffle); its wall is the volume-bound term: linear in
+    * probed-cell depth. */
+  private[graft] def ivfScoredProbe(corpus: DataFrame, probeQ: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
     val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("cand_id"), col(vecCol).as("cv"))
-    val scored = c
-      .join(broadcast(probeQ), "cell")
+    c.join(broadcast(probeQ), "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score", round(Portable.cosine(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("cand_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cell"), col("score"), col("rank"))
   }
 
   /** Per-cell centroids — the training step an IVF index needs: mean of
