@@ -99,6 +99,50 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Weather gate (r17 verdict #2): the r17 OFFICIAL artifact shipped
+    // from a box whose minimal-job floor read 0.292 s — 10× the quiet
+    // band (0.022–0.036) — while four committed epochs showed the same
+    // code passing; the round's gate trace was spent re-deriving that
+    // from job floors after the fact. The bench now refuses to START
+    // its timed sections on a loaded box: probe the minimal-job floor
+    // up front and, while it exceeds SPARK_GRAFT_FLOOR_GATE (default
+    // 0.06 s ≈ 2× the quiet band), wait in 30 s steps up to
+    // SPARK_GRAFT_FLOOR_WAIT (default 300 s; 0 disables waiting). If
+    // the box never quiets, the run proceeds — refusing forever would
+    // leave a round with no artifact at all — but the artifact carries
+    // a PROMINENT `degraded` flag (computed from the authoritative
+    // jobFloor measured at the timed sections, not this early probe),
+    // so a loaded official epoch is self-labeled instead of
+    // reconstructed.
+    def floorProbeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(32000).foreach((_: java.lang.Long) => ())
+      (System.nanoTime() - t0) / 1e9
+    }
+    def floorProbe(): Double = {
+      (1 to 3).foreach(_ => floorProbeOnce()) // JIT/codegen warm
+      (1 to 5).map(_ => floorProbeOnce()).min
+    }
+    val floorGateThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_FLOOR_GATE", "0.06").toDouble
+    val floorGateMaxWait =
+      sys.env.getOrElse("SPARK_GRAFT_FLOOR_WAIT", "300").toInt
+    val gateStartProbe = floorProbe()
+    var gateWaited = 0
+    var gateProbe = gateStartProbe
+    while (gateProbe > floorGateThreshold && gateWaited < floorGateMaxWait) {
+      System.err.println(f"[bench] floor gate: probe $gateProbe%.3f s > " +
+        f"$floorGateThreshold%.3f s (quiet band 0.022-0.036) — waiting 30 s " +
+        s"($gateWaited/$floorGateMaxWait s waited)")
+      Thread.sleep(30000)
+      gateWaited += 30
+      gateProbe = floorProbe()
+    }
+    if (gateStartProbe > floorGateThreshold)
+      System.err.println(f"[bench] floor gate: proceeding at probe $gateProbe%.3f s " +
+        s"after $gateWaited s" +
+        (if (gateProbe > floorGateThreshold) " — artifact will be marked degraded" else ""))
+
     // Ingest-layout mirror (Layout.rechunkMirror): the driver testdata
     // ships each table as ONE parquet row group, and Spark's scan
     // parallelism bottoms out at row-group granularity — so every
@@ -320,6 +364,14 @@ object Bench {
       once() // warm
       (1 to 5).map(_ => once()).min
     }
+    // the degraded verdict reads the AUTHORITATIVE floor (measured at
+    // the timed sections, post-prewarm), not the early gate probe: a
+    // box that quieted during ingest is not degraded, one that loaded
+    // up during it is
+    val degraded = jobFloor > floorGateThreshold
+    val floorGateJson =
+      s"""{"threshold":$floorGateThreshold,"start_probe":${fmt(gateStartProbe, 3)},""" +
+      s""""waited_sec":$gateWaited,"probe_after_wait":${fmt(gateProbe, 3)}}"""
 
     // SAME-EPOCH paired comparator (the r13 gate lesson): the anchor
     // ratio divides this epoch's Spark walls by a many-run merged
@@ -1035,6 +1087,7 @@ object Bench {
         s""""total":${fmt(indexBuilds.map(_._2).sum, 3)}""")
         .mkString("\"index_build\":{", ",", "},") +
       s""""overhead_floor_sec":$overheadFloor,"job_floor_sec":$jobFloor,""" +
+      s""""degraded":$degraded,"floor_gate":$floorGateJson,""" +
       s""""load":$loadJson,""" +
       s""""paired_duckdb":$pairedDetailJson$weakCompact,""" +
       s""""family_budget":$familyJson$familyCompact,""" +
@@ -1079,7 +1132,7 @@ object Bench {
     // keeps it inside the driver's tail capture no matter how long the
     // query map grows. The anchor ratio stays (in baselineSummary) for
     // cross-round comparability. See BASELINE.md "Gate proposal".
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec"$pairedCompact$weakCompact,"load":$loadJson$familyCompact,"queries":${compactTimes(results)},""" +
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","degraded":$degraded$pairedCompact$weakCompact,"load":$loadJson$familyCompact,"queries":${compactTimes(results)},""" +
       s""""extended_total":${f3(extTotal)},"extended_count":${extResults.size},""" +
       s""""scaling_ratio_10x_down":${ratioMap(scalingJson, "ratio")},""" +
       s""""scale_up_ratio_10x":${ratioMap(scaleUpJson, "ratio_vs_1x")},""" +

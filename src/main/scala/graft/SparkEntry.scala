@@ -5948,6 +5948,14 @@ object SparkEntry {
       graft.operators.Similarity.ivfProbeQProbe(
         Tables.embeddings(s, dir).filter(col("vec_id") < 8), cent, nprobe = 2)
     }),
+    // r18 verdict #3: the pre-fold ctfidf reference formulation, kept
+    // for interleaved A/Bs against the folded plan now in classTfIdf
+    // (measured at the swap: folded min 0.330 / med 0.368 vs unfolded
+    // 0.405 / 0.514)
+    "dev_ctfidf_unfolded" -> ((s, dir) =>
+      graft.operators.TextAnalysis.classTfIdfUnfolded(
+        Tables.documents(s, dir), "source", topK = 10)
+        .orderBy("group", "rank")),
     "dev_ivfs_scored" -> ((s, dir) => {
       val (cent, corpus) = storedIvfIndex(s, dir)
       graft.operators.Similarity.ivfScoredProbe(corpus,

@@ -985,16 +985,21 @@ object TextAnalysis {
     * a group-count-bounded idf table, and a WindowGroupLimit top-k per
     * group — no doc-sized frame survives the first aggregate.
     *
-    * The group-count term `ng` stays an IN-PLAN 1-row broadcast
-    * (distinct → agg → crossJoin) deliberately — r17 A/B'd both
-    * alternatives and kept this: a driver-collected literal
-    * SERIALIZES the ng job before the main action (0.429 vs 0.387
-    * min interleaved — the broadcast build overlaps the main job's
-    * early stages under static planning), and a groups_with-style
-    * derivation from the tf frame would either recompute the token
-    * chain or pay a checkpoint. The ng branch costs ~0.14 s of the
-    * query's 0.39 s at sf0.1 — see BASELINE.md "r17 ctfidf
-    * decomposition" for why the remainder is fixed-cost, not plan.
+    * The group-count term `ng` is FOLDED into the main scan (r18,
+    * closing the r17 "one standing weak entry"): `explode_outer`
+    * keeps token-free documents as null-token rows, so the
+    * (group, token) aggregate — lazily localCheckpointed, it is
+    * vocab-bounded — carries every non-null group, and the exact
+    * `ng = distinct groups` collects from the CHECKPOINT as a literal
+    * instead of running the second documents scan the r17 in-plan
+    * broadcast build paid (its ~0.14 s was the bisect's whole
+    * residual; the 0.429 s driver-collected variant r17 rejected
+    * re-scanned documents — collecting from the checkpoint does not).
+    * The null-token rows exist only for that count and drop before
+    * the windows. One documents scan, two vocab-sized window
+    * exchanges, zero broadcast builds; A/B'd min 0.330 vs 0.405 /
+    * med 0.368 vs 0.514 interleaved, value equality spec-pinned
+    * against [[classTfIdfUnfolded]].
     *
     * Output: (group, token, tf, groups_with, ctfidf, rank ≤ topK),
     * rank deterministic via (score desc, token asc). */
@@ -1003,13 +1008,42 @@ object TextAnalysis {
     require(topK >= 1, "topK must be >= 1")
     val terms = docs.filter(col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("group"),
-        explode(toks(col(textCol))).as("token"))
+        explode_outer(toks(col(textCol))).as("token"))
     val tf = terms.groupBy(col("group"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val ngVal = tf.agg(countDistinct(col("group"))).head().getLong(0)
+    val scored = tf.filter(col("token").isNotNull)
       // groups_with as a whole-partition window count on the tf frame
       // itself (one token exchange) instead of a groupBy(token) +
       // join-back (which shuffled the vocab-sized tf table twice —
       // the madOutliers r14 rework pattern; ~10% interleaved)
+      .withColumn("groups_with",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
+      .withColumn("ctfidf",
+        round(col("tf") * (log((lit(ngVal) + 1.0) / (col("groups_with") + 1.0)) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+      .orderBy(col("ctfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("group"), col("token"), col("tf"), col("groups_with"),
+        col("ctfidf"), col("rank"))
+  }
+
+  /** The pre-r18 [[classTfIdf]] formulation — the ng term as an
+    * IN-PLAN 1-row broadcast (distinct → agg → crossJoin) running a
+    * second documents scan. Kept as the spec-pinned value-equality
+    * reference and the AbBench counterpart for the folded plan. */
+  private[graft] def classTfIdfUnfolded(docs: DataFrame, groupCol: String,
+      topK: Int = 10, textCol: String = "text"): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val terms = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        explode(toks(col(textCol))).as("token"))
+    val tf = terms.groupBy(col("group"), col("token"))
+      .agg(count(lit(1)).as("tf"))
       .withColumn("groups_with",
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))

@@ -625,4 +625,34 @@ class PropertiesSpec extends SparkSpec {
       graft.operators.Multimodal.videoDHash(assets, 1, 8, 4)
     }
   }
+
+  test("classTfIdf folded-ng formulation ≡ the unfolded two-scan reference (randomized)") {
+    // r18: the ng term folded into the main scan via explode_outer +
+    // lazy-checkpointed tf + collected literal must be value-identical
+    // to the pre-r18 in-plan broadcast formulation on corpora that
+    // exercise every ng edge: token-free docs (empty text), null
+    // texts, null groups (excluded from ng), and groups consisting
+    // ENTIRELY of token-free docs (counted in ng, absent from output).
+    import spark.implicits._
+    val rnd = new scala.util.Random(18)
+    for (trial <- 0 until 3) {
+      val docs = (0 until 120).map { i =>
+        val g: String =
+          if (i % 17 == 0) null
+          else if (i % 11 == 0) "emptygroup" // only ever token-free docs
+          else s"g${rnd.nextInt(6)}"
+        val t: String =
+          if (g == "emptygroup" || i % 13 == 0) ""
+          else if (i % 19 == 0) null
+          else (0 until 3 + rnd.nextInt(10)).map(_ => s"w${rnd.nextInt(25)}").mkString(" ")
+        (i.toLong, g, t)
+      }.toDF("doc_id", "source", "text")
+      val a = graft.operators.TextAnalysis.classTfIdf(docs, "source", topK = 4)
+        .orderBy("group", "rank").collect().map(_.toString).toSeq
+      val b = graft.operators.TextAnalysis.classTfIdfUnfolded(docs, "source", topK = 4)
+        .orderBy("group", "rank").collect().map(_.toString).toSeq
+      assert(a == b, s"trial $trial: folded != unfolded\na=$a\nb=$b")
+      assert(a.nonEmpty, s"trial $trial: degenerate corpus")
+    }
+  }
 }
