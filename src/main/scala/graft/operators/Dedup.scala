@@ -1035,7 +1035,16 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val newKeys = bandKeyRows(
       minHashWide(incoming, n, numHashes, idCol, textCol), numHashes, bands, idCol)
-    newKeys.join(index, Seq("band", "band_key"))
+    // the batch key frame is PROVABLY batch-bounded (batch × bands
+    // rows), so it ships as the pinned broadcast build and the
+    // corpus-scale index STREAMS in place — the ppJoinAgainst shuffle
+    // discipline (r18): unhinted, the static planner's size estimate
+    // for the kernel-derived batch side decides, and past the
+    // threshold it re-shuffles the WHOLE index per batch — the
+    // O(corpus)-per-batch flip the ppjoin screen measured and fixed
+    // in r17. Wall-neutral at measured SFs (the planner already picks
+    // this join); the hint forecloses the flip at corpus scale.
+    index.join(broadcast(newKeys), Seq("band", "band_key"))
       .select(col(idCol).as("new_id"), explode(col("ids")).as("seen_id"))
       .filter(col("new_id") =!= col("seen_id"))
       .distinct()
@@ -1384,8 +1393,12 @@ object Dedup {
     val cap = seenBanded.groupBy("band", "key")
       .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
       .select("band", "key")
-    bandify(incoming, "new_id")
-      .join(seenBanded.join(cap, Seq("band", "key"), "left_semi"), Seq("band", "key"))
+    // batch side broadcast-PINNED (r18, the incrementalNearDupAgainst
+    // rationale): incoming-banded is provably batch × (maxHamming+1)
+    // rows, so the capped corpus index streams in place and no size
+    // estimate can ever flip it into a per-batch corpus shuffle
+    seenBanded.join(cap, Seq("band", "key"), "left_semi")
+      .join(broadcast(bandify(incoming, "new_id")), Seq("band", "key"))
       .filter(col("new_id") =!= col("seen_id"))
       .select(col("new_id"), col("seen_id"),
         (expr("cast(bit_count(__hi_new_id ^ __hi_seen_id) as int)")

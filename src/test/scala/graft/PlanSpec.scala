@@ -402,6 +402,41 @@ class PlanSpec extends SparkSpec {
       s"co-located screen must shuffle less: $colocated vs $plain exchanges")
   }
 
+  test("incremental LSH + Hamming screens pin the batch side as the broadcast build") {
+    // r18: the batch-derived frames of both screens are provably
+    // batch-bounded (batch × bands / batch × (maxHamming+1) rows), so
+    // they ship under an explicit broadcast() hint and the
+    // corpus-scale index STREAMS — unhinted, the static planner's
+    // size estimate for a kernel-derived batch side decides, and past
+    // the threshold it re-shuffles the whole index per batch (the
+    // O(corpus)-per-batch flip the ppjoin screen measured in r17).
+    // Parquet-backed inputs so Catalyst can't constant-fold the
+    // kernel chains into LocalTableScans.
+    val dir = java.nio.file.Files.createTempDirectory("screen_bhj").toString
+    val rnd = new scala.util.Random(19)
+    (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(_ => s"w${rnd.nextInt(20)}").mkString(" "))
+    }.toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    graft.operators.Dedup.nearDupIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), n = 2, numHashes = 8, bands = 4)
+      .write.parquet(s"$dir/lsh_index")
+    val lshPlan = planOf(graft.operators.Dedup.incrementalNearDupAgainst(
+      batch, spark.read.parquet(s"$dir/lsh_index"), n = 2, numHashes = 8, bands = 4))
+    assert(lshPlan.contains("BroadcastHashJoin") && !lshPlan.contains("SortMergeJoin"),
+      s"LSH screen must broadcast the batch keys:\n$lshPlan")
+    (0 until 40).map(i => (i.toLong, rnd.nextInt().toLong & 0xFFFFFFFFL,
+      rnd.nextInt().toLong & 0xFFFFFFFFL))
+      .toDF("asset_id", "dhash_hi", "dhash_lo").write.parquet(s"$dir/fps")
+    val fps = spark.read.parquet(s"$dir/fps")
+    val hamPlan = planOf(graft.operators.Dedup.hammingScreen64(
+      fps.filter(col("asset_id") % 5 === 0), fps.filter(col("asset_id") % 5 =!= 0),
+      maxHamming = 4, materialize = false))
+    assert(hamPlan.contains("BroadcastHashJoin") && !hamPlan.contains("SortMergeJoin"),
+      s"Hamming screen must broadcast the batch bands:\n$hamPlan")
+  }
+
   test("BUCKETED stored ppjoin index serves the screen with no corpus-side exchange") {
     // r18: storePpJoinIndexBucketed writes the df vocabulary bucketBy sh
     // and the sets bucketBy id — the store-durable form of the r17
