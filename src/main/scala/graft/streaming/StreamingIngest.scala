@@ -123,11 +123,31 @@ object StreamingIngest {
     * batch — O(index) work each trigger. At a history where that scan
     * dominates, pass `bloomExpectedDigests` sized to the INDEX: the
     * per-batch cost becomes one index scan (filter build, no shuffle)
-    * plus a join on the ~fpp sliver; a production loop would go
-    * further and maintain the filter incrementally across batches. */
+    * plus a join on the ~fpp sliver. With `incrementalBloom` the
+    * filter build's per-batch index scan ALSO goes away: the merged
+    * filter of every prior batch persists beside the index
+    * (`<indexPath>/_bloom/v<batchId>`, written temp+rename), and each
+    * batch reads the highest version BELOW its own id — the same
+    * prior-state-only discipline as the `batch_id =!= batchId` index
+    * read, so a replayed batch routes on exactly the state it
+    * originally saw — ORs in its own accepted digests (read back from
+    * the just-committed index partition, same filter sizing so the
+    * sketches merge), and commits the new version. Versions other
+    * than {the one just written, the one it read} are pruned — the
+    * one-deep replay window foreachBatch guarantees. Per-trigger cost
+    * at a billion-digest history: O(filter bytes) + the ~fpp sliver
+    * verify, with the full index touched only by that sliver's
+    * anti-join. Exactness is untouched: the filter has no false
+    * negatives by construction (induction: v0 = batch 0's digests;
+    * vN = v(N−1) ∪ accepted(N); a missing _bloom dir bootstraps from
+    * one prior-only index scan), and false positives fall to the same
+    * verify join as the per-batch-built filter. */
   def dedupIngest(stream: DataFrame, outPath: String, indexPath: String,
       idCol: String = "doc_id", textCol: String = "text",
-      bloomExpectedDigests: Option[Long] = None): DataStreamWriter[Row] =
+      bloomExpectedDigests: Option[Long] = None,
+      incrementalBloom: Boolean = false): DataStreamWriter[Row] = {
+    require(!incrementalBloom || bloomExpectedDigests.nonEmpty,
+      "incrementalBloom requires bloomExpectedDigests (the shared filter sizing)")
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -147,14 +167,41 @@ object StreamingIngest {
                 .filter(col("batch_id") =!= batchId) // replay reads PRIOR state only
                 .select("digest"))
             else None
+          val bloomDir = new org.apache.hadoop.fs.Path(indexPath, "_bloom")
+          def bloomVersions(): Seq[Long] =
+            if (fs.exists(bloomDir))
+              fs.listStatus(bloomDir).toSeq.map(_.getPath.getName)
+                .filter(_.startsWith("v"))
+                .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+            else Seq.empty
+          // prior-state-only filter: highest persisted version BELOW
+          // this batch id (replay must never route on its own output)
+          val priorVersion: Option[Long] =
+            if (incrementalBloom) bloomVersions().filter(_ < batchId)
+              .sorted.lastOption
+            else None
+          val routeFilter: Option[org.apache.spark.util.sketch.BloomFilter] =
+            (bloomExpectedDigests, seen) match {
+              case (Some(n), Some(idx)) =>
+                priorVersion match {
+                  case Some(v) =>
+                    val in = fs.open(new org.apache.hadoop.fs.Path(bloomDir, s"v$v"))
+                    try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+                    finally in.close()
+                  case None =>
+                    // per-batch build (non-incremental mode), or the
+                    // incremental mode's one-time bootstrap scan
+                    Some(graft.functions.BloomProbe.build(idx, col("digest"), n, 0.01))
+                }
+              case _ => None
+            }
           val fresh = seen match {
             case None => winners
-            case Some(idx) => bloomExpectedDigests match {
+            case Some(idx) => routeFilter match {
               case None => winners.join(idx, Seq("digest"), "left_anti")
-              case Some(n) =>
+              case Some(bf) =>
                 // paired codegen build/probe (BloomFilterMightContain),
                 // same route-then-verify exactness as the batch leg
-                val bf = graft.functions.BloomProbe.build(idx, col("digest"), n, 0.01)
                 val maybeSeen = graft.functions.BloomProbe.mightContain(bf, col("digest"))
                 winners.filter(!maybeSeen)
                   .unionByName(winners.filter(maybeSeen)
@@ -168,8 +215,46 @@ object StreamingIngest {
           accepted.select("digest", "batch_id").write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(indexPath)
+          if (incrementalBloom) {
+            // this batch's digests from the COMMITTED index partition
+            // (not a recompute of the gate chain), same sizing so the
+            // sketches stay mergeable. An all-duplicates batch commits
+            // NO partition (the bloom aggregate over zero rows yields a
+            // null sketch) and changes no state — skip the version
+            // write and let the next batch read the same prior; the
+            // exception is a fresh bootstrap (no prior version), whose
+            // scan-built filter is worth persisting either way.
+            val n = bloomExpectedDigests.get
+            val committed = spark.read.parquet(indexPath)
+              .filter(col("batch_id") === batchId).select("digest")
+            val merged: Option[org.apache.spark.util.sketch.BloomFilter] =
+              if (committed.isEmpty) {
+                if (priorVersion.isEmpty) routeFilter else None
+              } else {
+                val bf = graft.functions.BloomProbe.build(
+                  committed, col("digest"), n, 0.01)
+                routeFilter.foreach(bf.mergeInPlace)
+                Some(bf)
+              }
+            merged.foreach { bf =>
+              val tmp = new org.apache.hadoop.fs.Path(bloomDir, s".tmp-v$batchId")
+              val out = fs.create(tmp, true)
+              try bf.writeTo(out) finally out.close()
+              val dst = new org.apache.hadoop.fs.Path(bloomDir, s"v$batchId")
+              if (fs.exists(dst)) fs.delete(dst, false)
+              if (!fs.rename(tmp, dst))
+                throw new IllegalStateException(s"failed to commit bloom version $dst")
+              // keep {just-written, just-read}: foreachBatch replays at
+              // most the one uncommitted batch, which reads max(v < id)
+              bloomVersions()
+                .filter(v => v != batchId && !priorVersion.contains(v))
+                .foreach(v => fs.delete(
+                  new org.apache.hadoop.fs.Path(bloomDir, s"v$v"), false))
+            }
+          }
         }
       }
+  }
 
   /** Windowed streaming aggregation over the value stream: per-series
     * tumbling-window mean/count with a watermark for late data — the

@@ -555,14 +555,14 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("dedupIngest: full-history dedup with state in the store, not the state store") {
-    for (bloom <- Seq(None, Some(1000L))) {
+    for ((bloom, incremental) <- Seq((None, false), (Some(1000L), false), (Some(1000L), true))) {
       implicit val sqlCtx = spark.sqlContext
       val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ingest").toString
       val mem = MemoryStream[(Long, String)]
       val q = StreamingIngest.dedupIngest(
         mem.toDF().toDF("doc_id", "text"),
         outPath = s"$dir/out", indexPath = s"$dir/index",
-        bloomExpectedDigests = bloom).start()
+        bloomExpectedDigests = bloom, incrementalBloom = incremental).start()
       // batch 0: within-batch dup (docs 1 and 3 share content) → min id wins
       mem.addData((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
       q.processAllAvailable()
@@ -576,11 +576,63 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       val accepted = spark.read.parquet(s"$dir/out")
         .select("doc_id").as[Long].collect().toSeq.sorted
-      assert(accepted == Seq(1L, 2L, 5L), s"bloom=$bloom: $accepted")
+      assert(accepted == Seq(1L, 2L, 5L), s"bloom=$bloom inc=$incremental: $accepted")
       // the index holds exactly the accepted digests
       assert(spark.read.parquet(s"$dir/index").select("digest")
         .distinct().count() == 3)
+      if (incremental) {
+        // merged-filter versions maintained beside the index: batch 2
+        // accepted nothing (state unchanged — no version written), so
+        // the chain's head is batch 1's merge, kept within the
+        // two-version replay window; every prior accepted digest
+        // routes as maybe-seen (no false negatives by construction)
+        val vs = new java.io.File(s"$dir/index/_bloom").list().toSeq
+          .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).sorted
+        assert(vs.nonEmpty && vs.last == 1L && vs.size <= 2, s"versions $vs")
+        val in = new java.io.FileInputStream(s"$dir/index/_bloom/v${vs.last}")
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          finally in.close()
+        val misses = spark.read.parquet(s"$dir/index")
+          .filter(!graft.functions.BloomProbe.mightContain(bf, col("digest")))
+          .count()
+        assert(misses == 0, "merged filter must contain every accepted digest")
+      }
     }
+  }
+
+  test("dedupIngest incremental bloom: filter state survives a checkpoint restart") {
+    // the _bloom version chain is prior-state-only (a batch reads
+    // max(v < batchId)), so a SECOND query instance over the same
+    // store must route on the filter the first instance persisted —
+    // rejecting a cross-restart duplicate through the maybe-seen
+    // verify leg and accepting new content through the definitely-new
+    // leg, with no per-batch index-scan filter rebuild.
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_incbloom").toString
+    val inDir = s"$dir/in"
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def start() = StreamingIngest.dedupIngest(
+        spark.readStream.schema(schema).parquet(inDir),
+        outPath = s"$dir/out", indexPath = s"$dir/index",
+        bloomExpectedDigests = Some(1000L), incrementalBloom = true)
+      .option("checkpointLocation", s"$dir/ck").start()
+    Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(new java.io.File(s"$dir/index/_bloom/v0").isFile,
+      "first instance must persist its merged filter")
+    Seq((3L, "epsilon zeta"), (4L, "alpha beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val accepted = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(accepted == Seq(1L, 2L, 3L), s"got $accepted")
+    // the chain advanced and pruned to the replay window
+    val vs = new java.io.File(s"$dir/index/_bloom").list().toSeq
+      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).sorted
+    assert(vs.last == 1L && vs.size <= 2, s"versions $vs")
   }
 
   test("dedupIngest: the persisted index survives a checkpoint restart") {
