@@ -255,7 +255,7 @@ object StressDocs {
       // clamp: hammingNearDup64 requires maxBucket > 1, and at tiny
       // asset counts ndSlice + 1 can be <= 1 (ADVICE r17)
       val ndSlice = imgAssets / 5
-      val nd = timed(s"  dHash hamming near-dup over $ndSlice assets (8 byte-bands)") {
+      val nd = timed(s"  dHash hamming near-dup over $ndSlice assets (5 tight bit-bands)") {
         graft.operators.Dedup.hammingNearDup64(
           dh.filter(col("asset_id") < ndSlice), maxHamming = 4,
           maxBucket = math.max(2, (ndSlice + 1).toInt))
@@ -288,7 +288,7 @@ object StressDocs {
       val n = dh.filter(col("dhash_hi").isNotNull).count()
       assert(n == vidAssets, s"every asset must decode and fingerprint, got $n")
       val ndSlice = vidAssets / 5
-      val nd = timed(s"  video hamming near-dup over $ndSlice assets (8 byte-bands)") {
+      val nd = timed(s"  video hamming near-dup over $ndSlice assets (7 tight bit-bands)") {
         graft.operators.Dedup.hammingNearDup64(
           dh.filter(col("asset_id") < ndSlice), maxHamming = 6,
           maxBucket = math.max(2, (ndSlice + 1).toInt))
