@@ -54,30 +54,9 @@ object ScaleUpAb {
     val tmp = sys.props("java.io.tmpdir")
     // 10× build: same construction as Bench's scale_up section
     val upDir = new java.io.File(tmp, s"graft_scaleupab_${pid}").getPath
-    val base = spark.read.parquet(s"$sfDir/events.parquet")
-    val bounds = base.agg(max("user_id"), max("event_id")).head()
-    val uOff = bounds.getAs[Number](0).longValue() + 1L
-    val eOff = bounds.getAs[Number](1).longValue() + 1L
-    (0 until 10).map(i => base
-        .withColumn("user_id", col("user_id") + lit(i * uOff))
-        .withColumn("event_id", col("event_id") + lit(i * eOff)))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$upDir/events.parquet")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val dOff = docs.agg(max("doc_id")).head().getAs[Number](0).longValue() + 1L
-    (0 until 10).map(i => docs
-        .withColumn("doc_id", col("doc_id") + lit(i * dOff))
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"s${i}x$$1")))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$upDir/documents.parquet")
-    // 10× embeddings (r18): id-shifted shards, vectors/labels unchanged
-    // — fixed centroid count ⇒ 10× deeper cells, the linear IVF-serve
-    // workload (see Bench's scale_up builder for the full rationale)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val vOff = emb.agg(max("vec_id")).head().getAs[Number](0).longValue() + 1L
-    (0 until 10).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * vOff)))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$upDir/embeddings.parquet")
+    // the ONE shared construction (see ScaleUpTables): this harness
+    // adjudicates bench ratios, so it must build the bench's workload
+    ScaleUpTables.build10x(spark, sfDir, upDir)
     Tables.invalidate()
     SparkEntry.invalidateBuildMemos()
 

@@ -673,9 +673,14 @@ object SparkEntry {
   /** Catalog-safe table-name twin of [[scratchPath]] for the bucketed
     * epoch stores: the session catalog is flat, so the data-dir key
     * that the path encodes must ride the NAME (full sanitized dir +
-    * hashCode hex — same collision argument as the path). */
+    * hashCode hex — same collision argument as the path), and the pid
+    * rides it too for the same reason it rides the path (ADVICE r8:
+    * two JVMs benching one dataset must never clobber each other —
+    * moot under the default in-memory catalog, which is per-JVM, but
+    * load-bearing the moment a persistent metastore is configured). */
   private def scratchTableName(kind: String, dir: String): String =
-    s"${kind}_${dir.replaceAll("[^A-Za-z0-9_]", "_")}_" +
+    s"${kind}_${ProcessHandle.current().pid()}_" +
+      s"${dir.replaceAll("[^A-Za-z0-9_]", "_")}_" +
       java.lang.Integer.toHexString(dir.hashCode)
 
   // pid-scoped scratch roots would otherwise accumulate one artifact

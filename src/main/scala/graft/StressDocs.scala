@@ -253,12 +253,14 @@ object StressDocs {
       // guarantee — independent of the render formula's duplicate
       // density.
       // clamp: hammingNearDup64 requires maxBucket > 1, and at tiny
-      // asset counts ndSlice + 1 can be <= 1 (ADVICE r17)
+      // asset counts ndSlice + 1 can be <= 1 (ADVICE r17); clamp the
+      // LONG before narrowing so a >2^31 slice saturates instead of
+      // wrapping negative into a silently tiny cap
       val ndSlice = imgAssets / 5
       val nd = timed(s"  dHash hamming near-dup over $ndSlice assets (5 tight bit-bands)") {
         graft.operators.Dedup.hammingNearDup64(
           dh.filter(col("asset_id") < ndSlice), maxHamming = 4,
-          maxBucket = math.max(2, (ndSlice + 1).toInt))
+          maxBucket = math.max(2L, math.min(ndSlice + 1, Int.MaxValue.toLong)).toInt)
           .localCheckpoint()
       }
       val sib = nd.filter(col("id_b") === col("id_a") + 1 && pmod(col("id_a"), lit(2)) === 0)
@@ -291,7 +293,7 @@ object StressDocs {
       val nd = timed(s"  video hamming near-dup over $ndSlice assets (7 tight bit-bands)") {
         graft.operators.Dedup.hammingNearDup64(
           dh.filter(col("asset_id") < ndSlice), maxHamming = 6,
-          maxBucket = math.max(2, (ndSlice + 1).toInt))
+          maxBucket = math.max(2L, math.min(ndSlice + 1, Int.MaxValue.toLong)).toInt)
           .localCheckpoint()
       }
       val sib = nd.filter(col("id_b") === col("id_a") + 1 && pmod(col("id_a"), lit(2)) === 0)

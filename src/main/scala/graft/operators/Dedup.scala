@@ -505,12 +505,19 @@ object Dedup {
     * task holds exactly one bucket and the reader keeps the file-level
     * sort (multi-file buckets forfeit `sortBy`'s outputOrdering).
     *
-    * `n`/`threshold`/`idCol` travel WITH the store as a one-row meta
-    * table, preserving the case class's mismatched-parameter guarantee
-    * across sessions. Tables land in the session catalog under
-    * `<tablePrefix>_{df,sets,postings,meta}` with data under `path`;
-    * [[loadPpJoinIndexBucketed]] reconstructs the index from the
-    * catalog names alone. */
+    * `n`/`threshold`/`idCol`/`nBuckets` travel WITH the store as a
+    * one-row meta table, preserving the case class's
+    * mismatched-parameter guarantee across sessions (and letting
+    * [[registerPpJoinIndexBucketed]] re-declare the bucket spec
+    * exactly — a wrong bucket count on re-registration would silently
+    * mis-route the bucketed join). Tables land in the session catalog
+    * under `<tablePrefix>_{df,sets,postings,meta}` with data under
+    * `path`; [[loadPpJoinIndexBucketed]] reconstructs the index from
+    * the catalog names. The catalog entry is METADATA only — under
+    * Spark's default in-memory catalog it dies with the session while
+    * the files and their bucketed layout persist; a new session
+    * re-attaches with [[registerPpJoinIndexBucketed]] (a persistent
+    * metastore makes that call a no-op). */
   def storePpJoinIndexBucketed(index: PpJoinIndex, tablePrefix: String,
       path: String, nBuckets: Int = 32): Unit = {
     require(tablePrefix.matches("[A-Za-z0-9_]+"),
@@ -532,11 +539,46 @@ object Dedup {
       .write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", s"$path/postings")
       .saveAsTable(s"${tablePrefix}_postings")
-    spark.createDataFrame(Seq((index.n, index.threshold, index.idCol)))
-      .toDF("n", "threshold", "id_col")
+    spark.createDataFrame(Seq((index.n, index.threshold, index.idCol, nBuckets)))
+      .toDF("n", "threshold", "id_col", "n_buckets")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", s"$path/meta")
       .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Re-attach a [[storePpJoinIndexBucketed]] store written by a PRIOR
+    * session: declares the four catalog tables over the existing files
+    * (schemas inferred from the parquet, bucket spec re-stated from
+    * the store's own meta row — never from a caller guess, since a
+    * wrong declared bucket count silently mis-routes the bucketed
+    * join). Idempotent: tables that already exist are left alone, so
+    * calling it in the writing session is a no-op. After this,
+    * [[loadPpJoinIndexBucketed]] serves screens exchange-free exactly
+    * as in the epoch that wrote the store. */
+  def registerPpJoinIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String): Unit = {
+    require(tablePrefix.matches("[A-Za-z0-9_]+"),
+      s"unsafe table prefix: $tablePrefix")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val idCol = meta.getString(2)
+    val nBuckets = meta.getInt(3)
+    def ddlCols(sub: String): String =
+      spark.read.parquet(s"$path/$sub").schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    def ensure(suffix: String, sub: String, bucketCol: Option[String]): Unit = {
+      val name = s"${tablePrefix}_$suffix"
+      if (!spark.catalog.tableExists(name)) {
+        val cluster = bucketCol.map(c =>
+          s" CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $nBuckets BUCKETS")
+          .getOrElse("")
+        spark.sql(s"CREATE TABLE $name (${ddlCols(sub)}) USING parquet" +
+          cluster + s" LOCATION '$path/$sub'")
+      }
+    }
+    ensure("df", "df", Some("sh"))
+    ensure("sets", "sets", Some(idCol))
+    ensure("postings", "postings", None)
+    ensure("meta", "meta", None)
   }
 
   /** Reconstruct a [[PpJoinIndex]] from [[storePpJoinIndexBucketed]]'s

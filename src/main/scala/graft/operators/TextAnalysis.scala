@@ -1001,6 +1001,12 @@ object TextAnalysis {
     * med 0.368 vs 0.514 interleaved, value equality spec-pinned
     * against [[classTfIdfUnfolded]].
     *
+    * Like the siblings with collected model state ([[bm25TopK]]'s
+    * corpus stats, [[nbClassify]]'s model, [[importanceWeights]]'
+    * term table), the call is EAGER — building the frame runs the
+    * scan+aggregate and pins a snapshot; batch-only by the same
+    * contract.
+    *
     * Output: (group, token, tf, groups_with, ctfidf, rank ≤ topK),
     * rank deterministic via (score desc, token asc). */
   def classTfIdf(docs: DataFrame, groupCol: String, topK: Int = 10,

@@ -175,11 +175,29 @@ object StreamingIngest {
                 .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
             else Seq.empty
           // prior-state-only filter: highest persisted version BELOW
-          // this batch id (replay must never route on its own output)
+          // this batch id (replay must never route on its own output).
+          // COVERAGE guard: a version is trusted only if no prior
+          // index partition is newer than it — a stretch ingested with
+          // incrementalBloom OFF leaves the chain behind the index,
+          // and routing on that stale filter would accept duplicates
+          // silently (false negatives). batch_id is a partition
+          // column, so the newest prior partition comes from a dir
+          // listing, not a data scan; a stale chain falls back to the
+          // bootstrap scan, which the next version write then absorbs.
           val priorVersion: Option[Long] =
-            if (incrementalBloom) bloomVersions().filter(_ < batchId)
-              .sorted.lastOption
-            else None
+            if (!incrementalBloom) None
+            else {
+              val maxPriorPartition: Long = (if (fs.exists(indexDir))
+                fs.listStatus(indexDir).toSeq else Seq.empty)
+                .map(_.getPath.getName)
+                .filter(_.startsWith("batch_id="))
+                .flatMap(n => scala.util.Try(
+                  n.stripPrefix("batch_id=").toLong).toOption)
+                .filter(_ != batchId)
+                .foldLeft(-1L)(math.max)
+              bloomVersions().filter(v => v < batchId && v >= maxPriorPartition)
+                .sorted.lastOption
+            }
           val routeFilter: Option[org.apache.spark.util.sketch.BloomFilter] =
             (bloomExpectedDigests, seen) match {
               case (Some(n), Some(idx)) =>
@@ -190,7 +208,7 @@ object StreamingIngest {
                     finally in.close()
                   case None =>
                     // per-batch build (non-incremental mode), or the
-                    // incremental mode's one-time bootstrap scan
+                    // incremental mode's bootstrap/stale-chain rescan
                     Some(graft.functions.BloomProbe.build(idx, col("digest"), n, 0.01))
                 }
               case _ => None
@@ -233,8 +251,24 @@ object StreamingIngest {
               } else {
                 val bf = graft.functions.BloomProbe.build(
                   committed, col("digest"), n, 0.01)
-                routeFilter.foreach(bf.mergeInPlace)
-                Some(bf)
+                routeFilter match {
+                  case Some(p) if bf.isCompatible(p) =>
+                    bf.mergeInPlace(p); Some(bf)
+                  case Some(_) =>
+                    // bloomExpectedDigests changed across restarts —
+                    // the persisted sketch no longer merges (routing
+                    // above was still exact: ANY chain version has no
+                    // false negatives regardless of sizing). Re-derive
+                    // the merged state at the NEW sizing from the full
+                    // index, this batch included — a one-time resize
+                    // scan, not a per-trigger cost, and strictly
+                    // better than wedging the stream on
+                    // IncompatibleMergeException.
+                    Some(graft.functions.BloomProbe.build(
+                      spark.read.parquet(indexPath).select("digest"),
+                      col("digest"), n, 0.01))
+                  case None => Some(bf)
+                }
               }
             merged.foreach { bf =>
               val tmp = new org.apache.hadoop.fs.Path(bloomDir, s".tmp-v$batchId")

@@ -473,5 +473,24 @@ class PlanSpec extends SparkSpec {
     val got = screen.orderBy("new_id", "seen_id").collect().toSeq
     assert(got == expect, s"round-trip answer changed: $got vs $expect")
     assert(got.nonEmpty, "degenerate pin: the screen found no pairs")
+    // cross-SESSION re-attach (r18): the in-memory catalog entry dies
+    // with its session while the files persist — dropping the tables
+    // simulates a fresh session, and registerPpJoinIndexBucketed must
+    // re-declare the bucket spec from the store's own meta row so the
+    // re-attached screen plans AND answers exactly as the writer's
+    Seq("df", "sets", "postings", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE ppjoin_bt_test_$s"))
+    graft.operators.Dedup.registerPpJoinIndexBucketed(spark, "ppjoin_bt_test", root)
+    val reattached = graft.operators.Dedup.loadPpJoinIndexBucketed(spark, "ppjoin_bt_test")
+    assert(reattached.n == 1 && reattached.threshold == 0.5)
+    val reScreen = graft.operators.Dedup.ppJoinAgainst(batch, reattached)
+    val rePlan = planOf(reScreen)
+    assert(rePlan.contains("SelectedBucketsCount"),
+      s"re-attached screen must read bucketed scans:\n$rePlan")
+    assert(exchanges(rePlan) < plain,
+      s"re-attached screen must shuffle less: ${exchanges(rePlan)} vs $plain")
+    assert(reScreen.orderBy("new_id", "seen_id").collect().toSeq == expect)
+    // idempotent in the writing session: existing tables untouched
+    graft.operators.Dedup.registerPpJoinIndexBucketed(spark, "ppjoin_bt_test", root)
   }
 }
