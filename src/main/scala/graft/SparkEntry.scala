@@ -876,7 +876,13 @@ object SparkEntry {
         val (cent, corpus) = builtIvfIndex(s, dir)
         val base = scratchPath("graft_ivf_index", dir)
         cent.write.mode("overwrite").parquet(s"$base/centroids")
-        corpus.write.mode("overwrite").parquet(s"$base/corpus")
+        // CELL-PARTITIONED (r18): the physical layout an IVF index
+        // exists for — a probe's static `cell IN (...)` filter prunes
+        // to the probed directories at file-listing time, so serve IO
+        // is O(probed cells), not O(corpus). See
+        // Similarity.ivfProbeTopKPruned.
+        corpus.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$base/corpus")
         (s.read.parquet(s"$base/centroids"), s.read.parquet(s"$base/corpus"))
       })
     }
@@ -4236,10 +4242,14 @@ object SparkEntry {
       // proving the build-once/serve-many contract for the vector side
       // (the index is a table, not a session artifact). Floats
       // round-trip parquet losslessly, so the oracle is identical.
+      // r18: the stored corpus is cell-PARTITIONED and the serve path
+      // pushes a static probed-cell partition filter — scan IO is
+      // O(probed cells), the layout IVF exists for (PlanSpec-pinned;
+      // value-identical by construction, same oracle).
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val (cent, corpus) = storedIvfIndex(s, dir)
-        Similarity.ivfProbeTopK(corpus, emb.filter(col("vec_id") < 8), cent,
+        Similarity.ivfProbeTopKPruned(corpus, emb.filter(col("vec_id") < 8), cent,
           k = 5, nprobe = 2, cellCol = "cell")
           .orderBy("query_id", "rank")
       },

@@ -146,6 +146,49 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cell"), col("score"), col("rank"))
   }
 
+  /** [[ivfProbeTopK]] over a CELL-PARTITIONED stored corpus — the
+    * serve shape that makes IVF actually sublinear at rest: the plain
+    * probe streams the WHOLE corpus against the broadcast probe frame
+    * (the join drops non-probed cells, but only after reading them),
+    * which at 100 TB reads fifty times the bytes a 2-of-100-cell probe
+    * needs. Here the probe cells are collected first — queries ×
+    * nprobe values, the same catalog-sized driver bound as the probe
+    * frame itself — and pushed as a STATIC `cell IN (...)` partition
+    * filter, so a corpus written `partitionBy(cell)` prunes to the
+    * probed directories at file-listing time (PlanSpec-pinned;
+    * deterministic, unlike relying on runtime DPP). Restricting the
+    * scan to probed cells is a no-op on VALUES by construction — the
+    * cell equi-join discards every other cell anyway — so the output
+    * is identical to [[ivfProbeTopK]] row-for-row.
+    *
+    * Like the operators with collected model state, the call is
+    * EAGER (the probe-cell collect runs at build time). */
+  def ivfProbeTopKPruned(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    // ONE collect serves both needs — the static cell filter and the
+    // broadcast probe frame (rebuilt as a local relation, so the
+    // probe chain never evaluates twice and the plan carries no
+    // checkpoint): queries × nprobe rows, the contract that makes
+    // the frame broadcastable makes it collectable
+    val probeQ0 = ivfProbeQProbe(queries, centroids, nprobe, idCol, vecCol)
+    val probeRows = probeQ0.collect()
+    val cells = probeRows.map(_.get(1)).distinct.toSeq
+    val probeQ = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeQ0.schema)
+    val scored = ivfScoredProbe(
+      corpus.filter(col(cellCol).isInCollection(cells)),
+      probeQ, idCol, vecCol, cellCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cell"), col("score"), col("rank"))
+  }
+
   /** Dev probe (ScaleUpAb decomposition, [[ivfProbeTopK]] stage 1):
     * the fused (query_id, cell, qv) probe frame — each query's `nprobe`
     * nearest trained centroids joined back to its vector. Probe list

@@ -402,6 +402,39 @@ class PlanSpec extends SparkSpec {
       s"co-located screen must shuffle less: $colocated vs $plain exchanges")
   }
 
+  test("cell-partitioned stored IVF serve prunes the corpus scan to the probed cells") {
+    // r18: ivfProbeTopKPruned pushes the collected probe cells as a
+    // STATIC partition filter over a partitionBy(cell) store — the
+    // probed-cell directories are all the scan lists, which is the
+    // sublinear-serve property an IVF index exists for. Values must
+    // equal the unpruned probe row-for-row (the cell equi-join
+    // discards non-probed cells anyway).
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pruned").toString
+    val rnd = new scala.util.Random(21)
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat()), i % 6)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Similarity.cellCentroids(corpus)
+    val assigned = corpus.join(
+      graft.operators.Similarity.assignCells(corpus, cents)
+        .select(col("vec_id"), col("cell")), "vec_id")
+    assigned.write.partitionBy("cell").parquet(s"$dir/corpus")
+    val stored = spark.read.parquet(s"$dir/corpus")
+    val queries = corpus.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val pruned = graft.operators.Similarity.ivfProbeTopKPruned(
+      stored, queries, cents, k = 4, nprobe = 2, cellCol = "cell")
+    val plan = planOf(pruned)
+    assert(plan.contains("PartitionFilters") && "PartitionFilters: \\[cell".r
+        .findFirstIn(plan).isDefined,
+      s"probed cells must reach the scan as partition filters:\n$plan")
+    val expect = graft.operators.Similarity.ivfProbeTopK(
+      stored, queries, cents, k = 4, nprobe = 2, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    val got = pruned.orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect && got.nonEmpty,
+      s"pruned serve must answer identically: $got vs $expect")
+  }
+
   test("incremental LSH + Hamming screens pin the batch side as the broadcast build") {
     // r18: the batch-derived frames of both screens are provably
     // batch-bounded (batch × bands / batch × (maxHamming+1) rows), so
