@@ -308,7 +308,12 @@ object Bench {
       // dHash fingerprint over sampled decoded frames, and the banded
       // Hamming near-dup screen over it (the image tier's stack on
       // the video modality)
-      "x_video_dhash", "x_video_neardup", "x_video_incremental"))
+      "x_video_dhash", "x_video_neardup", "x_video_incremental",
+      // round-18 addition: IVF epoch MAINTENANCE — the held-out slice
+      // assigned against the frozen codebook and appended into the
+      // cell-partitioned store (new files under existing cell dirs),
+      // served through the same pruned path
+      "x_ann_incremental"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

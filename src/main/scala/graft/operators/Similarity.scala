@@ -226,6 +226,48 @@ object Similarity {
       .withColumn("score", round(Portable.cosine(col("qv"), col("cv")), 4))
   }
 
+  /** IVF index MAINTENANCE: assign a batch of NEW vectors to the FIXED
+    * trained centroids and append it into a cell-partitioned stored
+    * corpus — the epoch-append lifecycle the dedup index families
+    * already carry (bucketed ppjoin store, LSH/Hamming epoch indexes),
+    * now on the vector side. Standard IVF maintenance does NOT retrain
+    * on append: assignment against the frozen codebook is a broadcast-
+    * kernel projection (the [[kmeansTrain]] in-row shape — scan →
+    * project, ZERO shuffles; no self-join back to the batch), and
+    * re-centering is a deliberate occasional rebuild when drift
+    * accumulates, not a per-batch cost.
+    *
+    * Layout contract: the store root holds `cell=<c>/batch_id=<b>/`
+    * parquet — seed the store by writing the epoch build itself
+    * through this function (`batchId = 0`). `cell` stays the FIRST
+    * partition level, so the pruned serve path
+    * ([[ivfProbeTopKPruned]]) pushes its static probed-cell filter to
+    * file listing exactly as over the single-level layout: an append
+    * is new files under existing cell directories — zero rewrite of
+    * resident data, no layout migration, invisible to the serve plan.
+    *
+    * Replay safety (the streaming face's contract): rows land under
+    * DYNAMIC partition overwrite keyed by (cell, batch_id). Cell
+    * assignment is deterministic (4dp-rounded cosine, ascending-cell
+    * tie-break), so a replayed batch regenerates EXACTLY its original
+    * (cell, batch_id) leaves and overwrites them in place —
+    * exactly-once store state from an at-least-once trigger, the
+    * [[graft.streaming.StreamingIngest.dedupIngest]] partition
+    * discipline. */
+  def ivfAppend(batch: DataFrame, centroids: DataFrame, corpusPath: String,
+      batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(batchId >= 0, "batchId must be >= 0 (0 is the epoch build)")
+    batch
+      .withColumn("cell",
+        nearestCentroidCol(centroids, col(vecCol)).getField("cell"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch_id")
+      .parquet(corpusPath)
+  }
+
   /** Per-cell centroids — the training step an IVF index needs: mean of
     * the embedding vectors per coarse cell, computed dimension-wise via
     * posexplode + one aggregate (no driver-side vectors). Output is the

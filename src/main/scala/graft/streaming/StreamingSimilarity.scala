@@ -41,4 +41,27 @@ object StreamingSimilarity {
       sink(graft.operators.Similarity.ivfProbeTopK(
         corpus, batch, centroids, k, nprobe, idCol, vecCol, cellCol), batchId)
     }
+
+  /** Streaming IVF index MAINTENANCE — the ingest half that pairs with
+    * [[serveIvf]]: each micro-batch of NEW vectors is assigned against
+    * the FROZEN centroid frame (no retrain — a broadcast-kernel
+    * projection, zero shuffles) and appended into the cell-partitioned
+    * stored corpus through [[graft.operators.Similarity.ivfAppend]],
+    * stamped `batch_id = micro-batch id + 1` (0 stays reserved for the
+    * epoch build that seeded the store). State lives in the STORE (the
+    * [[StreamingIngest.dedupIngest]] discipline): nothing rides the
+    * streaming state store, restarts resume from the source
+    * checkpoint, and a replayed micro-batch regenerates exactly its
+    * original (cell, batch_id) leaves under dynamic partition
+    * overwrite — idempotent appends from an at-least-once trigger, so
+    * the served index never double-counts a vector
+    * (StreamingSpec-pinned with a checkpoint-restart proof). */
+  def ingestIvf(vectorStream: DataFrame, centroids: DataFrame,
+      corpusPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataStreamWriter[Row] =
+    vectorStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty)
+        graft.operators.Similarity.ivfAppend(
+          batch, centroids, corpusPath, batchId + 1L, idCol, vecCol)
+    }
 }

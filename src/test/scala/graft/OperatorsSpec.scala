@@ -744,6 +744,49 @@ class OperatorsSpec extends SparkSpec {
     assert(two.count() == 4)
   }
 
+  test("ivfAppend: appended store serves like assign-all-at-once; replay is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    val rnd = new scala.util.Random(33)
+    val emb = (0 until 80).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat()), i % 5)
+    }.toDF("vec_id", "embedding", "label")
+    // centroids train on the RESIDENT slice only; the held-out quarter
+    // is assigned against the frozen codebook and appended later
+    val resident = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    val batch = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+    val cent = Similarity.cellCentroids(resident)
+    val path = s"$dir/corpus"
+    Similarity.ivfAppend(resident, cent, path, batchId = 0L)
+    Similarity.ivfAppend(batch, cent, path, batchId = 1L)
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == 80)
+    assert(stored.filter(col("batch_id") === 1).count() == batch.count())
+    val queries = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val got = Similarity.ivfProbeTopKPruned(stored, queries, cent,
+      k = 4, nprobe = 2, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    // one-shot oracle: the FULL corpus assigned against the same
+    // frozen centroids in a single pass — maintenance must not change
+    // a single served row
+    val allAssigned = emb.join(
+      Similarity.assignCells(emb, cent).select(col("vec_id"), col("cell")), "vec_id")
+    val expect = Similarity.ivfProbeTopK(allAssigned, queries, cent,
+      k = 4, nprobe = 2, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // replay of an already-committed batch id (the at-least-once case):
+    // deterministic assignment regenerates exactly the original
+    // (cell, batch_id) leaves, dynamic overwrite replaces them in place
+    Similarity.ivfAppend(batch, cent, path, batchId = 1L)
+    val replayed = spark.read.parquet(path)
+    assert(replayed.count() == 80,
+      "a replayed batch must overwrite its own leaves, not duplicate them")
+    val afterReplay = Similarity.ivfProbeTopKPruned(replayed, queries, cent,
+      k = 4, nprobe = 2, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(afterReplay == expect)
+  }
+
   test("langId predicts the marker-heavy language deterministically") {
     val d = Seq((1L, "der und der und die"), (2L, "xxx yyy zzz"))
       .toDF("doc_id", "text")

@@ -435,6 +435,31 @@ class PlanSpec extends SparkSpec {
       s"pruned serve must answer identically: $got vs $expect")
   }
 
+  test("appended (cell, batch_id) IVF store keeps the probed-cell partition pruning") {
+    // r18: ivfAppend writes cell as the FIRST partition level with
+    // batch_id nested under it, so the pruned serve's static cell
+    // filter prunes an epoch-maintained store exactly like the
+    // single-level layout — appends never degrade serve IO.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_appended_prune").toString
+    val rnd = new scala.util.Random(22)
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat()), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val resident = emb.filter(col("vec_id") % 4 =!= 3)
+    val cents = graft.operators.Similarity.cellCentroids(resident)
+    val path = s"$dir/corpus"
+    graft.operators.Similarity.ivfAppend(resident, cents, path, batchId = 0L)
+    graft.operators.Similarity.ivfAppend(
+      emb.filter(col("vec_id") % 4 === 3), cents, path, batchId = 1L)
+    val stored = spark.read.parquet(path)
+    val queries = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val plan = planOf(graft.operators.Similarity.ivfProbeTopKPruned(
+      stored, queries, cents, k = 4, nprobe = 2, cellCol = "cell"))
+    assert(plan.contains("PartitionFilters") && "PartitionFilters: \\[cell".r
+        .findFirstIn(plan).isDefined,
+      s"probed cells must reach the appended store's scan as partition filters:\n$plan")
+  }
+
   test("incremental LSH + Hamming screens pin the batch side as the broadcast build") {
     // r18: the batch-derived frames of both screens are provably
     // batch-bounded (batch × bands / batch × (maxHamming+1) rows), so

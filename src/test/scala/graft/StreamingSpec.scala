@@ -662,6 +662,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/index").select("digest").distinct().count() == 3)
   }
 
+  test("streaming IVF ingest: appends survive a checkpoint restart without duplicating") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ingest").toString
+    val inDir = s"$dir/in"
+    new java.io.File(inDir).mkdirs()
+    val rnd = new scala.util.Random(44)
+    def vecs(ids: Range): Seq[(Long, Array[Float], Int)] =
+      ids.map(i => (i.toLong, Array.fill(4)(rnd.nextFloat()), i % 3))
+    // epoch: the resident corpus seeds the store (batch_id 0) and
+    // freezes the centroids — the build-once half of the lifecycle
+    val resident = vecs(0 until 30).toDF("vec_id", "embedding", "label")
+    val cent = graft.operators.Similarity.cellCentroids(resident).localCheckpoint()
+    val path = s"$dir/corpus"
+    graft.operators.Similarity.ivfAppend(resident, cent, path, batchId = 0L)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def start() = graft.streaming.StreamingSimilarity.ingestIvf(
+        spark.readStream.schema(schema).parquet(inDir), cent, path)
+      .option("checkpointLocation", s"$dir/ck").start()
+    val wave1 = vecs(100 until 104).toDF("vec_id", "embedding", "label")
+    wave1.write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // a SECOND query instance resumes from the checkpoint: wave 1 must
+    // not be reprocessed under a new batch id (offsets committed), and
+    // wave 2 must land under its own
+    val wave2 = vecs(200 until 204).toDF("vec_id", "embedding", "label")
+    wave2.write.mode("append").parquet(inDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == 38, s"30 resident + 8 appended, got ${stored.count()}")
+    assert(stored.select("vec_id").distinct().count() == 38,
+      "a restart must not re-land an already-committed wave")
+    // the maintained store serves exactly like a one-shot assignment of
+    // the same 38 vectors against the same frozen centroids
+    val all = resident.unionByName(wave1).unionByName(wave2)
+    val allAssigned = all.join(
+      graft.operators.Similarity.assignCells(all, cent)
+        .select(col("vec_id"), col("cell")), "vec_id")
+    val queries = resident.filter(col("vec_id") < 2).select("vec_id", "embedding")
+    val got = graft.operators.Similarity.ivfProbeTopKPruned(stored, queries, cent,
+      k = 3, nprobe = 2, cellCol = "cell").orderBy("query_id", "rank").collect().toSeq
+    val expect = graft.operators.Similarity.ivfProbeTopK(allAssigned, queries, cent,
+      k = 3, nprobe = 2, cellCol = "cell").orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming near-dup screening against a prebuilt epoch index") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
