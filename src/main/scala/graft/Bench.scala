@@ -752,7 +752,13 @@ object Bench {
       // frame is query-bounded and broadcast-HINTED (cannot flip to a
       // corpus shuffle); scoring grows with probed-cell depth, linear
       // in corpus under the fixed-centroid 10× embeddings shards
-      "x_ann_index_stored"))
+      "x_ann_index_stored",
+      // r18 follow-on: the MAINTAINED (appended) IVF store — same
+      // serve shape over the two-level (cell, batch_id) layout, so its
+      // ratio must read like the stored twin's (isolated: 1.39 vs the
+      // twin's same-session 1.20; the gap is file-count overhead of
+      // the second partition level at tiny files, not a volume term)
+      "x_ann_incremental"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {
