@@ -268,6 +268,70 @@ object Similarity {
       .parquet(corpusPath)
   }
 
+  /** Small-file COMPACTION for the maintained IVF store — the
+    * file-count answer to [[ivfAppend]]'s one-dir-per-(cell, batch)
+    * growth (a year of hourly appends is ~9k levels per cell; scan
+    * listing degrades long before data volume does). Fold-forward
+    * semantics: assign `batch` exactly as [[ivfAppend]] would, UNION
+    * it with every resident row at `batch_id <= batchId`, dedupe by
+    * `idCol`, rewrite the merged set under THIS batch's level
+    * (dynamic overwrite), then delete the now-folded older levels —
+    * so a compaction trigger costs one corpus rewrite and the store
+    * collapses back to one level per cell.
+    *
+    * Crash convergence (the replay contract, extended): the merged
+    * read deliberately INCLUDES `batch_id = batchId` — a replay after
+    * a crash between the rewrite and the deletes re-reads its own
+    * committed merge (complete the moment the job committed) plus
+    * whatever old levels survived, dedupes the overlap, and rewrites
+    * the same leaves; a crash mid-delete just leaves fewer levels for
+    * the replay to fold. Every path converges to the same compacted
+    * state because rows are bit-identical across levels
+    * (deterministic assignment) and the dedupe keeps one.
+    *
+    * Contract: SINGLE WRITER (run it from the ingest loop's own
+    * foreachBatch thread — [[graft.streaming.StreamingSimilarity
+    * .ingestIvf]]'s `compactEvery` does), and concurrent readers must
+    * tolerate the delete window (directory-listing readers can hit a
+    * vanished level mid-scan). Snapshot-isolated maintenance — the
+    * manifest-commit discipline [[graft.sources.SeriesStore
+    * .compactPartitions]] has — is the upgrade path when readers
+    * can't quiesce. */
+  def ivfCompact(batch: DataFrame, centroids: DataFrame, corpusPath: String,
+      batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(batchId >= 0, "batchId must be >= 0 (0 is the epoch build)")
+    val spark = batch.sparkSession
+    val assigned = batch.withColumn("cell",
+      nearestCentroidCol(centroids, col(vecCol)).getField("cell"))
+    val root = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val resident: Option[DataFrame] =
+      if (fs.exists(root))
+        Some(spark.read.parquet(corpusPath)
+          .filter(col("batch_id") <= batchId).drop("batch_id"))
+      else None
+    val merged = resident.fold(assigned)(r =>
+      assigned.unionByName(r).dropDuplicates(idCol))
+    merged
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch_id")
+      .parquet(corpusPath)
+    // fold complete and committed — drop the superseded levels
+    if (fs.exists(root)) fs.listStatus(root).foreach { cellDir =>
+      if (cellDir.isDirectory && cellDir.getPath.getName.startsWith("cell="))
+        fs.listStatus(cellDir.getPath).foreach { level =>
+          val n = level.getPath.getName
+          if (n.startsWith("batch_id=") &&
+              scala.util.Try(n.stripPrefix("batch_id=").toLong)
+                .toOption.exists(_ < batchId))
+            fs.delete(level.getPath, true)
+        }
+    }
+  }
+
   /** Per-cell centroids — the training step an IVF index needs: mean of
     * the embedding vectors per coarse cell, computed dimension-wise via
     * posexplode + one aggregate (no driver-side vectors). Output is the

@@ -55,12 +55,29 @@ object StreamingSimilarity {
     * original (cell, batch_id) leaves under dynamic partition
     * overwrite — idempotent appends from an at-least-once trigger, so
     * the served index never double-counts a vector
-    * (StreamingSpec-pinned with a checkpoint-restart proof). */
+    * (StreamingSpec-pinned with a checkpoint-restart proof).
+    *
+    * `compactEvery` > 0 folds small-file maintenance into the ingest
+    * loop (the [[StreamingIngest.writer]] discipline): every N
+    * micro-batches the trigger batch lands through
+    * [[graft.operators.Similarity.ivfCompact]] instead of the plain
+    * append, folding every older level into its own — the store
+    * collapses back to one level per cell, capping the
+    * one-dir-per-batch listing growth a day of 1-minute batches would
+    * otherwise accumulate. Micro-batches execute sequentially on this
+    * thread, so ivfCompact's single-writer contract holds by
+    * construction; the compaction runs on the multiple even when that
+    * batch is EMPTY (a periodic data cadence could align empties with
+    * every trigger). */
   def ingestIvf(vectorStream: DataFrame, centroids: DataFrame,
       corpusPath: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataStreamWriter[Row] =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      compactEvery: Long = 0L): DataStreamWriter[Row] =
     vectorStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        graft.operators.Similarity.ivfCompact(
+          batch, centroids, corpusPath, batchId + 1L, idCol, vecCol)
+      else if (!batch.isEmpty)
         graft.operators.Similarity.ivfAppend(
           batch, centroids, corpusPath, batchId + 1L, idCol, vecCol)
     }

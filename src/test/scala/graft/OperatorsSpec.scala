@@ -787,6 +787,58 @@ class OperatorsSpec extends SparkSpec {
     assert(afterReplay == expect)
   }
 
+  test("ivfCompact: folds every level into one, serves identically, converges on replay") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    val rnd = new scala.util.Random(55)
+    def mk(ids: Seq[Long]) = ids.map(i =>
+      (i, Array.fill(4)(rnd.nextFloat()), (i % 5).toInt))
+    val residentRows = mk(0L until 60L)
+    val b1Rows = mk(60L until 70L)
+    val b2Rows = mk(70L until 80L)
+    val resident = residentRows.toDF("vec_id", "embedding", "label")
+    val cent = Similarity.cellCentroids(resident)
+    val path = s"$dir/corpus"
+    Similarity.ivfAppend(resident, cent, path, batchId = 0L)
+    Similarity.ivfAppend(b1Rows.toDF("vec_id", "embedding", "label"), cent, path, batchId = 1L)
+    val b2 = b2Rows.toDF("vec_id", "embedding", "label")
+    Similarity.ivfCompact(b2, cent, path, batchId = 2L)
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == 80)
+    assert(stored.select("batch_id").distinct().as[Int].collect().toSeq == Seq(2),
+      "compaction must fold every older level into the trigger batch's own")
+    val all = (residentRows ++ b1Rows ++ b2Rows).toDF("vec_id", "embedding", "label")
+    val allAssigned = all.join(
+      Similarity.assignCells(all, cent).select(col("vec_id"), col("cell")), "vec_id")
+    val queries = resident.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    def serve(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfProbeTopKPruned(c, queries, cent, k = 4, nprobe = 2, cellCol = "cell")
+        .orderBy("query_id", "rank").collect().toSeq
+    val expect = Similarity.ivfProbeTopK(allAssigned, queries, cent,
+      k = 4, nprobe = 2, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(stored) == expect && expect.nonEmpty)
+    // replayed compaction (crash between the rewrite and the deletes):
+    // the merged read includes its own committed level, dedupes, and
+    // rewrites the same leaves — state converges, nothing duplicates
+    Similarity.ivfCompact(b2, cent, path, batchId = 2L)
+    val replayed = spark.read.parquet(path)
+    assert(replayed.count() == 80)
+    assert(serve(replayed) == expect)
+    // a later append lands beside the compacted level untouched
+    val b3Rows = mk(80L until 86L)
+    Similarity.ivfAppend(b3Rows.toDF("vec_id", "embedding", "label"), cent, path, batchId = 3L)
+    val grown = spark.read.parquet(path)
+    assert(grown.count() == 86)
+    val all2 = (residentRows ++ b1Rows ++ b2Rows ++ b3Rows)
+      .toDF("vec_id", "embedding", "label")
+    val all2Assigned = all2.join(
+      Similarity.assignCells(all2, cent).select(col("vec_id"), col("cell")), "vec_id")
+    val expect2 = Similarity.ivfProbeTopK(all2Assigned, queries, cent,
+      k = 4, nprobe = 2, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(grown) == expect2)
+  }
+
   test("langId predicts the marker-heavy language deterministically") {
     val d = Seq((1L, "der und der und die"), (2L, "xxx yyy zzz"))
       .toDF("doc_id", "text")

@@ -710,6 +710,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("streaming IVF ingest with compactEvery folds the store back to one level per cell") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_compact_stream").toString
+    val rnd = new scala.util.Random(66)
+    def mk(ids: Range): Seq[(Long, Array[Float], Int)] =
+      ids.map(i => (i.toLong, Array.fill(4)(rnd.nextFloat()), i % 3))
+    val residentRows = mk(0 until 24)
+    val resident = residentRows.toDF("vec_id", "embedding", "label")
+    val cent = graft.operators.Similarity.cellCentroids(resident).localCheckpoint()
+    val path = s"$dir/corpus"
+    graft.operators.Similarity.ivfAppend(resident, cent, path, batchId = 0L)
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val q = graft.streaming.StreamingSimilarity.ingestIvf(
+        mem.toDF().toDF("vec_id", "embedding", "label"), cent, path,
+        compactEvery = 2)
+      .option("checkpointLocation", s"$dir/ck").start()
+    val w1 = mk(100 until 104); val w2 = mk(200 until 204); val w3 = mk(300 until 304)
+    mem.addData(w1: _*); q.processAllAvailable() // batch 0: append (bid 1)
+    mem.addData(w2: _*); q.processAllAvailable() // batch 1: append (bid 2)
+    mem.addData(w3: _*); q.processAllAvailable() // batch 2: COMPACT (bid 3)
+    q.stop()
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == 36, s"24 resident + 12 streamed, got ${stored.count()}")
+    assert(stored.select("batch_id").distinct().as[Int].collect().toSeq == Seq(3),
+      "the compaction trigger must fold epoch + appends into one level")
+    val all = (residentRows ++ w1 ++ w2 ++ w3).toDF("vec_id", "embedding", "label")
+    val allAssigned = all.join(
+      graft.operators.Similarity.assignCells(all, cent)
+        .select(col("vec_id"), col("cell")), "vec_id")
+    val queries = resident.filter(col("vec_id") < 2).select("vec_id", "embedding")
+    val got = graft.operators.Similarity.ivfProbeTopKPruned(stored, queries, cent,
+      k = 3, nprobe = 2, cellCol = "cell").orderBy("query_id", "rank").collect().toSeq
+    val expect = graft.operators.Similarity.ivfProbeTopK(allAssigned, queries, cent,
+      k = 3, nprobe = 2, cellCol = "cell").orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming near-dup screening against a prebuilt epoch index") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
