@@ -313,7 +313,11 @@ object Bench {
       // assigned against the frozen codebook and appended into the
       // cell-partitioned store (new files under existing cell dirs),
       // served through the same pruned path
-      "x_ann_incremental"))
+      "x_ann_incremental",
+      // round-18 addition: the ENCODED-AT-REST IVFPQ serve — the code
+      // table (bytes, not floats) partitioned by cell, probed under a
+      // static partition filter; same oracle as x_ann_ivfpq
+      "x_ann_ivfpq_stored"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,
@@ -758,7 +762,11 @@ object Bench {
       // ratio must read like the stored twin's (isolated: 1.39 vs the
       // twin's same-session 1.20; the gap is file-count overhead of
       // the second partition level at tiny files, not a volume term)
-      "x_ann_incremental"))
+      "x_ann_incremental",
+      // r18 follow-on: the ENCODED-AT-REST IVFPQ serve — probed-cell
+      // CODE bytes under a static partition filter (isolated: 1.20 at
+      // 10x beside the in-memory composition's same-session 1.03)
+      "x_ann_ivfpq_stored"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {

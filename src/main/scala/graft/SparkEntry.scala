@@ -93,6 +93,44 @@ object SparkEntry {
 
   private val IvfScoreCtes: String = ivfScoreCtesWhere("")
 
+  /** Shared oracle for the IVF+PQ multi-probe search — consumed
+    * verbatim by `x_ann_ivfpq` (in-memory composition over the built
+    * index) and `x_ann_ivfpq_stored` (the encoded-at-rest code store):
+    * the storage form must not change the answer, and PQ codes are
+    * ints that round-trip parquet losslessly. */
+  private def ivfPqProbeOracleSql: String =
+    s"""WITH $IvfScoreCtes,
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cscore DESC NULLS LAST, cell) AS rn
+      |    FROM scores)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cscore DESC NULLS LAST, cell) AS crank
+      |    FROM scores WHERE vec_id < 8)
+      |  WHERE crank <= 2),
+      |${pqTrainOracleCtes(m = 2, k = 4, iters = 2, dim = 64)},
+      |${pqAdcLutCtes(m = 2, dim = 64)},
+      |ivfpq AS (
+      |  SELECT p.query_id, c.vec_id AS cand_id, a.cell,
+      |    -- decimal-round BEFORE the double cast: see pqAdcOracleCtes
+      |    CAST(round(SUM(CAST(l.pdot AS DECIMAL(28,12))), 4) AS DOUBLE) AS score
+      |  FROM probes p
+      |  JOIN assigned a ON a.cell = p.cell
+      |  JOIN codes c ON c.vec_id = a.vec_id AND c.vec_id <> p.query_id
+      |  JOIN lut l ON l.query_id = p.query_id
+      |    AND l.subspace = c.subspace AND l.cell = c.code
+      |  GROUP BY p.query_id, c.vec_id, a.cell)
+      |SELECT query_id, cand_id, cell, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, cand_id) AS rank
+      |  FROM ivfpq)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Unrolled k-core oracle over the repeat co-purchase graph:
     * `rounds` relational peels (degree CTE + both-endpoints-surviving
     * filter per round). [[graft.operators.Graph.kCore]] THROWS if it
@@ -929,6 +967,32 @@ object SparkEntry {
       })
     }
 
+  /** Memoized STORED IVFPQ index per (session, data dir) — the
+    * encoded-at-rest form `x_ann_ivfpq_stored` serves from: the built
+    * IVF corpus's cells + the trained PQ books encode once into a
+    * (cell, vec_id, codes) table written `partitionBy(cell)`, beside
+    * parquet copies of the centroid and codebook frames. The serve
+    * path reads code bytes under a static probed-cell filter; the
+    * float corpus is never scanned. Build-once/serve-many like every
+    * stored artifact here. Returns (centroids, codes, pq). */
+  private val storedIvfPqMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
+  private def storedIvfPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    scratchLock.synchronized {
+      storedIvfPqMemo.getOrElseUpdate((s, dir), {
+        val (cent, corpus) = builtIvfIndex(s, dir)
+        val pq = pqTrained(s, dir)
+        val base = scratchPath("graft_ivfpq_index", dir)
+        cent.write.mode("overwrite").parquet(s"$base/centroids")
+        pq.write.mode("overwrite").parquet(s"$base/pq")
+        Similarity.ivfPqStoreRows(corpus, pq, m = 2, dim = 64)
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$base/codes")
+        (s.read.parquet(s"$base/centroids"), s.read.parquet(s"$base/codes"),
+          s.read.parquet(s"$base/pq"))
+      })
+    }
+
   /** Memoized time-travel scratch store per (session, data dir): the
     * bitemporal surrogate committed in TWO deterministic batches (even
     * series ids, then odd), so the commit log has a version boundary an
@@ -1263,6 +1327,7 @@ object SparkEntry {
     timed("ppjoin_index_full_stored") { storedFullPpJoinIndex(s, dir); () }
     timed("ivf_index_stored") { storedIvfIndex(s, dir); () }
     timed("ivf_index_appended") { appendedIvfIndex(s, dir); () }
+    timed("ivfpq_index_stored") { storedIvfPqIndex(s, dir); () }
     timed("dup_clusters") { builtClusters(s, dir).count(); () }
     timed("timetravel_store") { timeTravelStore(s, dir); () }
     timed("compacted_store") { compactedStore(s, dir); () }
@@ -3051,37 +3116,26 @@ object SparkEntry {
           pqTrained(s, dir), k = 5, nprobe = 2, m = 2, dim = 64, cellCol = "cell")
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH $IvfScoreCtes,
-        |assigned AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cscore DESC NULLS LAST, cell) AS rn
-        |    FROM scores)
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cscore DESC NULLS LAST, cell) AS crank
-        |    FROM scores WHERE vec_id < 8)
-        |  WHERE crank <= 2),
-        |${pqTrainOracleCtes(m = 2, k = 4, iters = 2, dim = 64)},
-        |${pqAdcLutCtes(m = 2, dim = 64)},
-        |ivfpq AS (
-        |  SELECT p.query_id, c.vec_id AS cand_id, a.cell,
-        |    -- decimal-round BEFORE the double cast: see pqAdcOracleCtes
-        |    CAST(round(SUM(CAST(l.pdot AS DECIMAL(28,12))), 4) AS DOUBLE) AS score
-        |  FROM probes p
-        |  JOIN assigned a ON a.cell = p.cell
-        |  JOIN codes c ON c.vec_id = a.vec_id AND c.vec_id <> p.query_id
-        |  JOIN lut l ON l.query_id = p.query_id
-        |    AND l.subspace = c.subspace AND l.cell = c.code
-        |  GROUP BY p.query_id, c.vec_id, a.cell)
-        |SELECT query_id, cand_id, cell, score, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, cand_id) AS rank
-        |  FROM ivfpq)
-        |WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin)),
+      Some(ivfPqProbeOracleSql)),
+
+    ("x_ann_ivfpq_stored",
+      // IVF+PQ served from the ENCODED-AT-REST store: the code table
+      // (cell, vec_id, m codes) is what a 100 TB vector index actually
+      // persists — ~2 orders of magnitude smaller than the float
+      // corpus — written partitionBy(cell) so the fused probe+LUT
+      // frame's cells push as a STATIC partition filter: serve IO is
+      // O(probed cells) of CODE bytes; the float table is never read
+      // (queries aside). Same oracle as x_ann_ivfpq because the
+      // storage form must not change the answer (codes are ints,
+      // lossless through parquet).
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (cent, codes, pq) = storedIvfPqIndex(s, dir)
+        Similarity.ivfPqTopKFromCodes(codes, emb.filter(col("vec_id") < 8),
+          cent, pq, k = 5, nprobe = 2, m = 2, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqProbeOracleSql)),
 
     ("x_sample_stratified",
       // Deterministic per-language sampling: membership is a pure hash

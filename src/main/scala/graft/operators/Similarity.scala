@@ -943,6 +943,78 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cell"), col("score"), col("rank"))
   }
 
+  /** Encode-at-rest rows for a STORED IVFPQ index: (cell, id, codes) —
+    * the physical form a 100 TB vector index actually persists. Raw
+    * float vectors are dim × 4 bytes; the m PQ codes are m small ints
+    * (two here), so the at-rest index is ~2 orders of magnitude
+    * smaller and the serve scan reads code columns, never floats —
+    * the float corpus is touched only by a re-rank shortlist
+    * ([[pqRerankTopK]]'s discipline). Write the result
+    * `partitionBy("cell")` and serve through [[ivfPqTopKFromCodes]].
+    * Encoding is a pure broadcast-kernel projection (codebooks are
+    * collected literals — scan → project, zero shuffles), so index
+    * encode cost is one corpus pass. */
+  def ivfPqStoreRows(corpus: DataFrame, pq: DataFrame, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "cell"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
+    val books = collectBooks(pq, m)
+    corpus.select(col(cellCol).as("cell"), col(idCol),
+      pqCodesCol(books, dim / m, col(vecCol)).as("codes"))
+  }
+
+  /** [[ivfPqTopK]] served from the STORED code table — the compressed
+    * at-rest twin of [[ivfProbeTopKPruned]]: probe cells and the
+    * query-side LUT fuse into ONE collected frame (queries × nprobe
+    * rows — the broadcastable-⇒-collectable contract), the probed
+    * cells push as a STATIC partition filter over the
+    * `partitionBy(cell)` code store (scan IO = O(probed cells) of
+    * CODE bytes, not float bytes), and the survivors score through
+    * the same fused [[graft.functions.CodeLutSum]] kernel. Output is
+    * identical to [[ivfPqTopK]] over the float corpus the codes were
+    * encoded from: codes are ints and round-trip parquet losslessly.
+    * Like every collected-model operator the call is EAGER (the
+    * probe/LUT collect runs at build time). */
+  def ivfPqTopKFromCodes(codes: DataFrame, queries: DataFrame,
+      centroids: DataFrame, pq: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
+    val subDim = dim / m
+    val books = collectBooks(pq, m)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc_nulls_last, col("cell").asc)
+    val probes = centroidScores(queries, centroids, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__lut", pqLutCol(books, subDim, col("__qv")))
+      .select(col("query_id"), col("__lut"))
+    val probeLut0 = probes.join(q, "query_id")
+    val probeRows = probeLut0.collect()
+    val cells = probeRows.map(_.get(1)).distinct.toSeq
+    val probeLut = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeLut0.schema)
+    // array_compact: the parquet round trip reads codes back with
+    // nullable elements; stored codes never hold nulls, and the
+    // compact restores the containsNull = false type the CodeLutSum
+    // kernel demands (the ppjoin rset discipline)
+    val c = codes.filter(col("cell").isInCollection(cells))
+      .select(col("cell"), col(idCol).as("cand_id"),
+        array_compact(col("codes")).as("codes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    c.join(broadcast(probeLut), "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score",
+        round(graft.functions.CodeLutSum(col("codes"), col("__lut")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cell"), col("score"), col("rank"))
+  }
+
   /** ADC shortlist + exact re-rank — the two-stage retrieval shape
     * production ANN actually ships: PQ codes cheaply score the WHOLE
     * corpus (m LUT lookups per pair, [[pqAdcTopK]]), the top

@@ -460,6 +460,39 @@ class PlanSpec extends SparkSpec {
       s"probed cells must reach the appended store's scan as partition filters:\n$plan")
   }
 
+  test("stored IVFPQ code table prunes to the probed cells and serves like the float path") {
+    // r18: ivfPqTopKFromCodes reads CODE bytes under a static
+    // probed-cell partition filter — the float corpus is never
+    // scanned, and the answer equals ivfPqTopK over the floats the
+    // codes were encoded from (ints round-trip parquet losslessly).
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_stored").toString
+    val rnd = new scala.util.Random(23)
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat()), i % 5)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Similarity.cellCentroids(emb)
+    val corpus = emb.join(
+      graft.operators.Similarity.assignCells(emb, cents)
+        .select(col("vec_id"), col("cell")), "vec_id")
+    val pq = graft.operators.Similarity.pqTrain(emb, m = 2, k = 3, iters = 2, dim = 8)
+    graft.operators.Similarity.ivfPqStoreRows(corpus, pq, m = 2, dim = 8)
+      .write.partitionBy("cell").parquet(s"$dir/codes")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val queries = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val served = graft.operators.Similarity.ivfPqTopKFromCodes(
+      codes, queries, cents, pq, k = 4, nprobe = 2, m = 2, dim = 8)
+    val plan = planOf(served)
+    assert(plan.contains("PartitionFilters") && "PartitionFilters: \\[cell".r
+        .findFirstIn(plan).isDefined,
+      s"probed cells must reach the code scan as partition filters:\n$plan")
+    val got = served.orderBy("query_id", "rank").collect().toSeq
+    val expect = graft.operators.Similarity.ivfPqTopK(
+      corpus, queries, cents, pq, k = 4, nprobe = 2, m = 2, dim = 8, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect && got.nonEmpty,
+      s"code-store serve must answer like the float path: $got vs $expect")
+  }
+
   test("incremental LSH + Hamming screens pin the batch side as the broadcast build") {
     // r18: the batch-derived frames of both screens are provably
     // batch-bounded (batch × bands / batch × (maxHamming+1) rows), so
