@@ -258,14 +258,9 @@ object Similarity {
       batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(batchId >= 0, "batchId must be >= 0 (0 is the epoch build)")
-    batch
-      .withColumn("cell",
-        nearestCentroidCol(centroids, col(vecCol)).getField("cell"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell", "batch_id")
-      .parquet(corpusPath)
+    writeLevel(batch.withColumn("cell",
+      nearestCentroidCol(centroids, col(vecCol)).getField("cell")),
+      corpusPath, batchId)
   }
 
   /** Small-file COMPACTION for the maintained IVF store — the
@@ -301,9 +296,73 @@ object Similarity {
       batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(batchId >= 0, "batchId must be >= 0 (0 is the epoch build)")
-    val spark = batch.sparkSession
-    val assigned = batch.withColumn("cell",
-      nearestCentroidCol(centroids, col(vecCol)).getField("cell"))
+    foldForward(batch.withColumn("cell",
+      nearestCentroidCol(centroids, col(vecCol)).getField("cell")),
+      corpusPath, batchId, idCol)
+  }
+
+  /** [[ivfAppend]] for the ENCODED-AT-REST code store
+    * ([[ivfPqStoreRows]]' layout): the batch is assigned against the
+    * frozen coarse codebook AND PQ-encoded against the frozen fine
+    * codebooks in ONE projection, then appended
+    * `partitionBy(cell, batch_id)` — the compressed maintenance
+    * shape: what lands on disk per batch is code bytes, never floats.
+    * Same replay contract as [[ivfAppend]] (assignment and encoding
+    * are both deterministic, so dynamic partition overwrite makes a
+    * replayed batch rewrite exactly its original leaves), and
+    * [[ivfPqTopKFromCodes]] serves the two-level layout unchanged
+    * (its static cell filter prunes the first partition level). */
+  def ivfPqAppend(batch: DataFrame, centroids: DataFrame, pq: DataFrame,
+      corpusPath: String, batchId: Long, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(batchId >= 0, "batchId must be >= 0 (0 is the epoch build)")
+    writeLevel(preparedCodeRows(batch, centroids, pq, m, dim, idCol, vecCol),
+      corpusPath, batchId)
+  }
+
+  /** [[ivfCompact]] for the ENCODED-AT-REST code store: identical
+    * fold-forward semantics and crash-convergence argument, with the
+    * trigger batch encoded (not stored raw) before the merge —
+    * resident levels are already codes, so compaction never touches a
+    * float vector. */
+  def ivfPqCompact(batch: DataFrame, centroids: DataFrame, pq: DataFrame,
+      corpusPath: String, batchId: Long, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(batchId >= 0, "batchId must be >= 0 (0 is the epoch build)")
+    foldForward(preparedCodeRows(batch, centroids, pq, m, dim, idCol, vecCol),
+      corpusPath, batchId, idCol)
+  }
+
+  /** The trigger batch in the code store's row shape — coarse cell +
+    * PQ codes in one broadcast-kernel projection (zero shuffles). */
+  private def preparedCodeRows(batch: DataFrame, centroids: DataFrame,
+      pq: DataFrame, m: Int, dim: Int, idCol: String, vecCol: String): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
+    val books = collectBooks(pq, m)
+    batch.select(
+      nearestCentroidCol(centroids, col(vecCol)).getField("cell").as("cell"),
+      col(idCol),
+      pqCodesCol(books, dim / m, col(vecCol)).as("codes"))
+  }
+
+  /** One store level under the replay contract: dynamic partition
+    * overwrite keyed (cell, batch_id) — shared by the appends and the
+    * fold-forward rewrite. `prepared` carries a `cell` column beside
+    * the data columns and no `batch_id`. */
+  private def writeLevel(prepared: DataFrame, corpusPath: String,
+      batchId: Long): Unit =
+    prepared
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch_id")
+      .parquet(corpusPath)
+
+  /** Shared fold-forward core of [[ivfCompact]] / [[ivfPqCompact]] —
+    * see ivfCompact's scaladoc for the crash-convergence argument. */
+  private def foldForward(prepared: DataFrame, corpusPath: String,
+      batchId: Long, idCol: String): Unit = {
+    val spark = prepared.sparkSession
     val root = new org.apache.hadoop.fs.Path(corpusPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val resident: Option[DataFrame] =
@@ -311,14 +370,9 @@ object Similarity {
         Some(spark.read.parquet(corpusPath)
           .filter(col("batch_id") <= batchId).drop("batch_id"))
       else None
-    val merged = resident.fold(assigned)(r =>
-      assigned.unionByName(r).dropDuplicates(idCol))
-    merged
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell", "batch_id")
-      .parquet(corpusPath)
+    val merged = resident.fold(prepared)(r =>
+      prepared.unionByName(r).dropDuplicates(idCol))
+    writeLevel(merged, corpusPath, batchId)
     // fold complete and committed — drop the superseded levels
     if (fs.exists(root)) fs.listStatus(root).foreach { cellDir =>
       if (cellDir.isDirectory && cellDir.getPath.getName.startsWith("cell="))

@@ -81,4 +81,27 @@ object StreamingSimilarity {
         graft.operators.Similarity.ivfAppend(
           batch, centroids, corpusPath, batchId + 1L, idCol, vecCol)
     }
+
+  /** [[ingestIvf]] for the ENCODED-AT-REST code store
+    * ([[graft.operators.Similarity.ivfPqStoreRows]]' layout): each
+    * micro-batch is assigned against the frozen coarse codebook AND
+    * PQ-encoded against the frozen fine codebooks before landing —
+    * what a micro-batch writes is code bytes, never floats, and
+    * [[graft.operators.Similarity.ivfPqTopKFromCodes]] serves the
+    * growing store unchanged. Identical replay/restart contract and
+    * `compactEvery` discipline as the raw face (both assignment and
+    * encoding are deterministic, so replays rewrite their own
+    * leaves). */
+  def ingestIvfPq(vectorStream: DataFrame, centroids: DataFrame,
+      pq: DataFrame, corpusPath: String, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      compactEvery: Long = 0L): DataStreamWriter[Row] =
+    vectorStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        graft.operators.Similarity.ivfPqCompact(
+          batch, centroids, pq, corpusPath, batchId + 1L, m, dim, idCol, vecCol)
+      else if (!batch.isEmpty)
+        graft.operators.Similarity.ivfPqAppend(
+          batch, centroids, pq, corpusPath, batchId + 1L, m, dim, idCol, vecCol)
+    }
 }

@@ -839,6 +839,51 @@ class OperatorsSpec extends SparkSpec {
     assert(serve(grown) == expect2)
   }
 
+  test("ivfPqAppend/ivfPqCompact: the maintained code store serves like the float path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_maint").toString
+    val rnd = new scala.util.Random(77)
+    def mk(ids: Seq[Long]) = ids.map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()), (i % 4).toInt))
+    val residentRows = mk(0L until 50L)
+    val b1Rows = mk(50L until 60L)
+    val b2Rows = mk(60L until 70L)
+    val resident = residentRows.toDF("vec_id", "embedding", "label")
+    // both codebooks FREEZE at the epoch: coarse cells from the
+    // resident slice, fine PQ books trained on it too
+    val cent = Similarity.cellCentroids(resident)
+    val pq = Similarity.pqTrain(resident, m = 2, k = 3, iters = 2, dim = 8)
+    val path = s"$dir/codes"
+    Similarity.ivfPqAppend(resident, cent, pq, path, batchId = 0L, m = 2, dim = 8)
+    Similarity.ivfPqAppend(b1Rows.toDF("vec_id", "embedding", "label"),
+      cent, pq, path, batchId = 1L, m = 2, dim = 8)
+    val b2 = b2Rows.toDF("vec_id", "embedding", "label")
+    Similarity.ivfPqCompact(b2, cent, pq, path, batchId = 2L, m = 2, dim = 8)
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == 70)
+    assert(stored.select("batch_id").distinct().as[Int].collect().toSeq == Seq(2),
+      "compaction must fold the code levels into the trigger batch's own")
+    assert(!stored.columns.contains("embedding"),
+      "the code store must never hold float vectors")
+    val all = (residentRows ++ b1Rows ++ b2Rows).toDF("vec_id", "embedding", "label")
+    val allAssigned = all.join(
+      Similarity.assignCells(all, cent).select(col("vec_id"), col("cell")), "vec_id")
+    val queries = resident.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val got = Similarity.ivfPqTopKFromCodes(stored, queries, cent, pq,
+      k = 4, nprobe = 2, m = 2, dim = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val expect = Similarity.ivfPqTopK(allAssigned, queries, cent, pq,
+      k = 4, nprobe = 2, m = 2, dim = 8, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // replayed compaction converges (same argument as the raw store)
+    Similarity.ivfPqCompact(b2, cent, pq, path, batchId = 2L, m = 2, dim = 8)
+    val replayed = spark.read.parquet(path)
+    assert(replayed.count() == 70)
+    assert(Similarity.ivfPqTopKFromCodes(replayed, queries, cent, pq,
+      k = 4, nprobe = 2, m = 2, dim = 8)
+      .orderBy("query_id", "rank").collect().toSeq == expect)
+  }
+
   test("langId predicts the marker-heavy language deterministically") {
     val d = Seq((1L, "der und der und die"), (2L, "xxx yyy zzz"))
       .toDF("doc_id", "text")

@@ -747,6 +747,51 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("streaming IVFPQ ingest: encoded appends restart cleanly and compaction folds codes") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream").toString
+    val rnd = new scala.util.Random(88)
+    def mk(ids: Range): Seq[(Long, Array[Float], Int)] =
+      ids.map(i => (i.toLong, Array.fill(8)(rnd.nextFloat()), i % 3))
+    val residentRows = mk(0 until 24)
+    val resident = residentRows.toDF("vec_id", "embedding", "label")
+    // both codebooks freeze at the epoch (coarse cells + fine PQ books)
+    val cent = graft.operators.Similarity.cellCentroids(resident).localCheckpoint()
+    val pq = graft.operators.Similarity
+      .pqTrain(resident, m = 2, k = 3, iters = 2, dim = 8).localCheckpoint()
+    val path = s"$dir/codes"
+    graft.operators.Similarity.ivfPqAppend(resident, cent, pq, path,
+      batchId = 0L, m = 2, dim = 8)
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val q = graft.streaming.StreamingSimilarity.ingestIvfPq(
+        mem.toDF().toDF("vec_id", "embedding", "label"), cent, pq, path,
+        m = 2, dim = 8, compactEvery = 2)
+      .option("checkpointLocation", s"$dir/ck").start()
+    val w1 = mk(100 until 104); val w2 = mk(200 until 204); val w3 = mk(300 until 304)
+    mem.addData(w1: _*); q.processAllAvailable() // batch 0: append (bid 1)
+    mem.addData(w2: _*); q.processAllAvailable() // batch 1: append (bid 2)
+    mem.addData(w3: _*); q.processAllAvailable() // batch 2: COMPACT (bid 3)
+    q.stop()
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == 36, s"24 resident + 12 streamed, got ${stored.count()}")
+    assert(stored.select("batch_id").distinct().as[Int].collect().toSeq == Seq(3),
+      "the compaction trigger must fold epoch + appends into one code level")
+    assert(!stored.columns.contains("embedding"),
+      "the code store must never hold float vectors")
+    val all = (residentRows ++ w1 ++ w2 ++ w3).toDF("vec_id", "embedding", "label")
+    val allAssigned = all.join(
+      graft.operators.Similarity.assignCells(all, cent)
+        .select(col("vec_id"), col("cell")), "vec_id")
+    val queries = resident.filter(col("vec_id") < 2).select("vec_id", "embedding")
+    val got = graft.operators.Similarity.ivfPqTopKFromCodes(stored, queries,
+      cent, pq, k = 3, nprobe = 2, m = 2, dim = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val expect = graft.operators.Similarity.ivfPqTopK(allAssigned, queries,
+      cent, pq, k = 3, nprobe = 2, m = 2, dim = 8, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming near-dup screening against a prebuilt epoch index") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
