@@ -202,6 +202,28 @@ object SparkEntry {
       (tf, TextAnalysis.bm25IndexStats(tf).localCheckpoint())
     })
 
+  /** Memoized BUCKETED BM25 store per (session, data dir) — the
+    * store-durable text index `x_text_bm25_stored` serves from: the
+    * [[graft.operators.TextAnalysis.bm25Index]] frame written
+    * `bucketBy(doc_id)` beside its stats and meta tables, read back
+    * through the catalog so the tf scan exposes HashPartitioning and
+    * the scoring aggregate runs exchange-free from the files
+    * themselves. The memo keys the round trip (build once, serve every
+    * retrieval from the stored form). */
+  private val storedBm25Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def storedBm25Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    scratchLock.synchronized {
+      storedBm25Memo.getOrElseUpdate((s, dir), {
+        val (tf, _) = builtBm25Index(s, dir)
+        val prefix = scratchTableName("graft_bm25", dir)
+        TextAnalysis.storeBm25IndexBucketed(
+          tf, prefix, scratchPath("graft_bm25_index", dir))
+        TextAnalysis.loadBm25IndexBucketed(s, prefix)
+      })
+    }
+
   private def maskNaN(df: DataFrame): DataFrame =
     df.withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
 
@@ -1328,6 +1350,7 @@ object SparkEntry {
     timed("ivf_index_stored") { storedIvfIndex(s, dir); () }
     timed("ivf_index_appended") { appendedIvfIndex(s, dir); () }
     timed("ivfpq_index_stored") { storedIvfPqIndex(s, dir); () }
+    timed("bm25_index_stored") { storedBm25Index(s, dir); () }
     timed("dup_clusters") { builtClusters(s, dir).count(); () }
     timed("timetravel_store") { timeTravelStore(s, dir); () }
     timed("compacted_store") { compactedStore(s, dir); () }
@@ -3691,6 +3714,49 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 10""".stripMargin)),
+
+    ("x_text_bm25_stored",
+      // Related-doc BM25 top-10 per query doc served from the BUCKETED
+      // parquet store — the search index AT REST: the tf table's
+      // bucketBy(doc_id) layout survives the session, so the scoring
+      // aggregate (whose grouping keys include the doc id) plans with
+      // no corpus-side exchange from the files themselves; query-time
+      // work is one broadcast terms join + the per-query top-k window.
+      // Same scoring/rounding discipline as x_text_bm25 and the
+      // x_hybrid_rrf lexical leg; the storage form must not change
+      // the answer.
+      (s, dir) => {
+        val (tf, stats) = storedBm25Index(s, dir)
+        TextAnalysis.bm25RelatedTopKFrom(tf, queryIds = (0L to 7L), k = 10,
+          statsOpt = Some(stats))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfv AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < 8),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id AS cand_id,
+        |    round(round(ln((stats.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1.0), 8)
+        |          * tf.tf * 2.2
+        |          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 8) AS c
+        |  FROM qt JOIN tf USING (tok) JOIN dfv USING (tok)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+        |  WHERE tf.doc_id <> qt.query_id),
+        |lexscore AS (
+        |  SELECT query_id, cand_id, CAST(COUNT(*) AS BIGINT) AS matched_terms,
+        |    CAST(round(SUM(CAST(c AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25
+        |  FROM contrib GROUP BY 1, 2)
+        |SELECT query_id, cand_id, matched_terms, bm25, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY bm25 DESC, cand_id) AS rank
+        |  FROM lexscore)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)),
 
     ("x_text_lm_score",
       // Bigram-LM quality scoring: the corpus's own add-k bigram model

@@ -508,6 +508,85 @@ object TextAnalysis {
     tf.groupBy(col(idCol)).agg(first(col("__dl")).as("__dl"))
       .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
 
+  /** Persist a [[bm25Index]] frame as a BUCKETED parquet table (plus
+    * its one-row stats table and a meta row) — the store-durable form
+    * of the localCheckpoint pin, the
+    * [[graft.operators.Dedup.storePpJoinIndexBucketed]] treatment on
+    * the text side: the tf table writes `bucketBy` the doc id (one
+    * file per bucket so `sortBy` ordering survives the read), so a
+    * LOADED index's scan exposes `HashPartitioning(doc id)` to the
+    * planner and the scoring aggregate in [[bm25RelatedTopKFrom]] —
+    * whose grouping keys include the doc id — runs with NO
+    * corpus-side exchange from the parquet files themselves, in any
+    * future session (PlanSpec-pinned). At 100 TB this is the search
+    * index at rest: the token stream's doc-clustered layout is paid
+    * once at the epoch write, never per retrieval. `idCol` and
+    * `nBuckets` travel in the meta table so
+    * [[registerBm25IndexBucketed]] re-declares the bucket spec exactly
+    * (a wrong declared bucket count silently mis-routes the bucketed
+    * scan). */
+  def storeBm25IndexBucketed(tf: DataFrame, tablePrefix: String, path: String,
+      nBuckets: Int = 32, idCol: String = "doc_id"): Unit = {
+    require(tablePrefix.matches("[A-Za-z0-9_]+"),
+      s"unsafe table prefix: $tablePrefix")
+    require(nBuckets > 0, "nBuckets must be positive")
+    import org.apache.spark.sql.SaveMode
+    tf.repartition(nBuckets, col(idCol))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/tf")
+      .bucketBy(nBuckets, idCol).sortBy(idCol)
+      .saveAsTable(s"${tablePrefix}_tf")
+    bm25IndexStats(tf, idCol)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/stats")
+      .saveAsTable(s"${tablePrefix}_stats")
+    tf.sparkSession.createDataFrame(Seq((idCol, nBuckets)))
+      .toDF("id_col", "n_buckets")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/meta")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Re-attach a [[storeBm25IndexBucketed]] store written by a PRIOR
+    * session: declares the catalog tables over the existing files
+    * (schemas inferred from the parquet, bucket spec re-stated from
+    * the store's own meta row). Idempotent — existing tables are left
+    * alone, so calling it in the writing session is a no-op. */
+  def registerBm25IndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String): Unit = {
+    require(tablePrefix.matches("[A-Za-z0-9_]+"),
+      s"unsafe table prefix: $tablePrefix")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val idCol = meta.getString(0)
+    val nBuckets = meta.getInt(1)
+    def ddlCols(sub: String): String =
+      spark.read.parquet(s"$path/$sub").schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    def ensure(suffix: String, sub: String, bucketCol: Option[String]): Unit = {
+      val name = s"${tablePrefix}_$suffix"
+      if (!spark.catalog.tableExists(name)) {
+        val cluster = bucketCol.map(c =>
+          s" CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $nBuckets BUCKETS")
+          .getOrElse("")
+        spark.sql(s"CREATE TABLE $name (${ddlCols(sub)}) USING parquet" +
+          cluster + s" LOCATION '$path/$sub'")
+        ()
+      }
+    }
+    ensure("tf", "tf", Some(idCol))
+    ensure("stats", "stats", None)
+    ensure("meta", "meta", None)
+  }
+
+  /** Reconstruct the (tf, stats) pair from
+    * [[storeBm25IndexBucketed]]'s catalog tables. The tf frame comes
+    * back as a bucketed scan — [[bm25RelatedTopKFrom]] over it plans
+    * with no corpus-side exchange, the stored-index analog of the
+    * checkpointed build. */
+  def loadBm25IndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): (DataFrame, DataFrame) =
+    (spark.table(s"${tablePrefix}_tf"), spark.table(s"${tablePrefix}_stats"))
+
   /** Scoring face of [[bm25RelatedTopK]] over a prebuilt (ideally
     * pinned) [[bm25Index]] frame — query-time work is ONE broadcast
     * join + an exchange-free aggregate + the per-query top-k window.

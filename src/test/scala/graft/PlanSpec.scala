@@ -493,6 +493,54 @@ class PlanSpec extends SparkSpec {
       s"code-store serve must answer like the float path: $got vs $expect")
   }
 
+  test("bucketed BM25 store serves the related-doc scoring with fewer exchanges") {
+    // r18: the tf table persists bucketBy(doc_id), so the loaded scan
+    // exposes HashPartitioning(doc_id) and the scoring aggregate —
+    // grouping keys include the doc id — plans exchange-free from the
+    // parquet files themselves; a plain parquet round trip of the
+    // SAME frame loses the clustering and re-exchanges. Values must
+    // be identical (the storage form cannot change the answer), and a
+    // catalog re-attach (the new-session path) must serve the same.
+    val dir = java.nio.file.Files.createTempDirectory("bm25_bucketed").toString
+    val docs = Seq(
+      (0L, "hash join scan filter"), (1L, "hash join merge"),
+      (2L, "scan filter prune"), (3L, "window frame sum"),
+      (4L, "hash partition shuffle"), (5L, "join scan hash probe"))
+      .toDF("doc_id", "text")
+    val tf = graft.operators.TextAnalysis.bm25Index(docs)
+    graft.operators.TextAnalysis.storeBm25IndexBucketed(
+      tf, "bm25spec", s"$dir/store", nBuckets = 4)
+    val (loadedTf, loadedStats) =
+      graft.operators.TextAnalysis.loadBm25IndexBucketed(spark, "bm25spec")
+    val plainTf = spark.read.parquet(s"$dir/store/tf")
+    def serve(t: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.bm25RelatedTopKFrom(
+        t, queryIds = Seq(0L, 1L), k = 3, statsOpt = Some(loadedStats))
+    def exchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    val bucketed = exchanges(planOf(serve(loadedTf)))
+    val plain = exchanges(planOf(serve(plainTf)))
+    assert(bucketed < plain,
+      s"the bucketed scan must serve with fewer exchanges: $bucketed vs $plain")
+    val got = serve(loadedTf).orderBy("query_id", "rank").collect().toSeq
+    val expect = serve(plainTf).orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // new-session re-attach: drop the catalog entries (metadata only —
+    // the files and their bucketed layout persist), re-register from
+    // the store's own meta row, serve identically
+    Seq("tf", "stats", "meta").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS bm25spec_$sfx"))
+    graft.operators.TextAnalysis.registerBm25IndexBucketed(
+      spark, "bm25spec", s"$dir/store")
+    val (reTf, reStats) =
+      graft.operators.TextAnalysis.loadBm25IndexBucketed(spark, "bm25spec")
+    val reServed = graft.operators.TextAnalysis.bm25RelatedTopKFrom(
+      reTf, queryIds = Seq(0L, 1L), k = 3, statsOpt = Some(reStats))
+    assert(exchanges(planOf(reServed)) == bucketed,
+      "the re-attached catalog must restore the bucketed plan")
+    assert(reServed.orderBy("query_id", "rank").collect().toSeq == expect)
+  }
+
   test("incremental LSH + Hamming screens pin the batch side as the broadcast build") {
     // r18: the batch-derived frames of both screens are provably
     // batch-bounded (batch × bands / batch × (maxHamming+1) rows), so
