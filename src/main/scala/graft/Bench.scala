@@ -321,7 +321,11 @@ object Bench {
       // round-18 addition: the SEARCH INDEX AT REST — related-doc BM25
       // served from the bucketBy(doc_id) tf store, scoring aggregate
       // exchange-free from the parquet layout itself
-      "x_text_bm25_stored"))
+      "x_text_bm25_stored",
+      // round-18 addition: SEGMENTED BM25 — immutable per-batch
+      // segments with query-time df/stats merge (Lucene-segment
+      // design); same oracle as the stored form
+      "x_text_bm25_incremental"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

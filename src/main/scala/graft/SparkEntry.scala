@@ -202,6 +202,63 @@ object SparkEntry {
       (tf, TextAnalysis.bm25IndexStats(tf).localCheckpoint())
     })
 
+  /** Shared oracle for the related-doc BM25 retrieval (queries 0..7,
+    * top 10) — consumed verbatim by `x_text_bm25_stored` (bucketed
+    * whole-corpus store) and `x_text_bm25_incremental` (segmented
+    * appends with query-time df/stats merge): neither the storage
+    * form nor the segmentation may change the answer. */
+  private val bm25RelatedOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfv AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < 8),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id AS cand_id,
+      |    round(round(ln((stats.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1.0), 8)
+      |          * tf.tf * 2.2
+      |          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 8) AS c
+      |  FROM qt JOIN tf USING (tok) JOIN dfv USING (tok)
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+      |  WHERE tf.doc_id <> qt.query_id),
+      |lexscore AS (
+      |  SELECT query_id, cand_id, CAST(COUNT(*) AS BIGINT) AS matched_terms,
+      |    CAST(round(SUM(CAST(c AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25
+      |  FROM contrib GROUP BY 1, 2)
+      |SELECT query_id, cand_id, matched_terms, bm25, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY bm25 DESC, cand_id) AS rank
+      |  FROM lexscore)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Memoized SEGMENTED BM25 store per (session, data dir) — the
+    * incremental text index `x_text_bm25_incremental` serves from:
+    * the corpus lands in TWO immutable segments (doc_id % 3 == 0,
+    * then the rest) through
+    * [[graft.operators.TextAnalysis.bm25AppendSegment]], so the serve
+    * must merge df and corpus stats across segments at query time to
+    * match the whole-corpus oracle. */
+  private val segmentedBm25Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
+  private def segmentedBm25Store(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    scratchLock.synchronized {
+      segmentedBm25Memo.getOrElseUpdate((s, dir), {
+        val docs = Tables.documents(s, dir)
+        val path = scratchPath("graft_bm25_segments", dir)
+        TextAnalysis.bm25AppendSegment(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), path, segmentId = 0L)
+        TextAnalysis.bm25AppendSegment(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), path, segmentId = 1L)
+        (s.read.parquet(s"$path/tf"), s.read.parquet(s"$path/df"),
+          s.read.parquet(s"$path/meta"))
+      })
+    }
+
   /** Memoized BUCKETED BM25 store per (session, data dir) — the
     * store-durable text index `x_text_bm25_stored` serves from: the
     * [[graft.operators.TextAnalysis.bm25Index]] frame written
@@ -1351,6 +1408,7 @@ object SparkEntry {
     timed("ivf_index_appended") { appendedIvfIndex(s, dir); () }
     timed("ivfpq_index_stored") { storedIvfPqIndex(s, dir); () }
     timed("bm25_index_stored") { storedBm25Index(s, dir); () }
+    timed("bm25_segments") { segmentedBm25Store(s, dir); () }
     timed("dup_clusters") { builtClusters(s, dir).count(); () }
     timed("timetravel_store") { timeTravelStore(s, dir); () }
     timed("compacted_store") { compactedStore(s, dir); () }
@@ -3731,32 +3789,26 @@ object SparkEntry {
           statsOpt = Some(stats))
           .orderBy("query_id", "rank")
       },
-      Some("""WITH tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-        |  FROM documents),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfv AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-        |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < 8),
-        |contrib AS (
-        |  SELECT qt.query_id, tf.doc_id AS cand_id,
-        |    round(round(ln((stats.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1.0), 8)
-        |          * tf.tf * 2.2
-        |          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 8) AS c
-        |  FROM qt JOIN tf USING (tok) JOIN dfv USING (tok)
-        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
-        |  WHERE tf.doc_id <> qt.query_id),
-        |lexscore AS (
-        |  SELECT query_id, cand_id, CAST(COUNT(*) AS BIGINT) AS matched_terms,
-        |    CAST(round(SUM(CAST(c AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25
-        |  FROM contrib GROUP BY 1, 2)
-        |SELECT query_id, cand_id, matched_terms, bm25, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY bm25 DESC, cand_id) AS rank
-        |  FROM lexscore)
-        |WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin)),
+      Some(bm25RelatedOracleSql)),
+
+    ("x_text_bm25_incremental",
+      // SEGMENTED BM25 — the incremental form of the stored index
+      // (the Lucene-segment design): documents arrive as immutable
+      // per-batch segments (bm25AppendSegment — tf rows plus the
+      // segment's own term dictionary and stats row, because global
+      // df is the one statistic an append invalidates), and the serve
+      // folds df/n/avgdl across segments at query time (disjoint doc
+      // sets make both folds exact sums) — so appends are O(batch)
+      // and never rewrite resident segments. SAME oracle as
+      // x_text_bm25_stored: a hash match proves segmentation +
+      // append-then-serve ≡ whole-corpus rebuild.
+      (s, dir) => {
+        val (segTf, segDf, segMeta) = segmentedBm25Store(s, dir)
+        TextAnalysis.bm25SegmentedTopK(segTf, segDf, segMeta,
+          queryIds = (0L to 7L), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25RelatedOracleSql)),
 
     ("x_text_lm_score",
       // Bigram-LM quality scoring: the corpus's own add-k bigram model

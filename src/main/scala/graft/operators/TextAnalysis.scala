@@ -587,19 +587,119 @@ object TextAnalysis {
       tablePrefix: String): (DataFrame, DataFrame) =
     (spark.table(s"${tablePrefix}_tf"), spark.table(s"${tablePrefix}_stats"))
 
+  /** One SEGMENT of an incremental BM25 index: per-(doc, token) tf
+    * with the doc's full length — [[bm25Index]] WITHOUT the
+    * document-frequency window, because df is the one corpus-GLOBAL
+    * statistic an append invalidates (a new segment can raise any
+    * token's df). The Lucene-segment design: segments are immutable,
+    * df and corpus stats merge at query time — which keeps appends
+    * O(batch) while [[bm25SegmentedTopK]] still answers EXACTLY like
+    * a whole-corpus rebuild (the segmented query recomputes df over
+    * the union restricted to the query's tokens, and n/avgdl are
+    * additive across segments). */
+  def bm25SegmentRows(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val winDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol), explode(toks(col(textCol))).as("__tok"))
+      .repartition(parts, col(idCol))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+      .withColumn("__dl", sum(col("__tf")).over(winDoc))
+  }
+
+  /** Append a batch of documents to a segmented BM25 store as one new
+    * immutable segment — the text-side [[graft.operators.Similarity
+    * .ivfAppend]]: segment rows land at `<path>/tf/segment=<id>`, the
+    * segment's TERM DICTIONARY (per-token document frequency WITHIN
+    * this segment — Lucene's per-segment df) at
+    * `<path>/df/segment=<id>`, and a ONE-ROW per-segment stats record
+    * (n docs, total tokens) at `<path>/meta/segment=<id>` — all under
+    * DYNAMIC partition overwrite, and all pure functions of the batch,
+    * so a replayed micro-batch rewrites exactly its original leaves
+    * (the standard at-least-once → store exactly-once discipline
+    * here). Appends never touch resident segments: corpus-GLOBAL df
+    * and stats are never stored — because segments hold disjoint doc
+    * sets, global df is the SUM of the per-segment dictionaries and
+    * the corpus stats fold from the additive meta rows, both
+    * vocab-/one-row-sized merges [[bm25SegmentedTopK]] pays at query
+    * time instead of a store rewrite at append time. */
+  def bm25AppendSegment(docs: DataFrame, path: String, segmentId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val rows = bm25SegmentRows(docs, idCol, textCol).localCheckpoint()
+    rows
+      .withColumn("segment", lit(segmentId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment")
+      .parquet(s"$path/tf")
+    rows.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+      .withColumn("segment", lit(segmentId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment")
+      .parquet(s"$path/df")
+    rows.groupBy(col(idCol)).agg(first(col("__dl")).as("__dl"))
+      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sum_dl"))
+      .withColumn("segment", lit(segmentId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment")
+      .parquet(s"$path/meta")
+  }
+
+  /** Related-doc BM25 over a SEGMENTED store — identical output to
+    * [[bm25RelatedTopKFrom]] over a whole-corpus [[bm25Index]] of the
+    * same documents (oracle-pinned): corpus stats fold from the
+    * additive per-segment meta rows (n = Σ n_seg; avgdl =
+    * Σ sum_dl / Σ n — integer sums are exact in double, so the fold
+    * equals the whole-corpus average bit-for-bit), and global df folds
+    * from the per-segment term dictionaries RESTRICTED to the query
+    * docs' tokens (disjoint doc sets → df_global = Σ df_seg), a
+    * vocab-sized aggregate over the df tree — never a posting-frame
+    * recompute. The folded df table is itself the query-token set, so
+    * ONE broadcast both restricts the posting scan to the query
+    * vocabulary and attaches df — the store's tf tree is scanned
+    * exactly TWICE per retrieval (query-row collection, which pins
+    * lazily for its two tiny readers, + the single scoring scan)
+    * regardless of segment count, with no corpus-sized checkpoint;
+    * appends stay O(batch). */
+  def bm25SegmentedTopK(segTf: DataFrame, segDf: DataFrame,
+      segMeta: DataFrame, queryIds: Seq[Long], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    val stats = segMeta.agg(
+      sum(col("n")).as("__n"),
+      (sum(col("sum_dl")).cast("double") / sum(col("n"))).as("__avgdl"))
+    val qrows = segTf.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col("__tok")).localCheckpoint(false)
+    val qtoks = qrows.select(col("__tok")).distinct()
+    val dfTbl = segDf.join(broadcast(qtoks), "__tok")
+      .groupBy(col("__tok")).agg(sum(col("__df")).as("__df"))
+    val posting = segTf.join(broadcast(dfTbl), "__tok")
+    val qterms = qrows.select(col(idCol).as("query_id"), col("__tok"))
+    bm25RelatedTopKFrom(posting, queryIds, k, k1, b, idCol,
+      statsOpt = Some(stats), qtermsOpt = Some(qterms))
+  }
+
   /** Scoring face of [[bm25RelatedTopK]] over a prebuilt (ideally
     * pinned) [[bm25Index]] frame — query-time work is ONE broadcast
     * join + an exchange-free aggregate + the per-query top-k window.
     * Pass a pinned [[bm25IndexStats]] frame to skip recomputing the
-    * corpus stats per retrieval. */
+    * corpus stats per retrieval, and a prebuilt (query_id, __tok)
+    * frame via `qtermsOpt` when the caller already extracted the
+    * query docs' terms (the segmented serve) to skip the tf-side
+    * filter scan. */
   def bm25RelatedTopKFrom(tf: DataFrame, queryIds: Seq[Long], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      idCol: String = "doc_id", statsOpt: Option[DataFrame] = None): DataFrame = {
+      idCol: String = "doc_id", statsOpt: Option[DataFrame] = None,
+      qtermsOpt: Option[DataFrame] = None): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must be non-empty")
     require(k >= 1, "k must be >= 1")
     val stats = statsOpt.getOrElse(bm25IndexStats(tf, idCol))
-    val qterms = tf.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col("__tok"))
+    val qterms = qtermsOpt.getOrElse(
+      tf.filter(col(idCol).isin(queryIds: _*))
+        .select(col(idCol).as("query_id"), col("__tok")))
     val idf = round(log(
       (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)), 8)
     val contrib = round(

@@ -290,6 +290,29 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming BM25 segment ingest — each micro-batch of documents
+    * lands as ONE immutable index segment through
+    * [[graft.operators.TextAnalysis.bm25AppendSegment]]
+    * (`segment = micro-batch id + 1`; 0 stays reserved for the epoch
+    * seed), and
+    * [[graft.operators.TextAnalysis.bm25SegmentedTopK]] serves the
+    * growing store with query-time df/stats merge — answers always
+    * equal a whole-corpus rebuild (spec-pinned). State lives in the
+    * STORE: segment rows are a pure function of the batch, dynamic
+    * partition overwrite makes replays rewrite their own leaf, and
+    * restarts resume from the source checkpoint — the same
+    * exactly-once-in-store contract as [[dedupIngest]] and the IVF
+    * faces. */
+  def bm25Ingest(stream: DataFrame, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TextAnalysis.bm25AppendSegment(
+            batch, indexPath, batchId + 1L, idCol, textCol)
+      }
+
   /** Windowed streaming aggregation over the value stream: per-series
     * tumbling-window mean/count with a watermark for late data — the
     * standard Structured Streaming shape over the same schema. */

@@ -884,6 +884,47 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq == expect)
   }
 
+  test("segmented BM25: append-then-serve equals the whole-corpus index; replay converges") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_segs").toString
+    val path = s"$dir/segs"
+    val corpus = Seq(
+      (0L, "hash join scan filter"), (1L, "hash join merge sort"),
+      (2L, "scan filter prune push"), (3L, "window frame running sum"),
+      (4L, "hash partition shuffle exchange"), (5L, "join scan hash probe build"),
+      (6L, "filter scan join"), (7L, "sort merge join hash"),
+      (8L, "prune partition scan"), (9L, "shuffle exchange hash"),
+      (10L, "frame window sort"), (11L, "probe build hash join"))
+    val docs = corpus.toDF("doc_id", "text")
+    val s1 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val s2 = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    TextAnalysis.bm25AppendSegment(s1, path, segmentId = 0L)
+    TextAnalysis.bm25AppendSegment(s2, path, segmentId = 1L)
+    def serve() = TextAnalysis.bm25SegmentedTopK(
+      spark.read.parquet(s"$path/tf"), spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/meta"),
+      queryIds = Seq(0L, 1L), k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    // the whole-corpus ground truth: one bm25Index over ALL docs
+    def oneShot(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25RelatedTopKFrom(
+        TextAnalysis.bm25Index(d), queryIds = Seq(0L, 1L), k = 3)
+        .orderBy("query_id", "rank").collect().toSeq
+    val expect = oneShot(docs)
+    assert(serve() == expect && expect.nonEmpty,
+      "segmentation must be invisible to the scores (df + stats merge exactly)")
+    // replayed segment (the at-least-once case): dynamic overwrite
+    // rewrites exactly the original leaf, nothing duplicates
+    TextAnalysis.bm25AppendSegment(s2, path, segmentId = 1L)
+    assert(serve() == expect)
+    // a later append SHIFTS df and corpus stats — the segmented serve
+    // must track the whole-corpus rebuild, not the stale epoch
+    val s3 = Seq((100L, "hash scan join extra"), (101L, "filter sum window"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25AppendSegment(s3, path, segmentId = 2L)
+    assert(serve() == oneShot(docs.unionByName(s3)),
+      "query-time df/stats merge must reflect appended segments")
+  }
+
   test("langId predicts the marker-heavy language deterministically") {
     val d = Seq((1L, "der und der und die"), (2L, "xxx yyy zzz"))
       .toDF("doc_id", "text")

@@ -792,6 +792,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("streaming BM25 segment ingest: restart-safe appends, serve equals the rebuild") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_ingest").toString
+    val inDir = s"$dir/in"
+    new java.io.File(inDir).mkdirs()
+    val path = s"$dir/segs"
+    // epoch seed (segment 0)
+    val seed = Seq((0L, "hash join scan"), (1L, "hash join merge"),
+      (2L, "scan filter prune")).toDF("doc_id", "text")
+    graft.operators.TextAnalysis.bm25AppendSegment(seed, path, segmentId = 0L)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def start() = StreamingIngest.bm25Ingest(
+        spark.readStream.schema(schema).parquet(inDir), path)
+      .option("checkpointLocation", s"$dir/ck").start()
+    val w1 = Seq((10L, "hash scan probe"), (11L, "window frame sum"))
+      .toDF("doc_id", "text")
+    w1.write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // a second query instance resumes from the checkpoint — wave 1
+    // must not re-land under a new segment id
+    val w2 = Seq((20L, "join hash exchange"), (21L, "prune scan filter"))
+      .toDF("doc_id", "text")
+    w2.write.mode("append").parquet(inDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val segTf = spark.read.parquet(s"$path/tf")
+    assert(segTf.select("doc_id").distinct().count() == 7,
+      "3 seed + 4 streamed docs, no replay duplicates")
+    val all = seed.unionByName(w1).unionByName(w2)
+    val got = graft.operators.TextAnalysis.bm25SegmentedTopK(
+      segTf, spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/meta"), queryIds = Seq(0L, 1L), k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val expect = graft.operators.TextAnalysis.bm25RelatedTopKFrom(
+      graft.operators.TextAnalysis.bm25Index(all), queryIds = Seq(0L, 1L), k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming near-dup screening against a prebuilt epoch index") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
