@@ -779,7 +779,13 @@ object Bench {
       // bucketed tf store is query-bounded (isolated: 1.07 at 10x,
       // beside the one-shot x_text_bm25's 1.68 which re-derives the
       // index per query — the measured case FOR storing the index)
-      "x_text_bm25_stored"))
+      "x_text_bm25_stored",
+      // r18 follow-on: the SEGMENTED search index — the serve's df +
+      // stats folds are vocab-/one-row-sized and the posting scan is
+      // query-vocabulary-restricted, so the 10x term is the tf scan
+      // only (isolated: 1.08, beside the bucketed twin's same-session
+      // 0.90 — both fixed-cost dominated, not volume-bound)
+      "x_text_bm25_incremental"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {
