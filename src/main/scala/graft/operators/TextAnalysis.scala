@@ -624,27 +624,79 @@ object TextAnalysis {
     * vocab-/one-row-sized merges [[bm25SegmentedTopK]] pays at query
     * time instead of a store rewrite at append time. */
   def bm25AppendSegment(docs: DataFrame, path: String, segmentId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeBm25Segment(
+      bm25SegmentRows(docs, idCol, textCol).localCheckpoint(),
+      path, segmentId, idCol)
+
+  /** One segment of the store under the replay contract: the three
+    * trees (tf rows, term dictionary, stats row — each a pure
+    * function of `rows`) land at their `segment=<id>` leaves under
+    * dynamic partition overwrite. Shared by the appends and
+    * [[bm25CompactSegments]]' fold-forward rewrite. `rows` should be
+    * pinned by the caller — it feeds all three writes. */
+  private def writeBm25Segment(rows: DataFrame, path: String,
+      segmentId: Long, idCol: String): Unit = {
+    def land(df: DataFrame, sub: String): Unit =
+      df.withColumn("segment", lit(segmentId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment")
+        .parquet(s"$path/$sub")
+    land(rows, "tf")
+    land(rows.groupBy(col("__tok")).agg(count(lit(1)).as("__df")), "df")
+    land(rows.groupBy(col(idCol)).agg(first(col("__dl")).as("__dl"))
+      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sum_dl")), "meta")
+  }
+
+  /** Segment-merge COMPACTION for the segmented BM25 store — Lucene's
+    * merge policy, under [[graft.operators.Similarity.ivfCompact]]'s
+    * fold-forward contract: derive the trigger batch's segment rows
+    * exactly as [[bm25AppendSegment]] would, UNION them with every
+    * resident tf row at `segment <= segmentId`, dedupe by
+    * (doc, token) — rows are bit-identical across levels because
+    * tf/dl are deterministic in the text, so the dedupe keeps one —
+    * then rewrite ALL THREE trees (tf, term dictionary, stats) from
+    * the merged set under THIS segment's leaf and delete the
+    * now-folded older segments. One corpus rewrite collapses the
+    * store back to a single segment, and the dictionary/stats rows
+    * are recomputed from the merged set, so the serve's query-time
+    * folds see exactly the state a whole-corpus rebuild would write.
+    *
+    * Crash convergence (ivfCompact's argument verbatim): the merged
+    * read deliberately INCLUDES `segment = segmentId`, so a replay
+    * after any partial failure re-reads its own committed leaves plus
+    * whatever older segments survived, dedupes the overlap, and
+    * rewrites the same state. Contract: SINGLE WRITER (run it from
+    * the ingest loop's own foreachBatch thread —
+    * [[graft.streaming.StreamingIngest.bm25Ingest]]'s `compactEvery`
+    * does), and concurrent readers must tolerate the delete window. */
+  def bm25CompactSegments(docs: DataFrame, path: String, segmentId: Long,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val rows = bm25SegmentRows(docs, idCol, textCol).localCheckpoint()
-    rows
-      .withColumn("segment", lit(segmentId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("segment")
-      .parquet(s"$path/tf")
-    rows.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
-      .withColumn("segment", lit(segmentId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("segment")
-      .parquet(s"$path/df")
-    rows.groupBy(col(idCol)).agg(first(col("__dl")).as("__dl"))
-      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sum_dl"))
-      .withColumn("segment", lit(segmentId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("segment")
-      .parquet(s"$path/meta")
+    require(segmentId >= 0, "segmentId must be >= 0")
+    val spark = docs.sparkSession
+    val prepared = bm25SegmentRows(docs, idCol, textCol)
+    val tfRoot = new org.apache.hadoop.fs.Path(s"$path/tf")
+    val fs = tfRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      (if (fs.exists(tfRoot))
+        prepared.unionByName(
+          spark.read.parquet(s"$path/tf")
+            .filter(col("segment") <= segmentId).drop("segment"))
+          .dropDuplicates(idCol, "__tok")
+      else prepared).localCheckpoint()
+    writeBm25Segment(merged, path, segmentId, idCol)
+    // fold complete and committed — drop the superseded segments
+    Seq("tf", "df", "meta").foreach { sub =>
+      val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(root)) fs.listStatus(root).foreach { leaf =>
+        val n = leaf.getPath.getName
+        if (n.startsWith("segment=") &&
+            scala.util.Try(n.stripPrefix("segment=").toLong)
+              .toOption.exists(_ < segmentId))
+          fs.delete(leaf.getPath, true)
+      }
+    }
   }
 
   /** Related-doc BM25 over a SEGMENTED store — identical output to

@@ -302,13 +302,22 @@ object StreamingIngest {
     * partition overwrite makes replays rewrite their own leaf, and
     * restarts resume from the source checkpoint — the same
     * exactly-once-in-store contract as [[dedupIngest]] and the IVF
-    * faces. */
+    * faces. `compactEvery` > 0 folds segment-merge maintenance into
+    * the ingest loop ([[graft.operators.TextAnalysis
+    * .bm25CompactSegments]] — every Nth micro-batch lands as a
+    * fold-forward merge of itself with all resident segments instead
+    * of a plain append), the [[graft.streaming.StreamingSimilarity
+    * .ingestIvf]] discipline on the text side. */
   def bm25Ingest(stream: DataFrame, indexPath: String,
-      idCol: String = "doc_id", textCol: String = "text"): DataStreamWriter[Row] =
+      idCol: String = "doc_id", textCol: String = "text",
+      compactEvery: Long = 0L): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.operators.TextAnalysis.bm25CompactSegments(
+            batch, indexPath, batchId + 1L, idCol, textCol)
+        else if (!batch.isEmpty)
           graft.operators.TextAnalysis.bm25AppendSegment(
             batch, indexPath, batchId + 1L, idCol, textCol)
       }

@@ -923,6 +923,24 @@ class OperatorsSpec extends SparkSpec {
     TextAnalysis.bm25AppendSegment(s3, path, segmentId = 2L)
     assert(serve() == oneShot(docs.unionByName(s3)),
       "query-time df/stats merge must reflect appended segments")
+    // fold-forward compaction: a trigger batch merges itself with all
+    // resident segments into ONE leaf; the serve must not notice
+    val s4 = Seq((200L, "merge fold segment compact"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25CompactSegments(s4, path, segmentId = 3L)
+    val allDocs = docs.unionByName(s3).unionByName(s4)
+    assert(serve() == oneShot(allDocs),
+      "compaction must be invisible to the scores")
+    def segs(sub: String) = spark.read.parquet(s"$path/$sub")
+      .select(col("segment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(segs("tf") == Set(3L) && segs("df") == Set(3L) &&
+      segs("meta") == Set(3L),
+      "superseded segments must be deleted from all three trees")
+    // crash-replay convergence: re-running the SAME compaction reads
+    // its own committed merge, dedupes, and rewrites the same state
+    TextAnalysis.bm25CompactSegments(s4, path, segmentId = 3L)
+    assert(serve() == oneShot(allDocs) && segs("tf") == Set(3L))
   }
 
   test("langId predicts the marker-heavy language deterministically") {

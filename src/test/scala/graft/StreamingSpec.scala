@@ -804,8 +804,12 @@ class StreamingSpec extends SparkSpec {
     graft.operators.TextAnalysis.bm25AppendSegment(seed, path, segmentId = 0L)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
+    // compactEvery = 2: the second streamed micro-batch (batchId 2
+    // after restart) lands as a fold-forward merge, so the store must
+    // end compacted AND still serve exactly
     def start() = StreamingIngest.bm25Ingest(
-        spark.readStream.schema(schema).parquet(inDir), path)
+        spark.readStream.schema(schema).parquet(inDir), path,
+        compactEvery = 2L)
       .option("checkpointLocation", s"$dir/ck").start()
     val w1 = Seq((10L, "hash scan probe"), (11L, "window frame sum"))
       .toDF("doc_id", "text")
@@ -817,10 +821,20 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "text")
     w2.write.mode("append").parquet(inDir)
     val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // wave 3 arrives as batchId 2 — the compactEvery=2 trigger: it
+    // must land as a fold-forward merge collapsing the store to ONE
+    // segment (id 3) across all three trees
+    val w3 = Seq((30L, "window sum scan"), (31L, "hash probe merge"))
+      .toDF("doc_id", "text")
+    w3.write.mode("append").parquet(inDir)
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
     val segTf = spark.read.parquet(s"$path/tf")
-    assert(segTf.select("doc_id").distinct().count() == 7,
-      "3 seed + 4 streamed docs, no replay duplicates")
-    val all = seed.unionByName(w1).unionByName(w2)
+    assert(segTf.select("doc_id").distinct().count() == 9,
+      "3 seed + 6 streamed docs, no replay duplicates")
+    assert(segTf.select(col("segment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(3L),
+      "the in-stream compaction must fold every prior segment")
+    val all = seed.unionByName(w1).unionByName(w2).unionByName(w3)
     val got = graft.operators.TextAnalysis.bm25SegmentedTopK(
       segTf, spark.read.parquet(s"$path/df"),
       spark.read.parquet(s"$path/meta"), queryIds = Seq(0L, 1L), k = 3)
