@@ -325,7 +325,11 @@ object Bench {
       // round-18 addition: SEGMENTED BM25 — immutable per-batch
       // segments with query-time df/stats merge (Lucene-segment
       // design); same oracle as the stored form
-      "x_text_bm25_incremental"))
+      "x_text_bm25_incremental",
+      // round-18 addition: TOMBSTONED BM25 — delete-by-id as an
+      // immutable tombstone segment (query-time anti-join bitset +
+      // negative fold rows); oracle rebuilds on the surviving docs
+      "x_text_bm25_deleted"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

@@ -205,12 +205,14 @@ object SparkEntry {
   /** Shared oracle for the related-doc BM25 retrieval (queries 0..7,
     * top 10) — consumed verbatim by `x_text_bm25_stored` (bucketed
     * whole-corpus store) and `x_text_bm25_incremental` (segmented
-    * appends with query-time df/stats merge): neither the storage
-    * form nor the segmentation may change the answer. */
-  private val bm25RelatedOracleSql: String =
-    """WITH tok AS (
+    * appends with query-time df/stats merge), and with a doc filter
+    * by `x_text_bm25_deleted` (tombstoned store — the oracle rebuilds
+    * on the SURVIVING docs only): neither the storage form, the
+    * segmentation, nor the tombstones may change the answer. */
+  private def bm25RelatedOracleSqlFor(docWhere: String): String =
+    s"""WITH tok AS (
       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-      |  FROM documents),
+      |  FROM documents $docWhere),
       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
       |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -235,6 +237,16 @@ object SparkEntry {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  private val bm25RelatedOracleSql: String = bm25RelatedOracleSqlFor("")
+
+  /** The doc ids `x_text_bm25_deleted` tombstones out of its store —
+    * includes query doc 5, so the oracle also proves a deleted QUERY
+    * vanishes from the output, not just from the candidates. */
+  private val bm25DeletedIds: Seq[Long] = Seq(3L, 5L, 12L, 25L)
+
+  private val bm25DeletedOracleSql: String = bm25RelatedOracleSqlFor(
+    s"WHERE doc_id NOT IN (${bm25DeletedIds.mkString(", ")})")
+
   /** Memoized SEGMENTED BM25 store per (session, data dir) — the
     * incremental text index `x_text_bm25_incremental` serves from:
     * the corpus lands in TWO immutable segments (doc_id % 3 == 0,
@@ -256,6 +268,34 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), path, segmentId = 1L)
         (s.read.parquet(s"$path/tf"), s.read.parquet(s"$path/df"),
           s.read.parquet(s"$path/meta"))
+      })
+    }
+
+  /** Memoized TOMBSTONED segmented BM25 store per (session, data
+    * dir) — `x_text_bm25_deleted` serves from it: the same two-segment
+    * build as [[segmentedBm25Store]] (its own path — tombstones mutate
+    * the serve-visible folds, so the stores cannot share), then
+    * [[graft.operators.TextAnalysis.bm25DeleteDocs]] lands
+    * [[bm25DeletedIds]] as tombstone segment 2 (del-id list + negative
+    * dictionary/stats rows). The serve must answer exactly like a
+    * rebuild on the surviving docs. */
+  private val segmentedBm25DelMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame, DataFrame)]
+
+  private def segmentedBm25DeletedStore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    scratchLock.synchronized {
+      segmentedBm25DelMemo.getOrElseUpdate((s, dir), {
+        val docs = Tables.documents(s, dir)
+        val path = scratchPath("graft_bm25_segdel", dir)
+        TextAnalysis.bm25AppendSegment(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), path, segmentId = 0L)
+        TextAnalysis.bm25AppendSegment(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), path, segmentId = 1L)
+        TextAnalysis.bm25DeleteDocs(s, path, bm25DeletedIds, segmentId = 2L)
+        (s.read.parquet(s"$path/tf"), s.read.parquet(s"$path/df"),
+          s.read.parquet(s"$path/meta"), s.read.parquet(s"$path/del"))
       })
     }
 
@@ -1409,6 +1449,7 @@ object SparkEntry {
     timed("ivfpq_index_stored") { storedIvfPqIndex(s, dir); () }
     timed("bm25_index_stored") { storedBm25Index(s, dir); () }
     timed("bm25_segments") { segmentedBm25Store(s, dir); () }
+    timed("bm25_segments_del") { segmentedBm25DeletedStore(s, dir); () }
     timed("dup_clusters") { builtClusters(s, dir).count(); () }
     timed("timetravel_store") { timeTravelStore(s, dir); () }
     timed("compacted_store") { compactedStore(s, dir); () }
@@ -3809,6 +3850,25 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       Some(bm25RelatedOracleSql)),
+
+    ("x_text_bm25_deleted",
+      // TOMBSTONED segmented BM25 — Lucene's delete design on the
+      // store: deletion is an immutable tombstone segment (doomed-id
+      // list + NEGATIVE dictionary/stats rows mirroring the doomed
+      // postings), applied at query time as one broadcast anti-join
+      // while the negative rows flow through the additive df/stats
+      // folds unchanged; physical removal waits for the next
+      // compaction. Oracle = whole-corpus rebuild on the SURVIVING
+      // docs (deleted set includes query doc 5 — it must vanish from
+      // the output, not just the candidates), so a hash match proves
+      // tombstoning ≡ rebuild-without-the-docs.
+      (s, dir) => {
+        val (segTf, segDf, segMeta, segDel) = segmentedBm25DeletedStore(s, dir)
+        TextAnalysis.bm25SegmentedTopK(segTf, segDf, segMeta,
+          queryIds = (0L to 7L), k = 10, segDel = Some(segDel))
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25DeletedOracleSql)),
 
     ("x_text_lm_score",
       // Bigram-LM quality scoring: the corpus's own add-k bigram model

@@ -629,6 +629,16 @@ object TextAnalysis {
       bm25SegmentRows(docs, idCol, textCol).localCheckpoint(),
       path, segmentId, idCol)
 
+  /** One `segment=<id>` leaf of one store tree under the replay
+    * contract (dynamic partition overwrite). */
+  private def landSegmentLeaf(df: DataFrame, path: String, sub: String,
+      segmentId: Long): Unit =
+    df.withColumn("segment", lit(segmentId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment")
+      .parquet(s"$path/$sub")
+
   /** One segment of the store under the replay contract: the three
     * trees (tf rows, term dictionary, stats row — each a pure
     * function of `rows`) land at their `segment=<id>` leaves under
@@ -637,16 +647,46 @@ object TextAnalysis {
     * pinned by the caller — it feeds all three writes. */
   private def writeBm25Segment(rows: DataFrame, path: String,
       segmentId: Long, idCol: String): Unit = {
-    def land(df: DataFrame, sub: String): Unit =
-      df.withColumn("segment", lit(segmentId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("segment")
-        .parquet(s"$path/$sub")
-    land(rows, "tf")
-    land(rows.groupBy(col("__tok")).agg(count(lit(1)).as("__df")), "df")
-    land(rows.groupBy(col(idCol)).agg(first(col("__dl")).as("__dl"))
-      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sum_dl")), "meta")
+    landSegmentLeaf(rows, path, "tf", segmentId)
+    landSegmentLeaf(rows.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__df")), path, "df", segmentId)
+    landSegmentLeaf(rows.groupBy(col(idCol)).agg(first(col("__dl")).as("__dl"))
+      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sum_dl")),
+      path, "meta", segmentId)
+  }
+
+  /** DELETE-BY-ID for the segmented BM25 store — Lucene's tombstone
+    * design: deletion is a new immutable segment, never a rewrite of
+    * resident ones. The tombstone segment carries (a) the doomed doc
+    * ids at `<path>/del/segment=<id>` — the query-time bitset
+    * [[bm25SegmentedTopK]] anti-joins the tf scan against — and
+    * (b) NEGATIVE dictionary and stats rows mirroring the doomed
+    * docs' resident postings, so the serve's additive df/n/avgdl
+    * folds subtract the deleted mass with zero new fold code. The
+    * doomed postings are read query-bounded from the store (pushed
+    * id filter), so a delete costs O(deleted docs), not a store
+    * rewrite; physical removal happens at the next
+    * [[bm25CompactSegments]] merge, which filters the del set out of
+    * the fold and drops the applied tombstones. Replay-safe: every
+    * written leaf is a pure function of (resident store, ids).
+    * Contract: ids are deleted as of their resident rows at delete
+    * time; re-adding a deleted id is undefined (append-only id
+    * space), same single-writer discipline as the other maintenance
+    * faces. */
+  def bm25DeleteDocs(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long], segmentId: Long,
+      idCol: String = "doc_id"): Unit = {
+    require(ids.nonEmpty, "ids must be non-empty")
+    require(segmentId >= 0, "segmentId must be >= 0")
+    val doomed = spark.read.parquet(s"$path/tf")
+      .filter(col(idCol).isin(ids: _*)).drop("segment").localCheckpoint()
+    landSegmentLeaf(doomed.select(col(idCol)).distinct(),
+      path, "del", segmentId)
+    landSegmentLeaf(doomed.groupBy(col("__tok"))
+      .agg((-count(lit(1))).as("__df")), path, "df", segmentId)
+    landSegmentLeaf(doomed.groupBy(col(idCol)).agg(first(col("__dl")).as("__dl"))
+      .agg((-count(lit(1))).as("n"), (-sum(col("__dl"))).as("sum_dl")),
+      path, "meta", segmentId)
   }
 
   /** Segment-merge COMPACTION for the segmented BM25 store — Lucene's
@@ -667,27 +707,42 @@ object TextAnalysis {
     * read deliberately INCLUDES `segment = segmentId`, so a replay
     * after any partial failure re-reads its own committed leaves plus
     * whatever older segments survived, dedupes the overlap, and
-    * rewrites the same state. Contract: SINGLE WRITER (run it from
-    * the ingest loop's own foreachBatch thread —
-    * [[graft.streaming.StreamingIngest.bm25Ingest]]'s `compactEvery`
-    * does), and concurrent readers must tolerate the delete window. */
+    * rewrites the same state. [[bm25DeleteDocs]] tombstones at
+    * `segment <= segmentId` are applied PHYSICALLY here (Lucene's
+    * merge-time removal): the del set anti-joins the resident rows
+    * out of the fold, the rewritten dictionary/stats are computed
+    * from the surviving rows only, and the applied tombstone leaves
+    * are dropped with the other superseded segments. Contract:
+    * SINGLE WRITER (run it from the ingest loop's own foreachBatch
+    * thread — [[graft.streaming.StreamingIngest.bm25Ingest]]'s
+    * `compactEvery` does), and concurrent readers must tolerate the
+    * delete window. */
   def bm25CompactSegments(docs: DataFrame, path: String, segmentId: Long,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(segmentId >= 0, "segmentId must be >= 0")
     val spark = docs.sparkSession
     val prepared = bm25SegmentRows(docs, idCol, textCol)
     val tfRoot = new org.apache.hadoop.fs.Path(s"$path/tf")
+    val delRoot = new org.apache.hadoop.fs.Path(s"$path/del")
     val fs = tfRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
-      (if (fs.exists(tfRoot))
-        prepared.unionByName(
-          spark.read.parquet(s"$path/tf")
-            .filter(col("segment") <= segmentId).drop("segment"))
-          .dropDuplicates(idCol, "__tok")
-      else prepared).localCheckpoint()
+      (if (fs.exists(tfRoot)) {
+        val residentRaw = spark.read.parquet(s"$path/tf")
+          .filter(col("segment") <= segmentId).drop("segment")
+        val resident =
+          if (fs.exists(delRoot))
+            residentRaw.join(broadcast(
+              spark.read.parquet(s"$path/del")
+                .filter(col("segment") <= segmentId)
+                .select(col(idCol)).distinct()),
+              Seq(idCol), "left_anti")
+          else residentRaw
+        prepared.unionByName(resident).dropDuplicates(idCol, "__tok")
+      } else prepared).localCheckpoint()
     writeBm25Segment(merged, path, segmentId, idCol)
-    // fold complete and committed — drop the superseded segments
-    Seq("tf", "df", "meta").foreach { sub =>
+    // fold complete and committed — drop the superseded segments and
+    // the now-applied tombstones
+    Seq("tf", "df", "meta", "del").foreach { sub =>
       val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
       if (fs.exists(root)) fs.listStatus(root).foreach { leaf =>
         val n = leaf.getPath.getName
@@ -714,21 +769,29 @@ object TextAnalysis {
     * exactly TWICE per retrieval (query-row collection, which pins
     * lazily for its two tiny readers, + the single scoring scan)
     * regardless of segment count, with no corpus-sized checkpoint;
-    * appends stay O(batch). */
+    * appends stay O(batch). `segDel` (the [[bm25DeleteDocs]] tombstone
+    * id tree, when the store has one) is Lucene's query-time deleted
+    * bitset: one broadcast anti-join screens the tf scan, while the
+    * tombstones' NEGATIVE dictionary/stats rows flow through the df
+    * and stats folds unchanged — deleted docs vanish from queries,
+    * candidates, df, and length norms alike. */
   def bm25SegmentedTopK(segTf: DataFrame, segDf: DataFrame,
       segMeta: DataFrame, queryIds: Seq[Long], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", segDel: Option[DataFrame] = None): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must be non-empty")
+    val live = segDel.fold(segTf)(d =>
+      segTf.join(broadcast(d.select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti"))
     val stats = segMeta.agg(
       sum(col("n")).as("__n"),
       (sum(col("sum_dl")).cast("double") / sum(col("n"))).as("__avgdl"))
-    val qrows = segTf.filter(col(idCol).isin(queryIds: _*))
+    val qrows = live.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol), col("__tok")).localCheckpoint(false)
     val qtoks = qrows.select(col("__tok")).distinct()
     val dfTbl = segDf.join(broadcast(qtoks), "__tok")
       .groupBy(col("__tok")).agg(sum(col("__df")).as("__df"))
-    val posting = segTf.join(broadcast(dfTbl), "__tok")
+    val posting = live.join(broadcast(dfTbl), "__tok")
     val qterms = qrows.select(col(idCol).as("query_id"), col("__tok"))
     bm25RelatedTopKFrom(posting, queryIds, k, k1, b, idCol,
       statsOpt = Some(stats), qtermsOpt = Some(qterms))

@@ -943,6 +943,56 @@ class OperatorsSpec extends SparkSpec {
     assert(serve() == oneShot(allDocs) && segs("tf") == Set(3L))
   }
 
+  test("tombstoned BM25: delete-by-id serves like a rebuild on the survivors; compaction removes physically") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_del").toString
+    val path = s"$dir/segs"
+    val corpus = Seq(
+      (0L, "hash join scan filter"), (1L, "hash join merge sort"),
+      (2L, "scan filter prune push"), (3L, "window frame running sum"),
+      (4L, "hash partition shuffle exchange"), (5L, "join scan hash probe build"),
+      (6L, "filter scan join"), (7L, "sort merge join hash"),
+      (8L, "prune partition scan"), (9L, "shuffle exchange hash"))
+    val docs = corpus.toDF("doc_id", "text")
+    TextAnalysis.bm25AppendSegment(
+      docs.filter(col("doc_id") < 5), path, segmentId = 0L)
+    TextAnalysis.bm25AppendSegment(
+      docs.filter(col("doc_id") >= 5), path, segmentId = 1L)
+    // tombstone doc 3 (a candidate) and doc 1 (a QUERY doc)
+    TextAnalysis.bm25DeleteDocs(spark, path, Seq(1L, 3L), segmentId = 2L)
+    def serve() = TextAnalysis.bm25SegmentedTopK(
+      spark.read.parquet(s"$path/tf"), spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/meta"),
+      queryIds = Seq(0L, 1L), k = 3,
+      segDel = Some(spark.read.parquet(s"$path/del")))
+      .orderBy("query_id", "rank").collect().toSeq
+    val survivors = docs.filter(!col("doc_id").isin(1L, 3L))
+    val expect = TextAnalysis.bm25RelatedTopKFrom(
+      TextAnalysis.bm25Index(survivors), queryIds = Seq(0L, 1L), k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serve() == expect && expect.nonEmpty,
+      "tombstones must subtract from df/stats and screen queries+candidates")
+    assert(!serve().exists(_.getLong(0) == 1L),
+      "a deleted query doc must vanish from the output")
+    // replayed delete rewrites exactly its own leaves
+    TextAnalysis.bm25DeleteDocs(spark, path, Seq(1L, 3L), segmentId = 2L)
+    assert(serve() == expect)
+    // compaction applies the tombstones physically and drops them
+    TextAnalysis.bm25CompactSegments(
+      spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit("").as("text"))
+        .limit(0), path, segmentId = 3L)
+    val tfAfter = spark.read.parquet(s"$path/tf")
+    assert(tfAfter.filter(col("doc_id").isin(1L, 3L)).count() == 0,
+      "merge-time removal: doomed rows gone from the tf tree")
+    assert(!new java.io.File(s"$path/del/segment=2").exists,
+      "applied tombstones dropped")
+    // the compacted store serves identically WITHOUT the del tree
+    val got = TextAnalysis.bm25SegmentedTopK(
+      tfAfter, spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/meta"), queryIds = Seq(0L, 1L), k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect)
+  }
+
   test("langId predicts the marker-heavy language deterministically") {
     val d = Seq((1L, "der und der und die"), (2L, "xxx yyy zzz"))
       .toDF("doc_id", "text")
