@@ -789,7 +789,13 @@ object Bench {
       // query-vocabulary-restricted, so the 10x term is the tf scan
       // only (isolated: 1.08, beside the bucketed twin's same-session
       // 0.90 — both fixed-cost dominated, not volume-bound)
-      "x_text_bm25_incremental"))
+      "x_text_bm25_incremental",
+      // r18 follow-on: the TOMBSTONED serve — the deleted bitset is a
+      // fixed-size broadcast and the negative fold rows are
+      // vocab-sized, so the 10x term is still only the tf scan
+      // (isolated: 1.08 beside the untombstoned serve's same-session
+      // 1.01)
+      "x_text_bm25_deleted"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {
