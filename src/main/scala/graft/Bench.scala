@@ -329,7 +329,11 @@ object Bench {
       // round-18 addition: TOMBSTONED BM25 — delete-by-id as an
       // immutable tombstone segment (query-time anti-join bitset +
       // negative fold rows); oracle rebuilds on the surviving docs
-      "x_text_bm25_deleted"))
+      "x_text_bm25_deleted",
+      // round-18 addition: TOMBSTONED IVF — the vector-side delete
+      // face (sibling del tree, broadcast anti-join after the static
+      // cell prune); oracle screens the candidates
+      "x_ann_deleted"))
 
     // Warmup: run every headline query once at the smallest scale factor
     // (sibling sf0.001 dir when present) so whole-stage-codegen compiles,

@@ -1086,6 +1086,35 @@ object SparkEntry {
       })
     }
 
+  /** The vec ids `x_ann_deleted` tombstones out of the appended IVF
+    * store — includes query vec 5, which must vanish as a CANDIDATE
+    * for the other queries (query vectors are external to the store,
+    * so 5 still queries; the text-side twin covers the
+    * query-from-the-store case). */
+  private val annDeletedIds: Seq[Long] = Seq(5L, 9L, 18L, 27L)
+
+  /** Memoized tombstone tree for [[appendedIvfIndex]]'s store — the
+    * del tree is a SIBLING of the corpus path
+    * ([[graft.operators.Similarity.ivfDelete]]), invisible to corpus
+    * reads, so `x_ann_incremental` shares the store untouched while
+    * `x_ann_deleted` serves the same corpus through the tombstone
+    * anti-join. */
+  private val annDeletedMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def annDeletedStore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (cent, corpus) = appendedIvfIndex(s, dir)
+    val del = scratchLock.synchronized {
+      annDeletedMemo.getOrElseUpdate((s, dir), {
+        val base = scratchPath("graft_ivf_append", dir)
+        Similarity.ivfDelete(s, s"$base/corpus", annDeletedIds, batchId = 2L)
+        s.read.parquet(s"$base/corpus_del")
+      })
+    }
+    (cent, corpus, del)
+  }
+
   /** Memoized STORED IVFPQ index per (session, data dir) — the
     * encoded-at-rest form `x_ann_ivfpq_stored` serves from: the built
     * IVF corpus's cells + the trained PQ books encode once into a
@@ -1446,6 +1475,7 @@ object SparkEntry {
     timed("ppjoin_index_full_stored") { storedFullPpJoinIndex(s, dir); () }
     timed("ivf_index_stored") { storedIvfIndex(s, dir); () }
     timed("ivf_index_appended") { appendedIvfIndex(s, dir); () }
+    timed("ivf_index_deleted") { annDeletedStore(s, dir); () }
     timed("ivfpq_index_stored") { storedIvfPqIndex(s, dir); () }
     timed("bm25_index_stored") { storedBm25Index(s, dir); () }
     timed("bm25_segments") { segmentedBm25Store(s, dir); () }
@@ -4607,6 +4637,59 @@ object SparkEntry {
         |  FROM pairs)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
+
+    ("x_ann_deleted",
+      // DELETE-BY-ID on the maintained IVF store — the vector-side
+      // tombstone face (simpler than the text twin: no corpus-global
+      // statistics, so the tombstone is just the doomed id list in a
+      // sibling tree, O(ids) to land). The SAME pruned serve answers
+      // over the same corpus with one broadcast anti-join applied
+      // AFTER the static cell prune; physical removal waits for the
+      // next compaction (spec-pinned). Oracle = the incremental
+      // oracle with the deleted ids screened from the candidates
+      // (deleted vec 5 still QUERIES — query vectors are external to
+      // the store — but may no longer be anyone's candidate), so a
+      // hash match proves tombstoning ≡ serve-without-the-rows.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (cent, corpus, del) = annDeletedStore(s, dir)
+        Similarity.ivfProbeTopKPruned(corpus, emb.filter(col("vec_id") < 8), cent,
+          k = 5, nprobe = 2, cellCol = "cell", delOpt = Some(del))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${ivfScoreCtesWhere("vec_id % 4 <> 3")},
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS rn
+        |    FROM scores)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC NULLS LAST, cell) AS crank
+        |    FROM scores WHERE vec_id < 8)
+        |  WHERE crank <= 2),
+        |pairs AS (
+        |  SELECT p.query_id, c.vec_id AS cand_id, a.cell,
+        |         round(list_inner_product(q.e, c.e)
+        |           / NULLIF(sqrt(list_inner_product(q.e, q.e))
+        |              * sqrt(list_inner_product(c.e, c.e)), 0), 4) AS score
+        |  FROM probes p
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings WHERE vec_id < 8) q ON q.vec_id = p.query_id
+        |  JOIN assigned a ON a.cell = p.cell
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings
+        |        WHERE vec_id NOT IN (${annDeletedIds.mkString(", ")})) c
+        |    ON c.vec_id = a.vec_id AND c.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, cell, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, cand_id) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
 
     ("x_ann_recall",
       // Index evaluation: recall@5 of the multi-probe IVF search (built

@@ -166,7 +166,8 @@ object Similarity {
   def ivfProbeTopKPruned(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      cellCol: String = "label"): DataFrame = {
+      cellCol: String = "label",
+      delOpt: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     // ONE collect serves both needs — the static cell filter and the
     // broadcast probe frame (rebuilt as a local relation, so the
@@ -178,9 +179,15 @@ object Similarity {
     val cells = probeRows.map(_.get(1)).distinct.toSeq
     val probeQ = queries.sparkSession.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probeQ0.schema)
-    val scored = ivfScoredProbe(
-      corpus.filter(col(cellCol).isInCollection(cells)),
-      probeQ, idCol, vecCol, cellCol)
+    // delOpt is the [[ivfDelete]] tombstone tree: deleted ids screen
+    // out AFTER the static cell prune (the anti-join's build side is
+    // the broadcast-sized del list, its probe side only the probed
+    // cells' rows), so tombstones cost one broadcast, not a scan
+    val probedCells = corpus.filter(col(cellCol).isInCollection(cells))
+    val live = delOpt.fold(probedCells)(d =>
+      probedCells.join(broadcast(d.select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti"))
+    val scored = ivfScoredProbe(live, probeQ, idCol, vecCol, cellCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
     scored
@@ -345,6 +352,39 @@ object Similarity {
       pqCodesCol(books, dim / m, col(vecCol)).as("codes"))
   }
 
+  /** The maintained store's tombstone tree — a sibling of the corpus
+    * path, so the corpus read never sees it and the serves that
+    * ignore deletes are untouched. */
+  private def deletePath(corpusPath: String): String =
+    corpusPath.stripSuffix("/") + "_del"
+
+  /** DELETE-BY-ID for a maintained IVF/IVFPQ store — the vector-side
+    * [[graft.operators.TextAnalysis.bm25DeleteDocs]], simpler because
+    * the serve has no corpus-global statistics to adjust (the coarse
+    * codebook is frozen): the tombstone is just the doomed id list,
+    * landed as one immutable `batch_id=<id>` leaf in the sibling
+    * `<corpusPath>_del` tree under dynamic partition overwrite (a
+    * replay rewrites exactly its leaf). A delete costs O(ids) — no
+    * store read, no rewrite. Query-time application is one broadcast
+    * anti-join ([[ivfProbeTopKPruned]]'s `delOpt`); physical removal
+    * happens at the next [[ivfCompact]]/[[ivfPqCompact]] merge, which
+    * filters the del set out of the fold and drops the applied
+    * tombstone leaves. Same single-writer / append-only-id contract
+    * as the other maintenance faces. */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, ids: Seq[Long], batchId: Long,
+      idCol: String = "vec_id"): Unit = {
+    require(ids.nonEmpty, "ids must be non-empty")
+    require(batchId >= 0, "batchId must be >= 0")
+    spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF(idCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(deletePath(corpusPath))
+  }
+
   /** One store level under the replay contract: dynamic partition
     * overwrite keyed (cell, batch_id) — shared by the appends and the
     * fold-forward rewrite. `prepared` carries a `cell` column beside
@@ -359,21 +399,36 @@ object Similarity {
       .parquet(corpusPath)
 
   /** Shared fold-forward core of [[ivfCompact]] / [[ivfPqCompact]] —
-    * see ivfCompact's scaladoc for the crash-convergence argument. */
+    * see ivfCompact's scaladoc for the crash-convergence argument.
+    * [[ivfDelete]] tombstones at `batch_id <= batchId` are applied
+    * PHYSICALLY here: the del set anti-joins the resident rows out of
+    * the fold, and the applied tombstone leaves are dropped after the
+    * rewrite commits (a crash in between just means the replay — or
+    * the serve's `delOpt` — applies an already-physically-absent del
+    * set again: a no-op). */
   private def foldForward(prepared: DataFrame, corpusPath: String,
       batchId: Long, idCol: String): Unit = {
     val spark = prepared.sparkSession
     val root = new org.apache.hadoop.fs.Path(corpusPath)
+    val delRoot = new org.apache.hadoop.fs.Path(deletePath(corpusPath))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val resident: Option[DataFrame] =
-      if (fs.exists(root))
-        Some(spark.read.parquet(corpusPath)
-          .filter(col("batch_id") <= batchId).drop("batch_id"))
-      else None
+      if (fs.exists(root)) {
+        val raw = spark.read.parquet(corpusPath)
+          .filter(col("batch_id") <= batchId).drop("batch_id")
+        Some(if (fs.exists(delRoot))
+          raw.join(broadcast(
+            spark.read.parquet(deletePath(corpusPath))
+              .filter(col("batch_id") <= batchId)
+              .select(col(idCol)).distinct()),
+            Seq(idCol), "left_anti")
+        else raw)
+      } else None
     val merged = resident.fold(prepared)(r =>
       prepared.unionByName(r).dropDuplicates(idCol))
     writeLevel(merged, corpusPath, batchId)
-    // fold complete and committed — drop the superseded levels
+    // fold complete and committed — drop the superseded levels and
+    // the now-applied tombstones
     if (fs.exists(root)) fs.listStatus(root).foreach { cellDir =>
       if (cellDir.isDirectory && cellDir.getPath.getName.startsWith("cell="))
         fs.listStatus(cellDir.getPath).foreach { level =>
@@ -383,6 +438,13 @@ object Similarity {
                 .toOption.exists(_ < batchId))
             fs.delete(level.getPath, true)
         }
+    }
+    if (fs.exists(delRoot)) fs.listStatus(delRoot).foreach { level =>
+      val n = level.getPath.getName
+      if (n.startsWith("batch_id=") &&
+          scala.util.Try(n.stripPrefix("batch_id=").toLong)
+            .toOption.exists(_ <= batchId))
+        fs.delete(level.getPath, true)
     }
   }
 

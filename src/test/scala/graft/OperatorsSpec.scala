@@ -839,6 +839,60 @@ class OperatorsSpec extends SparkSpec {
     assert(serve(grown) == expect2)
   }
 
+  test("ivfDelete: tombstones screen the serve; compaction removes physically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_delete").toString
+    val rnd = new scala.util.Random(77)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat()), (i % 5).toInt))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cent = Similarity.cellCentroids(emb)
+    val path = s"$dir/corpus"
+    Similarity.ivfAppend(emb, cent, path, batchId = 0L)
+    // ids that RANK in the undeleted serve (the sanity assert below
+    // proves it) — deleting them must visibly reshape the top-k
+    val doomed = Seq(47L, 28L, 37L)
+    Similarity.ivfDelete(spark, path, doomed, batchId = 1L)
+    val queries = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    def serve(c: org.apache.spark.sql.DataFrame,
+        del: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfProbeTopKPruned(c, queries, cent, k = 4, nprobe = 2,
+        cellCol = "cell", delOpt = del)
+        .orderBy("query_id", "rank").collect().toSeq
+    val stored = spark.read.parquet(path)
+    val delTree = spark.read.parquet(s"${path}_del")
+    // ground truth: the store with the rows physically absent
+    val expect = serve(stored.filter(!col("vec_id").isin(doomed: _*)), None)
+    assert(serve(stored, Some(delTree)) == expect && expect.nonEmpty,
+      "the tombstone anti-join must equal serve-without-the-rows")
+    assert(serve(stored, None) != expect,
+      "sanity: the doomed ids actually appear in the undeleted serve")
+    // replayed delete rewrites exactly its own leaf
+    Similarity.ivfDelete(spark, path, doomed, batchId = 1L)
+    assert(serve(spark.read.parquet(path),
+      Some(spark.read.parquet(s"${path}_del"))) == expect)
+    // compaction applies the tombstones physically and drops them
+    val b2 = Seq((100L, Array.fill(4)(rnd.nextFloat()), 0))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.ivfCompact(b2, cent, path, batchId = 2L)
+    val compacted = spark.read.parquet(path)
+    assert(compacted.filter(col("vec_id").isin(doomed: _*)).count() == 0,
+      "merge-time removal: doomed rows gone from the corpus tree")
+    assert(compacted.count() == 58, "60 - 3 deleted + 1 new")
+    val delDir = new java.io.File(s"${path}_del")
+    assert(!delDir.exists ||
+      delDir.listFiles().forall(f => !f.getName.startsWith("batch_id=")),
+      "applied tombstone leaves dropped")
+    // the compacted store serves the survivors WITHOUT the del tree
+    val all2 = rows.filterNot(r => doomed.contains(r._1))
+      .toDF("vec_id", "embedding", "label").unionByName(b2)
+    val all2Assigned = all2.join(
+      Similarity.assignCells(all2, cent).select(col("vec_id"), col("cell")), "vec_id")
+    val expect2 = Similarity.ivfProbeTopK(all2Assigned, queries, cent,
+      k = 4, nprobe = 2, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(compacted, None) == expect2 && expect2.nonEmpty)
+  }
+
   test("ivfPqAppend/ivfPqCompact: the maintained code store serves like the float path") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_maint").toString
     val rnd = new scala.util.Random(77)
