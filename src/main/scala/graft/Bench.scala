@@ -799,7 +799,12 @@ object Bench {
       // vocab-sized, so the 10x term is still only the tf scan
       // (isolated: 1.08 beside the untombstoned serve's same-session
       // 1.01)
-      "x_text_bm25_deleted"))
+      "x_text_bm25_deleted",
+      // r18 follow-on: the vector-side tombstone serve — the del
+      // anti-join builds from a fixed-size sibling tree and probes
+      // only the pruned cells' rows (isolated: 1.34 beside the
+      // untombstoned maintained serve's same-session 1.32)
+      "x_ann_deleted"))
     val scaleUpJson =
       if (upSet.isEmpty || sys.env.get("SPARK_GRAFT_SCALEUP").contains("0")) "{}"
       else try {
