@@ -1090,10 +1090,14 @@ object Similarity {
     * identical to [[ivfPqTopK]] over the float corpus the codes were
     * encoded from: codes are ints and round-trip parquet losslessly.
     * Like every collected-model operator the call is EAGER (the
-    * probe/LUT collect runs at build time). */
+    * probe/LUT collect runs at build time). `delOpt` applies an
+    * [[ivfDelete]] tombstone tree exactly as [[ivfProbeTopKPruned]]
+    * does — one broadcast anti-join after the static cell filter, so
+    * deleted codes screen out without touching the store. */
   def ivfPqTopKFromCodes(codes: DataFrame, queries: DataFrame,
       centroids: DataFrame, pq: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      delOpt: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
     val subDim = dim / m
@@ -1117,7 +1121,11 @@ object Similarity {
     // nullable elements; stored codes never hold nulls, and the
     // compact restores the containsNull = false type the CodeLutSum
     // kernel demands (the ppjoin rset discipline)
-    val c = codes.filter(col("cell").isInCollection(cells))
+    val probedCodes = codes.filter(col("cell").isInCollection(cells))
+    val liveCodes = delOpt.fold(probedCodes)(d =>
+      probedCodes.join(broadcast(d.select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti"))
+    val c = liveCodes
       .select(col("cell"), col(idCol).as("cand_id"),
         array_compact(col("codes")).as("codes"))
     val w = Window.partitionBy(col("query_id"))

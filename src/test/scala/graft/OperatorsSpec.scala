@@ -936,6 +936,39 @@ class OperatorsSpec extends SparkSpec {
     assert(Similarity.ivfPqTopKFromCodes(replayed, queries, cent, pq,
       k = 4, nprobe = 2, m = 2, dim = 8)
       .orderBy("query_id", "rank").collect().toSeq == expect)
+    // tombstones screen the CODE serve too: delete ids that rank,
+    // serve must equal the code store with those rows absent
+    val doomedPq = expect.map(_.getLong(1)).distinct.take(2)
+    Similarity.ivfDelete(spark, path, doomedPq, batchId = 3L)
+    val delTree = spark.read.parquet(s"${path}_del")
+    val expectDel = Similarity.ivfPqTopKFromCodes(
+      replayed.filter(!col("vec_id").isin(doomedPq: _*)), queries, cent, pq,
+      k = 4, nprobe = 2, m = 2, dim = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val gotDel = Similarity.ivfPqTopKFromCodes(replayed, queries, cent, pq,
+      k = 4, nprobe = 2, m = 2, dim = 8, delOpt = Some(delTree))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(gotDel == expectDel && gotDel != expect,
+      "deleted codes must screen out of the encoded-at-rest serve")
+    // and the PQ compaction removes them physically + drops the
+    // tombstones (fresh-id trigger batch — re-adding a deleted id is
+    // out of contract)
+    val b3Rows = mk(70L until 72L)
+    Similarity.ivfPqCompact(b3Rows.toDF("vec_id", "embedding", "label"),
+      cent, pq, path, batchId = 4L, m = 2, dim = 8)
+    val afterCompact = spark.read.parquet(path)
+    assert(afterCompact.filter(col("vec_id").isin(doomedPq: _*)).count() == 0)
+    val all3 = (residentRows ++ b1Rows ++ b2Rows ++ b3Rows)
+      .filterNot(r => doomedPq.contains(r._1))
+      .toDF("vec_id", "embedding", "label")
+    val all3Assigned = all3.join(
+      Similarity.assignCells(all3, cent).select(col("vec_id"), col("cell")), "vec_id")
+    val expect3 = Similarity.ivfPqTopK(all3Assigned, queries, cent, pq,
+      k = 4, nprobe = 2, m = 2, dim = 8, cellCol = "cell")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(Similarity.ivfPqTopKFromCodes(afterCompact, queries, cent, pq,
+      k = 4, nprobe = 2, m = 2, dim = 8)
+      .orderBy("query_id", "rank").collect().toSeq == expect3)
   }
 
   test("segmented BM25: append-then-serve equals the whole-corpus index; replay converges") {
