@@ -763,38 +763,97 @@ object TextAnalysis {
     * from the per-segment term dictionaries RESTRICTED to the query
     * docs' tokens (disjoint doc sets → df_global = Σ df_seg), a
     * vocab-sized aggregate over the df tree — never a posting-frame
-    * recompute. The folded df table is itself the query-token set, so
-    * ONE broadcast both restricts the posting scan to the query
-    * vocabulary and attaches df — the store's tf tree is scanned
-    * exactly TWICE per retrieval (query-row collection, which pins
-    * lazily for its two tiny readers, + the single scoring scan)
-    * regardless of segment count, with no corpus-sized checkpoint;
-    * appends stay O(batch). `segDel` (the [[bm25DeleteDocs]] tombstone
-    * id tree, when the store has one) is Lucene's query-time deleted
-    * bitset: one broadcast anti-join screens the tf scan, while the
-    * tombstones' NEGATIVE dictionary/stats rows flow through the df
-    * and stats folds unchanged — deleted docs vanish from queries,
-    * candidates, df, and length norms alike. */
+    * recompute.
+    *
+    * Serve plan (the [[graft.operators.Similarity.ivfProbeTopKPruned]]
+    * broadcastable-⇒-collectable discipline): the query docs' term
+    * rows, the folded df table, and the stats row are all
+    * query-bounded by construction, so they COLLECT and rebuild as
+    * local relations — their broadcasts ship driver-side without
+    * launching jobs, and the collected query vocabulary pushes into
+    * the tf and df tree scans as a parquet filter (row-group
+    * dictionary skip) instead of joining. The store's tf tree is
+    * scanned exactly TWICE per retrieval (query-row collection + the
+    * single scoring scan) regardless of segment count, with no
+    * corpus-sized checkpoint; appends stay O(batch).
+    *
+    * `segDel` (the [[bm25DeleteDocs]] tombstone id tree, when the
+    * store has one) is Lucene's query-time deleted bitset, with the
+    * tombstones' NEGATIVE dictionary/stats rows flowing through the
+    * df and stats folds unchanged — deleted docs vanish from queries,
+    * candidates, df, and length norms alike. Del lists up to
+    * `delPushdownMax` collect and push as a NOT-IN scan filter (zero
+    * extra joins); larger lists fall back to the broadcast anti-join,
+    * the shape that holds for arbitrarily large tombstone sets. */
   def bm25SegmentedTopK(segTf: DataFrame, segDf: DataFrame,
       segMeta: DataFrame, queryIds: Seq[Long], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      idCol: String = "doc_id", segDel: Option[DataFrame] = None): DataFrame = {
+      idCol: String = "doc_id", segDel: Option[DataFrame] = None,
+      delPushdownMax: Int = 65536): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must be non-empty")
-    val live = segDel.fold(segTf)(d =>
-      segTf.join(broadcast(d.select(col(idCol)).distinct()),
-        Seq(idCol), "left_anti"))
-    val stats = segMeta.agg(
-      sum(col("n")).as("__n"),
-      (sum(col("sum_dl")).cast("double") / sum(col("n"))).as("__avgdl"))
-    val qrows = live.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol), col("__tok")).localCheckpoint(false)
-    val qtoks = qrows.select(col("__tok")).distinct()
-    val dfTbl = segDf.join(broadcast(qtoks), "__tok")
+    val spark = segTf.sparkSession
+    // one plain read of the del tree (it is broadcast-sized by the
+    // same contract that makes an anti-join viable at all; compaction
+    // is the pressure valve that keeps it so), deduped driver-side;
+    // small lists push as a NOT-IN scan filter (zero join, zero extra
+    // exchange), larger ones rebuild as a local relation and anti-join
+    val delIds: Seq[Any] = segDel.fold(Seq.empty[Any])(
+      _.select(col(idCol)).collect().map(_.get(0)).distinct.toSeq)
+    val (delFilter, delAnti): (Option[Column], Option[DataFrame]) =
+      if (delIds.isEmpty) (None, None)
+      else if (delIds.length <= delPushdownMax)
+        (Some(!col(idCol).isInCollection(delIds)), None)
+      else (None, Some(spark.createDataFrame(
+        java.util.Arrays.asList(delIds.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          segDel.get.select(col(idCol)).schema.fields.head)))))
+    def screen(df: DataFrame): DataFrame = {
+      val f = delFilter.fold(df)(df.filter)
+      delAnti.fold(f)(d => f.join(broadcast(d), Seq(idCol), "left_anti"))
+    }
+    val qrows0 = screen(segTf.filter(col(idCol).isin(queryIds: _*)))
+      .select(col(idCol).as("query_id"), col("__tok"))
+    val qrowRows = qrows0.collect()
+    val qtoks = qrowRows.map(_.getString(1)).distinct.toSeq
+    val tokMatch =
+      if (qtoks.isEmpty) lit(false) else col("__tok").isInCollection(qtoks)
+    // ONE job folds BOTH store statistics: the query-bounded df
+    // aggregate over the per-segment dictionaries and the additive
+    // corpus-stats fold over the meta records, unioned into a single
+    // collect (they are independent subtrees, so the union costs
+    // nothing beyond the action it saves). df then merges DRIVER-side
+    // onto the query-term rows — __df rides the one qterms broadcast
+    // the scoring join needs anyway — and n/avgdl inline as literals:
+    // the serve ships no df relation and no stats broadcast (each
+    // broadcast exchange is a whole Spark job even for a local
+    // relation).
+    val dfAgg = segDf.filter(tokMatch)
       .groupBy(col("__tok")).agg(sum(col("__df")).as("__df"))
-    val posting = live.join(broadcast(dfTbl), "__tok")
-    val qterms = qrows.select(col(idCol).as("query_id"), col("__tok"))
+      .select(col("__tok"), col("__df"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("sum_dl"))
+    val statsAgg = segMeta
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+      .select(lit(null).cast("string").as("__tok"),
+        lit(null).cast("long").as("__df"), col("n"), col("sum_dl"))
+    val folded = dfAgg.unionByName(statsAgg).collect()
+    val dfMap = folded.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val statsRow = folded.filter(_.isNullAt(0)).head
+    // integer sums are exact in double, so the driver-side division
+    // equals the whole-corpus average bit-for-bit
+    val (nDocs, avgdl) =
+      if (statsRow.isNullAt(2)) (0L, 1.0)
+      else (statsRow.getLong(2), statsRow.getLong(3).toDouble / statsRow.getLong(2))
+    val qtermSchema = org.apache.spark.sql.types.StructType(
+      qrows0.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__df", org.apache.spark.sql.types.LongType, nullable = false))
+    val qterms = spark.createDataFrame(
+      java.util.Arrays.asList(qrowRows.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1),
+          dfMap.getOrElse(r.getString(1), 0L))): _*), qtermSchema)
+    val posting = screen(segTf.filter(tokMatch))
     bm25RelatedTopKFrom(posting, queryIds, k, k1, b, idCol,
-      statsOpt = Some(stats), qtermsOpt = Some(qterms))
+      qtermsOpt = Some(qterms), statsLitOpt = Some((nDocs, avgdl)))
   }
 
   /** Scoring face of [[bm25RelatedTopK]] over a prebuilt (ideally
@@ -804,14 +863,20 @@ object TextAnalysis {
     * corpus stats per retrieval, and a prebuilt (query_id, __tok)
     * frame via `qtermsOpt` when the caller already extracted the
     * query docs' terms (the segmented serve) to skip the tf-side
-    * filter scan. */
+    * filter scan — a qterms frame may also CARRY `__df` (the
+    * segmented serve rides the folded df on the one broadcast that
+    * must exist anyway), in which case `tf` need not. `statsLitOpt`
+    * inlines already-collected corpus stats as literal columns,
+    * skipping the 1-row stats broadcast (each broadcast exchange is
+    * a whole Spark job even for a local relation — measured, not
+    * assumed). */
   def bm25RelatedTopKFrom(tf: DataFrame, queryIds: Seq[Long], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", statsOpt: Option[DataFrame] = None,
-      qtermsOpt: Option[DataFrame] = None): DataFrame = {
+      qtermsOpt: Option[DataFrame] = None,
+      statsLitOpt: Option[(Long, Double)] = None): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must be non-empty")
     require(k >= 1, "k must be >= 1")
-    val stats = statsOpt.getOrElse(bm25IndexStats(tf, idCol))
     val qterms = qtermsOpt.getOrElse(
       tf.filter(col(idCol).isin(queryIds: _*))
         .select(col(idCol).as("query_id"), col("__tok")))
@@ -822,10 +887,16 @@ object TextAnalysis {
         (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 8)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("bm25").desc, col("cand_id").asc)
-    tf.withColumnRenamed(idCol, "cand_id")
+    val joined = tf.withColumnRenamed(idCol, "cand_id")
       .join(broadcast(qterms), "__tok")
       .filter(col("cand_id") =!= col("query_id"))
-      .crossJoin(broadcast(stats))
+    val withStats = statsLitOpt match {
+      case Some((n, avgdl)) =>
+        joined.withColumn("__n", lit(n)).withColumn("__avgdl", lit(avgdl))
+      case None =>
+        joined.crossJoin(broadcast(statsOpt.getOrElse(bm25IndexStats(tf, idCol))))
+    }
+    withStats
       .withColumn("__contrib", contrib)
       .groupBy(col("query_id"), col("cand_id"))
       .agg(count(lit(1)).as("matched_terms"),
