@@ -797,8 +797,8 @@ object Bench {
       // r18 follow-on: the TOMBSTONED serve — the deleted bitset is a
       // fixed-size broadcast and the negative fold rows are
       // vocab-sized, so the 10x term is still only the tf scan
-      // (isolated: 1.08 beside the untombstoned serve's same-session
-      // 1.01)
+      // (isolated: 1.08; re-run 0.95 after the 4-job driver-fold
+      // restructure, beside the untombstoned serve's 1.07)
       "x_text_bm25_deleted",
       // r18 follow-on: the vector-side tombstone serve — the del
       // anti-join builds from a fixed-size sibling tree and probes
