@@ -632,4 +632,47 @@ class PlanSpec extends SparkSpec {
     // idempotent in the writing session: existing tables untouched
     graft.operators.Dedup.registerPpJoinIndexBucketed(spark, "ppjoin_bt_test", root)
   }
+
+  test("segmented BM25 serve pushes the query vocabulary into the store scans") {
+    // r18 (late): the serve collects the query docs' terms once and
+    // pushes the vocabulary into BOTH tree scans as a parquet In
+    // filter (row-group dictionary skip) instead of joining; df and
+    // corpus stats fold driver-side and ride the single qterms
+    // broadcast / literal columns. Pin: the posting-side scan carries
+    // a pushed __tok filter, the whole serve plans with exactly ONE
+    // broadcast exchange (the qterms relation), and a tombstoned
+    // serve with a small del list adds a pushed NOT-IN on the id —
+    // still one broadcast, no anti-join exchange.
+    val dir = java.nio.file.Files.createTempDirectory("bm25_seg_plan").toString
+    val path = s"$dir/segs"
+    val docs = Seq(
+      (0L, "hash join scan filter"), (1L, "hash join merge"),
+      (2L, "scan filter prune"), (3L, "window frame sum"),
+      (4L, "hash partition shuffle"), (5L, "join scan hash probe"))
+      .toDF("doc_id", "text")
+    graft.operators.TextAnalysis.bm25AppendSegment(
+      docs.filter(col("doc_id") < 3), path, segmentId = 0L)
+    graft.operators.TextAnalysis.bm25AppendSegment(
+      docs.filter(col("doc_id") >= 3), path, segmentId = 1L)
+    graft.operators.TextAnalysis.bm25DeleteDocs(spark, path, Seq(4L), segmentId = 2L)
+    val tf = spark.read.parquet(s"$path/tf")
+    val df = spark.read.parquet(s"$path/df")
+    val meta = spark.read.parquet(s"$path/meta")
+    def broadcasts(p: String): Int =
+      "BroadcastExchange".r.findAllIn(p).length
+    val served = graft.operators.TextAnalysis.bm25SegmentedTopK(
+      tf, df, meta, queryIds = Seq(0L, 1L), k = 3)
+    val plan = planOf(served)
+    assert(plan.contains("PushedFilters") && plan.contains("__tok"), plan)
+    assert(broadcasts(plan) == 1,
+      s"exactly the qterms broadcast expected, got ${broadcasts(plan)}:\n$plan")
+    val servedDel = graft.operators.TextAnalysis.bm25SegmentedTopK(
+      tf, df, meta, queryIds = Seq(0L, 1L), k = 3,
+      segDel = Some(spark.read.parquet(s"$path/del")))
+    val delPlan = planOf(servedDel)
+    assert(broadcasts(delPlan) == 1,
+      s"small del list must push down, not anti-join: ${broadcasts(delPlan)}:\n$delPlan")
+    assert(!delPlan.contains("BroadcastHashJoin LeftAnti") &&
+      !delPlan.contains("LeftAnti"), delPlan)
+  }
 }
