@@ -2881,23 +2881,19 @@ object SparkEntry {
       // deterministic on fixed data, so the oracle hash-matches literal
       // TRUEs and a violated bound FAILS the driver check (the
       // x_approx_quantiles trick).
+      // r18 (optimization round): fused audit — ONE vocab aggregate
+      // carries totals + thresholds, ONE post-window aggregate carries
+      // both gate counts (2 documents scans + 2 corpus exchanges vs
+      // the three-leg original's 3 + 3; job budget 4 → 2). Promoted by
+      // interleaved A/B min 0.187 vs 0.340 / med 0.207 vs 0.362;
+      // value-equality vs the split reference is spec-pinned and was
+      // collect-compared at sf0.001/sf0.01.
       (s, dir) => {
-        val acc = 1000
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
           (col("n_chars").cast("long") * lit(1000000L)
             + pmod(col("doc_id"), lit(1000000L))).as("score"))
-        val approxN = Curation
-          .keepTopQuantileApprox(docs, "lang", "score", q = 0.3, accuracy = acc)
-          .groupBy("lang").agg(count(lit(1)).as("__n_approx"))
-        val exactN = Curation
-          .keepTopQuantile(docs, "lang", "score", "doc_id", q = 0.3)
-          .groupBy("lang").agg(count(lit(1)).as("n_exact"))
-        val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_rows"))
-        totals.join(exactN, "lang").join(approxN, "lang")
-          .select(col("lang"), col("n_rows"), col("n_exact"),
-            (abs(col("__n_approx") - col("n_exact"))
-              <= greatest(ceil(col("n_rows") * lit(5.0) / lit(acc)), lit(2L)))
-              .as("within_bound"))
+        Curation.quantileGateAudit(docs, "lang", "score", "doc_id",
+          q = 0.3, accuracy = 1000)
           .orderBy("lang")
       },
       Some("""WITH scored AS (
@@ -6378,6 +6374,18 @@ object SparkEntry {
       graft.operators.TextAnalysis.classTfIdfUnfolded(
         Tables.documents(s, dir), "source", topK = 10)
         .orderBy("group", "rank")),
+    // r18 (optimization round): the pre-fuse three-leg reference for
+    // x_quality_gate_approx, kept for interleaved A/Bs against the
+    // fused quantileGateAudit now in the registry (measured at the
+    // swap: fused min 0.187 / med 0.207 vs split 0.340 / 0.362)
+    "dev_qga_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        (col("n_chars").cast("long") * lit(1000000L)
+          + pmod(col("doc_id"), lit(1000000L))).as("score"))
+      graft.operators.Curation.quantileGateAuditSplit(docs, "lang", "score",
+        "doc_id", q = 0.3, accuracy = 1000)
+        .orderBy("lang")
+    }),
     "dev_ivfs_scored" -> ((s, dir) => {
       val (cent, corpus) = storedIvfIndex(s, dir)
       graft.operators.Similarity.ivfScoredProbe(corpus,

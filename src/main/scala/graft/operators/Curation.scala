@@ -280,6 +280,74 @@ object Curation {
       .drop(thr)
   }
 
+  /** Audit frame comparing the exact and the approx per-stratum gate
+    * on the SAME data: per stratum — total rows, the exact gate's
+    * kept count, and a boolean asserting the approx gate's kept count
+    * landed inside a `boundFactor`× rank-error corridor of the exact
+    * one. Deterministic on fixed data (given a tie-embedding
+    * `scoreCol`), so an oracle can hash-match literal TRUEs and a
+    * violated bound fails a driver check.
+    *
+    * Plan shape (r18 fused form, promoted over the three-leg
+    * original by interleaved A/B — min 0.187 vs 0.340, med 0.207 vs
+    * 0.362 at sf0.1): ONE vocab-sized aggregate computes totals AND
+    * the `percentile_approx` thresholds (they share the stratum
+    * exchange the split form paid twice), and both gate counts
+    * compute in ONE aggregate on the window's own partitioning — the
+    * broadcast-joined threshold turns the approx gate into a
+    * `count(score >= thr)` beside the exact gate's
+    * `count(pr <= q)`, so no second corpus pass and no join of three
+    * per-stratum legs. 2 source scans + 2 corpus exchanges vs the
+    * split form's 3 + 3; value equality with
+    * [[quantileGateAuditSplit]] is spec-pinned (PropertiesSpec) and
+    * was collect-compared at sf0.001/sf0.01 before promotion.
+    *
+    * Same sketch, same cut: the thresholds are the identical
+    * `percentile_approx(1 − q, accuracy)` values
+    * [[keepTopQuantileApprox]] gates on, and `>=` keeps the entire
+    * tie run exactly as that gate does. */
+  def quantileGateAudit(df: DataFrame, stratumCol: String, scoreCol: String,
+      tieCol: String, q: Double, accuracy: Int,
+      boundFactor: Double = 5.0): DataFrame = {
+    require(q > 0.0 && q <= 1.0, "q must be in (0, 1]")
+    require(accuracy >= 1, "accuracy must be positive")
+    val cuts = df.groupBy(stratumCol).agg(
+      count(lit(1)).as("n_rows"),
+      percentile_approx(col(scoreCol), lit(1.0 - q), lit(accuracy)).as("__thr"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.withColumn("__pr", percent_rank().over(w))
+      .join(broadcast(cuts), Seq(stratumCol))
+      .groupBy(stratumCol).agg(
+        first(col("n_rows")).as("n_rows"),
+        count(when(col("__pr") <= q, 1)).as("n_exact"),
+        count(when(col(scoreCol) >= col("__thr"), 1)).as("__n_approx"))
+      .select(col(stratumCol), col("n_rows"), col("n_exact"),
+        (abs(col("__n_approx") - col("n_exact"))
+          <= greatest(ceil(col("n_rows") * lit(boundFactor) / lit(accuracy)),
+            lit(2L))).as("within_bound"))
+  }
+
+  /** The pre-r18 three-leg formulation of [[quantileGateAudit]] —
+    * totals, [[keepTopQuantile]], and [[keepTopQuantileApprox]] each
+    * re-aggregating the input, joined per stratum. Kept as the
+    * spec-pinned value-equality reference and the AbBench
+    * counterpart (`dev_qga_split`) for the fused plan. */
+  private[graft] def quantileGateAuditSplit(df: DataFrame,
+      stratumCol: String, scoreCol: String, tieCol: String, q: Double,
+      accuracy: Int, boundFactor: Double = 5.0): DataFrame = {
+    val approxN = keepTopQuantileApprox(df, stratumCol, scoreCol, q, accuracy)
+      .groupBy(stratumCol).agg(count(lit(1)).as("__n_approx"))
+    val exactN = keepTopQuantile(df, stratumCol, scoreCol, tieCol, q)
+      .groupBy(stratumCol).agg(count(lit(1)).as("n_exact"))
+    val totals = df.groupBy(stratumCol).agg(count(lit(1)).as("n_rows"))
+    totals.join(exactN, stratumCol).join(approxN, stratumCol)
+      .select(col(stratumCol), col("n_rows"), col("n_exact"),
+        (abs(col("__n_approx") - col("n_exact"))
+          <= greatest(ceil(col("n_rows") * lit(boundFactor) / lit(accuracy)),
+            lit(2L))).as("within_bound"))
+  }
+
   /** Quantile normalization of a score WITHIN each stratum: the
     * calibrated value is the score's percent-rank among its own
     * stratum, so scores become comparable ACROSS strata — a 0.8

@@ -655,4 +655,38 @@ class PropertiesSpec extends SparkSpec {
       assert(a.nonEmpty, s"trial $trial: degenerate corpus")
     }
   }
+
+  test("quantileGateAudit fused formulation ≡ the three-leg split reference (randomized)") {
+    // r18 optimization round: the fused audit (one vocab aggregate
+    // for totals + thresholds, one post-window aggregate for both
+    // gate counts) must be value-identical to the totals ⋈ exact ⋈
+    // approx three-leg form on frames that exercise the edges: null
+    // strata (dropped by the split form's inner joins, dropped by the
+    // fused form's broadcast join), single-row strata, duplicate
+    // scores (ties — the >= cut keeps the whole run in both forms),
+    // and strata smaller than the sketch accuracy (exact quantiles).
+    import spark.implicits._
+    val rnd = new scala.util.Random(181)
+    for (trial <- 0 until 3) {
+      val rows = (0 until 200).map { i =>
+        val s: String =
+          if (i % 23 == 0) null
+          else if (i % 41 == 0) "solo" + i // single-row strata
+          else "s" + rnd.nextInt(5)
+        // coarse scores force tie runs at the threshold value
+        val score: Long = rnd.nextInt(12).toLong
+        (i.toLong, s, score)
+      }.toDF("doc_id", "stratum", "score")
+      for (q <- Seq(0.3, 1.0); acc <- Seq(3, 1000)) {
+        val a = graft.operators.Curation
+          .quantileGateAudit(rows, "stratum", "score", "doc_id", q, acc)
+          .orderBy("stratum").collect().map(_.toString).toSeq
+        val b = graft.operators.Curation
+          .quantileGateAuditSplit(rows, "stratum", "score", "doc_id", q, acc)
+          .orderBy("stratum").collect().map(_.toString).toSeq
+        assert(a == b, s"trial $trial q=$q acc=$acc: fused != split\na=$a\nb=$b")
+        assert(a.nonEmpty, s"trial $trial: degenerate frame")
+      }
+    }
+  }
 }
