@@ -4639,8 +4639,12 @@ object SparkEntry {
       // tombstone face (simpler than the text twin: no corpus-global
       // statistics, so the tombstone is just the doomed id list in a
       // sibling tree, O(ids) to land). The SAME pruned serve answers
-      // over the same corpus with one broadcast anti-join applied
-      // AFTER the static cell prune; physical removal waits for the
+      // over the same corpus with the tombstone screen applied AFTER
+      // the static cell prune (r18 optimization round: small del
+      // lists collect once and push as a NOT-IN scan filter beside
+      // the cell filter — the bm25 twin's delPushdownMax discipline —
+      // with the broadcast anti-join kept above the threshold);
+      // physical removal waits for the
       // next compaction (spec-pinned). Oracle = the incremental
       // oracle with the deleted ids screened from the candidates
       // (deleted vec 5 still QUERIES — query vectors are external to
@@ -6374,6 +6378,20 @@ object SparkEntry {
       graft.operators.TextAnalysis.classTfIdfUnfolded(
         Tables.documents(s, dir), "source", topK = 10)
         .orderBy("group", "rank")),
+    // r18 (optimization round): the pre-pushdown tombstone reference
+    // for x_ann_deleted — delPushdownMax = 0 forces the broadcast
+    // anti-join branch, the exact pre-change serve shape, for
+    // interleaved A/Bs against the NOT-IN pushdown now applied by
+    // default
+    "dev_ann_del_anti" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (cent, corpus, del) = annDeletedStore(s, dir)
+      graft.operators.Similarity.ivfProbeTopKPruned(corpus,
+        emb.filter(col("vec_id") < 8), cent,
+        k = 5, nprobe = 2, cellCol = "cell", delOpt = Some(del),
+        delPushdownMax = 0)
+        .orderBy("query_id", "rank")
+    }),
     // r18 (optimization round): the pre-fuse three-leg reference for
     // x_quality_gate_approx, kept for interleaved A/Bs against the
     // fused quantileGateAudit now in the registry (measured at the

@@ -163,11 +163,36 @@ object Similarity {
     *
     * Like the operators with collected model state, the call is
     * EAGER (the probe-cell collect runs at build time). */
+  /** Tombstone screen shared by the pruned serves — the
+    * [[graft.operators.TextAnalysis.bm25SegmentedTopK]] del
+    * discipline on the vector side (r18 optimization round): ONE
+    * plain collect of the del tree (broadcast-sized by the same
+    * contract that makes an anti-join viable at all; compaction is
+    * the pressure valve), deduped driver-side; lists up to
+    * `delPushdownMax` push as a NOT-IN filter — zero join, zero
+    * broadcast-exchange job, and the predicate reaches the parquet
+    * scan's PushedFilters beside the static cell filter — while
+    * larger lists keep the broadcast anti-join, the shape that holds
+    * for arbitrarily large tombstone sets. Ids are non-null by store
+    * construction (NOT-IN and anti-join agree only then — same
+    * documented caveat as the text twin). */
+  private def tombstoneScreen(df: DataFrame, delOpt: Option[DataFrame],
+      idCol: String, delPushdownMax: Int): DataFrame = {
+    val delIds: Seq[Any] = delOpt.fold(Seq.empty[Any])(
+      _.select(col(idCol)).collect().map(_.get(0)).distinct.toSeq)
+    if (delIds.isEmpty) df
+    else if (delIds.length <= delPushdownMax)
+      df.filter(!col(idCol).isInCollection(delIds))
+    else df.join(broadcast(delOpt.get.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
   def ivfProbeTopKPruned(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label",
-      delOpt: Option[DataFrame] = None): DataFrame = {
+      delOpt: Option[DataFrame] = None,
+      delPushdownMax: Int = 65536): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     // ONE collect serves both needs — the static cell filter and the
     // broadcast probe frame (rebuilt as a local relation, so the
@@ -180,13 +205,11 @@ object Similarity {
     val probeQ = queries.sparkSession.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probeQ0.schema)
     // delOpt is the [[ivfDelete]] tombstone tree: deleted ids screen
-    // out AFTER the static cell prune (the anti-join's build side is
-    // the broadcast-sized del list, its probe side only the probed
-    // cells' rows), so tombstones cost one broadcast, not a scan
+    // out AFTER the static cell prune via [[tombstoneScreen]] — small
+    // lists push as a NOT-IN scan filter beside the cell filter,
+    // large ones broadcast anti-join over only the probed cells' rows
     val probedCells = corpus.filter(col(cellCol).isInCollection(cells))
-    val live = delOpt.fold(probedCells)(d =>
-      probedCells.join(broadcast(d.select(col(idCol)).distinct()),
-        Seq(idCol), "left_anti"))
+    val live = tombstoneScreen(probedCells, delOpt, idCol, delPushdownMax)
     val scored = ivfScoredProbe(live, probeQ, idCol, vecCol, cellCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
@@ -1097,7 +1120,8 @@ object Similarity {
   def ivfPqTopKFromCodes(codes: DataFrame, queries: DataFrame,
       centroids: DataFrame, pq: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      delOpt: Option[DataFrame] = None): DataFrame = {
+      delOpt: Option[DataFrame] = None,
+      delPushdownMax: Int = 65536): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
     val subDim = dim / m
@@ -1122,9 +1146,9 @@ object Similarity {
     // compact restores the containsNull = false type the CodeLutSum
     // kernel demands (the ppjoin rset discipline)
     val probedCodes = codes.filter(col("cell").isInCollection(cells))
-    val liveCodes = delOpt.fold(probedCodes)(d =>
-      probedCodes.join(broadcast(d.select(col(idCol)).distinct()),
-        Seq(idCol), "left_anti"))
+    // same [[tombstoneScreen]] discipline as the float serve: small
+    // del lists push as a NOT-IN scan filter on the code table
+    val liveCodes = tombstoneScreen(probedCodes, delOpt, idCol, delPushdownMax)
     val c = liveCodes
       .select(col("cell"), col(idCol).as("cand_id"),
         array_compact(col("codes")).as("codes"))

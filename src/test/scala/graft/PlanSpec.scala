@@ -458,6 +458,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && "PartitionFilters: \\[cell".r
         .findFirstIn(plan).isDefined,
       s"probed cells must reach the appended store's scan as partition filters:\n$plan")
+
+    // r18 optimization round: a small tombstone list pushes as a
+    // NOT-IN scan filter beside the cell partition filter (the bm25
+    // twin's delPushdownMax discipline) — no anti-join exchange in
+    // the serve plan; delPushdownMax = 0 restores the broadcast
+    // anti-join (the arbitrarily-large-list shape), and both shapes
+    // answer identically.
+    graft.operators.Similarity.ivfDelete(spark, path, Seq(7L, 11L), batchId = 2L)
+    val del = spark.read.parquet(s"${path}_del")
+    val pushed = graft.operators.Similarity.ivfProbeTopKPruned(
+      stored, queries, cents, k = 4, nprobe = 2, cellCol = "cell",
+      delOpt = Some(del))
+    val pushedPlan = planOf(pushed)
+    assert("Not\\(In\\(vec_id".r.findFirstIn(pushedPlan).isDefined,
+      s"small del list must push as a NOT-IN scan filter:\n$pushedPlan")
+    assert(!pushedPlan.contains("LeftAnti"),
+      s"small del list must not anti-join:\n$pushedPlan")
+    val anti = graft.operators.Similarity.ivfProbeTopKPruned(
+      stored, queries, cents, k = 4, nprobe = 2, cellCol = "cell",
+      delOpt = Some(del), delPushdownMax = 0)
+    assert(planOf(anti).contains("LeftAnti"),
+      s"above the threshold the anti-join shape must hold:\n${planOf(anti)}")
+    val a = pushed.orderBy("query_id", "rank").collect().toSeq
+    val b = anti.orderBy("query_id", "rank").collect().toSeq
+    assert(a == b && a.nonEmpty, s"pushdown != anti-join: $a vs $b")
   }
 
   test("stored IVFPQ code table prunes to the probed cells and serves like the float path") {
