@@ -177,14 +177,40 @@ object Similarity {
     * construction (NOT-IN and anti-join agree only then — same
     * documented caveat as the text twin). */
   private def tombstoneScreen(df: DataFrame, delOpt: Option[DataFrame],
-      idCol: String, delPushdownMax: Int): DataFrame = {
-    val delIds: Seq[Any] = delOpt.fold(Seq.empty[Any])(
-      _.select(col(idCol)).collect().map(_.get(0)).distinct.toSeq)
+      delIds: Seq[Any], idCol: String, delPushdownMax: Int): DataFrame = {
     if (delIds.isEmpty) df
     else if (delIds.length <= delPushdownMax)
       df.filter(!col(idCol).isInCollection(delIds))
     else df.join(broadcast(delOpt.get.select(col(idCol)).distinct()),
       Seq(idCol), "left_anti")
+  }
+
+  /** ONE action collects BOTH query-bounded driver frames the pruned
+    * serves need — the probe/LUT rows and the tombstone id list. The
+    * two subtrees are independent (the probe chain never reads the del
+    * tree and vice versa), so a tagged union folds the second collect
+    * into the first: probe rows carry `__del` null, del rows pad the
+    * probe columns null and carry the id (non-null by store
+    * construction — the same contract the NOT-IN pushdown already
+    * documents), and the driver splits on `__del` nullness. Each saved
+    * action is a whole Spark job, and jobs × scheduler-floor is the
+    * serve's wall lower bound — the x_ann_deleted term the r18 epoch
+    * table watches. */
+  private def collectProbeAndDel(probe0: DataFrame,
+      delOpt: Option[DataFrame], idCol: String)
+      : (Array[org.apache.spark.sql.Row], Seq[Any]) = delOpt match {
+    case None => (probe0.collect(), Seq.empty[Any])
+    case Some(del) =>
+      val pf = probe0.schema.fields
+      val dt = del.select(col(idCol)).schema.fields.head.dataType
+      val tagged = probe0.withColumn("__del", lit(null).cast(dt))
+        .unionByName(del.select(
+          pf.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+            col(idCol).cast(dt).as("__del"): _*))
+      val rows = tagged.collect()
+      val (d, p) = rows.partition(r => !r.isNullAt(pf.length))
+      (p.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))),
+        d.map(_.get(pf.length)).distinct.toSeq)
   }
 
   def ivfProbeTopKPruned(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -200,16 +226,17 @@ object Similarity {
     // checkpoint): queries × nprobe rows, the contract that makes
     // the frame broadcastable makes it collectable
     val probeQ0 = ivfProbeQProbe(queries, centroids, nprobe, idCol, vecCol)
-    val probeRows = probeQ0.collect()
+    val (probeRows, delIds) = collectProbeAndDel(probeQ0, delOpt, idCol)
     val cells = probeRows.map(_.get(1)).distinct.toSeq
     val probeQ = queries.sparkSession.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probeQ0.schema)
-    // delOpt is the [[ivfDelete]] tombstone tree: deleted ids screen
-    // out AFTER the static cell prune via [[tombstoneScreen]] — small
-    // lists push as a NOT-IN scan filter beside the cell filter,
+    // delOpt is the [[ivfDelete]] tombstone tree: deleted ids ride the
+    // probe collect ([[collectProbeAndDel]] — one action, not two) and
+    // screen out AFTER the static cell prune via [[tombstoneScreen]] —
+    // small lists push as a NOT-IN scan filter beside the cell filter,
     // large ones broadcast anti-join over only the probed cells' rows
     val probedCells = corpus.filter(col(cellCol).isInCollection(cells))
-    val live = tombstoneScreen(probedCells, delOpt, idCol, delPushdownMax)
+    val live = tombstoneScreen(probedCells, delOpt, delIds, idCol, delPushdownMax)
     val scored = ivfScoredProbe(live, probeQ, idCol, vecCol, cellCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
@@ -1137,7 +1164,7 @@ object Similarity {
       .withColumn("__lut", pqLutCol(books, subDim, col("__qv")))
       .select(col("query_id"), col("__lut"))
     val probeLut0 = probes.join(q, "query_id")
-    val probeRows = probeLut0.collect()
+    val (probeRows, delIds) = collectProbeAndDel(probeLut0, delOpt, idCol)
     val cells = probeRows.map(_.get(1)).distinct.toSeq
     val probeLut = queries.sparkSession.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probeLut0.schema)
@@ -1147,8 +1174,9 @@ object Similarity {
     // kernel demands (the ppjoin rset discipline)
     val probedCodes = codes.filter(col("cell").isInCollection(cells))
     // same [[tombstoneScreen]] discipline as the float serve: small
-    // del lists push as a NOT-IN scan filter on the code table
-    val liveCodes = tombstoneScreen(probedCodes, delOpt, idCol, delPushdownMax)
+    // del lists ride the probe/LUT collect and push as a NOT-IN scan
+    // filter on the code table
+    val liveCodes = tombstoneScreen(probedCodes, delOpt, delIds, idCol, delPushdownMax)
     val c = liveCodes
       .select(col("cell"), col(idCol).as("cand_id"),
         array_compact(col("codes")).as("codes"))

@@ -792,13 +792,37 @@ object TextAnalysis {
       delPushdownMax: Int = 65536): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must be non-empty")
     val spark = segTf.sparkSession
-    // one plain read of the del tree (it is broadcast-sized by the
-    // same contract that makes an anti-join viable at all; compaction
-    // is the pressure valve that keeps it so), deduped driver-side;
+    // the query docs' term rows and the tombstone id list are both
+    // query-/del-bounded driver frames from INDEPENDENT subtrees, so
+    // ONE tagged-union action collects both (the ivfProbeTopKPruned
+    // collectProbeAndDel fold on the text side — each saved action is
+    // a whole Spark job, and jobs × scheduler-floor is this serve's
+    // wall lower bound): qrows carry `__del` null, del rows pad the
+    // qrow columns null and carry the id (non-null by store
+    // construction). The del tree stays broadcast-sized by the same
+    // contract that makes an anti-join viable at all (compaction is
+    // the pressure valve); the doomed ids screen the collected qrows
+    // DRIVER-side — same rows the in-plan filter produced.
+    val qrows0 = segTf.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("__tok"))
+    val (qrowAll, delIds): (Array[org.apache.spark.sql.Row], Seq[Any]) =
+      segDel match {
+        case None => (qrows0.collect(), Seq.empty[Any])
+        case Some(del) =>
+          val pf = qrows0.schema.fields
+          val dt = del.select(col(idCol)).schema.fields.head.dataType
+          val rows = qrows0.withColumn("__del", lit(null).cast(dt))
+            .unionByName(del.select(
+              pf.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+                col(idCol).cast(dt).as("__del"): _*))
+            .collect()
+          val (d, q) = rows.partition(r => !r.isNullAt(pf.length))
+          (q.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))),
+            d.map(_.get(pf.length)).distinct.toSeq)
+      }
+    val delSet = delIds.toSet
     // small lists push as a NOT-IN scan filter (zero join, zero extra
     // exchange), larger ones rebuild as a local relation and anti-join
-    val delIds: Seq[Any] = segDel.fold(Seq.empty[Any])(
-      _.select(col(idCol)).collect().map(_.get(0)).distinct.toSeq)
     val (delFilter, delAnti): (Option[Column], Option[DataFrame]) =
       if (delIds.isEmpty) (None, None)
       else if (delIds.length <= delPushdownMax)
@@ -811,9 +835,7 @@ object TextAnalysis {
       val f = delFilter.fold(df)(df.filter)
       delAnti.fold(f)(d => f.join(broadcast(d), Seq(idCol), "left_anti"))
     }
-    val qrows0 = screen(segTf.filter(col(idCol).isin(queryIds: _*)))
-      .select(col(idCol).as("query_id"), col("__tok"))
-    val qrowRows = qrows0.collect()
+    val qrowRows = qrowAll.filter(r => !delSet.contains(r.get(0)))
     val qtoks = qrowRows.map(_.getString(1)).distinct.toSeq
     val tokMatch =
       if (qtoks.isEmpty) lit(false) else col("__tok").isInCollection(qtoks)

@@ -700,4 +700,79 @@ class PlanSpec extends SparkSpec {
     assert(!delPlan.contains("BroadcastHashJoin LeftAnti") &&
       !delPlan.contains("LeftAnti"), delPlan)
   }
+
+  test("tombstoned serves fold the del collect into the probe/qrows action") {
+    // r18 optimization round (carried item #6): the del tree and the
+    // probe/qrows frame come from INDEPENDENT subtrees, so the serves
+    // collect both under ONE tagged-union action — eager construction
+    // with a tombstone tree must launch exactly as many Spark jobs as
+    // construction without one. jobs × scheduler-floor is a floor-zone
+    // serve's wall lower bound (tools/job_budget.txt pins the absolute
+    // counts; this pins the delta at zero).
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def jobsDuring(body: => Unit): Int = {
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      val before = counter.get(); body
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      counter.get() - before
+    }
+    // vector side: the appended IVF store + a small tombstone tree
+    val dir = java.nio.file.Files.createTempDirectory("fold_del_jobs").toString
+    val rnd = new scala.util.Random(31)
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat()), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Similarity.cellCentroids(emb)
+    val vpath = s"$dir/corpus"
+    graft.operators.Similarity.ivfAppend(emb, cents, vpath, batchId = 0L)
+    graft.operators.Similarity.ivfDelete(spark, vpath, Seq(7L, 11L), batchId = 1L)
+    val stored = spark.read.parquet(vpath)
+    val vdel = spark.read.parquet(s"${vpath}_del")
+    val queries = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    def vServe(del: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      graft.operators.Similarity.ivfProbeTopKPruned(
+        stored, queries, cents, k = 4, nprobe = 2, cellCol = "cell",
+        delOpt = del); ()
+    }
+    // text side: a two-segment BM25 store + a tombstone segment
+    val tpath = s"$dir/segs"
+    val docs = Seq(
+      (0L, "hash join scan filter"), (1L, "hash join merge"),
+      (2L, "scan filter prune"), (3L, "window frame sum"),
+      (4L, "hash partition shuffle"), (5L, "join scan hash probe"))
+      .toDF("doc_id", "text")
+    graft.operators.TextAnalysis.bm25AppendSegment(
+      docs.filter(col("doc_id") < 3), tpath, segmentId = 0L)
+    graft.operators.TextAnalysis.bm25AppendSegment(
+      docs.filter(col("doc_id") >= 3), tpath, segmentId = 1L)
+    graft.operators.TextAnalysis.bm25DeleteDocs(spark, tpath, Seq(4L), segmentId = 2L)
+    val tf = spark.read.parquet(s"$tpath/tf")
+    val sdf = spark.read.parquet(s"$tpath/df")
+    val meta = spark.read.parquet(s"$tpath/meta")
+    val tdel = spark.read.parquet(s"$tpath/del")
+    def tServe(del: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      graft.operators.TextAnalysis.bm25SegmentedTopK(
+        tf, sdf, meta, queryIds = Seq(0L, 1L), k = 3, segDel = del); ()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // warmup: first-touch file listings submit their own jobs on some
+      // sources — run both shapes once uncounted
+      vServe(None); vServe(Some(vdel)); tServe(None); tServe(Some(tdel))
+      val vBase = jobsDuring(vServe(None))
+      val vDel = jobsDuring(vServe(Some(vdel)))
+      assert(vDel == vBase,
+        s"IVF tombstone serve construction must fold the del collect: $vDel jobs vs $vBase")
+      val tBase = jobsDuring(tServe(None))
+      val tDel = jobsDuring(tServe(Some(tdel)))
+      assert(tDel == tBase,
+        s"BM25 tombstone serve construction must fold the del collect: $tDel jobs vs $tBase")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
