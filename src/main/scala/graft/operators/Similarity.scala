@@ -165,23 +165,27 @@ object Similarity {
     * EAGER (the probe-cell collect runs at build time). */
   /** Tombstone screen shared by the pruned serves — the
     * [[graft.operators.TextAnalysis.bm25SegmentedTopK]] del
-    * discipline on the vector side (r18 optimization round): ONE
-    * plain collect of the del tree (broadcast-sized by the same
-    * contract that makes an anti-join viable at all; compaction is
-    * the pressure valve), deduped driver-side; lists up to
-    * `delPushdownMax` push as a NOT-IN filter — zero join, zero
+    * discipline on the vector side (r18 optimization round, bounded
+    * in r19): fully-collected lists (`delIds = Some(ids)`, at most
+    * `delPushdownMax` of them by [[collectProbeAndDelBounded]]'s
+    * construction) push as a NOT-IN filter — zero join, zero
     * broadcast-exchange job, and the predicate reaches the parquet
-    * scan's PushedFilters beside the static cell filter — while
-    * larger lists keep the broadcast anti-join, the shape that holds
-    * for arbitrarily large tombstone sets. Ids are non-null by store
-    * construction (NOT-IN and anti-join agree only then — same
-    * documented caveat as the text twin). */
+    * scan's PushedFilters beside the static cell filter. A del tree
+    * the bounded fold refused to collect (`delIds = None`) anti-joins
+    * DISTRIBUTED from the tree itself — the shape that holds for
+    * arbitrarily large tombstone sets, and the reason the large
+    * branch must not rebuild a local relation from driver-side ids:
+    * above the bound the driver never holds them. Null ids (contract
+    * violations — ids are non-null by store construction) are dropped
+    * explicitly; an equi-anti-join never matches them, so values are
+    * unchanged. */
   private def tombstoneScreen(df: DataFrame, delOpt: Option[DataFrame],
-      delIds: Seq[Any], idCol: String, delPushdownMax: Int): DataFrame = {
-    if (delIds.isEmpty) df
-    else if (delIds.length <= delPushdownMax)
-      df.filter(!col(idCol).isInCollection(delIds))
-    else df.join(broadcast(delOpt.get.select(col(idCol)).distinct()),
+      delIds: Option[Seq[Any]], idCol: String): DataFrame = delIds match {
+    case Some(ids) if ids.isEmpty => df
+    case Some(ids) => df.filter(!col(idCol).isInCollection(ids))
+    case None => df.join(
+      delOpt.get.select(col(idCol))
+        .where(col(idCol).isNotNull).distinct(),
       Seq(idCol), "left_anti")
   }
 
@@ -190,27 +194,56 @@ object Similarity {
     * two subtrees are independent (the probe chain never reads the del
     * tree and vice versa), so a tagged union folds the second collect
     * into the first: probe rows carry `__del` null, del rows pad the
-    * probe columns null and carry the id (non-null by store
-    * construction — the same contract the NOT-IN pushdown already
-    * documents), and the driver splits on `__del` nullness. Each saved
-    * action is a whole Spark job, and jobs × scheduler-floor is the
-    * serve's wall lower bound — the x_ann_deleted term the r18 epoch
-    * table watches. */
-  private def collectProbeAndDel(probe0: DataFrame,
-      delOpt: Option[DataFrame], idCol: String)
-      : (Array[org.apache.spark.sql.Row], Seq[Any]) = delOpt match {
-    case None => (probe0.collect(), Seq.empty[Any])
-    case Some(del) =>
-      val pf = probe0.schema.fields
-      val dt = del.select(col(idCol)).schema.fields.head.dataType
-      val tagged = probe0.withColumn("__del", lit(null).cast(dt))
-        .unionByName(del.select(
-          pf.map(f => lit(null).cast(f.dataType).as(f.name)) :+
-            col(idCol).cast(dt).as("__del"): _*))
-      val rows = tagged.collect()
-      val (d, p) = rows.partition(r => !r.isNullAt(pf.length))
-      (p.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))),
-        d.map(_.get(pf.length)).distinct.toSeq)
+    * probe columns null and carry the id, and the driver splits on
+    * `__del` nullness. Each saved action is a whole Spark job, and
+    * jobs × scheduler-floor is the serve's wall lower bound — the
+    * x_ann_deleted term the r18 epoch table watches.
+    *
+    * BOUNDED (r19): the driver's exposure is gated BEFORE any
+    * collect by the del tree's own storage statistics
+    * (`optimizedPlan.stats.sizeInBytes` — file-index metadata, no
+    * Spark job): a tree over `max(256 KiB, 64 B × (maxDel + 1))`
+    * never rides the fold at all — the fold returns `None` and the
+    * caller keeps a genuinely distributed anti-join, so a
+    * delete-heavy window between compactions cannot OOM the driver.
+    * Under the gate the union keeps the r18 plan shape EXACTLY (no
+    * in-plan distinct/limit — those each cost a shuffle stage, and
+    * the job-fold pin holds the with-del construction to the same
+    * job count as without); the collected ids dedup driver-side and
+    * a list that still exceeds `maxDel` (too many ids for a sane
+    * NOT-IN literal) also returns `None`. Del ids are null-filtered
+    * in-plan (a null id would otherwise masquerade as an all-null
+    * probe row — the tag column is its nullness) and CAST to
+    * `delIdType`, the id type of the frame the caller will screen, so
+    * collected values compare against that frame's rows by
+    * construction rather than by luck of matching JVM types. Shared
+    * with [[graft.operators.TextAnalysis.bm25SegmentedTopK]]. */
+  private[graft] def collectProbeAndDelBounded(probe0: DataFrame,
+      delOpt: Option[DataFrame], idCol: String,
+      delIdType: org.apache.spark.sql.types.DataType, maxDel: Int)
+      : (Array[org.apache.spark.sql.Row], Option[Seq[Any]]) = {
+    val cutoffBytes = BigInt(math.max(262144L, 64L * (maxDel.toLong + 1L)))
+    val foldable = delOpt.filter(
+      _.queryExecution.optimizedPlan.stats.sizeInBytes <= cutoffBytes)
+    (delOpt, foldable) match {
+      case (None, _) => (probe0.collect(), Some(Seq.empty[Any]))
+      case (Some(_), None) => (probe0.collect(), None)
+      case (_, Some(del)) =>
+        val pf = probe0.schema.fields
+        val d0 = del.select(col(idCol).cast(delIdType).as(idCol))
+          .where(col(idCol).isNotNull)
+        val tagged = probe0.withColumn("__del", lit(null).cast(delIdType))
+          .unionByName(d0.select(
+            pf.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+              col(idCol).as("__del"): _*))
+        val rows = tagged.collect()
+        val (d, p) = rows.partition(r => !r.isNullAt(pf.length))
+        val probeRows =
+          p.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
+        val ids = d.map(_.get(pf.length)).distinct.toSeq
+        if (ids.length > maxDel) (probeRows, None)
+        else (probeRows, Some(ids))
+    }
   }
 
   def ivfProbeTopKPruned(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -226,17 +259,19 @@ object Similarity {
     // checkpoint): queries × nprobe rows, the contract that makes
     // the frame broadcastable makes it collectable
     val probeQ0 = ivfProbeQProbe(queries, centroids, nprobe, idCol, vecCol)
-    val (probeRows, delIds) = collectProbeAndDel(probeQ0, delOpt, idCol)
+    val (probeRows, delIds) = collectProbeAndDelBounded(
+      probeQ0, delOpt, idCol, corpus.schema(idCol).dataType, delPushdownMax)
     val cells = probeRows.map(_.get(1)).distinct.toSeq
     val probeQ = queries.sparkSession.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probeQ0.schema)
     // delOpt is the [[ivfDelete]] tombstone tree: deleted ids ride the
-    // probe collect ([[collectProbeAndDel]] — one action, not two) and
+    // probe collect ([[collectProbeAndDelBounded]] — one action, not
+    // two, never more than delPushdownMax + 1 ids driver-side) and
     // screen out AFTER the static cell prune via [[tombstoneScreen]] —
     // small lists push as a NOT-IN scan filter beside the cell filter,
     // large ones broadcast anti-join over only the probed cells' rows
     val probedCells = corpus.filter(col(cellCol).isInCollection(cells))
-    val live = tombstoneScreen(probedCells, delOpt, delIds, idCol, delPushdownMax)
+    val live = tombstoneScreen(probedCells, delOpt, delIds, idCol)
     val scored = ivfScoredProbe(live, probeQ, idCol, vecCol, cellCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
@@ -1164,7 +1199,8 @@ object Similarity {
       .withColumn("__lut", pqLutCol(books, subDim, col("__qv")))
       .select(col("query_id"), col("__lut"))
     val probeLut0 = probes.join(q, "query_id")
-    val (probeRows, delIds) = collectProbeAndDel(probeLut0, delOpt, idCol)
+    val (probeRows, delIds) = collectProbeAndDelBounded(
+      probeLut0, delOpt, idCol, codes.schema(idCol).dataType, delPushdownMax)
     val cells = probeRows.map(_.get(1)).distinct.toSeq
     val probeLut = queries.sparkSession.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probeLut0.schema)
@@ -1176,7 +1212,7 @@ object Similarity {
     // same [[tombstoneScreen]] discipline as the float serve: small
     // del lists ride the probe/LUT collect and push as a NOT-IN scan
     // filter on the code table
-    val liveCodes = tombstoneScreen(probedCodes, delOpt, delIds, idCol, delPushdownMax)
+    val liveCodes = tombstoneScreen(probedCodes, delOpt, delIds, idCol)
     val c = liveCodes
       .select(col("cell"), col(idCol).as("cand_id"),
         array_compact(col("codes")).as("codes"))

@@ -783,8 +783,11 @@ object TextAnalysis {
     * df and stats folds unchanged — deleted docs vanish from queries,
     * candidates, df, and length norms alike. Del lists up to
     * `delPushdownMax` collect and push as a NOT-IN scan filter (zero
-    * extra joins); larger lists fall back to the broadcast anti-join,
-    * the shape that holds for arbitrarily large tombstone sets. */
+    * extra joins); larger lists are NEVER fully collected (r19: the
+    * shared bounded fold stops at `delPushdownMax + 1` ids) and fall
+    * back to a distributed anti-join against the tombstone tree
+    * itself, the shape that holds for arbitrarily large tombstone
+    * sets without driver memory. */
   def bm25SegmentedTopK(segTf: DataFrame, segDf: DataFrame,
       segMeta: DataFrame, queryIds: Seq[Long], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
@@ -794,47 +797,40 @@ object TextAnalysis {
     val spark = segTf.sparkSession
     // the query docs' term rows and the tombstone id list are both
     // query-/del-bounded driver frames from INDEPENDENT subtrees, so
-    // ONE tagged-union action collects both (the ivfProbeTopKPruned
-    // collectProbeAndDel fold on the text side — each saved action is
-    // a whole Spark job, and jobs × scheduler-floor is this serve's
-    // wall lower bound): qrows carry `__del` null, del rows pad the
-    // qrow columns null and carry the id (non-null by store
-    // construction). The del tree stays broadcast-sized by the same
-    // contract that makes an anti-join viable at all (compaction is
-    // the pressure valve); the doomed ids screen the collected qrows
-    // DRIVER-side — same rows the in-plan filter produced.
+    // ONE tagged-union action collects both — the fold is SHARED with
+    // the vector serves ([[graft.operators.Similarity]]'s
+    // collectProbeAndDelBounded; each saved action is a whole Spark
+    // job, and jobs × scheduler-floor is this serve's wall lower
+    // bound). BOUNDED (r19): the fold never materializes more than
+    // `delPushdownMax + 1` del ids driver-side; del ids are cast
+    // in-plan to segTf's idCol type so the driver-side screen below
+    // compares by construction, and null del ids (contract
+    // violations) are dropped in-plan. A del tree the fold refused to
+    // collect (`None`) screens DISTRIBUTED from the tree itself — the
+    // shape that holds for arbitrarily large tombstone sets: the
+    // posting scan anti-joins the tree, and the qterms local relation
+    // anti-joins it too (a deleted query doc must vanish even though
+    // its rows were collected before the screen could run).
+    val idType = segTf.schema(idCol).dataType
     val qrows0 = segTf.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col("__tok"))
-    val (qrowAll, delIds): (Array[org.apache.spark.sql.Row], Seq[Any]) =
-      segDel match {
-        case None => (qrows0.collect(), Seq.empty[Any])
-        case Some(del) =>
-          val pf = qrows0.schema.fields
-          val dt = del.select(col(idCol)).schema.fields.head.dataType
-          val rows = qrows0.withColumn("__del", lit(null).cast(dt))
-            .unionByName(del.select(
-              pf.map(f => lit(null).cast(f.dataType).as(f.name)) :+
-                col(idCol).cast(dt).as("__del"): _*))
-            .collect()
-          val (d, q) = rows.partition(r => !r.isNullAt(pf.length))
-          (q.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))),
-            d.map(_.get(pf.length)).distinct.toSeq)
-      }
-    val delSet = delIds.toSet
-    // small lists push as a NOT-IN scan filter (zero join, zero extra
-    // exchange), larger ones rebuild as a local relation and anti-join
+    val (qrowAll, delIdsOpt) = graft.operators.Similarity
+      .collectProbeAndDelBounded(qrows0, segDel, idCol, idType, delPushdownMax)
+    // bounded lists push as a NOT-IN scan filter (zero join, zero
+    // extra exchange); an over-bound tree anti-joins distributed
     val (delFilter, delAnti): (Option[Column], Option[DataFrame]) =
-      if (delIds.isEmpty) (None, None)
-      else if (delIds.length <= delPushdownMax)
-        (Some(!col(idCol).isInCollection(delIds)), None)
-      else (None, Some(spark.createDataFrame(
-        java.util.Arrays.asList(delIds.map(org.apache.spark.sql.Row(_)): _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          segDel.get.select(col(idCol)).schema.fields.head)))))
+      delIdsOpt match {
+        case Some(ids) if ids.isEmpty => (None, None)
+        case Some(ids) => (Some(!col(idCol).isInCollection(ids)), None)
+        case None => (None, Some(segDel.get
+          .select(col(idCol).cast(idType).as(idCol))
+          .where(col(idCol).isNotNull).distinct()))
+      }
     def screen(df: DataFrame): DataFrame = {
       val f = delFilter.fold(df)(df.filter)
-      delAnti.fold(f)(d => f.join(broadcast(d), Seq(idCol), "left_anti"))
+      delAnti.fold(f)(d => f.join(d, Seq(idCol), "left_anti"))
     }
+    val delSet = delIdsOpt.getOrElse(Seq.empty).toSet
     val qrowRows = qrowAll.filter(r => !delSet.contains(r.get(0)))
     val qtoks = qrowRows.map(_.getString(1)).distinct.toSeq
     val tokMatch =
@@ -869,10 +865,15 @@ object TextAnalysis {
     val qtermSchema = org.apache.spark.sql.types.StructType(
       qrows0.schema.fields :+ org.apache.spark.sql.types.StructField(
         "__df", org.apache.spark.sql.types.LongType, nullable = false))
-    val qterms = spark.createDataFrame(
+    val qterms0 = spark.createDataFrame(
       java.util.Arrays.asList(qrowRows.map(r =>
         org.apache.spark.sql.Row(r.get(0), r.get(1),
           dfMap.getOrElse(r.getString(1), 0L))): _*), qtermSchema)
+    // over-bound del tree: the collected qrows were never screened
+    // driver-side, so a deleted query doc's terms are still in
+    // qterms0 — anti-join them out against the tree in-plan
+    val qterms = delAnti.fold(qterms0)(d =>
+      qterms0.join(d, qterms0("query_id") === d(idCol), "left_anti"))
     val posting = screen(segTf.filter(tokMatch))
     bm25RelatedTopKFrom(posting, queryIds, k, k1, b, idCol,
       qtermsOpt = Some(qterms), statsLitOpt = Some((nDocs, avgdl)))
