@@ -430,7 +430,11 @@ object Bench {
       if (po.failure.isEmpty) {
         oracleSqls.get(name).foreach { sql =>
           po.time(name, sql, pairedSamples) match {
-            case Right(s)  => pairedTimes(name) = s
+            // min-merge: headline queries pair in BOTH passes (r19), so
+            // the comparator keeps its own best window exactly like the
+            // Spark side's cross-pass min
+            case Right(s)  => pairedTimes(name) =
+              math.min(pairedTimes.getOrElse(name, Double.MaxValue), s)
             case Left(err) => pairedErrors += s"paired $name: ${err.take(160)}"
           }
         }
@@ -486,10 +490,16 @@ object Bench {
     // positions (+0.04-0.12 s each) — ~400 query executions of
     // broadcast/shuffle debt hand the async ContextCleaner a workload
     // that competes with the timed jobs more the deeper the section
-    // runs. Headline keeps quiesceEvery = 0: its protocol is the one
-    // the committed DuckDB anchor was measured under, and changing it
-    // would move the gate number for protocol rather than code
-    // reasons.
+    // runs. r19 (the r18 verdict's #3): the headline section now
+    // quiesces too (every 4) AND runs twice — once before and once
+    // after the extended section — taking the per-query MIN across
+    // the two passes. The r18 official artifact read a 0.80 geomean
+    // "regression" on completely untouched code because a sustained
+    // co-tenant load ramp covered all 7 back-to-back samples of the
+    // first pass; two passes ~25 minutes apart make a sustained ramp
+    // have to cover both windows to inflate a number. The paired
+    // DuckDB comparator samples in BOTH passes and min-merges
+    // identically, so the paired ratio stays weather-symmetric.
     def run(names: Seq[String], quiesceEvery: Int = 0, pair: Boolean = false,
         floorMin2: Boolean = false): Seq[(String, Either[String, Double])] = names.zipWithIndex.map { case (name, qi) =>
       if (quiesceEvery > 0 && qi > 0 && qi % quiesceEvery == 0) resetExecutorState()
@@ -590,7 +600,7 @@ object Bench {
     }
     resetExecutorState()
     burn(headline)
-    val results = run(headline, pair = true)
+    val resultsPass1 = run(headline, quiesceEvery = 4, pair = true)
     resetExecutorState()
     burn(extended)
     // every 8 (was 16): the r12 rerun showed same-code extended
@@ -599,6 +609,20 @@ object Bench {
     // the broadcast/shuffle debt a timed query can inherit, at ~10×2 s
     // of UNtimed wall — outside every measured number
     val extResults = run(extended, quiesceEvery = 8, pair = true, floorMin2 = true)
+    // Second headline pass (r19, see the quiesceEvery comment above):
+    // same protocol, ~25 minutes of extended-section weather later;
+    // the headline artifact is the per-query MIN across both passes.
+    // A pass-1 error keeps its error unless pass 2 succeeded (a
+    // flaky failure must surface, not vanish into a number).
+    resetExecutorState()
+    burn(headline)
+    val resultsPass2 = run(headline, quiesceEvery = 4, pair = true)
+    val results: Seq[(String, Either[String, Double])] =
+      resultsPass1.zip(resultsPass2).map {
+        case ((n, Right(a)), (_, Right(b))) => n -> Right(math.min(a, b))
+        case ((n, Right(a)), _)             => n -> Right(a)
+        case ((n, _), (_, r2))              => n -> r2
+      }
     // pairing is a main-sections affair; the aux sections that follow
     // time against their own in-section comparators
     pairedOracle.foreach(_.close())
@@ -1088,6 +1112,12 @@ object Bench {
     // without taking the compact line with it.
     val detailJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
+      // r19 protocol record (additive): the headline map above is the
+      // per-query min across two quiesced passes; both raw passes stay
+      // in the artifact so any cross-pass spread is auditable
+      s""""headline_protocol":{"quiesce_every":4,"passes":2},""" +
+      s""""headline_pass1":${toJson(resultsPass1)},""" +
+      s""""headline_pass2":${toJson(resultsPass2)},""" +
       s""""extended":${toJson(extResults)},"extended_total":$extTotal,""" +
       s""""scaling":$scalingJson,"scale_up":$scaleUpJson,""" +
       s""""headline_raw_layout":$rawCompanionJson,""" +

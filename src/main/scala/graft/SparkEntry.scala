@@ -6392,6 +6392,22 @@ object SparkEntry {
         delPushdownMax = 0)
         .orderBy("query_id", "rank")
     }),
+    // r19 (optimization round 2): the pre-fusion JOINED ivfpq
+    // probe/LUT reference (second queries scan joined back on
+    // query_id; one more job in the probe collect) — kept for
+    // interleaved A/Bs against the fused projection now applied by
+    // default (measured at the swap: fused min 0.441 / med 0.462 vs
+    // joined 0.462 / 0.524). The single-exchange BM25 rank fusion was
+    // A/B'd the same way and LOST (0.754/0.868 vs 0.562/0.726) — the
+    // losing variant is deleted per the dev-queries policy; the
+    // numbers live in OPTIMIZATION_r19.md.
+    "dev_ivfpq_stored_joined" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (cent, codes, pq) = storedIvfPqIndex(s, dir)
+      Similarity.ivfPqTopKFromCodes(codes, emb.filter(col("vec_id") < 8),
+        cent, pq, k = 5, nprobe = 2, m = 2, dim = 64, fuseLut = false)
+        .orderBy("query_id", "rank")
+    }),
     // r18 (optimization round): the pre-fuse three-leg reference for
     // x_quality_gate_approx, kept for interleaved A/Bs against the
     // fused quantileGateAudit now in the registry (measured at the

@@ -293,13 +293,17 @@ object Similarity {
       nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc_nulls_last, col("cell").asc)
-    val probes = centroidScores(queries, centroids, idCol, vecCol)
+    // r19 (the ivfPqTopKFromCodes probe/LUT fusion on the float side):
+    // centroidScores keeps the query vector (`__v`) beside each scored
+    // cell, so the probe frame projects it directly — the second
+    // queries scan and the probes⋈q join (one whole broadcast-exchange
+    // job in the collected probe plan) are gone; values are the same
+    // column from the same scan.
+    centroidScores(queries, centroids, idCol, vecCol)
       .withColumnRenamed(idCol, "query_id")
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    probes.join(q, "query_id")
+      .select(col("query_id"), col("cell"), col("__v").as("qv"))
   }
 
   /** Dev probe ([[ivfProbeTopK]] stage 2): probed cells' vectors scored
@@ -1114,21 +1118,20 @@ object Similarity {
     val books = collectBooks(pq, m)
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc_nulls_last, col("cell").asc)
-    val probes = centroidScores(queries, centroids, idCol, vecCol)
+    // probe list and LUT fuse into ONE broadcast frame before the
+    // corpus join: (query_id, cell, lut) is still queries × nprobe
+    // rows — broadcast-sized by construction. r19: the LUT projects
+    // directly onto the top-nprobe survivors (centroidScores keeps
+    // the query vector `__v` beside each scored cell), so the second
+    // queries scan and the probes⋈q join are gone — one scan, no
+    // join, the same LUT expression evaluated per surviving probe
+    // row.
+    val probeLut = centroidScores(queries, centroids, idCol, vecCol)
       .withColumnRenamed(idCol, "query_id")
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__lut", pqLutCol(books, subDim, col("__qv")))
-      .select(col("query_id"), col("__lut"))
-    // probe list and LUT fuse into ONE broadcast frame before the
-    // corpus join: (query_id, cell, lut) is still queries × nprobe
-    // rows — broadcast-sized by construction — and shipping it once
-    // removes a whole broadcast build plus the second probe-side join
-    // from the hot path (two of ivfPqTopK's six scheduled jobs were
-    // the separate builds).
-    val probeLut = probes.join(q, "query_id")
+      .select(col("query_id"), col("cell"),
+        pqLutCol(books, subDim, col("__v")).as("__lut"))
     // corpus side: (coarse cell, id, m codes) in ONE projection — the
     // float vector never leaves the scan
     val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("cand_id"),
@@ -1183,22 +1186,38 @@ object Similarity {
       centroids: DataFrame, pq: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       delOpt: Option[DataFrame] = None,
-      delPushdownMax: Int = 65536): DataFrame = {
+      delPushdownMax: Int = 65536,
+      fuseLut: Boolean = true): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")
     val subDim = dim / m
     val books = collectBooks(pq, m)
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc_nulls_last, col("cell").asc)
-    val probes = centroidScores(queries, centroids, idCol, vecCol)
+    // probe cells and the query-side LUT come from the SAME query
+    // rows, and centroidScores keeps the query vector (`__v`) beside
+    // each scored cell — so the LUT projects directly onto the
+    // top-nprobe survivors instead of joining a second scan of
+    // `queries` back on query_id (r19: one queries scan and no
+    // broadcast-exchange job in the collected probe plan; the LUT
+    // expression is identical, merely evaluated per surviving probe
+    // row — nprobe per query — instead of once per query)
+    val probeRanked = centroidScores(queries, centroids, idCol, vecCol)
       .withColumnRenamed(idCol, "query_id")
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__lut", pqLutCol(books, subDim, col("__qv")))
-      .select(col("query_id"), col("__lut"))
-    val probeLut0 = probes.join(q, "query_id")
+    val probeLut0 =
+      if (fuseLut)
+        probeRanked.select(col("query_id"), col("cell"),
+          pqLutCol(books, subDim, col("__v")).as("__lut"))
+      else {
+        // pre-r19 reference shape (dev_ivfpq_stored_joined A/Bs): LUT
+        // from a second queries scan, joined back on query_id
+        val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+          .withColumn("__lut", pqLutCol(books, subDim, col("__qv")))
+          .select(col("query_id"), col("__lut"))
+        probeRanked.select(col("query_id"), col("cell")).join(q, "query_id")
+      }
     val (probeRows, delIds) = collectProbeAndDelBounded(
       probeLut0, delOpt, idCol, codes.schema(idCol).dataType, delPushdownMax)
     val cells = probeRows.map(_.get(1)).distinct.toSeq

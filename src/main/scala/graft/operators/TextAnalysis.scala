@@ -919,6 +919,15 @@ object TextAnalysis {
       case None =>
         joined.crossJoin(broadcast(statsOpt.getOrElse(bm25IndexStats(tf, idCol))))
     }
+    // A single-exchange "fused rank" variant (repartition(query_id)
+    // before the aggregate, so the (query_id, cand_id) agg exchange
+    // and the (query_id) window exchange collapse into one) was
+    // MEASURED AND REJECTED in r19: interleaved A/B on the segmented
+    // serve read fused min 0.754 / med 0.868 vs split 0.562 / 0.726 —
+    // with a handful of query docs the query_id hash under-fills the
+    // shuffle width (§2.5 synthetic-key collisions) and the raw
+    // candidate stream shuffles BEFORE map-side partial aggregation,
+    // which together cost more than the exchange they save.
     withStats
       .withColumn("__contrib", contrib)
       .groupBy(col("query_id"), col("cand_id"))
