@@ -258,3 +258,80 @@ object SortAggScan {
     spark.stop()
   }
 }
+
+/** Diagnostic: per-JOB wall decomposition of named queries (guide §1
+  * stage decomposition for the floor-zone adjudications) — run each
+  * query `SPARK_GRAFT_AB_ROUNDS` (default 5) times under the bench
+  * session profile and print, for the best (min-wall) round, every
+  * Spark job's wall with the job's first stage name. Separates
+  * "N jobs × scheduler floor" serves from genuinely slow single jobs.
+  * Usage: SPARK_GRAFT_AB=q1,q2 sbt "runMain graft.JobDecomp [sfdir]" */
+object JobDecomp {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = sys.env.getOrElse("SPARK_GRAFT_AB", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(names.nonEmpty, "set SPARK_GRAFT_AB=q1,q2,...")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "5").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MPB", "4194304"))
+      .config("spark.sql.files.openCostInBytes", "1048576")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]()
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Double, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val stage = s.stageInfos.headOption.map(_.name.takeWhile(_ != '\n')).getOrElse("?")
+        jobs.put(s.jobId, (s.time, 0L, stage.take(90))); ()
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val old = jobs.get(e.jobId)
+        if (old != null) jobs.put(e.jobId, (old._1, e.time, old._3)); ()
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val wall = (for { a <- i.submissionTime; b <- i.completionTime }
+          yield (b - a) / 1e3).getOrElse(0.0)
+        stages.put(i.stageId,
+          (wall, s"${i.name.takeWhile(_ != '\n').take(70)} [${i.numTasks}t]")); ()
+      }
+    })
+    def drain(): Unit =
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+    SparkEntry.prewarmBuilds(spark, dir)
+    val lookup = SparkEntry.queries ++ SparkEntry.devQueries
+    names.foreach { n =>
+      lookup(n)(spark, dir).count() // warm
+      val best = (1 to rounds).map { _ =>
+        drain(); jobs.clear(); stages.clear()
+        val t0 = System.nanoTime()
+        lookup(n)(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        drain()
+        (wall, jobs.values.toArray(Array.empty[(Long, Long, String)]).toSeq.sortBy(_._1),
+          stages.entrySet().toArray(Array.empty[java.util.Map.Entry[Int, (Double, String)]])
+            .toSeq.map(e => (e.getKey, e.getValue)).sortBy(_._1))
+      }.minBy(_._1)
+      println(f"\n== $n: min wall ${best._1}%.3f s, ${best._2.size} jobs")
+      best._2.foreach { case (t0, t1, stage) =>
+        println(f"   ${(t1 - t0) / 1e3}%7.3f s  $stage")
+      }
+      best._3.foreach { case (id, (w, nm)) =>
+        println(f"     stage $id%3d ${w}%7.3f s  $nm")
+      }
+    }
+    spark.stop()
+  }
+}

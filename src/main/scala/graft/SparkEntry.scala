@@ -881,10 +881,20 @@ object SparkEntry {
     scratchLock.synchronized {
       storedNearDupIndexMemo.getOrElseUpdate((s, dir), {
         val seen = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0)
-        val path = scratchPath("graft_neardup_index", dir)
-        Dedup.nearDupIndex(seen, n = 2, numHashes = 16, bands = 8)
-          .write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
+        // BUCKETED epoch store (r19, layout parity with the ppjoin and
+        // BM25 stores — the r18 verdict's #8): the posting lists
+        // persist bucketBy(band, band_key), so the loaded scan exposes
+        // HashPartitioning to any screen shape that shuffles the index
+        // (today's screen broadcasts the batch side, so the serve plan
+        // is unchanged — the bucketing is layout future-proofing paid
+        // once at the epoch write, PlanSpec-pinned).
+        Dedup.storeNearDupIndexBucketed(
+          Dedup.nearDupIndex(seen, n = 2, numHashes = 16, bands = 8),
+          n = 2, numHashes = 16, bands = 8, maxBucket = Dedup.DefaultMaxBucket,
+          tablePrefix = scratchTableName("graft_neardup_idx", dir),
+          path = scratchPath("graft_neardup_index", dir))
+        Dedup.loadNearDupIndexBucketed(s,
+          scratchTableName("graft_neardup_idx", dir))
       })
     }
 
@@ -5343,7 +5353,18 @@ object SparkEntry {
         val toks = Tables.documents(s, dir).select(col("doc_id"),
           size(filter(split(col("text"), " "), t => t =!= "")).as("n_tokens"))
           .repartition(1)
-        Curation.packSequences(toks, "doc_id", "n_tokens", packTokens = 2048L)
+        // fixedWidth + no checkpoint (r19, verdict #5): floor(id/64k)
+        // bucketing needs no quantile scan and the 2-column token
+        // frame is cheap enough to evaluate twice, so the whole
+        // packing is ONE action (+ the offsets broadcast build) —
+        // interleaved A/B at the swap: 0.158/0.167 min/med vs the
+        // checkpoint+quantile form's 0.238/0.265 (dev_pack_sequences
+        // _quantile keeps the old shape for future A/Bs). Width is
+        // priority-domain knowledge (dense doc ids), not scale tuning:
+        // buckets stay ≤64k docs at every corpus size while the
+        // bucket COUNT grows with the data.
+        Curation.packSequences(toks, "doc_id", "n_tokens", packTokens = 2048L,
+            materialize = Some(false), fixedWidth = 65536.0)
           .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
             col("token_start"), col("pack_id"), col("pack_offset"))
           .orderBy("doc_id")
@@ -5375,16 +5396,18 @@ object SparkEntry {
         val toks = Tables.documents(s, dir).select(col("doc_id"),
           size(filter(split(col("text"), " "), t => t =!= "")).as("n_tokens"))
           .repartition(1)
-        // materialize=Some(true), re-decided in r14 with the
-        // x_pipeline_curate finding: column pruning diverges the
-        // prefix-sum branches (the offsets branch drops columns the
-        // window branch keeps), ReuseExchange stops firing, and the
-        // token-split projection evaluated once per branch PLUS once
-        // for the quantile scan. One checkpoint of the 2-column token
-        // frame beats the re-evaluations (interleaved A/B at sf0.1:
-        // 0.402/0.419 vs 0.435/0.492 s min/med).
+        // fixedWidth KILLS the quantile job (r19, verdict #5) while
+        // materialize=Some(true) KEEPS the checkpoint: unlike the
+        // sequences twin, the stats audit re-consumes the prefix sum
+        // through an explode+aggregate tail, and the r14
+        // pruning-diverges-the-branches finding still bites — the
+        // 3-way interleaved A/B read width+ckpt 0.272/0.316 min/med
+        // vs width-no-ckpt 0.303/0.368 vs the old quantile+ckpt form
+        // 0.307/0.388 (dev_pack_stats_quantile keeps the old shape).
+        // Jobs 4 → 3: the checkpoint, the offsets broadcast build,
+        // and the serve.
         Curation.packStats(toks, "doc_id", "n_tokens", packTokens = 2048L,
-            materialize = Some(true))
+            materialize = Some(true), fixedWidth = 65536.0)
           .orderBy("pack_id")
       },
       Some("""WITH t AS (
@@ -6339,6 +6362,31 @@ object SparkEntry {
     * and fold+localCheckpoint(counts) beat the bare fold 0.234/0.260
     * vs 0.281/0.314 — both promoted; the split shape deleted.) */
   def devQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // r19 (verdict #5): the pre-swap quantile-scan pack forms, kept
+    // for interleaved A/Bs against the fixed-width forms now
+    // registered (measured at the swap — stats 3-way: width+ckpt
+    // 0.272/0.316 vs width-no-ckpt 0.303/0.368 vs this quantile+ckpt
+    // form 0.307/0.388; sequences: width-no-ckpt 0.158/0.167 vs this
+    // form 0.238/0.265. The losing width-no-ckpt stats variant and
+    // the winning forms' dev copies are deleted per the dev-queries
+    // policy.)
+    "dev_pack_stats_quantile" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).as("n_tokens"))
+        .repartition(1)
+      Curation.packStats(toks, "doc_id", "n_tokens", packTokens = 2048L,
+          materialize = Some(true))
+        .orderBy("pack_id")
+    }),
+    "dev_pack_sequences_quantile" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).as("n_tokens"))
+        .repartition(1)
+      Curation.packSequences(toks, "doc_id", "n_tokens", packTokens = 2048L)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("token_start"), col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
+    }),
     // r17 ppjoin stage-decomposition PROBES (not plan variants): the
     // AbBench/ScaleUpAb instruments behind the BASELINE.md weak-set
     // and scale-up adjudications of the ppjoin family — kept so the

@@ -118,6 +118,35 @@ object CdcChunks {
     val s = text.toString
     val n = s.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // Fixed-grid fast path (r19): minSize == maxSize forces a boundary
+    // at exactly maxSize code points before the hash test can ever
+    // fire (the force is checked first, and the hash is suppressed
+    // below minSize), so boundaries are a fixed grid and the rolling
+    // hash — the per-code-point multiply chain and both scratch
+    // arrays — is provably dead work. One pass: walk chars, cut every
+    // maxSize code points. Same output as the general path by the
+    // suppression argument (spec-pinned in FunctionsKernelSpec).
+    if (minSize == maxSize && maxSize > 0) {
+      val chunks = new scala.collection.mutable.ArrayBuffer[Any]()
+      var chunkStartChar = 0
+      var chunkStartCp = 0
+      var cpInChunk = 0
+      var cpTotal = 0
+      var ci = 0
+      while (ci < n) {
+        ci += Character.charCount(s.codePointAt(ci))
+        cpInChunk += 1
+        cpTotal += 1
+        if (cpInChunk == maxSize || ci >= n) {
+          chunks += InternalRow(chunkStartCp + 1, cpInChunk,
+            digest60(s.substring(chunkStartChar, ci)))
+          chunkStartChar = ci
+          chunkStartCp = cpTotal
+          cpInChunk = 0
+        }
+      }
+      return new GenericArrayData(chunks.toArray)
+    }
     // code points + the char offset where each begins (so chunk
     // substrings slice by code-point position, the oracle's substr)
     var cpCount = 0

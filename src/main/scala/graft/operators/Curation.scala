@@ -51,11 +51,25 @@ object Curation {
     * windows over another would corrupt the running totals silently.
     * Pass `Some(false)` only for a deterministic input cheap enough to
     * evaluate twice (with `fixedThresholds` there is no quantile scan,
-    * so the whole operator is then ONE job). */
+    * so the whole operator is then ONE job).
+    *
+    * `fixedWidth` (r19): FIXED-WIDTH range buckets — `bucket =
+    * floor(−priority / fixedWidth)` — the zero-knowledge sibling of
+    * `fixedThresholds` for priorities whose DENSITY is known even
+    * though their range is not (a dense id order, a bounded score).
+    * Any positive width is CORRECT (bucket boundaries never affect the
+    * running totals, only balance); each bucket holds at most
+    * `fixedWidth` distinct priority values, so per-bucket sort memory
+    * is width-bounded at every scale while the bucket COUNT grows with
+    * the data — the scale-adaptive shape, with no quantile scan and no
+    * caller-supplied boundary list. Null priorities bucket to
+    * `Long.MaxValue`, preserving DESC NULLS LAST. Takes precedence
+    * over `fixedThresholds`/`buckets` when positive. */
   def runningTotalByPriority(df: DataFrame, priorityCol: String, tieCol: String,
       valueCol: String, out: String, buckets: Int = 0,
       fixedThresholds: Array[Double] = Array.empty,
-      materialize: Option[Boolean] = None): DataFrame = {
+      materialize: Option[Boolean] = None,
+      fixedWidth: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(Seq(ByteType, ShortType, IntegerType, LongType)
       .contains(df.schema(valueCol).dataType),
@@ -75,22 +89,32 @@ object Curation {
       if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
+    val p = col(priorityCol)
     // Descending thresholds from ascending quantiles; duplicates (heavy
     // values) just leave some buckets empty. Nulls are ignored by
     // approxQuantile and fall through to the last bucket, matching
-    // DESC NULLS LAST global ordering.
-    val thresholds =
-      if (fixedThresholds.nonEmpty) fixedThresholds.distinct.sorted(Ordering[Double].reverse)
+    // DESC NULLS LAST global ordering. fixedWidth replaces the whole
+    // threshold apparatus with one monotone expression: floor(−p / w)
+    // is non-decreasing as p descends, so range-bucket contiguity —
+    // the only property the offsets fold needs — holds by
+    // construction, and nulls take the Long.MaxValue bucket (DESC
+    // NULLS LAST: after every real value).
+    val bucket =
+      if (fixedWidth > 0.0)
+        when(p.isNull, lit(Long.MaxValue))
+          .otherwise(floor(-p / lit(fixedWidth)).cast("long"))
       else {
-        val probes = (1 until nBuckets).map(i => i.toDouble / nBuckets).toArray
-        input.stat.approxQuantile(priorityCol, probes, 0.001)
-          .distinct.sorted(Ordering[Double].reverse)
-      }
-
-    val p = col(priorityCol)
-    val bucket = thresholds.zipWithIndex
-      .foldRight(lit(thresholds.length): Column) { case ((t, i), acc) =>
-        when(p >= t, lit(i)).otherwise(acc)
+        val thresholds =
+          if (fixedThresholds.nonEmpty) fixedThresholds.distinct.sorted(Ordering[Double].reverse)
+          else {
+            val probes = (1 until nBuckets).map(i => i.toDouble / nBuckets).toArray
+            input.stat.approxQuantile(priorityCol, probes, 0.001)
+              .distinct.sorted(Ordering[Double].reverse)
+          }
+        thresholds.zipWithIndex
+          .foldRight(lit(thresholds.length): Column) { case ((t, i), acc) =>
+            when(p >= t, lit(i)).otherwise(acc)
+          }
       }
     val bucketed = input.withColumn("__bucket", bucket)
 
@@ -157,14 +181,18 @@ object Curation {
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
       packTokens: Long, buckets: Int = 0,
       fixedThresholds: Array[Double] = Array.empty,
-      materialize: Option[Boolean] = None): DataFrame = {
+      materialize: Option[Boolean] = None,
+      fixedWidth: Double = 0.0): DataFrame = {
     require(packTokens > 0, "packTokens must be positive")
     val negOrd = "__neg_order"
     val running = "__running_tokens"
+    // fixedWidth is in orderCol units and passes through unchanged:
+    // priority = −order, so floor(−p / w) = floor(order / w) — each
+    // bucket spans `fixedWidth` consecutive order values
     runningTotalByPriority(
       df.withColumn(negOrd, -col(orderCol).cast("double")),
       negOrd, orderCol, tokenCol, running, buckets,
-      fixedThresholds.map(-_), materialize)
+      fixedThresholds.map(-_), materialize, fixedWidth)
       .withColumn("token_start", (col(running) - col(tokenCol)).cast("long"))
       .withColumn("pack_id", expr(s"token_start div ${packTokens}L"))
       .withColumn("pack_offset", pmod(col("token_start"), lit(packTokens)))
@@ -186,9 +214,10 @@ object Curation {
   def packStats(df: DataFrame, orderCol: String, tokenCol: String,
       packTokens: Long, buckets: Int = 0,
       fixedThresholds: Array[Double] = Array.empty,
-      materialize: Option[Boolean] = None): DataFrame = {
+      materialize: Option[Boolean] = None,
+      fixedWidth: Double = 0.0): DataFrame = {
     val packed = packSequences(df, orderCol, tokenCol, packTokens, buckets,
-      fixedThresholds, materialize)
+      fixedThresholds, materialize, fixedWidth)
       .filter(col(tokenCol) > 0)
       .select(col(orderCol), col("token_start"),
         col(tokenCol).cast("long").as("__n"),

@@ -1068,6 +1068,79 @@ object Dedup {
       .filter(size(col("ids")) <= maxBucket)
   }
 
+  /** BUCKETED epoch store for a [[nearDupIndex]] frame (r19, layout
+    * parity with the ppjoin/BM25 stores — the last stored index family
+    * on plain parquet): posting lists written `bucketBy`+`sortBy`
+    * their join key (`band`, `band_key`), so a LOADED index's scan
+    * exposes `HashPartitioning` to the planner. The current screen
+    * ([[incrementalNearDupAgainst]]) broadcasts the batch side, so no
+    * corpus exchange exists to remove TODAY — the bucketing is paid
+    * once at the epoch write to foreclose the per-session re-shuffle
+    * for any future screen shape that does shuffle the index (equally
+    * keyed joins/aggregations skip the exchange, §2.4). One file per
+    * bucket, same argument as the ppjoin store: the pre-write
+    * repartition uses bucketBy's own murmur3-pmod routing, so every
+    * write task holds exactly one bucket and the reader keeps the
+    * file-level sort. Build params travel as a meta table so
+    * [[registerNearDupIndexBucketed]] re-declares the bucket spec from
+    * the store itself, never from a caller guess. */
+  def storeNearDupIndexBucketed(index: DataFrame, n: Int, numHashes: Int,
+      bands: Int, maxBucket: Int, tablePrefix: String, path: String,
+      nBuckets: Int = 32, idCol: String = "doc_id"): Unit = {
+    require(tablePrefix.matches("[A-Za-z0-9_]+"),
+      s"unsafe table prefix: $tablePrefix")
+    require(nBuckets > 0, "nBuckets must be positive")
+    import org.apache.spark.sql.SaveMode
+    val spark = index.sparkSession
+    index.repartition(nBuckets, col("band"), col("band_key"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/postings")
+      .bucketBy(nBuckets, "band", "band_key").sortBy("band", "band_key")
+      .saveAsTable(s"${tablePrefix}_postings")
+    spark.createDataFrame(Seq((n, numHashes, bands, maxBucket, nBuckets, idCol)))
+      .toDF("n", "num_hashes", "bands", "max_bucket", "n_buckets", "id_col")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/meta")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Re-attach a [[storeNearDupIndexBucketed]] store written by a
+    * PRIOR session — the neardup twin of
+    * [[registerPpJoinIndexBucketed]]: declares the catalog tables over
+    * the existing files with the bucket spec re-stated from the
+    * store's own meta row. Idempotent. */
+  def registerNearDupIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, path: String): Unit = {
+    require(tablePrefix.matches("[A-Za-z0-9_]+"),
+      s"unsafe table prefix: $tablePrefix")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nBuckets = meta.getInt(4)
+    def ddlCols(sub: String): String =
+      spark.read.parquet(s"$path/$sub").schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    def ensure(suffix: String, sub: String, bucketed: Boolean): Unit = {
+      val name = s"${tablePrefix}_$suffix"
+      if (!spark.catalog.tableExists(name)) {
+        val cluster = if (bucketed)
+          s" CLUSTERED BY (`band`, `band_key`) SORTED BY (`band`, `band_key`)" +
+            s" INTO $nBuckets BUCKETS"
+        else ""
+        spark.sql(s"CREATE TABLE $name (${ddlCols(sub)}) USING parquet" +
+          cluster + s" LOCATION '$path/$sub'")
+      }
+    }
+    ensure("postings", "postings", bucketed = true)
+    ensure("meta", "meta", bucketed = false)
+  }
+
+  /** The loaded posting-list frame of a [[storeNearDupIndexBucketed]]
+    * store: a bucketed scan exposing HashPartitioning(band, band_key)
+    * — feed it to [[incrementalNearDupAgainst]] exactly like an
+    * in-session [[nearDupIndex]] frame. */
+  def loadNearDupIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): DataFrame =
+    spark.table(s"${tablePrefix}_postings")
+
   /** Screen a batch against a prebuilt [[nearDupIndex]]. `n`,
     * `numHashes`, and `bands` must match the index's build parameters
     * (band keys are concatenations of the signature components, so a
@@ -1343,7 +1416,7 @@ object Dedup {
     * 22M — same verified output, 7× the candidate work). At
     * `maxHamming = 7` the slices degenerate to the historical 8
     * byte-bands exactly. */
-  private def bandKeys64(v: Column, nBands: Int): Column =
+  private[graft] def bandKeys64(v: Column, nBands: Int): Column =
     array((0 until nBands).map { b =>
       val start = 64 * b / nBands
       val width = 64 * (b + 1) / nBands - start

@@ -206,12 +206,11 @@ object Similarity {
     * never rides the fold at all — the fold returns `None` and the
     * caller keeps a genuinely distributed anti-join, so a
     * delete-heavy window between compactions cannot OOM the driver.
-    * Under the gate the union keeps the r18 plan shape EXACTLY (no
-    * in-plan distinct/limit — those each cost a shuffle stage, and
-    * the job-fold pin holds the with-del construction to the same
-    * job count as without); the collected ids dedup driver-side and
-    * a list that still exceeds `maxDel` (too many ids for a sane
-    * NOT-IN literal) also returns `None`. Del ids are null-filtered
+    * Under the gate the union keeps the r18 plan shape EXACTLY (an
+    * in-plan distinct+limit was measured in r19 and rejected — see
+    * the fold body); the collected ids dedup driver-side and a list
+    * that still exceeds `maxDel` (too many ids for a sane NOT-IN
+    * literal) also returns `None`. Del ids are null-filtered
     * in-plan (a null id would otherwise masquerade as an all-null
     * probe row — the tag column is its nullness) and CAST to
     * `delIdType`, the id type of the frame the caller will screen, so
@@ -230,6 +229,17 @@ object Similarity {
       case (Some(_), None) => (probe0.collect(), None)
       case (_, Some(del)) =>
         val pf = probe0.schema.fields
+        // An in-plan `distinct().limit(maxDel + 1)` on this branch was
+        // IMPLEMENTED AND REJECTED in r19: under AQE its exchanges
+        // materialize as an extra scheduled job (the job-fold PlanSpec
+        // pin caught it — 6 jobs vs 5), spending exactly the driver
+        // action the fold exists to save. The driver bound is instead
+        // the stats gate above (≤ cutoffBytes of PARQUET ever enters
+        // the union — worst-case delta-packed encodings decompress to
+        // tens of MB of rows, not the unbounded r18 exposure) with
+        // `spark.driver.maxResultSize` as the loud backstop; a list
+        // that exceeds maxDel after the driver-side dedup still
+        // refuses the pushdown below.
         val d0 = del.select(col(idCol).cast(delIdType).as(idCol))
           .where(col(idCol).isNotNull)
         val tagged = probe0.withColumn("__del", lit(null).cast(delIdType))
@@ -246,12 +256,20 @@ object Similarity {
     }
   }
 
+  // delPushdownMax default 4096 (r19, SIZED FROM DATA — DelPushdownAb
+  // on the bench's own 10× store, interleaved min/med): NOT-IN
+  // pushdown beats the distributed anti-join at 1k (0.522/0.570 vs
+  // 0.604/0.687) and 4k (0.515/0.624 vs 0.721/0.919) del ids and
+  // LOSES at 16k (0.822/0.984 vs 0.703/0.830) — the crossover sits in
+  // (4k, 16k), and 4096 is the largest measured winner. The r18
+  // default (65536) was never measured as a pushdown size; a 64k
+  // NOT-IN literal also bloats plan serialization for nothing.
   def ivfProbeTopKPruned(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label",
       delOpt: Option[DataFrame] = None,
-      delPushdownMax: Int = 65536): DataFrame = {
+      delPushdownMax: Int = 4096): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     // ONE collect serves both needs — the static cell filter and the
     // broadcast probe frame (rebuilt as a local relation, so the
@@ -1186,7 +1204,7 @@ object Similarity {
       centroids: DataFrame, pq: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       delOpt: Option[DataFrame] = None,
-      delPushdownMax: Int = 65536,
+      delPushdownMax: Int = 4096,
       fuseLut: Boolean = true): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     require(m >= 1 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m)")

@@ -792,7 +792,7 @@ object TextAnalysis {
       segMeta: DataFrame, queryIds: Seq[Long], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", segDel: Option[DataFrame] = None,
-      delPushdownMax: Int = 65536): DataFrame = {
+      delPushdownMax: Int = 4096): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must be non-empty")
     val spark = segTf.sparkSession
     // the query docs' term rows and the tombstone id list are both

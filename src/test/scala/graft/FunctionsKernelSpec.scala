@@ -683,6 +683,29 @@ class FunctionsKernelSpec extends SparkSpec {
       s"only ${shared.size}/${both.size} bounded chunks survived the edit")
     // (the 5-arg SQL face is pinned in ExtensionsSpec, whose session
     // has GraftExtensions registered)
+
+    // r19 fixed-grid fast path: minSize == maxSize makes the rolling
+    // hash dead work (the max-force fires before a hash boundary can),
+    // so compute() takes a grid-only path — pin it against an
+    // independent construction: code-point tiles of exactly K with the
+    // same md5-prefix digest, incl. a supplementary-plane string where
+    // char offsets and code-point offsets diverge
+    def hash60(sub: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sub.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for (text <- Seq(base, run, "ab", "x", "😀abc😁defgh" * 7);
+         k <- Seq(1, 5, 64)) {
+      val got = chunksOf(text, k, k)
+      val cps = text.codePoints().toArray
+      val expect = cps.grouped(k).zipWithIndex.map { case (g, gi) =>
+        (gi * k + 1, g.length, hash60(new String(g, 0, g.length)))
+      }.toSeq
+      assert(got == expect, s"fixed grid k=$k mismatch on ${text.take(12)}…")
+      assert(got.map(_._2).sum == cps.length) // code-point tiling, no gaps
+    }
   }
 
   test("NbScores memoizes the model broadcast NaN-stably across apply calls") {

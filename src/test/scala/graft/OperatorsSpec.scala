@@ -1136,6 +1136,18 @@ class OperatorsSpec extends SparkSpec {
       fixedThresholds = Array(0.2, 0.4))
       .select("doc_id", "rt").as[(Long, Long)].collect().toMap
     assert(fixed == naive)
+    // r19 fixed-width buckets: any positive width must reproduce the
+    // naive window exactly — incl. the priorities here (sub-width
+    // values collapsing into one bucket), the null priorities (their
+    // own Long.MaxValue bucket, DESC NULLS LAST), and boundary ties —
+    // and with no quantile scan and materialize = false the operator
+    // is a single action
+    for (w <- Seq(0.05, 0.3, 1000.0)) {
+      val fw = Curation.runningTotalByPriority(df, "priority", "doc_id", "v", "rt",
+        materialize = Some(false), fixedWidth = w)
+        .select("doc_id", "rt").as[(Long, Long)].collect().toMap
+      assert(fw == naive, s"fixedWidth=$w diverged from the naive window")
+    }
     val cut = Curation.budgetCut(df, "priority", "doc_id", "v", budget = 100, buckets = 8)
     assert(cut.agg(sum("v")).as[Long].head() <= 100)
   }

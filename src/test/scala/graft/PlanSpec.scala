@@ -658,6 +658,62 @@ class PlanSpec extends SparkSpec {
     graft.operators.Dedup.registerPpJoinIndexBucketed(spark, "ppjoin_bt_test", root)
   }
 
+  test("BUCKETED stored neardup (LSH) index: layout parity, identical screens") {
+    // r19 (verdict #8): the minhash-band epoch index joins the
+    // ppjoin/BM25 stores in persisting bucketBy its join key. The
+    // incremental screen BROADCASTS the batch side, so the serve plan
+    // has no corpus exchange to remove — the pin is therefore
+    // (a) answer identity across the store round trip and the
+    // cross-session re-attach, and (b) the layout claim itself: an
+    // index-shuffling shape (a (band, band_key) aggregate) over the
+    // LOADED store plans ZERO exchanges, i.e. the files really do
+    // expose HashPartitioning to the planner.
+    val rnd = new scala.util.Random(17)
+    val docs = (0 until 90).map { i =>
+      (i.toLong, (0 until 6 + rnd.nextInt(6)).map(_ => s"w${rnd.nextInt(25)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val seen = docs.filter(col("doc_id") % 5 =!= 0)
+    val idx = graft.operators.Dedup.nearDupIndex(seen, n = 2, numHashes = 16, bands = 8)
+    val root = java.nio.file.Files.createTempDirectory("neardup_bt").toString
+    graft.operators.Dedup.storeNearDupIndexBucketed(idx, n = 2, numHashes = 16,
+      bands = 8, maxBucket = graft.operators.Dedup.DefaultMaxBucket,
+      tablePrefix = "neardup_bt_test", path = root, nBuckets = 4)
+    val loaded = graft.operators.Dedup.loadNearDupIndexBucketed(spark, "neardup_bt_test")
+    val expect = graft.operators.Dedup.incrementalNearDupAgainst(
+        batch, idx, n = 2, numHashes = 16, bands = 8)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    val got = graft.operators.Dedup.incrementalNearDupAgainst(
+        batch, loaded, n = 2, numHashes = 16, bands = 8)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    assert(got == expect && got.nonEmpty,
+      s"stored screen answer changed: $got vs $expect")
+    // the layout claim: an aggregate keyed exactly on the bucket key
+    // over the loaded store plans with NO exchange (and engages the
+    // bucketed scan), where the same aggregate over plain parquet
+    // must shuffle
+    val aggPlan = planOf(loaded.groupBy("band", "band_key")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))))
+    assert(!aggPlan.contains("Exchange hashpartitioning"),
+      s"bucket-keyed aggregate over the loaded store must not shuffle:\n$aggPlan")
+    assert(aggPlan.contains("SelectedBucketsCount"),
+      s"the aggregate must engage the bucketed scan:\n$aggPlan")
+    // cross-session re-attach from the store's own meta
+    Seq("postings", "meta").foreach(s => spark.sql(s"DROP TABLE neardup_bt_test_$s"))
+    graft.operators.Dedup.registerNearDupIndexBucketed(spark, "neardup_bt_test", root)
+    val reattached = graft.operators.Dedup.loadNearDupIndexBucketed(spark, "neardup_bt_test")
+    assert(graft.operators.Dedup.incrementalNearDupAgainst(
+        batch, reattached, n = 2, numHashes = 16, bands = 8)
+      .orderBy("new_id", "seen_id").collect().toSeq == expect)
+    val rePlan = planOf(reattached.groupBy("band", "band_key")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))))
+    assert(!rePlan.contains("Exchange hashpartitioning") &&
+      rePlan.contains("SelectedBucketsCount"),
+      s"re-attached store must keep the bucketed layout:\n$rePlan")
+    // idempotent in the writing session
+    graft.operators.Dedup.registerNearDupIndexBucketed(spark, "neardup_bt_test", root)
+  }
+
   test("segmented BM25 serve pushes the query vocabulary into the store scans") {
     // r18 (late): the serve collects the query docs' terms once and
     // pushes the vocabulary into BOTH tree scans as a parquet In
@@ -814,6 +870,23 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.types.LongType, maxDel = 64)
     assert(under.exists(_.toSet == (30L until 50L).toSet),
       s"under the bound the full deduped list must collect, got $under")
+    // 1a) duplicate tombstones (the same id deleted in several
+    //     batches) must not defeat the in-plan limit: the distinct
+    //     runs BEFORE the limit, so a duplicate-heavy tree under the
+    //     bound still yields the COMPLETE distinct id set (a bare
+    //     limit could truncate unseen ids and silently serve deleted
+    //     rows), and one over the bound still returns None
+    val dupDel = vdel.union(vdel).union(vdel)
+    val (_, dupUnder) = graft.operators.Similarity
+      .collectProbeAndDelBounded(probe0, Some(dupDel), "vec_id",
+        org.apache.spark.sql.types.LongType, maxDel = 20)
+    assert(dupUnder.exists(_.toSet == (30L until 50L).toSet),
+      s"duplicated del rows must still collect the full distinct set, got $dupUnder")
+    val (_, dupOver) = graft.operators.Similarity
+      .collectProbeAndDelBounded(probe0, Some(dupDel), "vec_id",
+        org.apache.spark.sql.types.LongType, maxDel = 19)
+    assert(dupOver.isEmpty,
+      "20 distinct ids over maxDel=19 must return None even when duplicated")
     // 1b) the stats gate: a tree whose file bytes exceed the cutoff
     //     NEVER rides the fold — None without the union ever running
     //     (the probe collects alone, so the driver holds zero del ids)
